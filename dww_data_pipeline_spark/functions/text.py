@@ -1,0 +1,118 @@
+"""Text-analysis expression library (LLM-data-pipeline extensions).
+
+These go beyond the reference's own surface (north-star requirement):
+language ID, quality scoring, token counting, fingerprinting,
+shingling. All pure Column expressions — they run JVM-side and scale
+linearly with no shuffle; every one of them is a narrow map over the
+documents fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic and SQL-expressible (the DuckDB oracle uses the same
+# lists), good enough for a routing heuristic; a real deployment would
+# swap in fastText via mapInPandas.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs via regex — a deterministic proxy for tokenizer cost."""
+    pieces = F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^\sA-Za-z0-9]"))
+    return pieces.cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 when empty)."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards moderate length,
+    penalizes punctuation soup, rewards stopword presence. The exact
+    formula is arbitrary but deterministic (and mirrored in the
+    DuckDB oracle)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / 100.0, F.lit(1.0))
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    score = 0.5 * len_score + 0.3 * F.least(sw * 5.0, F.lit(1.0)) + 0.2 * (1.0 - pr)
+    return F.round(score, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: the language whose marker lexicon hits
+    the most tokens; ties and zero hits → 'und'."""
+    toks = tokens(F.lower(text))
+
+    def marker_hits(words: tuple[str, ...]):
+        # single-arg closure (a 2-arg lambda would receive the index)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(lang, marker_hits(words)) for lang, words in LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier languages win ties via the final when-chain
+    for lang, s in reversed(scores):
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace/case-normalized text.
+    Stable across engines (md5 is md5 everywhere), used for exact
+    dedup at scale — 16 bytes instead of the full document."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (each a space-joined string) — the
+    input to MinHash / Jaccard dedup. Pure higher-order-function
+    expression: transform over token positions."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])),
+    ).otherwise(F.array())
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of character n-grams of normalized text."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.when(
+        length >= n, F.transform(idx, lambda i: F.substring(norm, i, n))
+    ).otherwise(F.array(norm))

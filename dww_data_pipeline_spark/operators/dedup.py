@@ -1,0 +1,236 @@
+"""Deduplication operators (LLM-data-pipeline extensions; north-star
+requirement — no reference counterpart, the reference's only dedup is
+exact id-dedup, GetWeta.py:104-108 / J7 edge-dedup GetWeta.py:239-247).
+
+Five families, all shuffle-disciplined for 100 TB:
+
+* exact          — hash-groupBy on a 16-byte fingerprint, never on the
+                   full document (one shuffle of (hash, id), not text).
+* minhash LSH    — shingle → minhash signature → band buckets →
+                   bucket join. The self-join happens only within LSH
+                   buckets, never across the full corpus.
+* simhash        — 64-bit signature via per-bit majority vote of token
+                   hashes; near-dups share the signature (or differ in
+                   few bits — banded by signature prefix at scale).
+* n-gram Jaccard — exact verification of candidate pairs (used after
+                   LSH to kill false positives).
+* embedding cosine — near-dup by cosine over an embedding column.
+
+Hash choice: xxhash64 (Spark built-in, JVM-side) for scale paths;
+md5-derived hashes where a cross-engine oracle must reproduce the
+value (md5 is identical in Spark / DuckDB / Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.functions.text import fingerprint, word_shingles
+from dww_data_pipeline_spark.functions.vectors import cosine
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized-text fingerprint).
+    Returns (fingerprint, dup_count, doc_ids) for groups of size>1."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per fingerprint group.
+
+    At scale: shuffles only (fp, id) pairs; the winning ids come back
+    via a semi-join so full rows move once.
+    """
+    winners = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- minhash
+
+def _minhash_sig(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature as array<long>: for each of ``num_hashes``
+    seeded xxhash64 functions, the min hash over the shingle set.
+    Pure expression — computed in one projection, no shuffle."""
+    def hasher(i: int):
+        # single-arg closure (a 2-arg lambda would receive the index)
+        return lambda s: F.xxhash64(s, F.lit(seed + i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash signature) per document."""
+    return df.select(
+        F.col(id_col),
+        _minhash_sig(word_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    signature → ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band bucket become a candidate pair. The self-join is
+    per-bucket (groupBy band hash), so cost is Σ bucket² not corpus²
+    — the property that makes this the 100 TB path.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    xxhash64 values (weights=1). Computed with explode over tokens +
+    one groupBy — a single shuffle of (id, token-hash) pairs.
+
+    Near-duplicates have small Hamming distance between signatures.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    # vote: for each bit, sum(+1 if bit set else -1); bit of result = vote>0
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate (id_a, id_b) pairs —
+    verification stage after LSH. Joins shingle sets to the pair list
+    (two broadcast-or-shuffle joins on ids, set math as expressions).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Brute-force O(n²) within-partition variant for moderate corpora /
+    verification; the 100 TB path buckets by LSH first (see
+    operators.similarity.lsh_buckets) and applies the same predicate
+    within buckets.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

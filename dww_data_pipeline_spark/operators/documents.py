@@ -1,0 +1,145 @@
+"""Document assembly, sinks, and multimodal column plumbing.
+
+* nested JSON / CSV sinks (reference S6-S10, dwwApi.js:14-224,
+  utils/jsonToCsv.py:17-34)
+* KML track formatter (reference S9, pathCreator.js:75-133) —
+  presentation-layer string assembly via format_string.
+* multimodal binary columns (north-star): schema + mapInPandas
+  plumbing is real and tested; the actual media decode is stubbed
+  (image/audio libs are not in this container) behind a deterministic
+  fake, clearly marked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dww_data_pipeline_spark.functions.strings import strip_commas
+
+
+# ------------------------------------------------------------- sinks
+
+def to_flat_csv(df: DataFrame, cols: list[str], path: str | None = None):
+    """S6: flat CSV export with the reference's comma-strip escaping
+    (commas removed from string values instead of quoted,
+    dwwApi.js:33-35)."""
+    out = df.select(
+        *[
+            strip_commas(F.col(c)).alias(c) if dict(df.dtypes)[c] == "string" else F.col(c)
+            for c in cols
+        ]
+    )
+    if path is not None:
+        out.write.mode("overwrite").option("header", True).csv(path)
+    return out
+
+
+def to_nested_json(
+    df: DataFrame,
+    entity_cols: list[str],
+    rel_cols: list[str],
+    order_cols: list[str],
+    path: str | None = None,
+):
+    """S8: nested per-entity JSON documents
+    ``{<entity cols>, rels: [...]}`` (reference dwwApi.js:216-224)."""
+    from dww_data_pipeline_spark.operators.sequence import nest_documents
+
+    nested = nest_documents(df, entity_cols, rel_cols, order_cols)
+    if path is not None:
+        nested.write.mode("overwrite").json(path)
+    return nested
+
+
+def kml_tracks(
+    jumps: DataFrame,
+    name_col: str,
+    coords_col: str,
+    when_col: str,
+) -> DataFrame:
+    """S9: gx:Track placemark KML string per jump arc (reference
+    pathCreator.js:101-133). Pure string assembly — presentation
+    layer, excluded from the correctness surface like the reference's
+    random-altitude arcs (pathCreator.js:113-124)."""
+    return jumps.select(
+        F.format_string(
+            '<Placemark><name>%s</name><gx:Track><when>%s</when>'
+            "<gx:coord>%s</gx:coord></gx:Track></Placemark>",
+            F.col(name_col),
+            F.col(when_col),
+            F.col(coords_col),
+        ).alias("kml")
+    )
+
+
+# ------------------------------------------------- multimodal columns
+
+# Typed metadata travels beside the opaque payload so partition
+# pruning / filtering never touches the bytes.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | None, dim: int = 8) -> list[float]:
+    """STUB: deterministic fake 'decode + feature extract'.
+
+    Real deployments replace this with PIL/librosa/ffmpeg decode —
+    those libs are not in this container (see module docstring). The
+    fake hashes payload bytes into a fixed-dim feature so the Spark
+    plumbing (Arrow batches, schema, partitioning) is fully exercised
+    and deterministic.
+    """
+    if payload is None:
+        raise NotImplementedError("media decode requires payload bytes")
+    out = []
+    h = 2166136261
+    for i in range(dim):
+        for b in payload[i::dim] or b"\x00":
+            h = (h ^ b) * 16777619 & 0xFFFFFFFF
+        out.append((h % 10_000) / 10_000.0)
+    return out
+
+
+def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + feature-extract over binary media columns via
+    mapInPandas (Arrow-batched; batch shape preserved). The decode
+    itself is a deterministic stub (_fake_decode) — the distributed
+    plumbing is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    feats.append(_fake_decode(payload, dim))
+                    oks.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,180 @@
+"""Streaming query surface over the events table (north-star; no
+reference counterpart — SURVEY §2.9).
+
+Spark's unified batch/stream API means each windowed aggregation in
+streaming/events.py runs identically on a batch DataFrame — so the
+correctness oracle for the *stream* is the same SQL run by DuckDB on
+the same events data. The pytest suite additionally runs the real
+readStream path with watermarks (tests/test_streaming.py); the
+session-window query keeps its oracle via a gaps-and-islands SQL
+equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+from dww_data_pipeline_spark.streaming.events import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "st1_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Tumbling event-time window aggregation (1h) — the same "
+    "function runs as readStream + watermark in streaming/events.py",
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out
+
+
+@register(
+    "st2_sliding_window",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+    description="Sliding event-time windows (1h width, 30m slide): each "
+    "event lands in exactly two windows; oracle materializes both starts",
+)
+def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "st3_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_ms(ts) - epoch_ms(prev_ts) > 10 * 60 * 1000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+      )
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    description="Session windows (10m gap) per user via session_window(); "
+    "oracle is the gaps-and-islands SQL equivalent — closes after gap "
+    "inactivity, end = last event + gap",
+)
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = session_window_agg(ev, gap="10 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+@register(
+    "st4_stream_dedup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM (SELECT DISTINCT ON (event_id) event_id, user_id FROM events ORDER BY event_id, ts)
+    GROUP BY user_id
+    """,
+    description="Stream dedup on event_id (dropDuplicatesWithinWatermark on "
+    "streams / dropDuplicates in batch) + per-user count",
+)
+def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    from dww_data_pipeline_spark.streaming.events import stream_dedup
+
+    return stream_dedup(ev).groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# Explicit non-SQL-expressible entries: exercised, rows-only checked.
+
+
+@register(
+    "m1_multimodal_features",
+    oracle=None,
+    description="Multimodal plumbing: binary payload column → mapInPandas "
+    "Arrow-batched feature extraction (decode stubbed deterministically — "
+    "media libs absent; schema/partitioning/batch shape real). Rows-only "
+    "check by design.",
+)
+def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import extract_media_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+    )

@@ -1,0 +1,378 @@
+"""Scalar-function and text-analysis query surface.
+
+Covers the reference's parsing core (F1 credit-note parser, F9 date
+normalizer — SURVEY §2.8, the reference's most idiosyncratic logic)
+plus the north-star text-analysis operators (token counting, quality
+scoring, language ID, fingerprinting) over the documents table.
+
+Oracle notes: DuckDB ``regexp_replace`` needs the ``'g'`` flag to
+match Spark's replace-all semantics; DuckDB has no ``initcap`` so the
+oracle emulates per-word capitalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.functions import text as tx
+from dww_data_pipeline_spark.functions.dates import normalize_release
+from dww_data_pipeline_spark.functions.fuzzy import levenshtein_ratio
+from dww_data_pipeline_spark.functions.strings import (
+    clean_blacklist,
+    parse_company,
+    parse_role,
+    strip_commas,
+    zzz_tag,
+)
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# F1 — credit-note parsing chain (reference ParseCompanyFromPersonNotes
+# GetWeta.py:370-411). Notes are synthesized from part columns so the
+# chain runs over real distributed data; the oracle replicates every
+# regex step with RE2 + 'g' flags.
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+WITH notes AS (
+  SELECT p_partkey,
+         p_type || ': ' || p_name || ' ltd (uncredited) [3 episodes]' AS note
+  FROM part
+), cleaned AS (
+  SELECT p_partkey,
+    lower(trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(note, '[!@#*$()\\[\\]]', '', 'g'),
+              '"', '''', 'g'),
+            '(\\w+)\\s(episodes),?(\\s\\w+)?(-\\w+)?', '', 'g'),
+          'uncredited', '', 'g'),
+        '\\bas\\s.*$', '', 'g')
+    )) AS c
+  FROM notes
+)
+SELECT p_partkey,
+       CASE WHEN contains(c, ':') THEN trim(split_part(c, ':', 1)) ELSE '' END AS role,
+       trim(regexp_replace(
+         trim(split_part(
+           CASE WHEN contains(c, ':') THEN trim(split_part(c, ':', 2)) ELSE c END,
+           ' - ', 1)),
+         '\\b(ltd|inc)\\.?\\s*$', '', 'g')) AS company
+FROM cleaned
+"""
+
+
+@register(
+    "f1_parse_credit_notes",
+    oracle=_F1_ORACLE,
+    description="F1 credit-note parser: symbol strip → episode-list drop → "
+    "uncredited/as-suffix drop → ltd/inc strip → role:company split "
+    "(reference GetWeta.py:370-411); pure Column expressions, UDF-free",
+)
+def f1_parse_credit_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    note = F.concat(
+        F.col("p_type"), F.lit(": "), F.col("p_name"), F.lit(" ltd (uncredited) [3 episodes]")
+    )
+    return p.select(
+        "p_partkey",
+        parse_role(note).alias("role"),
+        parse_company(note).alias("company"),
+    )
+
+
+@register(
+    "f9_normalize_release_dates",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS release
+    FROM orders
+    """,
+    description="F9 release-date normalization: '17 July 2007 (UK)'-style "
+    "entry → padded YYYY-MM-DD (reference ParseEarliestDate "
+    "GetWeta.py:348-368). Differential oracle: the engine parses a "
+    "synthesized pretty-printed date; the oracle formats directly.",
+)
+def f9_normalize_release_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pretty = F.concat(
+        F.date_format("o_orderdate", "d"),
+        F.lit(" "),
+        F.date_format("o_orderdate", "MMMM"),
+        F.lit(" "),
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit(" (UK)"),
+    )
+    return o.select("o_orderkey", normalize_release(pretty).alias("release"))
+
+
+@register(
+    "f2_fuzzy_ratio",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+           CAST(round(100 * (1 - CAST(levenshtein(lower(trim(p_name)), lower(trim(p_type))) AS DOUBLE)
+                / greatest(length(lower(trim(p_name))) + length(lower(trim(p_type))), 1)))
+             AS INTEGER) AS match_ratio
+    FROM part
+    """,
+    description="F2 fuzzy match ratio 0-100 (reference fuzz.ratio "
+    "GetWeta.py:236-237): levenshtein-based Column expression (default "
+    "fast path; exact SequenceMatcher parity available via pandas_udf)",
+)
+def f2_fuzzy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        levenshtein_ratio(F.col("p_name"), F.col("p_type")).alias("match_ratio"),
+    )
+
+
+@register(
+    "f4_blacklist_clean",
+    oracle="""
+    SELECT p_partkey,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(p_name), '(?i)small', '', 'g'),
+               '(?i)large', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM part
+    """,
+    description="F4 blacklist-term removal + whitespace renormalize "
+    "(reference dwwFront.js:159-176)",
+)
+def f4_blacklist_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        clean_blacklist(F.col("p_name"), ["small", "large"]).alias("cleaned"),
+    )
+
+
+@register(
+    "f_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, ',', '', 'g') AS comma_stripped,
+           upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS capitalized,
+           lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS padded_nation,
+           'zzz_baddata:' || c_mktsegment AS tagged,
+           contains(c_name, '1') AS has_one
+    FROM customer
+    """,
+    description="F3 comma-strip + F5 capitalize + F6 zero-pad + F7 sentinel "
+    "tag + contains (reference dwwApi.js:33-35, dwwFront.js:16-20, "
+    "GetWeta.py:362-366, dwwFront.js:365-369)",
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        strip_commas(F.col("c_name")).alias("comma_stripped"),
+        F.initcap(F.lower(F.col("c_mktsegment"))).alias("capitalized"),
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0").alias("padded_nation"),
+        zzz_tag(F.col("c_mktsegment")).alias("tagged"),
+        F.col("c_name").contains("1").alias("has_one"),
+    )
+
+
+@register(
+    "f_date_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           epoch_ms(l_shipdate) AS ship_ms,
+           year(l_shipdate) AS ship_year,
+           datediff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+           CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) * 86400000 AS delay_ms,
+           (year(o_orderdate) <> year(l_shipdate)) AS year_changed
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    description="F10-F15 date suite: epoch ms, year extract, datediff, "
+    "days→ms, year-change predicate (reference dwwApi.js:111-112, "
+    "densityCalc.js:75, timeControl.js:227-253)",
+)
+def f_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.unix_timestamp("l_shipdate") * 1000).cast("long").alias("ship_ms"),
+        F.year("l_shipdate").alias("ship_year"),
+        delay.alias("ship_delay_days"),
+        (delay.cast("long") * 86400000).alias("delay_ms"),
+        (F.year("o_orderdate") != F.year("l_shipdate")).alias("year_changed"),
+    )
+
+
+@register(
+    "f16_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 7) % 170 - 85 AS DOUBLE) AS lat,
+             CAST((s_suppkey * 11) % 360 - 180 AS DOUBLE) AS lon
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(floor(2 * 6371.0 * atan2(
+             sqrt(
+               sin(radians(-41.3 - lat)/2) * sin(radians(-41.3 - lat)/2)
+               + cos(radians(lat)) * cos(radians(-41.3))
+                 * sin(radians(174.8 - lon)/2) * sin(radians(174.8 - lon)/2)
+             ),
+             sqrt(1 - (
+               sin(radians(-41.3 - lat)/2) * sin(radians(-41.3 - lat)/2)
+               + cos(radians(lat)) * cos(radians(-41.3))
+                 * sin(radians(174.8 - lon)/2) * sin(radians(174.8 - lon)/2)
+             ))
+           )) AS BIGINT) AS dist_km_floor,
+           greatest(1, CAST(floor(2 * 6371.0 * atan2(
+             sqrt(
+               sin(radians(-41.3 - lat)/2) * sin(radians(-41.3 - lat)/2)
+               + cos(radians(lat)) * cos(radians(-41.3))
+                 * sin(radians(174.8 - lon)/2) * sin(radians(174.8 - lon)/2)
+             ),
+             sqrt(1 - (
+               sin(radians(-41.3 - lat)/2) * sin(radians(-41.3 - lat)/2)
+               + cos(radians(lat)) * cos(radians(-41.3))
+                 * sin(radians(174.8 - lon)/2) * sin(radians(174.8 - lon)/2)
+             ))
+           ) / 100) AS BIGINT)) AS trip_days
+    FROM pts
+    """,
+    description="F16/F17 haversine distance + trip-days (reference "
+    "locUtils.js:2-22); floored to integer km for cross-engine float "
+    "stability",
+)
+def f16_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.functions.geo import haversine_km, trip_days
+
+    s = load_table(spark, sf_dir, "supplier")
+    lat = ((F.col("s_suppkey") * 7) % 170 - 85).cast("double")
+    lon = ((F.col("s_suppkey") * 11) % 360 - 180).cast("double")
+    dist = haversine_km(lat, lon, F.lit(-41.3), F.lit(174.8))
+    return s.select(
+        "s_suppkey",
+        F.floor(dist).cast("long").alias("dist_km_floor"),
+        trip_days(dist).alias("trip_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star LLM-pipeline operators over documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           length(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^\\sA-Za-z0-9]')) AS n_bpe_ish,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    description="Text analysis: whitespace token count + BPE-ish regex "
+    "token estimate (north-star token counting)",
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "t2_quality_scores",
+    oracle="""
+    SELECT doc_id,
+      0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * least(
+          (CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) * 5.0, 1.0)
+      + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1)) AS quality
+    FROM documents
+    """,
+    description="Text quality scoring: length + stopword + punctuation "
+    "composite (north-star quality scoring); identical double-op order on "
+    "both sides → bit-exact",
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = tx.token_count(text).cast("double")
+    toks = tx.tokens(F.lower(text))
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a"))).cast(
+        "double"
+    )
+    sw_ratio = sw_hits / F.greatest(F.size(toks), F.lit(1))
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    pr = punct / F.greatest(n, F.lit(1))
+    quality = (
+        F.lit(0.5) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(sw_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - pr)
+    )
+    return d.select("doc_id", quality.alias("quality"))
+
+
+def _lang_oracle() -> str:
+    lists = {
+        lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+        for lang, words in tx.LANG_MARKERS.items()
+    }
+    scores = {
+        lang: (
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"x -> list_contains({lst}, x)))"
+        )
+        for lang, lst in lists.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    # earlier languages win ties (same as the Spark when-chain order)
+    case = "CASE "
+    for lang in tx.LANG_MARKERS:
+        case += f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM documents"
+
+
+@register(
+    "t3_lang_id",
+    oracle=_lang_oracle(),
+    description="Heuristic language ID via marker-lexicon vote (north-star "
+    "language-ID; deterministic + SQL-expressible)",
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "t4_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    description="Document fingerprinting: md5 of whitespace/case-normalized "
+    "text (north-star fingerprinting; md5 is engine-portable)",
+)
+def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))

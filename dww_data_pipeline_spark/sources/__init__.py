@@ -1,0 +1,3 @@
+from dww_data_pipeline_spark.sources.catalog import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,101 @@
+"""Structured Streaming surface over the events table (north-star
+extension; the reference has no streaming — SURVEY §2.9).
+
+Every aggregation here is written against a generic DataFrame so the
+SAME function runs in batch mode (for the DuckDB oracle) and in
+streaming mode (readStream + watermark) — Spark's unified API makes
+the batch run the correctness oracle for the stream.
+
+Watermark policy: late events older than the watermark are dropped
+from open windows; sized for the test data's event cadence but
+parameterized for production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """events as a file stream (parquet source). In production this is
+    Kafka/Kinesis; the parquet file source exercises identical
+    semantics (event-time, watermarks, incremental triggers)."""
+    schema = load_table(spark, sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, width: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per event-type counts + value sums in tumbling event-time
+    windows. Batch-identical semantics: on a batch DataFrame the
+    watermark is a no-op."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (overlapping) per event type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. (No batch SQL equivalent in the oracle — driver does
+    the rows-only check; the pytest suite cross-checks against a
+    window-function reimplementation.)"""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once event-id dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark on streams; dropDuplicates in
+    batch)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
