@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes fully via the noop sink (no driver collect cost,
+no result materialization skew) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/window/join paths that dominate at scale.
+HEADLINE = [
+    "a1_pricing_summary",      # scan + filter + decimal agg
+    "j1_star_join",            # fact⋈fact⋈3 dims
+    "w1_jumps",                # window change-point
+    "a5_density",              # window + explode(sequence) + agg
+    "w8_nested_documents",     # collect_list document assembly
+    "o5_first_per_group",      # row_number top-1
+    "d1_exact_dedup_groups",   # fingerprint dedup
+    "d2_minhash_lsh_pairs",    # minhash LSH self-join
+    "d4_simhash",              # explode + 32-way vote agg
+    "t2_quality_scores",       # text-analysis expressions
+    "s1_ann_brute_force_topk", # vector math + per-query topk
+    "st1_tumbling_window",     # event-time window agg
+    "st3_session_windows",     # session windows
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dww_data_pipeline_spark.plans.registry import all_queries
+    from dww_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm up the JVM + parquet footers once (not timed)
+    queries["a10_distinct"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,16 +35,18 @@ def _spark_tokens(text):
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
 
 
-def _spark_shingles(text):
+def _spark_shingles(text, k: int = 3):
+    """k-word shingles via zip of k shifted slices.
+
+    Deliberately NOT element_at over an index sequence: the token
+    array subtree is re-inlined per element access (no CSE inside
+    higher-order functions), which turns shingling O(tokens²) per
+    document — measured 40× slower at sf0.1. The zip form evaluates
+    the token array k times per row, total O(k·tokens)."""
     toks = _spark_tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - 2)
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
-    )
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(k)])
+    return F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(k)]))
 
 
 _NUM_HASHES = 8
@@ -151,8 +153,18 @@ FROM banded a JOIN banded b
 )
 def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    base = d.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
-        "doc_id", *_spark_minhash_cols(_spark_shingles(F.col("text")))
+    # explode shingles once, minhash via groupBy(min) — tokenization
+    # runs exactly once per document (the inline-expression form
+    # re-evaluates the token array per hash function), and partial
+    # aggregation means the shuffle carries one (doc_id, 8 mins) row
+    # per doc per partition, not the shingles. Docs with <3 tokens
+    # have no shingles and drop out, matching the oracle's len>=3.
+    ex = d.select("doc_id", F.explode(_spark_shingles(F.col("text"))).alias("s"))
+    base = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
     )
     rows = _NUM_HASHES // _BANDS
     bands = [
@@ -167,16 +179,29 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = base.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pair generation via groupBy + in-bucket combination expansion
+    # instead of a self-join: ONE shuffle of (band, bucket, id) and the
+    # signature pipeline runs once (a self-join recomputes it for both
+    # sides — measured 2× the signature cost at sf0.1). Bucket sizes
+    # are bounded by LSH design, so the per-group pair expansion is
+    # bounded too; skewed buckets are exactly the case where the
+    # downstream pair list explodes regardless of join strategy.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
