@@ -56,11 +56,13 @@ def canonical_release(release: Column) -> Column:
     bare ``YYYY`` → ``YYYY-01-01``; ``none``/empty → NULL; pad parts.
     Keeps lexicographic == chronological (SURVEY §7.3)."""
     parts = F.split(release, "-")
+    # F.get (not [i]): ANSI mode makes out-of-bounds [i] throw, and bare
+    # "YYYY" splits to a single element
     padded = F.concat_ws(
         "-",
-        F.lpad(parts[0], 4, "0"),
-        F.lpad(F.coalesce(parts[1], F.lit("1")), 2, "0"),
-        F.lpad(F.coalesce(parts[2], F.lit("1")), 2, "0"),
+        F.lpad(F.get(parts, 0), 4, "0"),
+        F.lpad(F.coalesce(F.get(parts, 1), F.lit("1")), 2, "0"),
+        F.lpad(F.coalesce(F.get(parts, 2), F.lit("1")), 2, "0"),
     )
     return F.when(
         release.rlike(r"^\d{4}(-\d{1,2}(-\d{1,2})?)?$"), padded

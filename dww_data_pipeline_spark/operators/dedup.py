@@ -161,18 +161,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+
+    def bit_mask(i: int):
+        # shiftleft, not F.lit(1 << i): 1 << 63 overflows a Java long
+        # literal; the JVM shift wraps to the sign bit correctly
+        return F.shiftleft(F.lit(1).cast("long"), i)
+
     # vote: for each bit, sum(+1 if bit set else -1); bit of result = vote>0
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(bit_mask(i)) != 0, 1).otherwise(-1)
             ).alias(f"v{i}")
             for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+        sig = sig + F.when(F.col(f"v{i}") > 0, bit_mask(i)).otherwise(
             F.lit(0).cast("long")
         )
     return votes.select(F.col(id_col), sig.alias("simhash"))

@@ -15,8 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from dww_data_pipeline_spark.sources.catalog import load_table
+from pyspark.sql import types as T
 
 
 def read_events_stream(
@@ -24,13 +23,34 @@ def read_events_stream(
 ) -> DataFrame:
     """events as a file stream (parquet source). In production this is
     Kafka/Kinesis; the parquet file source exercises identical
-    semantics (event-time, watermarks, incremental triggers)."""
-    schema = load_table(spark, sf_dir, "events").schema
-    return (
-        spark.readStream.schema(schema)
+    semantics (event-time, watermarks, incremental triggers).
+
+    The file source requires a *directory*, so the single events
+    parquet file is staged into a scratch dir via symlink.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"dww_events_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    # schema must match the file's physical types: ts is INT64 nanos on
+    # disk (surfaced as long via nanosAsLong), converted after the scan
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(stage)
     )
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def tumbling_window_agg(

@@ -1,0 +1,243 @@
+"""Operator-level tests on small handcrafted timelines.
+
+The fixtures mirror the reference's own data shapes (FIXTURES.md §1
+distribution notes): runs of consecutive same-company credits, ties
+on release within a person, a first-credit jump, etc.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.operators import dedup, density, sequence, similarity
+
+# person, movie, company, release — release strings padded (lexicographic
+# order == chronological, the reference invariant)
+TIMELINE = [
+    ("p1", "m1", "weta", "1999-01-01"),
+    ("p1", "m2", "weta", "2000-01-01"),
+    ("p1", "m3", "ilm", "2001-01-01"),
+    ("p1", "m4", "weta", "2003-01-01"),
+    ("p2", "m1", "mpc", "1999-06-01"),
+    ("p2", "m5", "mpc", "1999-06-01"),  # tie on release → movie_id tiebreak
+    ("p3", "m6", "dneg", "2005-01-01"),
+]
+
+COLS = ["person_id", "movie_id", "company", "release"]
+ORDER = ["release", "movie_id"]
+
+
+@pytest.fixture(scope="module")
+def timeline(spark):
+    return spark.createDataFrame(TIMELINE, COLS)
+
+
+class TestJumps:
+    def test_w1_change_points(self, timeline):
+        out = sequence.jumps(timeline, "person_id", "company", ORDER)
+        got = {(r["person_id"], r["movie_id"]) for r in out.collect()}
+        # p1: m1 (first), m3 (weta→ilm), m4 (ilm→weta); p2: m1 only; p3: m6
+        assert got == {("p1", "m1"), ("p1", "m3"), ("p1", "m4"), ("p2", "m1"), ("p3", "m6")}
+
+    def test_w2_run_lengths(self, timeline):
+        out = sequence.run_lengths(timeline, "person_id", "company", ORDER)
+        runs = {
+            (r["person_id"], r["company"], r["run_length"]) for r in out.collect()
+        }
+        assert ("p1", "weta", 2) in runs  # m1+m2 consecutive
+        assert ("p1", "ilm", 1) in runs
+        assert ("p2", "mpc", 2) in runs  # tie rows form one run
+
+    def test_w3_pairs_drop_same(self, timeline):
+        out = sequence.consecutive_pairs(
+            timeline, "person_id", ORDER, ["company", "movie_id"], drop_same_on="company"
+        )
+        got = {(r["movie_id"], r["next_movie_id"]) for r in out.collect()}
+        assert got == {("m2", "m3"), ("m3", "m4")}  # same-company pairs dropped
+
+    def test_w4_directional_in(self, timeline):
+        # who was somewhere else right before being at ilm
+        out = sequence.directional_filter(
+            timeline, "person_id", ORDER, "company", "ilm", "in"
+        )
+        got = [(r["person_id"], r["movie_id"]) for r in out.collect()]
+        assert got == [("p1", "m2")]  # the weta credit preceding the ilm one
+
+    def test_w4_directional_out(self, timeline):
+        out = sequence.directional_filter(
+            timeline, "person_id", ORDER, "company", "ilm", "out"
+        )
+        got = [(r["person_id"], r["movie_id"]) for r in out.collect()]
+        assert got == [("p1", "m4")]
+
+    def test_w6_first_per_group_deterministic_tiebreak(self, timeline):
+        out = sequence.first_per_group(timeline, "person_id", ORDER)
+        got = dict((r["person_id"], r["movie_id"]) for r in out.collect())
+        assert got["p2"] == "m1"  # m1 < m5 on the movie_id tiebreak
+
+    def test_w5_dummy_departures(self, spark):
+        rows = [("p1", "a", 1000 * 86400000), ("p1", "b", 1010 * 86400000)]
+        df = spark.createDataFrame(rows, ["person_id", "movie_id", "ts_ms"])
+        out = sequence.dummy_departures(
+            df, "person_id", ["ts_ms", "movie_id"], "ts_ms", F.lit(3)
+        ).collect()
+        assert len(out) == 3  # 2 real + 1 dummy
+        dummy = [r for r in out if r["dummy"]][0]
+        assert dummy["ts_ms"] == (1010 - 3) * 86400000
+        assert dummy["movie_id"] == "a"  # copy of the earlier row
+
+    def test_w8_nested_order_deterministic(self, timeline):
+        out = sequence.nest_documents(
+            timeline, ["person_id"], ["company", "movie_id"], ["release", "movie_id"]
+        )
+        p1 = [r for r in out.collect() if r["person_id"] == "p1"][0]
+        assert [x["movie_id"] for x in p1["rels"]] == ["m1", "m2", "m3", "m4"]
+
+
+class TestDensity:
+    def test_a5_range_fill(self, spark):
+        rows = [
+            ("p1", "weta", 2000),
+            ("p1", "ilm", 2003),  # weta counts 2000-2002, ilm only 2003 (last)
+            ("p2", "weta", 2001),
+        ]
+        df = spark.createDataFrame(rows, ["person_id", "company", "yr"])
+        out = density.density(df, "person_id", ["company"], "yr")
+        got = {(r["company"], r["fill_year"]): r["headcount"] for r in out.collect()}
+        assert got[("weta", 2000)] == 1
+        assert got[("weta", 2001)] == 2  # p1 fill + p2
+        assert got[("weta", 2002)] == 1
+        assert got[("ilm", 2003)] == 1
+        assert ("weta", 2003) not in got
+
+    def test_a5_span_clamped(self, spark):
+        rows = [("p1", "weta", 1900), ("p1", "ilm", 2100)]
+        df = spark.createDataFrame(rows, ["person_id", "company", "yr"])
+        out = density.density(df, "person_id", ["company"], "yr")
+        weta_years = [r["fill_year"] for r in out.collect() if r["company"] == "weta"]
+        assert max(weta_years) == 1900 + density.MAX_SPAN_YEARS  # dirty-data guard
+
+    def test_a6_report_excludes_empty_group_from_total(self, spark):
+        rows = [("p1", "weta", 2000), ("p2", "", 2000), ("p3", "ilm", 2000)]
+        df = spark.createDataFrame(rows, ["person_id", "company", "yr"])
+        dens = density.density(df, "person_id", ["company"], "yr")
+        rep = density.density_report(dens, 2000, "company").collect()
+        assert all(r["total"] == 2 for r in rep)  # '' bucket excluded
+        assert len(rep) == 3  # but still listed
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact_duplicates(self, docs):
+        out = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+        assert len(out) == 1
+        assert out[0]["doc_ids"] == [1, 3]
+
+    def test_dedup_exact_keeps_min_id(self, docs):
+        out = dedup.dedup_exact(docs, "doc_id", "text")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [1, 2, 4, 5]  # 3 dropped (dup of 1)
+
+    def test_minhash_identical_docs_same_signature(self, docs):
+        sigs = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()
+        }
+        assert sigs[1] == sigs[3]
+        assert sigs[1] != sigs[4]
+
+    def test_lsh_finds_exact_and_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        assert (1, 3) in pairs  # exact dup always collides
+        assert (1, 4) not in pairs and (3, 4) not in pairs
+
+    def test_jaccard_verification(self, docs):
+        pairs = docs.sparkSession.createDataFrame(
+            [(1, 3), (1, 2), (1, 4)], ["id_a", "id_b"]
+        )
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.jaccard_pairs(docs, pairs, "doc_id", "text").collect()
+        }
+        assert out[(1, 3)] == 1.0
+        assert 0.0 < out[(1, 2)] < 1.0
+        assert out[(1, 4)] == 0.0
+
+    def test_simhash_near_dups_close_in_hamming(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+        df = docs.sparkSession.createDataFrame(
+            [(sh[1], sh[3]), (sh[1], sh[2]), (sh[1], sh[4])], ["a", "b"]
+        ).select(dedup.hamming64(F.col("a"), F.col("b")).alias("d"))
+        d13, d12, d14 = [r["d"] for r in df.collect()]
+        assert d13 == 0  # identical docs
+        assert d12 < d14  # near-dup closer than unrelated
+
+
+class TestSimilarity:
+    def test_brute_force_self_is_top1(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        out = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+        top1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+        assert top1 == {0: 0, 1: 1, 2: 2}  # each vector is its own nearest
+
+    def test_lsh_topk_recall_vs_brute_force(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        bf = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        lsh = similarity.lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, bits=4, dim=64
+        )
+        bf_sets = {}
+        for r in bf.collect():
+            bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        lsh_sets = {}
+        for r in lsh.collect():
+            lsh_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # every query finds itself, and bucket pruning yields a sane subset
+        recalls = [
+            len(bf_sets[q] & lsh_sets.get(q, set())) / 5 for q in bf_sets
+        ]
+        assert all(q in lsh_sets.get(q, set()) for q in bf_sets)
+        assert sum(recalls) / len(recalls) > 0.2  # 4-bit buckets, exact probe only
+
+
+class TestMultimodal:
+    def test_mapinpandas_plumbing(self, spark):
+        from dww_data_pipeline_spark.operators.documents import extract_media_features
+
+        rows = [(1, "image", b"somebytes"), (2, "image", None)]
+        media = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+        out = {r["media_id"]: r for r in extract_media_features(media, dim=4).collect()}
+        assert out[1]["decode_ok"] and len(out[1]["feature"]) == 4
+        assert not out[2]["decode_ok"] and out[2]["feature"] is None
+
+    def test_deterministic_fake_decode(self, spark):
+        from dww_data_pipeline_spark.operators.documents import extract_media_features
+
+        rows = [(1, "image", b"somebytes")]
+        media = spark.createDataFrame(rows, ["media_id", "kind", "payload"])
+        a = extract_media_features(media, dim=4).collect()[0]["feature"]
+        b = extract_media_features(media, dim=4).collect()[0]["feature"]
+        assert a == b
