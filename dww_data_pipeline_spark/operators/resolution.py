@@ -1,0 +1,129 @@
+"""Entity resolution (SURVEY §7.2 M2) — the reference's company/role
+resolution re-expressed set-oriented.
+
+Reference flow (GetWeta.py:125-228): per credit, parse the note (F1),
+look the parsed company up in companyMap (J2), fall back to an IMDb
+search + fuzzy score (F2, J8 memo), skip sentinel `zzz_` entries
+(P5), dedupe edges (J7). Row-at-a-time with an in-memory memo; here
+it is three broadcast joins and one anti-join — no memo needed under
+set-oriented execution (SURVEY §2.3 J8).
+
+At 100 TB the maps stay broadcastable (they are curated, bounded
+artifacts — companyMap is 32 KB in the reference); if a map ever
+outgrows the threshold the same joins degrade gracefully to
+sort-merge with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.functions.fuzzy import levenshtein_ratio, sequence_matcher_ratio
+from dww_data_pipeline_spark.functions.strings import (
+    is_sentinel,
+    parse_company,
+    parse_division,
+    parse_role,
+)
+
+
+def parse_credits(credits: DataFrame, notes_col: str = "notes") -> DataFrame:
+    """F1: parsed (role, company_search, division) columns from raw
+    credit notes (reference ParseCompanyFromPersonNotes,
+    GetWeta.py:370-411). Division is appended to the role with ', '
+    as the reference does (GetWeta.py:405-409)."""
+    note = F.col(notes_col)
+    role = parse_role(note)
+    division = parse_division(note)
+    return credits.withColumns(
+        {
+            "role": F.when(division != "", F.concat(role, F.lit(", "), division)).otherwise(
+                role
+            ),
+            "company_search": parse_company(note),
+        }
+    )
+
+
+def resolve_companies(
+    parsed: DataFrame,
+    company_map: DataFrame,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """J2 + F2 + P5: resolve parsed company strings against the
+    curated map (broadcast left join on the search string), score the
+    match 0-100, and blank out sentinel `zzz_` entries (reference
+    GetWeta.py:157-174, 161-164).
+
+    company_map columns: (search, name, id). Unmatched searches keep
+    NULL company_id/company_name — the reference would fall through
+    to an IMDb web search (out of engine scope; the fuzzy score
+    supports re-ranking candidate joins instead).
+
+    exact_parity=True uses the SequenceMatcher pandas_udf (reference
+    fuzz.ratio parity); default is the JVM-side levenshtein ratio.
+    """
+    ratio_fn = sequence_matcher_ratio if exact_parity else levenshtein_ratio
+    joined = parsed.join(
+        F.broadcast(company_map),
+        parsed.company_search == company_map.search,
+        "left",
+    )
+    matched_name = F.when(is_sentinel(F.col("name")), F.lit("")).otherwise(F.col("name"))
+    matched_id = F.when(is_sentinel(F.col("name")), F.lit("")).otherwise(F.col("id"))
+    return (
+        joined.withColumn(
+            "match_ratio",
+            F.when(
+                F.col("name").isNotNull() & ~is_sentinel(F.col("name")),
+                ratio_fn(F.col("company_search"), F.col("name")),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("company_name", matched_name)
+        .withColumn("company_id", matched_id)
+        .drop("search", "name", "id")
+    )
+
+
+def apply_role_map(worked_for: DataFrame, role_map: DataFrame) -> DataFrame:
+    """J3: raw role → trueRole via broadcast left join; zzz_baddata
+    roles map to '' (reference SetTrueRoles GetWeta.py:534-543)."""
+    joined = worked_for.join(
+        F.broadcast(role_map), worked_for.role == role_map.raw_role, "left"
+    )
+    true_role = (
+        F.when(F.col("name").isNull(), F.lit(""))
+        .when(is_sentinel(F.col("name")), F.lit(""))
+        .otherwise(F.col("name"))
+    )
+    return joined.withColumn("true_role", true_role).drop("raw_role", "name")
+
+
+def apply_locations(
+    worked_for: DataFrame, locations: DataFrame, regions: DataFrame
+) -> DataFrame:
+    """J4: company name → (geo_loc, location) → global region — two
+    chained broadcast left joins (reference SetLocations
+    GetWeta.py:567-584)."""
+    out = worked_for.join(
+        F.broadcast(locations),
+        worked_for.company_name == locations.loc_company_name,
+        "left",
+    ).drop("loc_company_name")
+    out = out.join(
+        F.broadcast(regions), F.lower(out.location) == regions.reg_location, "left"
+    ).drop("reg_location")
+    return out
+
+
+def dedupe_edges(
+    new_edges: DataFrame,
+    existing_edges: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """J7: drop candidate edges already present (same person, company,
+    movie) — left anti-join replacing the reference's per-edge
+    existence probe (GetWeta.py:239-247)."""
+    keys = keys or ["person_id", "company_id", "movie_id"]
+    return new_edges.join(existing_edges.select(*keys), keys, "left_anti")

@@ -1,0 +1,155 @@
+"""The reference's end-to-end domain pipeline, Spark-first
+(SURVEY §3.1 / §7.1):
+
+    bronze:  credits_raw, movies, maps, locations       (ingest)
+    silver:  credits_parsed (F1,F9) → worked_for (J2,F2,J7) → enriched (J3,J4)
+    gold:    jumps (W1-W7), density (A5/A6), search_counts (A1-A3), exports
+
+Where the reference does one HTTP round-trip per node/edge mutation
+(GetWeta.py:125-228), this is a linear DAG of DataFrame transforms —
+one job, no row-at-a-time RPC. Every stage is a pure
+DataFrame → DataFrame function usable independently; `build_gold`
+wires the full flow.
+
+The serving layer's parameterized query
+(`GET /list/jumps?filter=…&target=…&dir=…` — dwwRoutes.js:38-60)
+becomes the `jumps_query` builder: each URL parameter is a function
+argument.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.functions.dates import (
+    canonical_release,
+    date_precision,
+    to_epoch_ms,
+)
+from dww_data_pipeline_spark.operators import density as density_ops
+from dww_data_pipeline_spark.operators import sequence as seq
+from dww_data_pipeline_spark.operators.resolution import (
+    apply_locations,
+    apply_role_map,
+    parse_credits,
+    resolve_companies,
+)
+
+# deterministic timeline order: padded release string (lexicographic ==
+# chronological), movie_id tie-break (SURVEY §7.3)
+TIMELINE_ORDER = ["release", "movie_id"]
+
+
+@dataclass
+class DomainTables:
+    """Silver + gold outputs of the domain pipeline."""
+
+    worked_for: DataFrame
+    jumps: DataFrame
+    density: DataFrame
+    search_counts: DataFrame
+
+
+def build_worked_for(
+    credits_raw: DataFrame,
+    company_map: DataFrame,
+    role_map: DataFrame,
+    locations: DataFrame | None = None,
+    regions: DataFrame | None = None,
+    exact_parity: bool = False,
+) -> DataFrame:
+    """bronze credits → enriched silver fact table.
+
+    credits_raw: (person_id, person_name, movie_id, notes, release)
+    company_map: (search, name, id)
+    role_map:    (raw_role, name)
+    locations:   (loc_company_name, geo_loc, location) [optional]
+    regions:     (reg_location, global_region) [optional]
+    """
+    parsed = parse_credits(credits_raw)
+    parsed = parsed.withColumns(
+        {
+            "date_precision": date_precision(F.col("release")),
+            "release": canonical_release(F.col("release")),
+        }
+    )
+    wf = resolve_companies(parsed, company_map, exact_parity=exact_parity)
+    wf = apply_role_map(wf, role_map)
+    if locations is not None and regions is not None:
+        wf = apply_locations(wf, locations, regions)
+    return wf
+
+
+def jumps_query(
+    worked_for: DataFrame,
+    filter_key: str | None = None,
+    target: str | None = None,
+    direction: str = "in",
+    jumps_only: bool = True,
+) -> DataFrame:
+    """The serving tier's jump query (dwwApi.js:48-315) as a builder.
+
+    filter_key ∈ {company_name, location, region} selects the match
+    key (dwwApi.js:231-242); with no filter, returns the jump rows
+    (change-points) per person. Timestamps surface as epoch ms
+    (dwwApi.js:111-112 — month bug fixed)."""
+    base = worked_for.filter(F.col("release").isNotNull())
+    if jumps_only:
+        base = seq.jumps(base, "person_id", "company_name", TIMELINE_ORDER)
+    if filter_key is not None:
+        if target is None:
+            raise ValueError("filter requires target (dwwRoutes.js:41-44)")
+        base = seq.directional_filter(
+            worked_for.filter(F.col("release").isNotNull()),
+            "person_id",
+            TIMELINE_ORDER,
+            filter_key,
+            target,
+            direction,
+        )
+    return base.withColumn("date_ms", to_epoch_ms(F.col("release")))
+
+
+def build_density(worked_for: DataFrame) -> DataFrame:
+    """gold density table: per (company, year, true_role) headcount
+    with the reference's forward range fill (densityCalc.js:60-90)."""
+    with_year = worked_for.filter(F.col("release").isNotNull()).withColumn(
+        "yr", F.substring("release", 1, 4).cast("int")
+    )
+    return density_ops.density(
+        with_year,
+        entity="person_id",
+        group_cols=["company_name", "true_role"],
+        year_col="yr",
+        order=TIMELINE_ORDER,
+    )
+
+
+def build_search_counts(worked_for: DataFrame) -> DataFrame:
+    """gold A1: company search-string counts ordered count-desc,
+    search-asc (dwwApi.js:321-342)."""
+    return (
+        worked_for.groupBy("company_search")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "company_search")
+    )
+
+
+def build_gold(
+    credits_raw: DataFrame,
+    company_map: DataFrame,
+    role_map: DataFrame,
+    locations: DataFrame | None = None,
+    regions: DataFrame | None = None,
+) -> DomainTables:
+    """Full bronze → gold flow."""
+    wf = build_worked_for(credits_raw, company_map, role_map, locations, regions)
+    return DomainTables(
+        worked_for=wf,
+        jumps=jumps_query(wf),
+        density=build_density(wf),
+        search_counts=build_search_counts(wf),
+    )

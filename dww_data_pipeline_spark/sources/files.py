@@ -1,0 +1,91 @@
+"""CSV / JSON dimension-file sources (reference S3/S4/S10).
+
+The reference loads curated map files — companyMap/roleMap JSON with
+a `maptype` tag (GetWeta.py:811-831, dwwApi.js:51-58) and
+location/region CSVs with headers (utils/companyLocationCsvToJson.py:
+27-55). These are small, schema-pinned dimension reads; inference is
+allowed only here at the bronze edge (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COMPANY_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("search", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+    ]
+)
+
+ROLE_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("raw_role", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+    ]
+)
+
+
+def read_csv_dim(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S3: header CSV dimension read (reference
+    utils/companyLocationCsvToJson.py:27-55)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_map_json(
+    spark: SparkSession,
+    path: str,
+    expected_maptype: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """S4: map-file JSON source with maptype validation (reference
+    GetWeta.py:811-831 validates the tag before use).
+
+    File shape: one JSON doc ``{"maptype": ..., "maps": {key: {...}}}``;
+    returns the flattened maps as rows of ``schema`` (key column first).
+    Raises ValueError on a maptype mismatch, like the reference's
+    hard exit.
+    """
+    # pin the schema: inference would type `maps` as a struct keyed by
+    # the (data-dependent) search strings instead of a map
+    value_schema = T.StructType(schema.fields[1:])
+    file_schema = T.StructType(
+        [
+            T.StructField("maptype", T.StringType()),
+            T.StructField("maps", T.MapType(T.StringType(), value_schema)),
+        ]
+    )
+    raw = spark.read.option("multiLine", True).schema(file_schema).json(path)
+    tags = [r["maptype"] for r in raw.select("maptype").collect()]
+    if tags and tags[0] != expected_maptype:
+        raise ValueError(
+            f"map file {path} has maptype {tags[0]!r}, expected {expected_maptype!r}"
+        )
+    key_col = schema.fields[0].name
+    value_fields = [f.name for f in schema.fields[1:]]
+    exploded = raw.select(F.explode("maps").alias(key_col, "entry"))
+    cols = [F.col(key_col)] + [
+        F.col(f"entry.{f}").cast(schema[f].dataType).alias(f) for f in value_fields
+    ]
+    return exploded.select(*cols)
+
+
+def write_map_json(df: DataFrame, path: str, maptype: str) -> None:
+    """S10: map-file sink — single JSON doc {maptype, maps}
+    (reference GetWeta.py:507-512). Dimension maps are small by
+    construction; assembled driver-side like the reference."""
+    import json
+
+    key_col = df.columns[0]
+    maps = {
+        row[key_col]: {c: row[c] for c in df.columns[1:]} for row in df.collect()
+    }
+    with open(path, "w") as f:
+        json.dump({"maptype": maptype, "maps": maps}, f, sort_keys=True)

@@ -1,0 +1,217 @@
+"""Golden-replay tests for the domain pipeline: handcrafted credits in
+the reference's own shapes (FIXTURES.md §1/§6) flow bronze → gold and
+reproduce the reference's semantics (parse → resolve → enrich →
+jumps/density/exports).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark import pipeline
+from dww_data_pipeline_spark.operators.resolution import dedupe_edges
+from dww_data_pipeline_spark.sources.files import (
+    COMPANY_MAP_SCHEMA,
+    ROLE_MAP_SCHEMA,
+    read_csv_dim,
+    read_map_json,
+    write_map_json,
+)
+
+CREDITS = [
+    # person_id, person_name, movie_id, notes, release
+    ("0001", "Rick Sander", "m01", "3d animator: VIFX", "1996"),
+    ("0001", "Rick Sander", "m02", "3d artist: VIFX (uncredited)", "1997-03-01"),
+    ("0001", "Rick Sander", "m03", "compositor: Weta Digital ltd", "2001-12-03"),
+    ("0002", "Jane Doe", "m01", "digital compositor: Mill Film, London", "1996"),
+    ("0002", "Jane Doe", "m04", "lead td: Weta Digital", "1999-06-30"),
+    ("0003", "No Colon", "m05", "Weta Digital", "none"),
+]
+
+COMPANY_MAP = [
+    ("vifx", "VIFX", "0024117", None),
+    ("weta digital", "Weta Digital", "0005031", "Wellington"),
+    ("london", "zzz_baddata:london", "-1", None),
+]
+
+ROLE_MAP = [
+    ("3d animator", "Animation"),
+    ("3d artist", "Paint/Rotoscope"),
+    ("compositor", "Compositing"),
+    ("digital compositor, mill film", "Compositing"),
+    ("lead td", "zzz_baddata:td"),
+]
+
+LOCATIONS = [("Weta Digital", "-41.30528,174.823492", "wellington")]
+REGIONS = [("wellington", "new zealand")]
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    credits = spark.createDataFrame(
+        CREDITS, ["person_id", "person_name", "movie_id", "notes", "release"]
+    )
+    cmap = spark.createDataFrame(COMPANY_MAP, ["search", "name", "id", "location"]).drop(
+        "location"
+    )
+    rmap = spark.createDataFrame(ROLE_MAP, ["raw_role", "name"])
+    locs = spark.createDataFrame(LOCATIONS, ["loc_company_name", "geo_loc", "location"])
+    regs = spark.createDataFrame(REGIONS, ["reg_location", "global_region"])
+    return pipeline.build_gold(credits, cmap, rmap, locs, regs)
+
+
+class TestWorkedFor:
+    def test_parse_and_resolve(self, gold):
+        wf = {r["movie_id"]: r for r in gold.worked_for.filter(F.col("person_id") == "0001").collect()}
+        assert wf["m01"]["company_search"] == "vifx"
+        assert wf["m01"]["company_name"] == "VIFX"
+        assert wf["m01"]["company_id"] == "0024117"
+        assert wf["m01"]["match_ratio"] == 100
+        assert wf["m03"]["company_name"] == "Weta Digital"
+
+    def test_division_comma_semantics(self, gold):
+        # "Mill Film, London": comma ⇒ company = part after the comma,
+        # role += ", " + part before it (GetWeta.py:397-409)
+        row = gold.worked_for.filter(F.col("movie_id") == "m01").filter(
+            F.col("person_id") == "0002"
+        ).collect()[0]
+        assert row["company_search"] == "london"
+        assert row["company_name"] == ""  # zzz_baddata blanked (P5)
+        assert row["role"] == "digital compositor, mill film"
+        assert row["true_role"] == "Compositing"  # division-role still mapped
+
+    def test_sentinel_role_blanked(self, gold):
+        row = gold.worked_for.filter(F.col("movie_id") == "m04").collect()[0]
+        assert row["true_role"] == ""  # zzz_baddata role → '' (J3)
+
+    def test_release_canonicalized(self, gold):
+        rels = {
+            r["movie_id"]: (r["release"], r["date_precision"])
+            for r in gold.worked_for.filter(F.col("person_id") == "0001").collect()
+        }
+        assert rels["m01"] == ("1996-01-01", "year")
+        assert rels["m03"] == ("2001-12-03", "day")
+
+    def test_none_release_null(self, gold):
+        row = gold.worked_for.filter(F.col("person_id") == "0003").collect()[0]
+        assert row["release"] is None
+        assert row["date_precision"] == "none"
+
+    def test_location_enrichment(self, gold):
+        row = gold.worked_for.filter(F.col("movie_id") == "m03").collect()[0]
+        assert row["location"] == "wellington"
+        assert row["global_region"] == "new zealand"
+
+
+class TestGoldTables:
+    def test_jumps_change_points_only(self, gold):
+        jumps = gold.jumps.filter(F.col("person_id") == "0001").collect()
+        # VIFX, VIFX, Weta → first credit + company change = 2 jumps
+        assert [r["movie_id"] for r in jumps] == ["m01", "m03"]
+        assert all(r["date_ms"] is not None for r in jumps)
+
+    def test_directional_jump_query(self, gold):
+        out = pipeline.jumps_query(
+            gold.worked_for, filter_key="company_name", target="weta digital",
+            direction="in",
+        )
+        rows = out.collect()
+        # predecessors of Weta credits: 0001's m02 (VIFX); 0002's m01 has
+        # company_name '' ≠ target so it qualifies as predecessor row
+        got = {(r["person_id"], r["movie_id"]) for r in rows}
+        assert ("0001", "m02") in got
+
+    def test_filter_requires_target(self, gold):
+        with pytest.raises(ValueError):
+            pipeline.jumps_query(gold.worked_for, filter_key="company_name")
+
+    def test_density_range_fill(self, gold):
+        dens = {
+            (r["company_name"], r["fill_year"]): r["headcount"]
+            for r in gold.density.filter(F.col("company_name") == "VIFX").collect()
+        }
+        # 0001 at VIFX 1996 → fills 1996-2000 (next credit 2001)
+        assert dens[("VIFX", 1996)] == 1
+        assert dens[("VIFX", 2000)] == 1
+        assert ("VIFX", 2001) not in dens
+
+    def test_search_counts_order(self, gold):
+        rows = gold.search_counts.collect()
+        assert rows[0]["company_search"] == "weta digital"  # 3 credits
+        assert rows[0]["count"] == 3
+
+    def test_dedupe_edges(self, gold, spark):
+        existing = spark.createDataFrame(
+            [("0001", "0024117", "m01")], ["person_id", "company_id", "movie_id"]
+        )
+        out = dedupe_edges(gold.worked_for, existing)
+        assert out.filter(
+            (F.col("person_id") == "0001") & (F.col("movie_id") == "m01")
+        ).count() == 0
+        assert out.count() == gold.worked_for.count() - 1
+
+
+class TestSinks:
+    def test_csv_sink_comma_strip(self, gold, tmp_path):
+        from dww_data_pipeline_spark.operators.documents import to_flat_csv
+
+        out = to_flat_csv(
+            gold.worked_for.withColumn("role", F.lit("a,b,c")), ["person_id", "role"]
+        )
+        assert all(r["role"] == "abc" for r in out.collect())
+
+    def test_nested_json_sink(self, gold, tmp_path):
+        from dww_data_pipeline_spark.operators.documents import to_nested_json
+
+        path = str(tmp_path / "people")
+        nested = to_nested_json(
+            gold.worked_for.filter(F.col("release").isNotNull()),
+            ["person_id", "person_name"],
+            ["movie_id", "company_name", "release"],
+            ["release", "movie_id"],
+            path=path,
+        )
+        row = [r for r in nested.collect() if r["person_id"] == "0001"][0]
+        assert [x["movie_id"] for x in row["rels"]] == ["m01", "m02", "m03"]
+        reread = gold.worked_for.sparkSession.read.json(path)
+        assert reread.count() == nested.count()
+
+    def test_kml_sink_shape(self, gold):
+        from dww_data_pipeline_spark.operators.documents import kml_tracks
+
+        jumps = gold.jumps.withColumn("coords", F.lit("174.8,-41.3,0")).withColumn(
+            "when_str", F.lit("2001-12-03")
+        )
+        row = kml_tracks(jumps, "person_name", "coords", "when_str").collect()[0]
+        assert row["kml"].startswith("<Placemark>")
+        assert "<gx:coord>174.8,-41.3,0</gx:coord>" in row["kml"]
+
+
+class TestMapFiles:
+    def test_map_json_round_trip(self, spark, tmp_path):
+        cmap = spark.createDataFrame(COMPANY_MAP, COMPANY_MAP_SCHEMA)
+        path = str(tmp_path / "companyMap.json")
+        write_map_json(cmap, path, "company")
+        back = read_map_json(spark, path, "company", COMPANY_MAP_SCHEMA)
+        assert {r["search"]: r["name"] for r in back.collect()} == {
+            s: n for s, n, _, _ in COMPANY_MAP
+        }
+
+    def test_map_json_wrong_maptype_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "roleMap.json")
+        with open(path, "w") as f:
+            json.dump({"maptype": "role", "maps": {"td": {"name": "TD"}}}, f)
+        with pytest.raises(ValueError, match="maptype"):
+            read_map_json(spark, path, "company", ROLE_MAP_SCHEMA)
+
+    def test_csv_dim_source(self, spark, tmp_path):
+        path = str(tmp_path / "locations.csv")
+        with open(path, "w") as f:
+            f.write("Location,Region,Lat Long\nwellington,new zealand,\"-41.3,174.8\"\n")
+        df = read_csv_dim(spark, path)
+        row = df.collect()[0]
+        assert row["Location"] == "wellington"
+        assert row["Lat Long"] == "-41.3,174.8"
