@@ -72,6 +72,7 @@ def _load_all() -> None:
     from dww_data_pipeline_spark.plans import (  # noqa: F401
         dedup_plans,
         relational,
+        relational2,
         sequence_plans,
         streaming_plans,
         text_plans,

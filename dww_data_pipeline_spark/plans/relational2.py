@@ -1,0 +1,289 @@
+"""Second relational batch: remaining SURVEY §2 operators (O6 depth
+limit, P5 sentinel filter, W7 empty-group removal, A7 merge-sum,
+F14/F19/F20 scalar suite, intersect/except) plus TPC-H-style classics
+and analytic extensions (rollup) that round out the engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.functions.strings import clean_blacklist, zzz_tag
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+@register(
+    "o6_depth_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    description="O6 depth limit: first N of an ordered scan (reference "
+    "filmographyDepth GetWeta.py:81-86); deterministic via total order",
+)
+def o6_depth_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderdate", "o_orderkey").limit(100).select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "p5_sentinel_filter",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'zzz_baddata:' || c_name ELSE c_name END AS name
+      FROM customer
+    )
+    SELECT c_custkey, name FROM tagged WHERE NOT contains(name, 'zzz_')
+    """,
+    description="P5/F7 sentinel-prefix tagging + exclusion filter "
+    "(reference GetWeta.py:161-164, dwwFront.js:206,365-369)",
+)
+def p5_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    name = F.when(F.col("c_acctbal") < 0, zzz_tag(F.col("c_name"))).otherwise(
+        F.col("c_name")
+    )
+    return (
+        c.select("c_custkey", name.alias("name"))
+        .filter(~F.col("name").contains("zzz_"))
+    )
+
+
+@register(
+    "w7_empty_group_removal",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_urgent,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey
+    """,
+    description="W7 empty-after-filter group removal: entities with no "
+    "surviving rows vanish from the nested output (reference "
+    "dwwApi.js:296-312) — natural consequence of filter→groupBy",
+)
+def w7_empty_group_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_urgent"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+                ),
+            ).alias("orderkeys"),
+        )
+    )
+
+
+@register(
+    "a7_merge_sum_by_cleaned_key",
+    oracle="""
+    SELECT trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(p_name), '(?i)small', '', 'g'),
+               '(?i)large', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned,
+           COUNT(*) AS merged_rows,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    GROUP BY 1
+    """,
+    description="A7/A8+F4: rows merged under a blacklist-cleaned key with "
+    "count/sum folding (reference dwwFront.js:84-102, 159-176)",
+)
+def a7_merge_sum_by_cleaned_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(clean_blacklist(F.col("p_name"), ["small", "large"]).alias("cleaned"))
+        .agg(
+            F.count(F.lit(1)).alias("merged_rows"),
+            F.sum(_dec(F.col("p_retailprice"))).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT nationkey, 'both' AS which FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS which FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    description="Set ops beyond the reference's union: INTERSECT / EXCEPT "
+    "(U3's verified/unverified split as true set operators)",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only = c.subtract(s).withColumn("which", F.lit("customer_only"))  # set EXCEPT
+    return both.unionByName(only)
+
+
+@register(
+    "f_geo_interp_suite",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 13) % 360 - 180 AS DOUBLE) AS lon1,
+             CAST((s_suppkey * 29) % 360 - 180 AS DOUBLE) AS lon2,
+             epoch_ms(TIMESTAMP '2000-01-01 00:00:00') AS start_ms,
+             epoch_ms(TIMESTAMP '2000-12-31 00:00:00') AS end_ms
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CASE WHEN lon2 - lon1 > 180 THEN lon2 - lon1 - 360
+                WHEN lon2 - lon1 < -180 THEN lon2 - lon1 + 360
+                ELSE lon2 - lon1 END AS wrapped_dlon,
+           strftime(to_timestamp((start_ms + ((end_ms - start_ms) * 5 / 10)) // 1000),
+                    '%Y-%m-%d') AS midpoint_date,
+           round(ln(CAST(s_suppkey + 1 AS DOUBLE)) / ln(3.0), 6) AS log3_meter
+    FROM pts
+    """,
+    description="F19 ±180 longitude wrap + F14 linear time interpolation + "
+    "F20 log-3 density meter (reference pathCreator.js:178-199, :148-160, "
+    "uiElements.js:423-426)",
+)
+def f_geo_interp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.functions.dates import lerp_date
+    from dww_data_pipeline_spark.functions.geo import wrap_lon_diff
+
+    s = _t(spark, sf_dir, "supplier")
+    lon1 = ((F.col("s_suppkey") * 13) % 360 - 180).cast("double")
+    lon2 = ((F.col("s_suppkey") * 29) % 360 - 180).cast("double")
+    start_ms = F.lit(946684800000).cast("long")  # 2000-01-01 UTC
+    end_ms = F.lit(978220800000).cast("long")  # 2000-12-31 UTC
+    return s.select(
+        "s_suppkey",
+        wrap_lon_diff(lon1, lon2).alias("wrapped_dlon"),
+        lerp_date(start_ms, end_ms, F.lit(5), F.lit(10)).alias("midpoint_date"),
+        F.round(
+            F.log((F.col("s_suppkey") + 1).cast("double")) / F.log(F.lit(3.0)), 6
+        ).alias("log3_meter"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3-shape shipping priority: selective dim filter → "
+    "two fact joins → agg → top-k (classic relational stress query)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount"), 18, 4))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+    )
+
+
+@register(
+    "ext_rollup_counts",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Analytic extension beyond the reference: ROLLUP hierarchy "
+    "totals (subtotal + grand-total rows) — no reference counterpart "
+    "(SURVEY §2.4 notes its absence); COALESCE'd for portable NULL labels",
+)
+def ext_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "ext_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Approximate aggregates extension: the query surfaces the "
+    "EXACT distinct count (oracle-checkable); the approx_count_distinct "
+    "variant is asserted within 5% in tests/test_plans.py (HLL sketches "
+    "have no cross-engine oracle)",
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts")
+    )

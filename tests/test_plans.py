@@ -73,6 +73,18 @@ class TestPhysicalPlans:
         plan = _plan(spark, sf_dir, "w1_jumps")
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_approx_count_distinct_within_5pct(self, spark, sf_dir):
+        # the HLL variant has no cross-engine oracle; assert accuracy here
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rows = li.groupBy("l_returnflag").agg(
+            F.count_distinct("l_partkey").alias("exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        ).collect()
+        for r in rows:
+            assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
+
     def test_whole_stage_codegen_on_hot_path(self, spark, sf_dir):
         df = REGISTRY["a1_pricing_summary"].spark(spark, sf_dir)
         df.collect()  # AQE finalizes the plan only on execution
