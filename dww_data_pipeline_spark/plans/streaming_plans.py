@@ -147,6 +147,28 @@ def st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(ev).groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+@register(
+    "st5_stateful_jumps",
+    oracle="""
+    SELECT user_id AS entity_id, epoch_ms(ts) AS ts_ms, event_type AS value
+    FROM (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ) WHERE prev IS NULL OR event_type <> prev
+    """,
+    description="Custom stateful operator: per-entity change-point (jump) "
+    "detection via applyInPandasWithState on streams / applyInPandas batch "
+    "twin (O(1) state per key — reference W1 GetWeta.py:587-673 as a "
+    "real-time operator)",
+)
+def st5_stateful_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.stateful import streaming_jumps
+
+    ev = _events(spark, sf_dir)
+    return streaming_jumps(ev).select("entity_id", "ts_ms", "value")
+
+
 # Explicit non-SQL-expressible entries: exercised, rows-only checked.
 
 

@@ -1,0 +1,123 @@
+"""Tests for the scale-path operators: stateful streaming jumps,
+skew salting, IVF similarity search.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.operators import similarity, skew
+from dww_data_pipeline_spark.sources.catalog import load_table
+from dww_data_pipeline_spark.streaming.events import read_events_stream
+from dww_data_pipeline_spark.streaming.stateful import streaming_jumps
+
+
+class TestStreamingJumps:
+    def test_stateful_stream_matches_batch_window(self, spark, sf_dir):
+        """The applyInPandasWithState stream must emit exactly the
+        change-points the batch window operator finds."""
+        stream = read_events_stream(spark, sf_dir)
+        q = (
+            streaming_jumps(stream)
+            .writeStream.format("memory")
+            .queryName("sjumps")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            got = {
+                (r["entity_id"], r["ts_ms"], r["value"])
+                for r in spark.sql("SELECT * FROM sjumps").collect()
+            }
+        finally:
+            q.stop()
+
+        # batch oracle: window lag over the same events; tie-break must
+        # match the stream's stable sort on ts_ms (event order for equal
+        # second-truncated ts follows the file order within a batch, so
+        # compare on second-truncated timestamps, unique per user here)
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("long").alias("entity_id"),
+            F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            F.col("event_type").alias("value"),
+        )
+        w = Window.partitionBy("entity_id").orderBy("ts_ms")
+        batch = (
+            ev.withColumn("prev", F.lag("value").over(w))
+            .filter(F.col("prev").isNull() | (F.col("value") != F.col("prev")))
+            .select("entity_id", "ts_ms", "value")
+        )
+        want = {(r["entity_id"], r["ts_ms"], r["value"]) for r in batch.collect()}
+        assert got == want  # ms precision: no ordering ties, exact match
+
+    def test_batch_mode_runs_without_stream(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        out = streaming_jumps(ev)
+        assert out.count() > 0
+        first = out.filter(F.col("is_first")).count()
+        assert first == ev.select("user_id").distinct().count()
+
+
+class TestSkew:
+    def test_salted_count_matches_plain(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        plain = {
+            r["l_returnflag"]: r["cnt"]
+            for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        salted = {
+            r["l_returnflag"]: r["cnt"]
+            for r in skew.salted_count(li, ["l_returnflag"]).collect()
+        }
+        assert salted == plain
+
+    def test_salted_sum_matches_plain(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem")
+        val = F.col("l_quantity").cast("decimal(18,2)")
+        plain = {
+            r["l_returnflag"]: r["total"]
+            for r in li.groupBy("l_returnflag").agg(F.sum(val).alias("total")).collect()
+        }
+        salted = {
+            r["l_returnflag"]: r["total"]
+            for r in skew.salted_sum(li, ["l_returnflag"], val).collect()
+        }
+        assert salted == plain
+
+    def test_salted_join_matches_plain(self, spark, sf_dir):
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        plain = li.join(o, "l_orderkey").count()
+        salted = skew.salted_join_skewed_fact(li, o, "l_orderkey").count()
+        assert salted == plain
+
+
+class TestIVF:
+    def test_ivf_topk_self_hit_and_recall(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        ivf = similarity.ivf_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_lists=8, sample_size=500
+        )
+        bf = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        ivf_sets: dict = {}
+        for r in ivf.collect():
+            ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        bf_sets: dict = {}
+        for r in bf.collect():
+            bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        # the query's own vector shares its centroid list → always found
+        assert all(q in ivf_sets.get(q, set()) for q in bf_sets)
+        recall = sum(
+            len(bf_sets[q] & ivf_sets.get(q, set())) / 5 for q in bf_sets
+        ) / len(bf_sets)
+        assert recall > 0.3  # nprobe=1 coarse recall floor
