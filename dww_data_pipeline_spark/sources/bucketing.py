@@ -1,0 +1,43 @@
+"""Bucketed-table support for shuffle-free co-located joins
+(SURVEY 100 TB posture: 'co-locate joins via bucketing').
+
+At 100 TB the orders ⋈ lineitem class of fact-fact joins dominates
+shuffle volume. Writing both facts bucketed by the join key (same
+bucket count) lets Spark plan a sort-merge join with NO exchange on
+either side — the join becomes partition-local. This module wraps the
+write/read discipline; tests assert the exchange-free plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted)
+    managed table. Sorting within buckets additionally removes the
+    sort step of a sort-merge join."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — planned
+    without exchanges when bucket specs line up.
+
+    The merge hint pins a sort-merge join: broadcast would also avoid
+    the shuffle but only while one side stays small; the bucketed SMJ
+    is the plan that survives both sides growing to fact scale."""
+    left = spark.table(left_table)
+    right = spark.table(right_table).hint("merge")
+    return left.join(right, on, how)

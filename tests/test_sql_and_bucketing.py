@@ -1,0 +1,65 @@
+"""SQL-surface and bucketed-join tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.sources.bucketing import bucketed_join, write_bucketed
+from dww_data_pipeline_spark.sql import SQL_EXAMPLES, register_all
+
+
+class TestSqlSurface:
+    def test_register_all_and_run_examples(self, spark, sf_dir):
+        names = register_all(spark, sf_dir)
+        assert set(names) >= {"orders", "lineitem", "documents", "events"}
+        for key, sql in SQL_EXAMPLES.items():
+            out = spark.sql(sql)
+            assert out.schema.fields, key
+            assert out.limit(1).count() >= 0, key
+
+    def test_sql_equals_dataframe_plan_result(self, spark, sf_dir):
+        register_all(spark, sf_dir)
+        sql_rows = {
+            (r["o_custkey"], r["o_orderkey"])
+            for r in spark.sql(SQL_EXAMPLES["jumps"]).collect()
+        }
+        from dww_data_pipeline_spark.operators.sequence import jumps
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        df_rows = {
+            (r["o_custkey"], r["o_orderkey"])
+            for r in jumps(
+                load_table(spark, sf_dir, "orders"),
+                "o_custkey",
+                "o_orderpriority",
+                ["o_orderdate", "o_orderkey"],
+            ).collect()
+        }
+        assert sql_rows == df_rows
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_exchange(self, spark, sf_dir, tmp_path_factory):
+        import shutil
+
+        for t in ("b_lineitem", "b_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey")
+        write_bucketed(o, "b_orders", "l_orderkey", 8, sort_col="l_orderkey")
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        # and the result matches the plain join
+        assert joined.count() == li.join(o, "l_orderkey").count()
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
