@@ -220,6 +220,63 @@ def jaccard_pairs(
     )
 
 
+# ------------------------------------------------ connected components
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup pairs into duplicate GROUPS: connected
+    components by iterative min-label propagation.
+
+    Each iteration is one distributed join + aggregate (label :=
+    min(label of self, labels of neighbors)); convergence in
+    O(component diameter) iterations — dup clusters are shallow in
+    practice, and ``max_iter`` bounds the worst case. The driver loop
+    only orchestrates; all data stays distributed (this is the
+    GraphFrames-free pattern for iterative graph algorithms on
+    DataFrames).
+
+    Returns (id, component) where component = min id in the group.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # -------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(

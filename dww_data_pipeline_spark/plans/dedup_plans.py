@@ -243,6 +243,46 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D6_ORACLE = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+)
+SELECT id, MIN(r) AS component FROM walk GROUP BY id
+"""
+
+
+@register(
+    "d6_dup_components",
+    oracle=_D6_ORACLE,
+    description="Duplicate-group formation: connected components over the "
+    "MinHash-LSH pair graph via iterative min-label propagation (each "
+    "iteration one distributed join+agg; oracle = recursive CTE reachability)",
+)
+def d6_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (md5-parity variant — oracle-checkable; production uses
 # xxhash64, operators/dedup.py)

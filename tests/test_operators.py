@@ -180,6 +180,16 @@ class TestDedup:
         assert 0.0 < out[(1, 2)] < 1.0
         assert out[(1, 4)] == 0.0
 
+    def test_connected_components(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # chain collapses to min id
+
     def test_simhash_near_dups_close_in_hamming(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
         df = docs.sparkSession.createDataFrame(
