@@ -39,6 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table from an sf directory."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events stores TIMESTAMP(NANOS), which the parquet reader
+        # rejects without this flag; set it here (runtime-settable) so
+        # the engine works under ANY caller's SparkSession, not just
+        # ours (session.py also sets it at build time)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # ts is TIMESTAMP(NANOS) on disk, surfaced as long nanos via
