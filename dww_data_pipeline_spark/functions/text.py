@@ -87,6 +87,62 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+PII_PATTERNS: dict[str, str] = {
+    # deliberately simple, deterministic patterns (portable to RE2)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace email/phone/IPv4 literals with typed placeholders —
+    the standard pre-training scrub pass. Pure regexp_replace chain
+    (order fixed: email before phone so digits in domains survive)."""
+    c = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    c = F.regexp_replace(c, PII_PATTERNS["ipv4"], "<IP>")
+    c = F.regexp_replace(c, PII_PATTERNS["phone"], "<PHONE>")
+    return c
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization: lowercase, collapse whitespace,
+    strip control chars, trim. The shared front of dedup/fingerprint
+    pipelines."""
+    c = F.regexp_replace(text, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.lower(F.trim(c))
+
+
+def chunk_tokens(text: Column, chunk_size: int = 64, overlap: int = 16) -> Column:
+    """Split a document into token-window chunks with overlap — the
+    core LLM-training chunking op. Returns array<struct<chunk_id,
+    chunk_text, n_tokens>>; explode downstream for one row per chunk.
+
+    Stride = chunk_size - overlap; the last chunk keeps the tail.
+    Built from one tokenization + slices (no per-element re-inlining).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(chunk_size)).alias("n_tokens"),
+        ),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace/case-normalized text.
     Stable across engines (md5 is md5 everywhere), used for exact

@@ -364,6 +364,97 @@ def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t5_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT c_custkey,
+             'contact ' || c_name || '@example.com or +1 (555) 123-4567 at 10.0.0.1 ok' AS blob
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(blob,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+    description="PII scrubbing: email/IPv4/phone → typed placeholders "
+    "(standard pre-training scrub; north-star text analysis); pure "
+    "regexp_replace chain, fixed order",
+)
+def t5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit("@example.com or +1 (555) 123-4567 at 10.0.0.1 ok"),
+    )
+    return c.select("c_custkey", tx.scrub_pii(blob).alias("scrubbed"))
+
+
+@register(
+    "t6_normalize",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+             regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS normalized
+    FROM documents
+    """,
+    description="Text normalization: control-char strip, whitespace "
+    "collapse, lowercase, trim — the shared front of dedup/fingerprint "
+    "pipelines (north-star text analysis)",
+)
+def t6_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.normalize_text(F.col("text")).alias("normalized"))
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE CAST(ceil(CAST(len(t) - 16 AS DOUBLE) / 48) AS INTEGER) END AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT doc_id, n, t,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id,
+       chunk_id,
+       array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+       least(n - chunk_id * 48, 64) AS n_tokens
+FROM chunks
+"""
+
+
+@register(
+    "t7_chunking",
+    oracle=_CHUNK_ORACLE,
+    description="Document chunking: token windows of 64 with overlap 16 "
+    "(stride 48), tail-preserving — the core LLM-training chunking op; "
+    "one tokenization + slices per row, exploded to one row per chunk",
+)
+def t7_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(tx.chunk_tokens(F.col("text"), 64, 16)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+@register(
     "t4_fingerprints",
     oracle="""
     SELECT doc_id,

@@ -29,6 +29,24 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Directory-partitioned parquet write (the gold-table layout at
+    scale: facts partitioned by year/date so partition pruning turns
+    time-range predicates into directory skips — SURVEY §7.3 'fact
+    tables partitioned by year(release)')."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Read back a partitioned layout; filters on partition columns
+    prune directories (shows as PartitionFilters in the scan)."""
+    return spark.read.parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
 ) -> DataFrame:

@@ -5,7 +5,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from dww_data_pipeline_spark.sources.bucketing import bucketed_join, write_bucketed
+from dww_data_pipeline_spark.sources.bucketing import (
+    bucketed_join,
+    read_partition_pruned,
+    write_bucketed,
+    write_partitioned,
+)
 from dww_data_pipeline_spark.sql import SQL_EXAMPLES, register_all
 
 
@@ -63,3 +68,19 @@ class TestBucketing:
         assert joined.count() == li.join(o, "l_orderkey").count()
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+    def test_partitioned_write_prunes(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        path = str(tmp_path / "orders_by_year")
+        write_partitioned(o, path, ["order_year"])
+        back = read_partition_pruned(spark, path)
+        filtered = back.filter(F.col("order_year") == 1997)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(order_year" in plan
+        # pruning: only the 1997 directory is scanned
+        want = o.filter(F.col("order_year") == 1997).count()
+        assert filtered.count() == want
