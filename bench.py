@@ -34,6 +34,10 @@ HEADLINE = [
     "s1_ann_brute_force_topk", # vector math + per-query topk
     "st1_tumbling_window",     # event-time window agg
     "st3_session_windows",     # session windows
+    "q3_shipping_priority",    # selective dim filter + 2 fact joins + topk
+    "t7_chunking",             # token-window chunking explode
+    "d6_dup_components",       # iterative label propagation
+    "st5_stateful_jumps",      # applyInPandasWithState path
 ]
 
 

@@ -245,9 +245,13 @@ def connected_components(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
+        .localCheckpoint()  # reused every iteration — materialize once
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -263,6 +267,9 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
+            # truncate lineage: without this each iteration replans the
+            # whole history and the loop goes superlinear in wall-clock
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

