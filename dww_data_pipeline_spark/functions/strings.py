@@ -20,60 +20,67 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Order matters and mirrors the reference parse chain
-# (GetWeta.py:376-395): symbol strip, quote normalize, episode-list
-# removal, uncredited/as-suffix removal, company-suffix removal.
-_SYMBOLS = r"[!@#*$()\[\]]"
-_EPISODES = r"(\w+)\s(episodes),?(\s\w+)?(-\w+)?"
-_UNCREDITED = r"uncredited"
-_AS_SUFFIX = r"\bas\s.*$"
-_CO_SUFFIX = r"\b(ltd|inc)\.?\s*$"
+# The chain mirrors the reference parse EXACTLY (GetWeta.py:370-411):
+# symbol strip + IMMEDIATE lowercase (so later patterns see lowered
+# text), quote normalize, episode-list removal, " uncredited"/" as …"
+# removal (leading whitespace required), " ltd"/" inc" removal
+# anywhere (optional trailing period), trim.
+_SYMBOLS = r"[!@#*$()\\\[\]]"
+_EPISODES = r"(\w+)\s(\bepisodes),?(\s\w+)?(-\w+)?"
+_UNCREDITED_OR_AS = r"\suncredited|\sas\s.*$"
+_CO_TYPES = r"(?:\sltd|\sinc)\.|(?:\sltd|\sinc)"
 
 
 def clean_note(note: Column) -> Column:
-    """Normalize a raw credit note string (pre-split cleanup chain)."""
-    c = F.regexp_replace(note, _SYMBOLS, "")
+    """Normalize a raw credit note string (pre-split cleanup chain,
+    reference GetWeta.py:372-383)."""
+    c = F.lower(F.regexp_replace(note, _SYMBOLS, ""))
     c = F.regexp_replace(c, '"', "'")
     c = F.regexp_replace(c, _EPISODES, "")
-    c = F.regexp_replace(c, _UNCREDITED, "")
-    c = F.regexp_replace(c, _AS_SUFFIX, "")
-    c = F.lower(F.trim(c))
-    return c
+    c = F.regexp_replace(c, _UNCREDITED_OR_AS, "")
+    c = F.regexp_replace(c, _CO_TYPES, "")
+    return F.trim(c)
+
+
+def _comp_side(c: Column) -> Column:
+    """The company side: element between the first and second colon
+    (reference splitRole[1], GetWeta.py:385-394), then the part before
+    `` - `` (splitComp[0], :395)."""
+    between = F.get(F.split(c, ":"), 1)
+    return F.trim(F.substring_index(F.trim(between), " - ", 1))
 
 
 def parse_role(note: Column) -> Column:
-    """Role = text before the first ':' (empty if no colon)."""
+    """Role = text before the first ':'; colon-less notes yield ''
+    (reference else-branch GetWeta.py:405-406)."""
     c = clean_note(note)
     return F.when(c.contains(":"), F.trim(F.substring_index(c, ":", 1))).otherwise(F.lit(""))
 
 
 def parse_company(note: Column) -> Column:
-    """Company = text after the first ':', with division handling.
-
-    After the colon-split the company side is further split on
-    `` - `` (take first part) and then on ``,``: a comma means
-    ``division, company`` → the company is the part after the comma
-    (reference GetWeta.py:397-409).
-    """
+    """Company from the company side, with division handling: a comma
+    means ``division, company`` → company is the SECOND comma part
+    (reference splitCompDivision[1], GetWeta.py:399-403); colon-less
+    notes yield '' — the whole credit is unparseable, not a company
+    (reference GetWeta.py:405-406)."""
     c = clean_note(note)
-    after = F.when(c.contains(":"), F.trim(F.substring_index(c, ":", -1))).otherwise(c)
-    after = F.trim(F.substring_index(after, " - ", 1))
-    after = F.regexp_replace(after, _CO_SUFFIX, "")
+    side = _comp_side(c)
     company = F.when(
-        after.contains(","), F.trim(F.substring_index(after, ",", -1))
-    ).otherwise(F.trim(after))
-    return company
+        side.contains(","), F.trim(F.get(F.split(side, ","), 1))
+    ).otherwise(side)
+    return F.when(c.contains(":"), company).otherwise(F.lit(""))
 
 
 def parse_division(note: Column) -> Column:
-    """Division = comma-prefixed part of the company side (appended to
-    role in the reference: ``role += ", " + division``)."""
+    """Division = first comma part of the company side (appended to
+    role in the reference: ``role += ", " + division``,
+    GetWeta.py:401-402)."""
     c = clean_note(note)
-    after = F.when(c.contains(":"), F.trim(F.substring_index(c, ":", -1))).otherwise(c)
-    after = F.trim(F.substring_index(after, " - ", 1))
-    return F.when(after.contains(","), F.trim(F.substring_index(after, ",", 1))).otherwise(
+    side = _comp_side(c)
+    division = F.when(side.contains(","), F.trim(F.substring_index(side, ",", 1))).otherwise(
         F.lit("")
     )
+    return F.when(c.contains(":"), division).otherwise(F.lit(""))
 
 
 def strip_commas(col: Column) -> Column:
@@ -83,11 +90,14 @@ def strip_commas(col: Column) -> Column:
 
 
 def clean_blacklist(col: Column, terms: Sequence[str]) -> Column:
-    """Remove each blacklist term (case-insensitive) and trim
+    """Remove each blacklist term (case-insensitive, LITERAL — terms
+    like '(uncredited)' or 'ltd.' must not act as regex) and trim
     (reference dwwFront.js:159-176). Pure expression fold — no UDF."""
+    import re
+
     c = F.lower(col)
     for t in terms:
-        c = F.regexp_replace(c, rf"(?i){t}", "")
+        c = F.regexp_replace(c, rf"(?i){re.escape(t)}", "")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 

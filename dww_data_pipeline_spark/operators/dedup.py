@@ -108,6 +108,10 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # docs shorter than shingle_k tokens have empty shingle sets →
+    # all-NULL signatures; without this filter they would all share
+    # one '' bucket per band and emit m²/2 bogus pairs
+    sigs = sigs.filter(F.get(F.col("sig"), 0).isNotNull())
     banded = sigs.select(
         id_col,
         F.explode(

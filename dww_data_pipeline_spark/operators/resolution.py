@@ -112,7 +112,9 @@ def apply_locations(
         "left",
     ).drop("loc_company_name")
     out = out.join(
-        F.broadcast(regions), F.lower(out.location) == regions.reg_location, "left"
+        F.broadcast(regions),
+        F.lower(out.location) == F.lower(regions.reg_location),  # case-symmetric
+        "left",
     ).drop("reg_location")
     return out
 

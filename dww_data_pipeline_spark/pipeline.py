@@ -98,12 +98,16 @@ def jumps_query(
     (dwwApi.js:111-112 — month bug fixed)."""
     base = worked_for.filter(F.col("release").isNotNull())
     if jumps_only:
+        # the reference's FormatRels operates on the jump-filtered rels
+        # (dwwApi.js:100-107 dedupes consecutive same-company rows
+        # BEFORE directional filtering) — so the directional filter
+        # must see the jump rows, not the raw timeline
         base = seq.jumps(base, "person_id", "company_name", TIMELINE_ORDER)
     if filter_key is not None:
         if target is None:
             raise ValueError("filter requires target (dwwRoutes.js:41-44)")
         base = seq.directional_filter(
-            worked_for.filter(F.col("release").isNotNull()),
+            base,
             "person_id",
             TIMELINE_ORDER,
             filter_key,

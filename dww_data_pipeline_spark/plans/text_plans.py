@@ -36,6 +36,10 @@ from dww_data_pipeline_spark.sources.catalog import load_table
 # regex step with RE2 + 'g' flags.
 # ---------------------------------------------------------------------------
 
+# mirrors the Spark clean_note chain step for step (and thereby the
+# reference GetWeta.py:372-383): symbols+lower, quotes, episode lists,
+# " uncredited"/" as …", " ltd"/" inc" anywhere, trim; then the
+# splitRole[1] / ' - '[0] / comma-division company extraction
 _F1_ORACLE = """
 WITH notes AS (
   SELECT p_partkey,
@@ -43,27 +47,30 @@ WITH notes AS (
   FROM part
 ), cleaned AS (
   SELECT p_partkey,
-    lower(trim(
+    trim(
       regexp_replace(
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(note, '[!@#*$()\\[\\]]', '', 'g'),
+              lower(regexp_replace(note, '[!@#*$()\\\\\\[\\]]', '', 'g')),
               '"', '''', 'g'),
-            '(\\w+)\\s(episodes),?(\\s\\w+)?(-\\w+)?', '', 'g'),
-          'uncredited', '', 'g'),
-        '\\bas\\s.*$', '', 'g')
-    )) AS c
+            '(\\w+)\\s(\\bepisodes),?(\\s\\w+)?(-\\w+)?', '', 'g'),
+          '\\suncredited|\\sas\\s.*$', '', 'g'),
+        '(?:\\sltd|\\sinc)\\.|(?:\\sltd|\\sinc)', '', 'g')
+    ) AS c
   FROM notes
+), sides AS (
+  SELECT p_partkey, c,
+         trim(split_part(trim(split_part(c, ':', 2)), ' - ', 1)) AS side
+  FROM cleaned
 )
 SELECT p_partkey,
        CASE WHEN contains(c, ':') THEN trim(split_part(c, ':', 1)) ELSE '' END AS role,
-       trim(regexp_replace(
-         trim(split_part(
-           CASE WHEN contains(c, ':') THEN trim(split_part(c, ':', 2)) ELSE c END,
-           ' - ', 1)),
-         '\\b(ltd|inc)\\.?\\s*$', '', 'g')) AS company
-FROM cleaned
+       CASE WHEN contains(c, ':')
+            THEN CASE WHEN contains(side, ',') THEN trim(split_part(side, ',', 2))
+                      ELSE side END
+            ELSE '' END AS company
+FROM sides
 """
 
 

@@ -52,7 +52,9 @@ SQL_EXAMPLES: dict[str, str] = {
         SELECT o_orderpriority, fill_year, COUNT(DISTINCT o_custkey) AS headcount
         FROM (
           SELECT o_custkey, o_orderpriority,
-                 explode(sequence(yr, coalesce(least(next_yr - 1, yr + 50), yr))) AS fill_year
+                 explode(sequence(yr,
+                   CASE WHEN next_yr IS NULL OR next_yr <= yr THEN yr
+                        ELSE least(next_yr - 1, yr + 50) END)) AS fill_year
           FROM (
             SELECT o_custkey, o_orderpriority, year(o_orderdate) AS yr,
                    lead(year(o_orderdate)) OVER (

@@ -37,8 +37,14 @@ def read_events_stream(
     stage = os.path.join(tempfile.gettempdir(), f"dww_events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # lexists, not exists: a dangling symlink (regenerated sf_dir) must
+    # be replaced, and exists() follows the link
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(src, link)
+
+    # nanos-timestamp compat under ANY caller session (see catalog.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     # schema must match the file's physical types: ts is INT64 nanos on
     # disk (surfaced as long via nanosAsLong), converted after the scan

@@ -63,9 +63,17 @@ class TestCreditNoteParser:
         assert role == "senior animator"
         assert company == "weta digital"
 
-    def test_no_colon_gives_empty_role(self, spark):
+    def test_no_colon_unparseable(self, spark):
+        # colon-less notes are unparseable: both empty (reference
+        # else-branch GetWeta.py:405-406)
         role, company = _parse(spark, "Weta Digital")
         assert role == ""
+        assert company == ""
+
+    def test_uncredited_capitalized_stripped(self, spark):
+        # the reference lowercases BEFORE the removal regexes
+        role, company = _parse(spark, "Compositor: Weta Digital (Uncredited)")
+        assert role == "compositor"
         assert company == "weta digital"
 
 

@@ -119,10 +119,12 @@ class TestGoldTables:
             direction="in",
         )
         rows = out.collect()
-        # predecessors of Weta credits: 0001's m02 (VIFX); 0002's m01 has
-        # company_name '' ≠ target so it qualifies as predecessor row
+        # directional filter operates on the JUMP rows (reference
+        # FormatRels runs after jumpsOnly dedup): 0001's jump timeline
+        # is [m01 VIFX, m03 Weta] → predecessor of the Weta jump is m01
         got = {(r["person_id"], r["movie_id"]) for r in rows}
-        assert ("0001", "m02") in got
+        assert ("0001", "m01") in got
+        assert ("0001", "m02") not in got  # non-jump row must not appear
 
     def test_filter_requires_target(self, gold):
         with pytest.raises(ValueError):
@@ -140,8 +142,10 @@ class TestGoldTables:
 
     def test_search_counts_order(self, gold):
         rows = gold.search_counts.collect()
-        assert rows[0]["company_search"] == "weta digital"  # 3 credits
-        assert rows[0]["count"] == 3
+        # colon-less notes are unparseable ('' search, GetWeta.py:405-406):
+        # vifx and weta digital tie at 2, name-asc puts vifx first
+        assert rows[0]["company_search"] == "vifx"
+        assert rows[0]["count"] == 2
 
     def test_dedupe_edges(self, gold, spark):
         existing = spark.createDataFrame(
