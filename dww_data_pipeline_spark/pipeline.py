@@ -117,6 +117,78 @@ def jumps_query(
     return base.withColumn("date_ms", to_epoch_ms(F.col("release")))
 
 
+def export_people_json(worked_for: DataFrame) -> DataFrame:
+    """S8: the serving tier's nested people document, field names
+    verbatim from the reference (dwwApi.js:125-134):
+    ``{id, name, rels: [{imdbMovieId, companySearch, companyMatchRatio,
+    personRole, personMappedRole, movieReleaseYear, matchedCompanyId,
+    matchedCompanyName}]}`` with rels in timeline order.
+    movieReleaseYear is epoch ms (dwwApi.js:111-112, month bug fixed)."""
+    base = worked_for.filter(F.col("release").isNotNull())
+    rel = F.struct(
+        F.col("release").alias("_order1"),
+        F.col("movie_id").alias("_order2"),
+        F.col("movie_id").alias("imdbMovieId"),
+        F.col("company_search").alias("companySearch"),
+        F.col("match_ratio").alias("companyMatchRatio"),
+        F.col("role").alias("personRole"),
+        F.col("true_role").alias("personMappedRole"),
+        to_epoch_ms(F.col("release")).alias("movieReleaseYear"),
+        F.col("company_id").alias("matchedCompanyId"),
+        F.col("company_name").alias("matchedCompanyName"),
+    )
+    return (
+        base.groupBy(F.col("person_id").alias("id"), F.col("person_name").alias("name"))
+        .agg(F.sort_array(F.collect_list(rel)).alias("_rels"))
+        .select(
+            "id",
+            "name",
+            F.transform(F.col("_rels"), lambda r: r.dropFields("_order1", "_order2")).alias(
+                "rels"
+            ),
+        )
+    )
+
+
+def export_jumps_csv(jumps: DataFrame) -> DataFrame:
+    """S7: jump CSV rows ``person,role,date,company,location,region``
+    (reference header dwwApi.js:145), comma-strip escaping applied to
+    string fields (dwwApi.js:33-35)."""
+    from dww_data_pipeline_spark.functions.strings import strip_commas
+
+    cols = {
+        "person": F.col("person_name"),
+        "role": F.col("true_role"),
+        "date": F.col("release"),
+        "company": F.col("company_name"),
+        "location": F.coalesce(F.col("location"), F.lit("")),
+        "region": F.coalesce(F.col("global_region"), F.lit("")),
+    }
+    return jumps.select(
+        *[strip_commas(c.cast("string")).alias(name) for name, c in cols.items()]
+    )
+
+
+def group_jumps(jumps: DataFrame, grouping: str = "person") -> DataFrame:
+    """The route's ``grouping`` parameter (dwwRoutes.js:41-49,
+    dwwApi.js:172-189): ``person`` nests rows per person; ``none``
+    returns the flat rows; ``keys`` groups by the jump key with
+    per-key totals."""
+    if grouping == "none":
+        return jumps
+    if grouping == "person":
+        rel_cols = [c for c in jumps.columns if c not in ("person_id", "person_name")]
+        return seq.nest_documents(
+            jumps, ["person_id", "person_name"], rel_cols, TIMELINE_ORDER
+        )
+    if grouping == "keys":
+        return jumps.groupBy("company_name").agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sort_array(F.collect_set("person_id")).alias("people"),
+        )
+    raise ValueError(f"unknown grouping {grouping!r} (expected person|none|keys)")
+
+
 def build_density(worked_for: DataFrame) -> DataFrame:
     """gold density table: per (company, year, true_role) headcount
     with the reference's forward range fill (densityCalc.js:60-90)."""

@@ -158,6 +158,48 @@ class TestGoldTables:
         assert out.count() == gold.worked_for.count() - 1
 
 
+class TestServingExports:
+    def test_people_json_exact_field_names(self, gold):
+        out = pipeline.export_people_json(gold.worked_for)
+        row = [r for r in out.collect() if r["id"] == "0001"][0]
+        assert row["name"] == "Rick Sander"
+        rel = row["rels"][0]
+        assert sorted(rel.asDict()) == [
+            "companyMatchRatio",
+            "companySearch",
+            "imdbMovieId",
+            "matchedCompanyId",
+            "matchedCompanyName",
+            "movieReleaseYear",
+            "personMappedRole",
+            "personRole",
+        ]
+        assert [x["imdbMovieId"] for x in row["rels"]] == ["m01", "m02", "m03"]
+        # epoch ms of 1996-01-01 (canonicalized year-only release)
+        assert row["rels"][0]["movieReleaseYear"] == 820454400000
+
+    def test_jumps_csv_shape(self, gold):
+        out = pipeline.export_jumps_csv(gold.jumps)
+        assert out.columns == ["person", "role", "date", "company", "location", "region"]
+        assert out.count() == gold.jumps.count()
+
+    def test_group_jumps_person(self, gold):
+        nested = pipeline.group_jumps(gold.jumps, "person")
+        row = [r for r in nested.collect() if r["person_id"] == "0001"][0]
+        assert len(row["rels"]) == 2  # two jumps
+
+    def test_group_jumps_keys(self, gold):
+        keyed = {
+            r["company_name"]: r["total"]
+            for r in pipeline.group_jumps(gold.jumps, "keys").collect()
+        }
+        assert keyed["Weta Digital"] >= 1
+
+    def test_group_jumps_invalid(self, gold):
+        with pytest.raises(ValueError):
+            pipeline.group_jumps(gold.jumps, "bogus")
+
+
 class TestSinks:
     def test_csv_sink_comma_strip(self, gold, tmp_path):
         from dww_data_pipeline_spark.operators.documents import to_flat_csv

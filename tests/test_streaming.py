@@ -30,6 +30,75 @@ def _run_stream_to_memory(sdf, name: str, mode: str = "complete"):
     return q
 
 
+class TestLateData:
+    def test_watermark_drops_late_events(self, spark, tmp_path):
+        """Two micro-batches: batch 1 advances the watermark past a
+        late event delivered in batch 2 — the late event must be
+        dropped from the windowed aggregate (the batch run of the same
+        function WOULD count it)."""
+        import os
+        import pandas as pd
+
+        stage = tmp_path / "stream"
+        stage.mkdir()
+        on_time = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(["2024-01-01 10:10:00", "2024-01-01 11:50:00"]).tz_localize("UTC"),
+                "user_id": [1, 1],
+                "event_type": ["click", "click"],
+                "value": [1.0, 1.0],
+                "props": ["{}", "{}"],
+            }
+        )
+        late = pd.DataFrame(
+            {
+                "event_id": [3],
+                "ts": pd.to_datetime(["2024-01-01 08:00:00"]).tz_localize("UTC"),  # far behind watermark
+                "user_id": [1],
+                "event_type": ["click"],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        f1, f2 = str(stage / "b1.parquet"), str(stage / "b2.parquet")
+        # micros, not pandas' default nanos: TIMESTAMP(NANOS) would read
+        # back as long under the session's nanos compat flag
+        on_time.to_parquet(f1, coerce_timestamps="us")
+
+        schema = spark.read.parquet(f1).schema
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        agg = tumbling_window_agg(stream, width="1 hour", watermark="30 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_t")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            # batch 1: only the on-time file exists → watermark advances
+            q.processAllAvailable()
+            # batch 2: the late file arrives AFTER the watermark moved
+            late.to_parquet(f2, coerce_timestamps="us")
+            q.processAllAvailable()
+            got = {
+                str(r["window_start"]): r["n_events"]
+                for r in spark.sql("SELECT * FROM late_t").collect()
+            }
+        finally:
+            q.stop()
+        # batch 1: events at 10:10 and 11:50 → watermark 11:20 after it;
+        # batch 2's 08:00 event is far behind → its window never appears
+        assert "2024-01-01 10:00:00" in got and got["2024-01-01 10:00:00"] == 1
+        assert "2024-01-01 08:00:00" not in got
+        # the batch run of the SAME function does count the late event
+        batch = tumbling_window_agg(spark.read.parquet(str(stage)))
+        batch_windows = {
+            str(r["window_start"]): r["n_events"] for r in batch.collect()
+        }
+        assert batch_windows["2024-01-01 08:00:00"] == 1
+
+
 class TestStreamingParity:
     def test_tumbling_stream_equals_batch(self, spark, sf_dir):
         stream = read_events_stream(spark, sf_dir)
