@@ -16,7 +16,7 @@ sort-merge with AQE skew handling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dww_data_pipeline_spark.functions.fuzzy import levenshtein_ratio, sequence_matcher_ratio
@@ -83,6 +83,104 @@ def resolve_companies(
         .withColumn("company_name", matched_name)
         .withColumn("company_id", matched_id)
         .drop("search", "name", "id")
+    )
+
+
+def resolve_companies_lsh(
+    parsed: DataFrame,
+    company_map: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 8,
+    shingle_k: int = 2,
+    min_ratio: int = 60,
+) -> DataFrame:
+    """Entity resolution WITHOUT broadcast: candidate generation by
+    MinHash-LSH over character-shingled names, then fuzzy re-rank.
+
+    The broadcast join in ``resolve_companies`` assumes the curated
+    map stays tiny (true in the reference). When the dimension grows
+    past the broadcast threshold (millions of alias rows), this path
+    keeps the same semantics at fact scale (SURVEY §7.2 M5:
+    'similarity search via LSH scaling M2 beyond broadcastable maps'):
+
+    1. both sides shingle their name strings (char n-grams catch
+       misspellings, the fuzzy-match usecase) and band their minhash
+       signatures — candidate pairs arise only within shared buckets;
+    2. candidates are scored with the levenshtein ratio;
+    3. the best-scoring candidate ≥ min_ratio wins per search string
+       (row_number over a per-search window).
+
+    Default banding is 1 row per band (bands == num_hashes): entity
+    resolution wants RECALL from the candidate stage — false
+    candidates cost one fuzzy score each, missed candidates cost a
+    lost match; multi-row bands are for dedup precision instead.
+
+    Returns parsed rows + (company_name, company_id, match_ratio);
+    unmatched searches keep NULLs, like the broadcast path.
+    """
+    from dww_data_pipeline_spark.functions.text import char_ngrams
+
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, name_col: str, id_cols: list[str]) -> DataFrame:
+        grams = F.array_distinct(char_ngrams(F.col(name_col), n=shingle_k + 1))
+        sig = [
+            F.array_min(
+                F.transform(grams, (lambda i: (lambda g: F.md5(F.concat(F.lit(f"{i}|"), g))))(i))
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+        with_sig = df.select(*id_cols, F.col(name_col).alias("_name"), *sig)
+        bbs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return with_sig.select(
+            *id_cols, "_name", F.explode(F.array(*bbs)).alias("bb")
+        ).select(*id_cols, "_name", "bb.band", "bb.bucket")
+
+    searches = parsed.select("company_search").where(
+        F.col("company_search").isNotNull() & (F.col("company_search") != "")
+    ).distinct()
+    s_banded = banded(searches, "company_search", ["company_search"])
+    m_banded = banded(company_map, "search", ["name", "id"]).withColumnRenamed(
+        "_name", "map_search"
+    )
+    candidates = (
+        s_banded.join(m_banded, ["band", "bucket"])
+        .select("company_search", "map_search", "name", "id")
+        .distinct()
+        .withColumn(
+            "match_ratio", levenshtein_ratio(F.col("company_search"), F.col("map_search"))
+        )
+        .filter(F.col("match_ratio") >= min_ratio)
+    )
+    w = Window.partitionBy("company_search").orderBy(
+        F.desc("match_ratio"), F.col("id")
+    )
+    best = (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "company_search",
+            F.when(is_sentinel(F.col("name")), F.lit("")).otherwise(F.col("name")).alias(
+                "company_name"
+            ),
+            F.when(is_sentinel(F.col("name")), F.lit("")).otherwise(F.col("id")).alias(
+                "company_id"
+            ),
+            F.when(is_sentinel(F.col("name")), F.lit(0))
+            .otherwise(F.col("match_ratio"))
+            .alias("match_ratio"),
+        )
+    )
+    return parsed.join(best, "company_search", "left").withColumn(
+        "match_ratio", F.coalesce(F.col("match_ratio"), F.lit(0))
     )
 
 

@@ -70,6 +70,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from dww_data_pipeline_spark.plans import (  # noqa: F401
+        analytics_ext,
         dedup_plans,
         relational,
         relational2,

@@ -158,6 +158,46 @@ class TestGoldTables:
         assert out.count() == gold.worked_for.count() - 1
 
 
+class TestLshResolution:
+    def test_lsh_resolution_matches_fuzzy_semantics(self, spark):
+        """The non-broadcast LSH path must resolve near-exact alias
+        matches the broadcast path would (same winner), and leave
+        garbage unmatched."""
+        from dww_data_pipeline_spark.operators.resolution import resolve_companies_lsh
+
+        parsed = spark.createDataFrame(
+            [("weta digital",), ("weta digitl",), ("qqqxyzzz",)],
+            ["company_search"],
+        )
+        cmap = spark.createDataFrame(
+            [
+                ("weta digital", "Weta Digital", "0005031"),
+                ("vifx", "VIFX", "0024117"),
+                ("2002", "zzz_baddata:2002", "-1"),
+            ],
+            ["search", "name", "id"],
+        )
+        out = {
+            r["company_search"]: (r["company_name"], r["match_ratio"])
+            for r in resolve_companies_lsh(parsed, cmap).collect()
+        }
+        assert out["weta digital"] == ("Weta Digital", 100)
+        name, ratio = out["weta digitl"]  # typo still resolves via LSH+fuzzy
+        assert name == "Weta Digital" and ratio >= 90
+        assert out["qqqxyzzz"][0] is None  # garbage unmatched
+
+    def test_lsh_resolution_blanks_sentinels(self, spark):
+        from dww_data_pipeline_spark.operators.resolution import resolve_companies_lsh
+
+        parsed = spark.createDataFrame([("2002",)], ["company_search"])
+        cmap = spark.createDataFrame(
+            [("2002", "zzz_baddata:2002", "-1")], ["search", "name", "id"]
+        )
+        row = resolve_companies_lsh(parsed, cmap).collect()[0]
+        assert row["company_name"] == ""
+        assert row["match_ratio"] == 0
+
+
 class TestServingExports:
     def test_people_json_exact_field_names(self, gold):
         out = pipeline.export_people_json(gold.worked_for)
