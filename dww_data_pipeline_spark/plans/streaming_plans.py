@@ -169,7 +169,92 @@ def st5_stateful_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_jumps(ev).select("entity_id", "ts_ms", "value")
 
 
+@register(
+    "st6_interval_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS ms_to_purchase
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+    description="Interval (range) join: purchases within 10 minutes after "
+    "a click per user — a capability the reference lacks (SURVEY §2.3 "
+    "notes no range joins); identical code runs as a watermarked "
+    "stream-stream join (tests/test_streaming.py)",
+)
+def st6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return interval_join_clicks_purchases(ev, ev)
+
+
+def interval_join_clicks_purchases(
+    clicks_src: DataFrame, purchases_src: DataFrame, window: str = "10 minutes"
+) -> DataFrame:
+    """Shared batch/stream formulation: equi-key + time-bound join.
+    On streams both sides need watermarks (caller adds them) and the
+    time bound lets Spark expire join state."""
+    clicks = clicks_src.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = purchases_src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.expr("unix_micros(purchase_ts) div 1000")
+            - F.expr("unix_micros(click_ts) div 1000")
+        ).alias("ms_to_purchase"),
+    )
+
+
 # Explicit non-SQL-expressible entries: exercised, rows-only checked.
+
+
+@register(
+    "d7_embedding_lsh_near_dups",
+    oracle=None,
+    description="Embedding near-dup SCALE path: random-hyperplane LSH "
+    "buckets prune the pair space before the cosine threshold (the "
+    "brute-force twin d5 is the oracle-checked baseline; bucketing makes "
+    "results a recall-bounded subset — rows-only by design, recall "
+    "asserted in tests)",
+)
+def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.similarity import _hyperplanes, lsh_bucket_col
+    from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(dim=64, bits=6)
+    b = e.withColumn("_bucket", lsh_bucket_col("embedding", planes))
+    a1 = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket"
+    )
+    a2 = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_bucket"
+    )
+    return (
+        a1.join(a2, ["_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(_spark_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 @register(

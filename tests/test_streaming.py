@@ -99,6 +99,40 @@ class TestLateData:
         assert batch_windows["2024-01-01 08:00:00"] == 1
 
 
+class TestStreamStreamJoin:
+    def test_interval_join_stream_equals_batch(self, spark, sf_dir):
+        """Stream-stream interval join (watermarked both sides) must
+        produce the batch interval-join result on the same data."""
+        from dww_data_pipeline_spark.plans.streaming_plans import (
+            interval_join_clicks_purchases,
+        )
+
+        stream = read_events_stream(spark, sf_dir)
+        wm = stream.withWatermark("ts", "30 minutes")
+        q = (
+            interval_join_clicks_purchases(wm, wm)
+            .writeStream.format("memory")
+            .queryName("ssjoin_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            got = {
+                (r["click_id"], r["purchase_id"])
+                for r in spark.sql("SELECT * FROM ssjoin_t").collect()
+            }
+        finally:
+            q.stop()
+        ev = load_table(spark, sf_dir, "events")
+        want = {
+            (r["click_id"], r["purchase_id"])
+            for r in interval_join_clicks_purchases(ev, ev).collect()
+        }
+        assert got == want
+
+
 class TestStreamingParity:
     def test_tumbling_stream_equals_batch(self, spark, sf_dir):
         stream = read_events_stream(spark, sf_dir)
