@@ -152,6 +152,68 @@ def dummy_departures(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (or ``<`` when strict) per key.
+
+    Spark has no native ASOF JOIN; the scalable composition is the
+    union-sort-window trick: tag both sides, union, and carry the
+    last-seen right values forward with ``last(..., ignorenulls)``
+    over one window per key — ONE shuffle on the key, no range
+    self-join blowup, no per-key driver loops. (A naive
+    inequality-join + groupBy-max would shuffle |left|×|right|
+    candidate pairs on skewed keys.)
+
+    Returns all left rows + ``right_cols`` (null when no prior right
+    row exists).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right(0) sorts before left(1) on ts ties
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            tagged_left.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    # strict: a right row at exactly left_ts must NOT match → left
+    # sorts BEFORE right on ties (flip the tie-break)
+    side_order = F.col("_side").desc() if strict else F.col("_side").asc()
+    w = Window.partitionBy("_k").orderBy(F.col("_ts"), side_order).rowsBetween(
+        Window.unboundedPreceding, -1 if strict else 0
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    carried = unioned.select(
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
 def nest_documents(
     df: DataFrame,
     entity_cols: list[str],

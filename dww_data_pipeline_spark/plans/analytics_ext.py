@@ -112,6 +112,69 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_asof_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           c.user_id,
+           epoch_ms(c.ts) AS click_ms,
+           v.event_id AS view_id,
+           epoch_ms(v.ts) AS view_ms
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+    description="As-of join: for each click, the user's most recent view "
+    "at-or-before it — Spark lacks ASOF JOIN, composed as the "
+    "union-sort-window carry-forward (one shuffle, no inequality-join "
+    "pair blowup); oracle is DuckDB's NATIVE ASOF JOIN",
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.sequence import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ms.alias("click_ms")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", ms.alias("view_ms")
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="click_ms",
+        right_ts="view_ms",
+        right_cols=["view_id", "view_ms"],
+    )
+
+
+@register(
+    "a6b_density_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '5-LOW') THEN 1 END) AS other
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="A6 wide-form pivot: per-group breakdown into columns "
+    "(reference density report projects year slices to role→count maps, "
+    "densityCalc.js:101-121); conditional aggregation = portable pivot",
+)
+def a6b_density_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+        F.count(
+            F.when(~F.col("o_orderpriority").isin("1-URGENT", "5-LOW"), 1)
+        ).alias("other"),
+    )
+
+
+@register(
     "q17_small_quantity_revenue",
     oracle="""
     SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,3)) / 7.0 AS DOUBLE)

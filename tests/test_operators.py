@@ -95,6 +95,42 @@ class TestJumps:
         assert [x["movie_id"] for x in p1["rels"]] == ["m1", "m2", "m3", "m4"]
 
 
+class TestAsofJoin:
+    def _tables(self, spark):
+        trades = spark.createDataFrame(
+            [("A", 100, "t1"), ("A", 205, "t2"), ("B", 50, "t3")],
+            ["sym", "ts", "trade_id"],
+        )
+        quotes = spark.createDataFrame(
+            [("A", 90, 1.0), ("A", 100, 2.0), ("A", 200, 3.0), ("B", 60, 9.0)],
+            ["sym", "qts", "price"],
+        )
+        return trades, quotes
+
+    def test_asof_matches_latest_at_or_before(self, spark):
+        trades, quotes = self._tables(spark)
+        out = {
+            r["trade_id"]: r["price"]
+            for r in sequence.asof_join(
+                trades, quotes, "sym", "ts", "qts", ["price"]
+            ).collect()
+        }
+        assert out["t1"] == 2.0  # quote AT ts matches (non-strict)
+        assert out["t2"] == 3.0  # latest before 205
+        assert out["t3"] is None  # no quote at/before 50
+
+    def test_asof_strict_excludes_equal_ts(self, spark):
+        trades, quotes = self._tables(spark)
+        out = {
+            r["trade_id"]: r["price"]
+            for r in sequence.asof_join(
+                trades, quotes, "sym", "ts", "qts", ["price"], strict=True
+            ).collect()
+        }
+        assert out["t1"] == 1.0  # the ts==100 quote is excluded
+        assert out["t2"] == 3.0
+
+
 class TestDensity:
     def test_a5_range_fill(self, spark):
         rows = [
