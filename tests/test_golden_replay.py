@@ -1,0 +1,173 @@
+"""Golden replay against the reference's OWN published export
+(SURVEY §5b / §7.2 M6): the nested people document the reference
+serves (`jsonReduced.json`, 330 people / 4346 credits from the real
+Weta-rooted crawl) is flattened into the engine's worked_for shape and
+run through the jump / density / search-count operators. Assertions
+are the reference's invariants computed independently in Python — a
+differential oracle on real production data, not synthetic fixtures.
+
+The file is read from the read-only reference checkout at test time
+(never copied into this repo); tests skip if the checkout is absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.operators import density as density_ops
+from dww_data_pipeline_spark.operators import sequence as seq
+
+GOLDEN = "/root/reference/serverScripts/src/public/js/jsonReduced.json"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference checkout not available"
+)
+
+
+def _load_people() -> list[dict]:
+    with open(GOLDEN) as f:
+        return json.load(f)["people"]
+
+
+@pytest.fixture(scope="module")
+def worked_for(spark):
+    rows = []
+    for p in _load_people():
+        for rel in p.get("rels", []):
+            rows.append(
+                (
+                    p["id"],
+                    p["name"],
+                    rel["imdbMovieId"],
+                    rel["companySearch"],
+                    int(rel["companyMatchRatio"]),
+                    rel["personRole"],
+                    rel["personMappedRole"],
+                    str(rel["movieReleaseYear"]),
+                    rel["matchedCompanyId"],
+                    rel["matchedCompanyName"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        [
+            "person_id",
+            "person_name",
+            "movie_id",
+            "company_search",
+            "match_ratio",
+            "role",
+            "true_role",
+            "release",
+            "company_id",
+            "company_name",
+        ],
+    )
+
+
+ORDER = ["release", "movie_id"]
+
+
+class TestGoldenReplay:
+    def test_scale_matches_published_export(self, worked_for):
+        assert worked_for.select("person_id").distinct().count() == 330
+        assert worked_for.count() == 4346
+
+    def test_jump_detection_invariants(self, worked_for):
+        """W1 on the real crawl: per person, consecutive jump companies
+        must differ, the first credit is always a jump, and jump count
+        computed independently in Python matches."""
+        jumps = seq.jumps(worked_for, "person_id", "company_name", ORDER)
+        got = jumps.groupBy("person_id").agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        got_counts = {r["person_id"]: r["n"] for r in got.collect()}
+
+        # independent Python oracle over the same rows
+        want_counts: dict[str, int] = {}
+        for p in _load_people():
+            rels = sorted(
+                p.get("rels", []),
+                key=lambda r: (str(r["movieReleaseYear"]), r["imdbMovieId"]),
+            )
+            last = object()
+            n = 0
+            for r in rels:
+                if r["matchedCompanyName"] != last:
+                    n += 1
+                    last = r["matchedCompanyName"]
+            if n:
+                want_counts[p["id"]] = n
+        assert got_counts == want_counts
+
+    def test_directional_filter_on_real_data(self, worked_for):
+        """W4 'who joined Weta Digital' on the real crawl: every
+        returned row's successor jump is Weta and the row itself is
+        not."""
+        jump_rows = seq.jumps(worked_for, "person_id", "company_name", ORDER)
+        incoming = seq.directional_filter(
+            jump_rows, "person_id", ORDER, "company_name", "Weta Digital", "in"
+        )
+        rows = incoming.collect()
+        assert len(rows) > 0
+        assert all(r["company_name"].lower() != "weta digital" for r in rows)
+
+    def test_density_totals_match_credit_span(self, worked_for):
+        """A5 on the real crawl: summing the density headcounts of a
+        single person's company equals their filled year span,
+        computed independently."""
+        with_year = worked_for.withColumn(
+            "yr", F.substring("release", 1, 4).cast("int")
+        ).filter(F.col("yr").isNotNull())
+        dens = density_ops.density(
+            with_year, "person_id", ["company_name"], "yr", order=ORDER
+        )
+        total_fill = dens.agg(F.sum("headcount").alias("s")).collect()[0]["s"]
+
+        # independent Python fill with the same clamp
+        fill = 0
+        span = density_ops.MAX_SPAN_YEARS
+        years_by_person: dict[tuple, set] = {}
+        for p in _load_people():
+            rels = sorted(
+                (
+                    r
+                    for r in p.get("rels", [])
+                    if str(r["movieReleaseYear"])[:4].isdigit()
+                ),
+                key=lambda r: (str(r["movieReleaseYear"]), r["imdbMovieId"]),
+            )
+            for i, r in enumerate(rels):
+                yr = int(str(r["movieReleaseYear"])[:4])
+                if i + 1 < len(rels):
+                    nxt = int(str(rels[i + 1]["movieReleaseYear"])[:4])
+                    end = yr if nxt <= yr else min(nxt - 1, yr + span)
+                else:
+                    end = yr
+                for y in range(yr, end + 1):
+                    years_by_person.setdefault(
+                        (p["id"], r["matchedCompanyName"]), set()
+                    ).add(y)
+        by_company_year: dict[tuple, set] = {}
+        for (pid, comp), years in years_by_person.items():
+            for y in years:
+                by_company_year.setdefault((comp, y), set()).add(pid)
+        want = sum(len(v) for v in by_company_year.values())
+        assert total_fill == want
+
+    def test_search_counts_against_python(self, worked_for):
+        got = {
+            r["company_search"]: r["count"]
+            for r in worked_for.groupBy("company_search")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .collect()
+        }
+        want: dict[str, int] = {}
+        for p in _load_people():
+            for r in p.get("rels", []):
+                want[r["companySearch"]] = want.get(r["companySearch"], 0) + 1
+        assert got == want
