@@ -51,6 +51,17 @@ def normalize_release(entry: Column) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+def earliest_release(entries: Column) -> Column:
+    """A4/F9: earliest parseable date from a movie's per-region
+    release list (reference ParseEarliestDate GetWeta.py:348-368 walks
+    the list and keeps the first fully-formed date; since the engine
+    normalizes ALL entries, min over padded strings == earliest
+    chronologically — strictly better than first-wins while containing
+    it as a special case)."""
+    normalized = F.transform(entries, normalize_release)
+    return F.array_min(F.filter(normalized, lambda x: x.isNotNull()))
+
+
 def canonical_release(release: Column) -> Column:
     """Canonicalize a mixed-granularity release string:
     bare ``YYYY`` → ``YYYY-01-01``; ``none``/empty → NULL; pad parts.

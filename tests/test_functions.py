@@ -89,6 +89,38 @@ class TestDates:
     def test_normalize_release_unparseable(self, spark):
         assert _one(spark, dates.normalize_release(F.lit("Summer 2007"))) is None
 
+    def test_earliest_release_from_region_list(self, spark):
+        v = _one(
+            spark,
+            dates.earliest_release(
+                F.array(
+                    F.lit("USA::20 July 2007 (premiere)"),
+                    F.lit("New Zealand::17 July 2007"),
+                    F.lit("garbage entry"),
+                )
+            ),
+        )
+        assert v == "2007-07-17"  # earliest parseable wins, garbage skipped
+
+    @given(
+        st.text(
+            alphabet=st.characters(whitelist_categories=["Lu", "Ll", "Nd", "Zs", "Po"]),
+            max_size=60,
+        )
+    )
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_normalize_release_never_crashes_or_mislabels(self, s):
+        # property: arbitrary text either yields NULL or a well-formed
+        # padded date (the reference skipped unparseable entries)
+        from dww_data_pipeline_spark.session import get_spark
+
+        spark = get_spark("tests", cpus="8")
+        v = _one(spark, dates.normalize_release(F.lit(s)))
+        if v is not None:
+            import re
+
+            assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", v)
+
     def test_canonical_release_pads_year_only(self, spark):
         assert _one(spark, dates.canonical_release(F.lit("1996"))) == "1996-01-01"
         assert _one(spark, dates.canonical_release(F.lit("2007-7-7"))) == "2007-07-07"
