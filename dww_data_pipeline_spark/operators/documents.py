@@ -122,6 +122,93 @@ def _fake_decode(payload: bytes | None, dim: int = 8) -> list[float]:
     return out
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize over binary payloads via mapInPandas.
+
+    STUB decode (PIL absent in this container): the 'resize' is a
+    deterministic byte-stride downsample so output size tracks the
+    target dimensions; the distributed contract — Arrow batching,
+    schema, metadata columns — is real and tested. Swap `_resize_one`
+    for a PIL implementation in production.
+    """
+
+    def _resize_one(payload: bytes | None) -> bytes | None:
+        if payload is None:
+            return None
+        target = max(1, width * height // 64)
+        stride = max(1, len(payload) // target)
+        return payload[::stride][:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                out.append(_resize_one(payload))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "decode_ok": [p is not None for p in out],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_index, frame_ts_ms, payload) via mapInPandas —
+    a Python-side flatMap whose fan-out is bounded by max_frames.
+
+    STUB decode (ffmpeg absent): frames are deterministic byte slices
+    of the payload; duration comes from the metadata column
+    (duration_ms), the real contract for pre-extracted media tables.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "frame_index", "frame_ts_ms", "payload")}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or dur is None:
+                    continue
+                n = min(max_frames, max(1, int(dur) // every_ms))
+                for i in range(n):
+                    lo = (i * len(payload)) // max(n, 1)
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["payload"].append(payload[lo : lo + 16])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract over binary media columns via
     mapInPandas (Arrow-batched; batch shape preserved). The decode

@@ -279,6 +279,29 @@ class TestMultimodal:
         assert out[1]["decode_ok"] and len(out[1]["feature"]) == 4
         assert not out[2]["decode_ok"] and out[2]["feature"] is None
 
+    def test_resize_plumbing(self, spark):
+        from dww_data_pipeline_spark.operators.documents import resize_media
+
+        rows = [(1, b"x" * 4096), (2, None)]
+        media = spark.createDataFrame(rows, ["media_id", "payload"])
+        out = {r["media_id"]: r for r in resize_media(media, 32, 32).collect()}
+        assert out[1]["decode_ok"] and out[1]["width"] == 32
+        assert len(out[1]["payload"]) <= 32 * 32 // 64
+        assert not out[2]["decode_ok"]
+
+    def test_frame_sampling_fanout_bounded(self, spark):
+        from dww_data_pipeline_spark.operators.documents import sample_frames
+
+        rows = [(1, b"v" * 1000, 5000), (2, b"w" * 1000, 100_000)]
+        media = spark.createDataFrame(rows, ["media_id", "payload", "duration_ms"])
+        out = sample_frames(media, every_ms=1000, max_frames=8).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["media_id"], []).append(r["frame_index"])
+        assert len(per[1]) == 5  # 5s video, 1 fps
+        assert len(per[2]) == 8  # capped at max_frames
+        assert sorted(per[2]) == list(range(8))
+
     def test_deterministic_fake_decode(self, spark):
         from dww_data_pipeline_spark.operators.documents import extract_media_features
 
