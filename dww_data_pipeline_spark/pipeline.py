@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dww_data_pipeline_spark.functions.dates import (
@@ -115,6 +115,65 @@ def jumps_query(
             direction,
         )
     return base.withColumn("date_ms", to_epoch_ms(F.col("release")))
+
+
+def jumps_with_departures(
+    worked_for: DataFrame, hubs: DataFrame | None = None
+) -> DataFrame:
+    """W5: the unfiltered jump timeline with synthetic departure rows
+    interleaved (reference dwwApi.js:281-293): between consecutive
+    jumps, a copy of the earlier row appears with ``dummy=true`` at
+    ``next_ts − trip_days·86400000``, where trip_days comes from the
+    haversine distance between the two locations' hub coordinates
+    (locUtils.js:18-34; F16/F17), clamped ≥ 1; 1 day when geo is
+    unknown.
+
+    hubs: (hub, geo_loc) with ``"lat,lon"`` strings
+    (functions.js:124-127). Joined twice (current + next location) as
+    broadcasts.
+    """
+    from dww_data_pipeline_spark.functions.geo import (
+        haversine_km,
+        parse_geo_loc,
+        trip_days,
+    )
+
+    base = seq.jumps(
+        worked_for.filter(F.col("release").isNotNull()),
+        "person_id",
+        "company_name",
+        TIMELINE_ORDER,
+    ).withColumn("ts_ms", to_epoch_ms(F.col("release")))
+
+    if hubs is not None and "location" in base.columns:
+        w = Window.partitionBy("person_id").orderBy(*TIMELINE_ORDER)
+        cur = hubs.select(
+            F.col("hub").alias("_cur_hub"), F.col("geo_loc").alias("_cur_geo")
+        )
+        nxt = hubs.select(
+            F.col("hub").alias("_nxt_hub"), F.col("geo_loc").alias("_nxt_geo")
+        )
+        base = (
+            base.withColumn("_next_loc", F.lead("location").over(w))
+            .join(
+                F.broadcast(cur), F.lower(F.col("location")) == F.lower(F.col("_cur_hub")), "left"
+            )
+            .join(
+                F.broadcast(nxt), F.lower(F.col("_next_loc")) == F.lower(F.col("_nxt_hub")), "left"
+            )
+        )
+        lat1, lon1 = parse_geo_loc(F.col("_cur_geo"))
+        lat2, lon2 = parse_geo_loc(F.col("_nxt_geo"))
+        trip = F.when(
+            F.col("_cur_geo").isNotNull() & F.col("_nxt_geo").isNotNull(),
+            trip_days(haversine_km(lat1, lon1, lat2, lon2)),
+        ).otherwise(F.lit(1))
+        base = base.withColumn("_trip_days", trip)
+        out = seq.dummy_departures(
+            base, "person_id", TIMELINE_ORDER, "ts_ms", F.col("_trip_days")
+        )
+        return out.drop("_cur_hub", "_cur_geo", "_nxt_hub", "_nxt_geo", "_next_loc", "_trip_days")
+    return seq.dummy_departures(base, "person_id", TIMELINE_ORDER, "ts_ms", F.lit(1))
 
 
 def export_people_json(worked_for: DataFrame) -> DataFrame:

@@ -77,11 +77,19 @@ def read_map_json(
     return exploded.select(*cols)
 
 
-def write_map_json(df: DataFrame, path: str, maptype: str) -> None:
-    """S10: map-file sink — single JSON doc {maptype, maps}
-    (reference GetWeta.py:507-512). Dimension maps are small by
-    construction; assembled driver-side like the reference."""
+def write_map_json(df: DataFrame, path: str, maptype: str, backup: bool = True) -> None:
+    """S10: map-file sink — single JSON doc {maptype, maps} with a
+    timestamped backup of any existing file before overwrite
+    (reference GetWeta.py:507-512; backup behavior dwwRoutes.js:131-163).
+    Dimension maps are small by construction; assembled driver-side
+    like the reference."""
     import json
+    import os
+    import shutil
+    import time
+
+    if backup and os.path.exists(path):
+        shutil.copy2(path, f"{path}.{int(time.time())}.bak")
 
     key_col = df.columns[0]
     maps = {

@@ -147,6 +147,28 @@ class TestGoldTables:
         assert rows[0]["company_search"] == "vifx"
         assert rows[0]["count"] == 2
 
+    def test_jumps_with_departures_geo_trip(self, gold, spark):
+        """W5 + F16/F17: dummy departure rows appear between jumps at
+        next_ts − trip_days·86400000 with haversine-derived trips."""
+        hubs = spark.createDataFrame(
+            [("wellington", "-41.3,174.8"), ("london", "51.5,-0.12")],
+            ["hub", "geo_loc"],
+        )
+        out = pipeline.jumps_with_departures(gold.worked_for, hubs)
+        rows = {(r["person_id"], r["dummy"]): r for r in out.collect()}
+        real = [r for r in out.collect() if not r["dummy"]]
+        dummies = [r for r in out.collect() if r["dummy"]]
+        # person 0001 has 2 jumps → exactly 1 dummy between them
+        p1_d = [d for d in dummies if d["person_id"] == "0001"]
+        assert len(p1_d) == 1
+        p1_real = sorted(
+            (r for r in real if r["person_id"] == "0001"), key=lambda r: r["ts_ms"]
+        )
+        # no geo on the first jump's location pair → 1-day fallback trip
+        assert p1_d[0]["ts_ms"] == p1_real[-1]["ts_ms"] - 1 * 86400000
+        # every dummy copies its predecessor row's identity
+        assert p1_d[0]["movie_id"] == p1_real[0]["movie_id"]
+
     def test_dedupe_edges(self, gold, spark):
         existing = spark.createDataFrame(
             [("0001", "0024117", "m01")], ["person_id", "company_id", "movie_id"]
@@ -285,6 +307,15 @@ class TestMapFiles:
         assert {r["search"]: r["name"] for r in back.collect()} == {
             s: n for s, n, _, _ in COMPANY_MAP
         }
+
+    def test_map_json_backup_on_overwrite(self, spark, tmp_path):
+        import glob
+
+        cmap = spark.createDataFrame(COMPANY_MAP, COMPANY_MAP_SCHEMA)
+        path = str(tmp_path / "companyMap.json")
+        write_map_json(cmap, path, "company")
+        write_map_json(cmap, path, "company")  # second write backs up
+        assert len(glob.glob(f"{path}.*.bak")) == 1
 
     def test_map_json_wrong_maptype_rejected(self, spark, tmp_path):
         path = str(tmp_path / "roleMap.json")
