@@ -63,19 +63,6 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # -------------------------------------------------------------- minhash
 
-def _minhash_sig(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature as array<long>: for each of ``num_hashes``
-    seeded xxhash64 functions, the min hash over the shingle set.
-    Pure expression — computed in one projection, no shuffle."""
-    def hasher(i: int):
-        # single-arg closure (a 2-arg lambda would receive the index)
-        return lambda s: F.xxhash64(s, F.lit(seed + i))
-
-    return F.array(
-        *[F.array_min(F.transform(shingles, hasher(i))) for i in range(num_hashes)]
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -83,10 +70,29 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, minhash signature) per document."""
-    return df.select(
+    """(id, minhash signature array<long>) per document.
+
+    Shape: explode shingles once, then ``num_hashes`` seeded xxhash64
+    mins via partial-agg groupBy — tokenization runs once per doc and
+    the shuffle carries one (id, mins...) row per doc per partition.
+    (An inline array-expression variant re-evaluates the shingle
+    subtree per hash function — no CSE inside higher-order functions —
+    and measures ~3× slower; same lesson as the md5 path in
+    plans/dedup_plans.py.) Docs with fewer than ``shingle_k`` tokens
+    have no shingles and drop out — no row rather than NULL signature.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("_s")
+    )
+    agg = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_s"), F.lit(42 + i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
         F.col(id_col),
-        _minhash_sig(word_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 

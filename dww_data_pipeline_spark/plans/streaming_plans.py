@@ -170,6 +170,35 @@ def st5_stateful_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st7_hierarchical_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Hypertable-style hierarchical rollup: the 1-hour view is "
+    "derived from materialized 1-minute partials (decimal-exact "
+    "re-aggregation), never from raw events — the oracle is the DIRECT "
+    "1-hour aggregate, proving partial-rollup == full recompute",
+)
+def st7_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.rollup import coarsen, rollup_time
+
+    ev = _events(spark, sf_dir)
+    fine = rollup_time(ev, "1 minute")
+    coarse = coarsen(fine, "1 minute", "1 hour")
+    return coarse.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "st6_interval_join",
     oracle="""
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,

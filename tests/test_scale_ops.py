@@ -99,6 +99,32 @@ class TestSkew:
         assert salted == plain
 
 
+class TestRollup:
+    def test_coarsen_equals_direct(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.rollup import coarsen, rollup_time
+
+        ev = load_table(spark, sf_dir, "events")
+        via_partials = coarsen(rollup_time(ev, "1 minute"), "1 minute", "1 hour")
+        direct = rollup_time(ev, "1 hour")
+        a = {
+            (str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in via_partials.collect()
+        }
+        b = {
+            (str(r["bucket_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in direct.collect()
+        }
+        assert a == b  # decimal partials re-aggregate exactly
+
+    def test_non_nesting_width_rejected(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.rollup import coarsen, rollup_time
+
+        ev = load_table(spark, sf_dir, "events")
+        fine = rollup_time(ev, "7 minutes")
+        with pytest.raises(ValueError, match="nest"):
+            coarsen(fine, "7 minutes", "1 hour")
+
+
 class TestIVF:
     def test_ivf_topk_self_hit_and_recall(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
