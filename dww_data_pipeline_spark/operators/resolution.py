@@ -120,10 +120,15 @@ def resolve_companies_lsh(
     """
     from dww_data_pipeline_spark.functions.text import char_ngrams
 
+    if bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make every bucket "" (a full cross
+        # join — the exact blowup LSH exists to avoid); a non-divisor
+        # silently wastes hashes
+        raise ValueError(f"bands={bands} must evenly divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
 
     def banded(df: DataFrame, name_col: str, id_cols: list[str]) -> DataFrame:
-        grams = F.array_distinct(char_ngrams(F.col(name_col), n=shingle_k + 1))
+        grams = F.array_distinct(char_ngrams(F.col(name_col), n=shingle_k))
         sig = [
             F.array_min(
                 F.transform(grams, (lambda i: (lambda g: F.md5(F.concat(F.lit(f"{i}|"), g))))(i))
@@ -155,13 +160,25 @@ def resolve_companies_lsh(
         s_banded.join(m_banded, ["band", "bucket"])
         .select("company_search", "map_search", "name", "id")
         .distinct()
+        .withColumn("exact_hit", F.col("map_search") == F.col("company_search"))
+        # score against the CANONICAL name, matching the broadcast
+        # path and the reference (fuzz.ratio(company_node_name, parsed),
+        # GetWeta.py:236-237) — scoring against the alias key would
+        # yield different ratios for the same resolved entity
         .withColumn(
-            "match_ratio", levenshtein_ratio(F.col("company_search"), F.col("map_search"))
+            "match_ratio", levenshtein_ratio(F.col("company_search"), F.col("name"))
         )
-        .filter(F.col("match_ratio") >= min_ratio)
+        # exact alias hits bypass the ratio gate — the reference's map
+        # lookup is an exact dict hit regardless of any score (and this
+        # is the only way a sentinel entry may apply: as an exact-alias
+        # verdict, never as a fuzzy winner over a legitimate candidate)
+        .filter(
+            F.col("exact_hit")
+            | (~is_sentinel(F.col("name")) & (F.col("match_ratio") >= min_ratio))
+        )
     )
     w = Window.partitionBy("company_search").orderBy(
-        F.desc("match_ratio"), F.col("id")
+        F.desc("exact_hit"), F.desc("match_ratio"), F.col("id")
     )
     best = (
         candidates.withColumn("_rn", F.row_number().over(w))

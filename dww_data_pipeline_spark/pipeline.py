@@ -215,13 +215,20 @@ def export_jumps_csv(jumps: DataFrame) -> DataFrame:
     string fields (dwwApi.js:33-35)."""
     from dww_data_pipeline_spark.functions.strings import strip_commas
 
+    # location/region exist only when the pipeline was built WITH the
+    # geo dimensions (an explicitly supported option) — export '' then
+    def opt(col_name: str):
+        if col_name in jumps.columns:
+            return F.coalesce(F.col(col_name), F.lit(""))
+        return F.lit("")
+
     cols = {
         "person": F.col("person_name"),
         "role": F.col("true_role"),
         "date": F.col("release"),
         "company": F.col("company_name"),
-        "location": F.coalesce(F.col("location"), F.lit("")),
-        "region": F.coalesce(F.col("global_region"), F.lit("")),
+        "location": opt("location"),
+        "region": opt("global_region"),
     }
     return jumps.select(
         *[strip_commas(c.cast("string")).alias(name) for name, c in cols.items()]

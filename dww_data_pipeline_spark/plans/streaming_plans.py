@@ -256,6 +256,24 @@ def interval_join_clicks_purchases(
 
 
 @register(
+    "s2_ann_ivf_topk",
+    oracle=None,
+    description="Similarity search IVF scale path: driver-trained coarse "
+    "quantizer (bounded sample), JVM-side list assignment, per-list scan "
+    "(nprobe=1). Approximate by design — recall vs the oracle-checked "
+    "brute-force twin (s1) asserted in tests; rows-only here.",
+)
+def s2_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_lists=8, sample_size=500)
+
+
+@register(
     "d7_embedding_lsh_near_dups",
     oracle=None,
     description="Embedding near-dup SCALE path: random-hyperplane LSH "

@@ -39,7 +39,7 @@ def rollup_time(
     """Fine-grained bucket aggregate: (bucket_start, *group_cols,
     n_events, sum_value) with a decimal-exact partial sum."""
     group_cols = group_cols or ["event_type"]
-    return (
+    out = (
         events.groupBy(
             F.window(ts_col, width).alias("win"), *group_cols
         )
@@ -48,6 +48,15 @@ def rollup_time(
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
         )
         .select(F.col("win.start").alias("bucket_start"), *group_cols, "n_events", "sum_value")
+    )
+    # stamp the true bucket width into column metadata so coarsen()
+    # validates against what was actually materialized, not a caller
+    # claim (metadata survives selects/writes)
+    return out.withColumn(
+        "bucket_start",
+        F.col("bucket_start").alias(
+            "bucket_start", metadata={"bucket_seconds": _seconds(width)}
+        ),
     )
 
 
@@ -61,6 +70,15 @@ def coarsen(
     touches only the rollup, never the raw events."""
     group_cols = group_cols or ["event_type"]
     fine_s, coarse_s = _seconds(fine_width), _seconds(coarse_width)
+    # prefer the width the rollup actually materialized (stamped in
+    # column metadata by rollup_time) over the caller's claim — a wrong
+    # claim that passes the divisibility check would silently miscount
+    meta = rollup.schema["bucket_start"].metadata or {}
+    actual = meta.get("bucket_seconds")
+    if actual is not None and actual != fine_s:
+        raise ValueError(
+            f"rollup was materialized with {actual}s buckets, not {fine_width!r}"
+        )
     if coarse_s % fine_s != 0:
         raise ValueError(
             f"{coarse_width!r} does not nest {fine_width!r} buckets"

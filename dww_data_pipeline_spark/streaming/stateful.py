@@ -9,10 +9,15 @@ sequence.py); this is the streaming twin for unbounded input, where
 a window over all history is impossible and per-key state (the last
 seen value) is the right primitive.
 
+Null semantics mirror SQL's ``prev IS NULL OR value <> prev`` (the
+same predicate as the batch window twin and the DuckDB oracle): a
+null value emits only on the very first event, and the event after a
+null always emits (its SQL ``prev`` is NULL).
+
 State per key is O(1) (last value + last timestamp), so state-store
-size grows with distinct entities only — the property that keeps this
-viable on an unbounded 100 TB stream. A timeout policy (configurable)
-lets idle keys expire.
+size grows with distinct entities only. On streams, idle keys expire
+via EventTimeTimeout once the watermark passes ``idle_timeout`` beyond
+their last event — state is bounded even with churning entity ids.
 """
 
 from __future__ import annotations
@@ -25,64 +30,95 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-JUMP_SCHEMA = T.StructType(
-    [
-        T.StructField("entity_id", T.LongType(), False),
-        T.StructField("ts_ms", T.LongType(), False),
-        T.StructField("value", T.StringType(), True),
-        T.StructField("prev_value", T.StringType(), True),
-        T.StructField("is_first", T.BooleanType(), False),
-    ]
-)
+
+def _jump_schema(entity_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("entity_id", entity_type, True),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("value", T.StringType(), True),
+            T.StructField("prev_value", T.StringType(), True),
+            T.StructField("is_first", T.BooleanType(), False),
+        ]
+    )
+
 
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_value", T.StringType(), True),
         T.StructField("last_ts_ms", T.LongType(), True),
+        T.StructField("has_prev", T.BooleanType(), True),
     ]
 )
 
+_IDLE_TIMEOUT_MS = 24 * 3600 * 1000  # expire keys idle for a day of event time
 
-def _detect_jumps(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-entity jump detector. Events within a micro-batch are
-    processed in timestamp order; state carries the last seen value
-    across batches (the reference carried it across adjacent rows of
-    a global sort — impossible on a stream)."""
-    (entity_id,) = key
-    if state.exists:
-        last_value, last_ts = state.get
-    else:
-        last_value, last_ts = None, None
 
-    out: list[dict] = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("ts_ms").itertuples(index=False):
-            ts_ms = int(row.ts_ms)
-            value = row.value
-            if last_ts is not None and ts_ms < last_ts:
-                # late event older than state: reference semantics are
-                # order-dependent, so late rows are dropped (the batch
-                # path re-sorts instead; watermarking bounds this)
-                continue
-            if last_value is None or value != last_value:
-                out.append(
-                    {
-                        "entity_id": entity_id,
-                        "ts_ms": ts_ms,
-                        "value": value,
-                        "prev_value": last_value,
-                        "is_first": last_value is None,
-                    }
+def _make_detector(idle_timeout_ms: int = _IDLE_TIMEOUT_MS):
+    def detect_jumps(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-entity jump detector. The micro-batch's chunks are
+        concatenated and sorted ONCE (per-chunk sorting would drop
+        in-batch events that arrive in a later Arrow chunk with
+        earlier timestamps); state carries the last seen value across
+        batches."""
+        (entity_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_value, last_ts, has_prev = state.get
+        else:
+            last_value, last_ts, has_prev = None, None, False
+
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        out: list[dict] = []
+        if pdf is not None:
+            for row in pdf.sort_values("ts_ms").itertuples(index=False):
+                ts_ms = int(row.ts_ms)
+                value = row.value if pd.notna(row.value) else None
+                if last_ts is not None and ts_ms < last_ts:
+                    # late event older than state: reference semantics
+                    # are order-dependent, so late rows are dropped
+                    # (the batch twin re-sorts instead; the watermark
+                    # bounds how late this can happen)
+                    continue
+                emit = (
+                    (not has_prev)
+                    or (last_value is None)
+                    or (value is not None and value != last_value)
                 )
-            last_value, last_ts = value, ts_ms
+                if emit:
+                    out.append(
+                        {
+                            "entity_id": entity_id,
+                            "ts_ms": ts_ms,
+                            "value": value,
+                            "prev_value": last_value,
+                            "is_first": not has_prev,
+                        }
+                    )
+                last_value, last_ts, has_prev = value, ts_ms, True
 
-    state.update((last_value, last_ts))
-    if out:
-        yield pd.DataFrame(out)
+        state.update((last_value, last_ts, has_prev))
+        try:
+            # expire this key once the watermark passes idle_timeout
+            # beyond its last event (event-time timeout; no-op when the
+            # query has no watermark)
+            if last_ts is not None:
+                state.setTimeoutTimestamp(last_ts + idle_timeout_ms)
+        except Exception:  # noqa: BLE001 — timeout unavailable in this mode
+            pass
+        if out:
+            yield pd.DataFrame(out)
+
+    return detect_jumps
 
 
 def streaming_jumps(
@@ -91,16 +127,23 @@ def streaming_jumps(
     ts_col: str = "ts",
     value_col: str = "event_type",
     watermark: str = "30 minutes",
+    idle_timeout_ms: int = _IDLE_TIMEOUT_MS,
 ) -> DataFrame:
-    """W1 jump detection as a stateful stream (or batch-compat check).
+    """W1 jump detection as a stateful stream (or batch-compat twin).
 
     events: streaming DataFrame with (entity, event-time, value).
     Returns one row per change-point with the previous value attached.
+    The entity column keeps its own type (string ids work); null
+    timestamps are filtered (no order position exists for them).
     """
     from pyspark.sql import functions as F
 
-    prepared = events.select(
-        F.col(entity_col).cast("long").alias("entity_id"),
+    entity_type = events.schema[entity_col].dataType
+    jump_schema = _jump_schema(entity_type)
+    detector = _make_detector(idle_timeout_ms)
+
+    prepared = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(entity_col).alias("entity_id"),
         # millisecond precision (micros div 1000): second-truncation
         # would create ordering ties between distinct events
         F.expr(f"unix_micros({ts_col}) div 1000").alias("ts_ms"),
@@ -108,16 +151,18 @@ def streaming_jumps(
         F.col(ts_col).alias("_ts"),
     )
     if events.isStreaming:
+        # the watermarked column must survive into the grouped data for
+        # EventTimeTimeout — it rides along unused by the detector
         prepared = prepared.withWatermark("_ts", watermark)
         return (
-            prepared.drop("_ts")
+            prepared
             .groupBy("entity_id")
             .applyInPandasWithState(
-                _detect_jumps,
-                outputStructType=JUMP_SCHEMA,
+                detector,
+                outputStructType=jump_schema,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout,
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
         )
 
@@ -125,16 +170,16 @@ def streaming_jumps(
     # same detector per group with fresh (empty) state — one batch IS
     # the whole history
     def batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        entity_id = int(pdf["entity_id"].iloc[0])
-        frames = list(_detect_jumps((entity_id,), iter([pdf]), _FreshState()))
+        entity_id = pdf["entity_id"].iloc[0]
+        frames = list(detector((entity_id,), iter([pdf]), _FreshState()))
         if frames:
             return frames[0]
-        return pd.DataFrame(columns=[f.name for f in JUMP_SCHEMA.fields])
+        return pd.DataFrame(columns=[f.name for f in jump_schema.fields])
 
     return (
         prepared.drop("_ts")
         .groupBy("entity_id")
-        .applyInPandas(batch_group, schema=JUMP_SCHEMA)
+        .applyInPandas(batch_group, schema=jump_schema)
     )
 
 
@@ -143,8 +188,15 @@ class _FreshState:
     needed — a batch group sees its full history at once)."""
 
     exists = False
-    get = (None, None)
+    hasTimedOut = False
+    get = (None, None, False)
 
     def update(self, value) -> None:
         self.get = value
         self.exists = True
+
+    def setTimeoutTimestamp(self, ts) -> None:  # noqa: D102 — no-op in batch
+        pass
+
+    def remove(self) -> None:
+        self.exists = False

@@ -245,6 +245,19 @@ class TestServingExports:
         assert out.columns == ["person", "role", "date", "company", "location", "region"]
         assert out.count() == gold.jumps.count()
 
+    def test_jumps_csv_without_geo_dimensions(self, spark):
+        # build_gold without locations/regions is a supported path —
+        # the CSV export must emit '' columns, not crash
+        credits = spark.createDataFrame(
+            [("p1", "Ann", "m1", "animator: VIFX", "1996")],
+            ["person_id", "person_name", "movie_id", "notes", "release"],
+        )
+        cmap = spark.createDataFrame([("vifx", "VIFX", "1")], ["search", "name", "id"])
+        rmap = spark.createDataFrame([("animator", "Animation")], ["raw_role", "name"])
+        g = pipeline.build_gold(credits, cmap, rmap)
+        rows = pipeline.export_jumps_csv(g.jumps).collect()
+        assert rows[0]["location"] == "" and rows[0]["region"] == ""
+
     def test_group_jumps_person(self, gold):
         nested = pipeline.group_jumps(gold.jumps, "person")
         row = [r for r in nested.collect() if r["person_id"] == "0001"][0]

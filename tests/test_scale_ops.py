@@ -124,6 +124,16 @@ class TestRollup:
         with pytest.raises(ValueError, match="nest"):
             coarsen(fine, "7 minutes", "1 hour")
 
+    def test_wrong_width_claim_rejected(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.rollup import coarsen, rollup_time
+
+        ev = load_table(spark, sf_dir, "events")
+        fine = rollup_time(ev, "7 minutes")
+        # claiming 1-minute buckets would pass divisibility and silently
+        # miscount — the stamped metadata must catch the lie
+        with pytest.raises(ValueError, match="materialized"):
+            coarsen(fine, "1 minute", "1 hour")
+
 
 class TestIVF:
     def test_ivf_topk_self_hit_and_recall(self, spark, sf_dir):
