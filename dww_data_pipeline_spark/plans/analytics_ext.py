@@ -161,6 +161,93 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+    """,
+    description="TPC-H Q7 shape: cross-nation trade volume — two aliases "
+    "of the same dimension joined on different fact keys, per-year "
+    "grouping (optimizer must keep the aliases distinct)",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount"), 18, 4))
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT CAST(SUM(part_value) AS DECIMAL(38,2)) AS total_value FROM per_part
+    )
+    SELECT l_partkey,
+           CAST(part_value AS DOUBLE) AS part_value
+    FROM per_part, total
+    WHERE CAST(part_value AS DOUBLE) > CAST(total_value AS DOUBLE) * 0.0006
+    """,
+    description="TPC-H Q11 shape: per-group value filtered against a "
+    "global scalar aggregate threshold (scalar subquery → broadcast of "
+    "a 1-row total)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice"))).alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(38,2)").alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value").cast("double")
+            > F.col("total_value").cast("double") * 0.0006
+        )
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+@register(
     "ext_asof_join",
     oracle="""
     SELECT c.event_id AS click_id,

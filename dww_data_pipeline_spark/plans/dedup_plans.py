@@ -283,6 +283,89 @@ def d6_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_D8_ORACLE = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE len({_SQL_TOKS}) >= 3
+), verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE CAST((len(sa.sh) + len(sb.sh)
+              - len(list_distinct(list_concat(sa.sh, sb.sh)))) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b AS a, id_a AS b FROM verified
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+), comp AS (
+  SELECT id, MIN(r) AS canonical FROM walk GROUP BY id
+)
+SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id,
+       (c.id IS NOT NULL AND c.canonical <> d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+@register(
+    "d8_dedup_pipeline",
+    oracle=_D8_ORACLE,
+    description="END-TO-END dedup pipeline: MinHash-LSH candidates → exact "
+    "shingle-Jaccard verification (kills LSH false positives) → connected "
+    "components → every document mapped to its canonical representative "
+    "(min id) with an is_duplicate flag — the full near-dup removal flow "
+    "a training-data pipeline runs, one oracle-checked query",
+)
+def d8_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d2_minhash_lsh_pairs(spark, sf_dir)
+    sh = d.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    union_size = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    inter_size = F.size("sh_a") + F.size("sh_b") - union_size
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            inter_size.cast("double") / F.greatest(union_size, F.lit(1)) >= 0.2
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified)
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+            (
+                F.col("id").isNotNull() & (F.col("component") != F.col("doc_id"))
+            ).alias("is_duplicate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (md5-parity variant — oracle-checkable; production uses
 # xxhash64, operators/dedup.py)
