@@ -287,7 +287,7 @@ def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
 
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(dim=64, bits=6)
+    planes = _hyperplanes(dim=64, bits=4)
     b = e.withColumn("_bucket", lsh_bucket_col("embedding", planes))
     a1 = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket"

@@ -23,6 +23,51 @@ class TestSqlSurface:
             assert out.schema.fields, key
             assert out.limit(1).count() >= 0, key
 
+    def test_sql_density_equals_operator(self, spark, sf_dir):
+        # regression guard: the SQL formulation must keep the same
+        # next_yr<=yr clamp as the operator (a missing guard once made
+        # sequence() descend and double-count prior years)
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.operators.density import density
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        register_all(spark, sf_dir)
+        sql_rows = {
+            (r["o_orderpriority"], r["fill_year"]): r["headcount"]
+            for r in spark.sql(SQL_EXAMPLES["density"]).collect()
+        }
+        o = load_table(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+        op_rows = {
+            (r["o_orderpriority"], r["fill_year"]): r["headcount"]
+            for r in density(
+                o, "o_custkey", ["o_orderpriority"], "yr", ["o_orderdate", "o_orderkey"]
+            ).collect()
+        }
+        assert sql_rows == op_rows
+
+    def test_lsh_near_dup_recall_vs_brute_force(self, spark, sf_dir):
+        # d7 (bucket-pruned) must be a subset of d5 (exhaustive) at the
+        # same threshold, with nontrivial recall
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in REGISTRY["d5_embedding_near_dups"].spark(spark, sf_dir).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in REGISTRY["d7_embedding_lsh_near_dups"].spark(spark, sf_dir).collect()
+        }
+        assert lsh <= brute  # bucketing may miss pairs, never invent them
+        if brute:
+            # single-probe hyperplane LSH recall for threshold-grade pairs is
+            # (1 - theta/pi)^bits ~ 13% at cos=0.3 with 4 bits — truly-near
+            # pairs collide far more often; multi-probe raises this at the
+            # cost of pruning
+            assert len(lsh & brute) / len(brute) > 0.05
+
     def test_sql_equals_dataframe_plan_result(self, spark, sf_dir):
         register_all(spark, sf_dir)
         sql_rows = {
