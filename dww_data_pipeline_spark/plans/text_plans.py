@@ -462,6 +462,41 @@ def t7_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t8_repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len({{sh}}) > 0
+                THEN 1.0 - CAST(len(list_distinct({{sh}})) AS DOUBLE) / len({{sh}})
+                ELSE 0.0 END AS repetition
+    FROM documents
+    """.replace(
+        "{sh}",
+        "list_transform(list_zip("
+        "list_slice(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''), 1, "
+        "greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) - 2, 0)), "
+        "list_slice(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''), 2, "
+        "greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) - 1, 0)), "
+        "list_slice(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''), 3, "
+        "greatest(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')), 0))"
+        "), p -> p[1] || ' ' || p[2] || ' ' || p[3])",
+    ),
+    description="Repetition ratio: 1 − distinct/total 3-word shingles — "
+    "the within-document duplication signal quality filters use (high "
+    "ratio ⇒ boilerplate/spam); pure expression over one shingling",
+)
+def t8_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(F.col("text"), k=3)
+    n = F.size(sh)
+    rep = F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", rep.alias("repetition"))
+
+
+@register(
     "t4_fingerprints",
     oracle="""
     SELECT doc_id,

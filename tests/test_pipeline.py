@@ -180,6 +180,48 @@ class TestGoldTables:
         assert out.count() == gold.worked_for.count() - 1
 
 
+class TestExactParityResolution:
+    def test_sequence_matcher_path(self, spark):
+        """exact_parity=True routes scoring through the SequenceMatcher
+        pandas_udf (the reference's fuzz.ratio semantics)."""
+        from difflib import SequenceMatcher
+
+        from dww_data_pipeline_spark.operators.resolution import resolve_companies
+
+        parsed = spark.createDataFrame([("weta digitl",)], ["company_search"])
+        cmap = spark.createDataFrame(
+            [("weta digitl", "Weta Digital", "0005031")], ["search", "name", "id"]
+        )
+        row = resolve_companies(parsed, cmap, exact_parity=True).collect()[0]
+        want = int(round(100 * SequenceMatcher(None, "weta digitl", "weta digital").ratio()))
+        assert row["match_ratio"] == want
+
+
+class TestObservability:
+    def test_observe_metrics_a11(self, spark, sf_dir):
+        """A11 progress/size counts via DataFrame.observe — metrics ride
+        the job instead of extra count() actions (GetWeta.py:109-112
+        logged sizes with separate passes)."""
+        from pyspark.sql import Observation
+
+        obs = Observation("ingest")
+        df = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_seen"),
+                # DISTINCT aggregates are not allowed in observed
+                # metrics — approx is the observability idiom
+                F.approx_count_distinct("o_custkey").alias("customers_seen"),
+            )
+            .filter(F.col("o_totalprice") > 0)
+        )
+        df.write.format("noop").mode("overwrite").save()
+        got = obs.get
+        assert got["rows_seen"] == 1500
+        assert abs(got["customers_seen"] - 150) <= 8  # HLL tolerance
+
+
 class TestLshResolution:
     def test_lsh_resolution_matches_fuzzy_semantics(self, spark):
         """The non-broadcast LSH path must resolve near-exact alias
