@@ -497,6 +497,25 @@ def t8_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t9_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('sample-seed|' || CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+    description="Deterministic hash sampling (~25%): keep rows whose "
+    "seeded md5 prefix falls under the rate threshold — reproducible "
+    "across runs/engines/partitionings, unlike RNG-based sample() whose "
+    "result depends on partition layout; the training-data idiom for "
+    "stable subset selection",
+)
+def t9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("sample-seed|"), F.col("doc_id").cast("string")))
+    return d.filter(F.substring(h, 1, 2) < "40").select("doc_id", "lang")
+
+
+@register(
     "t4_fingerprints",
     oracle="""
     SELECT doc_id,
