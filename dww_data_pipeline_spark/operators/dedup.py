@@ -7,11 +7,16 @@ Five families, all shuffle-disciplined for 100 TB:
 * exact          — hash-groupBy on a 16-byte fingerprint, never on the
                    full document (one shuffle of (hash, id), not text).
 * minhash LSH    — shingle → minhash signature → band buckets →
-                   bucket join. The self-join happens only within LSH
-                   buckets, never across the full corpus.
+                   bucket join (Broder, "On the resemblance and
+                   containment of documents", 1997; banding per
+                   Leskovec/Rajaraman/Ullman, Mining of Massive
+                   Datasets ch.3). The self-join happens only within
+                   LSH buckets, never across the full corpus.
 * simhash        — 64-bit signature via per-bit majority vote of token
-                   hashes; near-dups share the signature (or differ in
-                   few bits — banded by signature prefix at scale).
+                   hashes (Charikar, "Similarity estimation techniques
+                   from rounding algorithms", STOC 2002); near-dups
+                   share the signature (or differ in few bits — banded
+                   by signature prefix at scale).
 * n-gram Jaccard — exact verification of candidate pairs (used after
                    LSH to kill false positives).
 * embedding cosine — near-dup by cosine over an embedding column.

@@ -6,7 +6,8 @@ Two paths:
   one JVM-side cosine per (row, query), per-query top-k via window.
   The baseline and the verifier. Scales linearly in corpus size ×
   queries (fine when |queries| is small — the common batch case).
-* ``lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH: each vector
+* ``lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH (Charikar
+  STOC 2002; LSH framework per Indyk & Motwani, STOC 1998): each vector
   hashed to a b-bit bucket by sign of dot with b fixed pseudo-random
   hyperplanes (deterministic seed). Top-k runs only within matching
   buckets (multi-probe over the query's bucket), turning the scan
