@@ -30,6 +30,32 @@ ROLE_MAP_SCHEMA = T.StructType(
 )
 
 
+CREDITS_SCHEMA = T.StructType(
+    [
+        T.StructField("person_id", T.StringType(), False),
+        T.StructField("person_name", T.StringType(), True),
+        T.StructField("movie_id", T.StringType(), False),
+        T.StructField("notes", T.StringType(), True),
+        T.StructField("release", T.StringType(), True),
+        T.StructField("release_dates", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def read_credits_json(spark: SparkSession, path: str) -> DataFrame:
+    """S1 bronze ingest: pre-crawled credits as JSON lines with a
+    PINNED schema (SURVEY §1.3: inference only at the bronze edge,
+    and even there the schema is declared). One row per unparsed
+    credit — the input to the F1/F9 parsing stage of pipeline.py
+    (crawling itself is out of engine scope per SURVEY S1).
+
+    Dropped malformed lines surface in the `_corrupt_record` policy:
+    PERMISSIVE nulls them field-wise; use mode=FAILFAST upstream when
+    ingest must be strict.
+    """
+    return spark.read.schema(CREDITS_SCHEMA).json(path)
+
+
 def read_csv_dim(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """S3: header CSV dimension read (reference
     utils/companyLocationCsvToJson.py:27-55)."""

@@ -379,6 +379,27 @@ class TestMapFiles:
         with pytest.raises(ValueError, match="maptype"):
             read_map_json(spark, path, "company", ROLE_MAP_SCHEMA)
 
+    def test_credits_json_bronze_ingest(self, spark, tmp_path):
+        from dww_data_pipeline_spark.sources.files import read_credits_json
+
+        path = str(tmp_path / "credits.jsonl")
+        with open(path, "w") as f:
+            f.write(
+                '{"person_id":"0001","person_name":"Ann","movie_id":"m1",'
+                '"notes":"animator: VIFX","release":"1996",'
+                '"release_dates":["USA::20 July 2007"]}\n'
+            )
+            f.write('{"person_id":"0002","movie_id":"m2","notes":null,"release":"none"}\n')
+        df = read_credits_json(spark, path)
+        rows = {r["person_id"]: r for r in df.collect()}
+        assert rows["0001"]["release_dates"] == ["USA::20 July 2007"]
+        assert rows["0002"]["person_name"] is None  # missing field → null
+        # flows straight into the parsing pipeline
+        cmap = spark.createDataFrame([("vifx", "VIFX", "1")], ["search", "name", "id"])
+        rmap = spark.createDataFrame([("animator", "Animation")], ["raw_role", "name"])
+        wf = pipeline.build_worked_for(df.drop("release_dates"), cmap, rmap)
+        assert wf.filter(wf.company_name == "VIFX").count() == 1
+
     def test_csv_dim_source(self, spark, tmp_path):
         path = str(tmp_path / "locations.csv")
         with open(path, "w") as f:
