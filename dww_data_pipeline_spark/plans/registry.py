@@ -77,6 +77,7 @@ def _load_all() -> None:
         sequence_plans,
         streaming_plans,
         text_plans,
+        tpch2,
     )
 
     _LOADED = True

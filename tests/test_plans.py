@@ -92,3 +92,40 @@ class TestPhysicalPlans:
         # "*(n)" prefixes mark WholeStageCodegen stages in the final plan
         assert "*(" in plan
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+class TestTpchShapePlans:
+    """TPC-H completion batch (plans/tpch2.py): the decorrelated plans
+    must keep dimension sides broadcast and subqueries as semi/anti
+    hash joins — never per-row probes or cartesian products."""
+
+    def test_q2_min_joinback_broadcasts_threshold(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+        assert plan.count("BroadcastHashJoin") >= 3  # part, min-table, supplier, nation
+        assert "CartesianProduct" not in plan
+
+    def test_q4_exists_is_semi_join(self, spark, sf_dir):
+        assert "LeftSemi" in _plan(spark, sf_dir, "q4_order_priority")
+
+    def test_q22_not_exists_is_anti_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q22_sales_opportunity")
+        assert "LeftAnti" in plan
+        # scalar threshold rides a broadcast, not a shuffle join
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_q21_single_fact_scan_decorrelation(self, spark, sf_dir):
+        # EXISTS + NOT EXISTS answered by ONE per-order aggregate — the
+        # plan must not contain two extra self-join probes of lineitem
+        plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+        assert plan.count("FileScan parquet") <= 4  # l1, stats-scan, orders, supplier
+
+    def test_q6_filters_fully_pushed(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+        assert "PushedFilters: [" in plan
+        for c in ("l_shipdate", "l_discount", "l_quantity"):
+            assert c in plan.split("PushedFilters")[1].split("]")[0], c
+
+    def test_q19_single_join_with_residual_or(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "q19_discounted_revenue")
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "CartesianProduct" not in plan
