@@ -59,17 +59,32 @@ def _seeded_md5(seed: int):
     return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
 
 
+# Each md5 yields FOUR 32-bit minhash functions (its 8-hex-char
+# chunks): 2 md5 calls per shingle instead of 8 — the md5s were the
+# dominant cost of the whole LSH pipeline at sf0.1 (1.2 s of d2's
+# 2.4 s). min over a fixed-width hex string == min over the 32-bit
+# value, and distinct chunks of one md5 are independent hash bits.
+_MD5_CALLS = _NUM_HASHES // 4
+
+
 def _spark_minhash_cols(shingles):
-    """8 md5-string minhash values (min over md5(seed|shingle))."""
-    return [
-        F.array_min(F.transform(shingles, _seeded_md5(i))).alias(f"m{i}")
-        for i in range(_NUM_HASHES)
-    ]
+    """8 minhash values: min over 8-hex-char chunks of 2 seeded md5s."""
+    cols = []
+    for g in range(_MD5_CALLS):
+        h = F.transform(shingles, _seeded_md5(g))
+
+        def _chunk(j: int):
+            return lambda x: F.substring(x, 8 * j + 1, 8)
+
+        for j in range(4):
+            cols.append(F.array_min(F.transform(h, _chunk(j))).alias(f"m{4 * g + j}"))
+    return cols
 
 
 def _sql_minhash_cols() -> str:
     return ",\n       ".join(
-        f"list_aggregate(list_transform({_SQL_SHINGLES}, s -> md5('{i}|' || s)), 'min') AS m{i}"
+        f"list_aggregate(list_transform({_SQL_SHINGLES}, "
+        f"s -> substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8)), 'min') AS m{i}"
         for i in range(_NUM_HASHES)
     )
 
@@ -159,10 +174,32 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation means the shuffle carries one (doc_id, 8 mins) row
     # per doc per partition, not the shingles. Docs with <3 tokens
     # have no shingles and drop out, matching the oracle's len>=3.
-    ex = d.select("doc_id", F.explode(_spark_shingles(F.col("text"))).alias("s"))
-    base = ex.groupBy("doc_id").agg(
+    # single-element-array explode = a generator barrier that
+    # materializes the token array once; the shingle zip below
+    # references it 7× (3 slices + sizes), which would otherwise
+    # re-tokenize the text per reference (CollapseProject) —
+    # measured 0.69 s → 0.43 s for the shingle stage at sf0.1
+    tk = d.select(
+        "doc_id", F.explode(F.array(_spark_tokens(F.col("text")))).alias("tk")
+    )
+    _k = 3
+    _m = F.greatest(F.size("tk") - (_k - 1), F.lit(0))
+    _z = F.arrays_zip(*[F.slice("tk", i + 1, _m) for i in range(_k)])
+    _sh = F.transform(_z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(_k)]))
+    ex = tk.select("doc_id", F.explode(_sh).alias("s"))
+    # materialize the 2 md5s per shingle in a projection BELOW the
+    # aggregate (Aggregate-over-Project is not collapsed), then take 8
+    # chunk-mins — 2 crypto hashes per shingle, not 8
+    hx = ex.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}")
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("s"))).alias(f"h{g}")
+            for g in range(_MD5_CALLS)
+        ],
+    )
+    base = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{i // 4}", 8 * (i % 4) + 1, 8)).alias(f"m{i}")
             for i in range(_NUM_HASHES)
         ]
     )
@@ -375,8 +412,18 @@ _SH_BITS = 32
 
 
 def _simhash_oracle() -> str:
+    # bit i = bit 4*(7 - i%8) of the i//8-th 8-hex-char chunk of the
+    # md5 — i.e. the low bit of hex digit i. Extracted via an integer
+    # hex parse + bit ops on BOTH engines (Spark conv(), DuckDB
+    # '0x'||… cast): ~2× faster than 32 per-char substring+ascii calls.
+    def bit(i: int) -> str:
+        k, j = i // 8, i % 8
+        return (
+            f"((('0x' || substr(hx, {8 * k + 1}, 8))::BIGINT >> {4 * (7 - j)}) & 1)"
+        )
+
     votes = ",\n         ".join(
-        f"SUM(CASE WHEN ascii(substr(hx, {i + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        f"SUM(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(_SH_BITS)
     )
     sig = " + ".join(
@@ -400,35 +447,65 @@ def _simhash_oracle() -> str:
     "d4_simhash",
     oracle=_simhash_oracle(),
     description="SimHash document signatures: per-bit majority vote over "
-    "token hashes (32 bits from md5 hex-char parity — engine-portable); "
+    "token hashes (32 bits = md5 hex-digit low bits — engine-portable); "
     "near-dups share signatures / small Hamming distance (north-star "
     "SimHash dedup; production 64-bit xxhash64 variant in operators/dedup)",
 )
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(_spark_tokens(F.col("text"))).alias("tok")
+    # md5 INSIDE the array transform, exploding the *hashes*: a
+    # generator output is a bound attribute, so each token is hashed
+    # exactly once. Hashing after explode in a separate select looks
+    # equivalent but CollapseProject re-inlines md5(tok) into all 32
+    # substring refs below → 32 md5 calls per token (measured 1.7 s of
+    # the query's 3.0 s at sf0.1; see memory: CollapseProject).
+    h = d.select(
+        "doc_id",
+        F.explode(F.transform(_spark_tokens(F.col("text")), F.md5)).alias("hx"),
     )
-    h = toks.select("doc_id", F.md5("tok").alias("hx"))
-    # fold the 32 hex-char parities into ONE long mask per token, then
-    # vote with shift/AND sums — the direct per-bit substring form
-    # re-extracts 32 substrings inside every aggregate and measured
-    # 2-3× slower at sf0.1 (same result bit-for-bit)
+    # fold the 32 hex-digit low bits into ONE long mask per token —
+    # parsed as 4× conv(8-hex-chars) + long bit ops, which measured
+    # 2.2× faster than 32 per-char substring+ascii extractions — then
+    # vote with PACKED counters: 3 bit-counts per long in 20-bit fields
+    # (supports up to 2^20 tokens/doc before a field carries), so the
+    # aggregate holds 11 sum buffers + 1 count instead of 32 sums.
+    # The 32-sum form spent ~6 s in Janino codegen compilation cold
+    # (7.6 s cold vs 1.4 s warm at sf0.1); packing cuts the generated
+    # aggregate code ~3× with bit-identical output. Majority vote
+    # sum(±1)>0 ⇔ 2*cnt_ones > n.
     mask = F.lit(0).cast("long")
-    for i in range(_SH_BITS):
-        mask = mask + (F.ascii(F.substring("hx", i + 1, 1)) % 2).cast("long") * F.lit(
-            1 << i
-        ).cast("long")
+    for k in range(4):
+        chunk = F.conv(F.substring("hx", 8 * k + 1, 8), 16, 10).cast("long")
+        for j in range(8):
+            i = 8 * k + j
+            mask = mask + F.shiftleft(
+                F.shiftright(chunk, 4 * (7 - j)).bitwiseAND(F.lit(1)), i
+            )
     masked = h.select("doc_id", mask.alias("m"))
+    _FIELD = 20  # bits per packed counter
+    _PER = 3  # counters per long
+    n_packs = (_SH_BITS + _PER - 1) // _PER
+    packs = []
+    for g in range(n_packs):
+        p = F.lit(0).cast("long")
+        for j in range(_PER):
+            i = g * _PER + j
+            if i >= _SH_BITS:
+                break
+            p = p + F.shiftleft(
+                F.shiftright(F.col("m"), i).bitwiseAND(F.lit(1)), _FIELD * j
+            )
+        packs.append(F.sum(p).alias(f"s{g}"))
     votes = masked.groupBy("doc_id").agg(
-        *[
-            F.sum(F.shiftright(F.col("m"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{i}")
-            for i in range(_SH_BITS)
-        ]
+        *packs, F.count(F.lit(1)).alias("n_tok")
     )
     sig = F.lit(0).cast("long")
     for i in range(_SH_BITS):
-        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+        g, j = i // _PER, i % _PER
+        cnt = F.shiftright(F.col(f"s{g}"), _FIELD * j).bitwiseAND(
+            F.lit((1 << _FIELD) - 1)
+        )
+        sig = sig + F.when(cnt * 2 > F.col("n_tok"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return votes.select("doc_id", sig.alias("simhash"))

@@ -166,20 +166,48 @@ def streaming_jumps(
             )
         )
 
-    # batch twin: applyInPandasWithState is streaming-only, so run the
-    # same detector per group with fresh (empty) state — one batch IS
-    # the whole history
-    def batch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        entity_id = pdf["entity_id"].iloc[0]
-        frames = list(detector((entity_id,), iter([pdf]), _FreshState()))
-        if frames:
-            return frames[0]
-        return pd.DataFrame(columns=[f.name for f in jump_schema.fields])
+    # batch twin: applyInPandasWithState is streaming-only. Instead of
+    # one applyInPandas call per entity (per-key Python dispatch + a
+    # per-row itertuples loop — measured ~4 s at sf0.1 for 1500 keys),
+    # shuffle once on entity, sort within partitions, and run ONE
+    # vectorized pandas pass per Arrow batch: groupby-shift computes
+    # every entity's previous value at once. Emit semantics are the
+    # detector's exactly: first event, or prev is null, or a non-null
+    # value change. Entities are contiguous in a sorted partition, so
+    # only a batch's first row can continue the previous batch's
+    # entity — that boundary is patched with carried state.
+    def batch_parts(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_ent = None
+        last_val = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ent = pdf["entity_id"]
+            vals = pdf["value"]
+            prev = pdf.groupby("entity_id", sort=False)["value"].shift()
+            first = ~ent.duplicated()
+            if last_ent is not None and ent.iat[0] == last_ent:
+                first.iat[0] = False
+                prev.iat[0] = last_val
+            emit = first | prev.isna() | (vals.notna() & (vals != prev))
+            out = pd.DataFrame(
+                {
+                    "entity_id": ent[emit],
+                    "ts_ms": pdf["ts_ms"][emit],
+                    "value": vals[emit],
+                    "prev_value": prev[emit].where(prev[emit].notna(), None),
+                    "is_first": first[emit],
+                }
+            )
+            last_ent = ent.iat[-1]
+            last_val = vals.iat[-1]
+            yield out
 
     return (
         prepared.drop("_ts")
-        .groupBy("entity_id")
-        .applyInPandas(batch_group, schema=jump_schema)
+        .repartition("entity_id")
+        .sortWithinPartitions("entity_id", "ts_ms")
+        .mapInPandas(batch_parts, schema=jump_schema)
     )
 
 
