@@ -108,6 +108,22 @@ def _nearest_centroid_col(vec_col, centroids: np.ndarray):
     return best_idx
 
 
+def _centroid_probe_col(vec_col, centroids: np.ndarray, nprobe: int):
+    """Column: array of the nprobe nearest centroid indices (L2)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dists = []
+    for j, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    ordered = F.sort_array(F.array(*dists))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["j"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,16 +134,21 @@ def ivf_topk(
     sample_size: int = 2000,
     seed: int = 42,
     query_id: str = "query_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
-    assigned to their nearest coarse centroid; each query scans only
-    its own centroid's list (nprobe=1).
+    assigned to their nearest coarse centroid; each query scans its
+    ``nprobe`` nearest centroids' lists (the IVF recall knob — scan
+    cost grows ~linearly with nprobe, recall steeply; the probe
+    expansion is on the tiny broadcast query side only).
 
     The quantizer trains on a driver-side sample (bounded — never the
     corpus) and ships as literal centroid arrays, so executors do the
     assignment JVM-side with zero Python. At 100 TB the assignment is
     a narrow map; the per-list scan replaces the full-corpus scan.
     """
+    if not 1 <= nprobe <= n_lists:
+        raise ValueError(f"nprobe must be in [1, n_lists], got {nprobe}")
     sample = np.array(
         [
             row[0]
@@ -137,9 +158,12 @@ def ivf_topk(
     )
     centroids = _kmeans_centroids(sample, k=n_lists, seed=seed)
     c_assigned = corpus.withColumn("_list", _nearest_centroid_col(vec_col, centroids))
-    q_assigned = queries.select(
-        F.col(query_id), F.col(vec_col).alias("_qv")
-    ).withColumn("_list", _nearest_centroid_col("_qv", centroids))
+    q_assigned = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+        .withColumn(
+            "_list", F.explode(_centroid_probe_col("_qv", centroids, nprobe))
+        )
+    )
     scored = c_assigned.join(F.broadcast(q_assigned), "_list").select(
         query_id,
         id_col,
@@ -159,18 +183,64 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     query_id: str = "query_id",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH
+    bucket(s).
 
-    Recall improves with fewer bits (bigger buckets) or multi-probe;
-    this implementation probes the exact bucket only — the unit tests
-    measure recall against brute force rather than assuming it.
+    ``n_probe`` is the recall knob — margin-aware multi-probe (Lv et
+    al., VLDB 2007): beyond the exact bucket, also probe the buckets
+    reached by flipping the ``n_probe - 1`` hyperplane bits with the
+    smallest |dot| margin (the bits most likely to be on the wrong
+    side for true neighbors). Candidate cost scales ~linearly with
+    n_probe while recall rises steeply, so at 100 TB this trades a
+    bounded extra scan for recall WITHOUT re-bucketing the corpus —
+    the probe expansion happens only on the tiny broadcast query side.
+    The unit tests measure recall against brute force rather than
+    assuming it.
     """
+    if not 1 <= n_probe <= bits + 1:
+        raise ValueError(f"n_probe must be in [1, bits+1], got {n_probe}")
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
-    q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("_qv")
-    ).withColumn("_bucket", lsh_bucket_col("_qv", planes))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")).withColumn(
+        "_dots",
+        F.array(
+            *[
+                dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in plane]))
+                for plane in planes
+            ]
+        ),
+    )
+    # bucket from the materialized dots (same sign rule as
+    # lsh_bucket_col), then the margin-ranked single-bit flips
+    q = q.withColumn(
+        "_bucket",
+        F.expr(
+            "aggregate(zip_with(_dots, sequence(0, size(_dots)-1), "
+            "(d, i) -> IF(d >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
+    )
+    if n_probe > 1:
+        q = q.withColumn(
+            "_flips",
+            F.expr(
+                "transform(slice(array_sort(zip_with(transform(_dots, d -> abs(d)), "
+                f"sequence(0, size(_dots)-1), (m, i) -> struct(m, i))), 1, {n_probe - 1}), "
+                "p -> p.i)"
+            ),
+        ).withColumn(
+            "_bucket",
+            F.explode(
+                F.expr(
+                    "concat(array(_bucket), transform(_flips, "
+                    "i -> _bucket ^ shiftleft(CAST(1 AS BIGINT), i)))"
+                )
+            ),
+        )
+    # a corpus row lives in exactly one bucket and probe buckets are
+    # distinct, so no (query, id) pair appears twice — no dedup needed
     scored = c.join(F.broadcast(q), "_bucket").select(
         query_id,
         id_col,

@@ -310,3 +310,42 @@ class TestMultimodal:
         a = extract_media_features(media, dim=4).collect()[0]["feature"]
         b = extract_media_features(media, dim=4).collect()[0]["feature"]
         assert a == b
+
+
+class TestMultiProbeLsh:
+    def _recall(self, spark, sf_dir, n_probe):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        bf = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        lsh = similarity.lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, bits=4, dim=64, n_probe=n_probe
+        )
+        bf_sets, lsh_sets = {}, {}
+        for r in bf.collect():
+            bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in lsh.collect():
+            lsh_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(bf_sets[q] & lsh_sets.get(q, set())) / 5 for q in bf_sets
+        ) / len(bf_sets)
+
+    def test_multi_probe_monotone_recall(self, spark, sf_dir):
+        # probing more buckets can only add candidates → recall must be
+        # monotone, and margin-aware probes should lift it well past
+        # the single-probe floor on real embeddings
+        # candidate sets are strict supersets as n_probe grows and the
+        # true top-k dominates every non-member, so recall is provably
+        # monotone — assert that, plus an absolute floor
+        r1 = self._recall(spark, sf_dir, n_probe=1)
+        r3 = self._recall(spark, sf_dir, n_probe=3)
+        r5 = self._recall(spark, sf_dir, n_probe=5)
+        assert r3 >= r1 and r5 >= r3
+        assert r5 >= 0.45, f"recall curve {r1}/{r3}/{r5} too low"
+
+    def test_n_probe_validation(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+        with pytest.raises(ValueError):
+            similarity.lsh_topk(emb, q, "vec_id", "embedding", bits=4, n_probe=6)

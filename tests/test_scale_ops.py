@@ -157,3 +157,45 @@ class TestIVF:
             len(bf_sets[q] & ivf_sets.get(q, set())) / 5 for q in bf_sets
         ) / len(bf_sets)
         assert recall > 0.3  # nprobe=1 coarse recall floor
+
+
+class TestIvfMultiProbe:
+    def test_nprobe_monotone_recall(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        bf = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        bf_sets = {}
+        for r in bf.collect():
+            bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+        def recall(nprobe):
+            out = similarity.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=5, n_lists=8, nprobe=nprobe
+            )
+            s = {}
+            for r in out.collect():
+                s.setdefault(r["query_id"], set()).add(r["vec_id"])
+            return sum(
+                len(bf_sets[q] & s.get(q, set())) / 5 for q in bf_sets
+            ) / len(bf_sets)
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        assert r4 >= 0.5, f"ivf nprobe=4 recall {r4} too low (nprobe=1 {r1})"
+
+    def test_nprobe_validation(self, spark, sf_dir):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+        with _pytest.raises(ValueError):
+            similarity.ivf_topk(emb, q, "vec_id", "embedding", n_lists=8, nprobe=9)
