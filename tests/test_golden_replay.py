@@ -171,3 +171,126 @@ class TestGoldenReplay:
             for r in p.get("rels", []):
                 want[r["companySearch"]] = want.get(r["companySearch"], 0) + 1
         assert got == want
+
+
+JUMPS2 = "/root/reference/serverScripts/src/public/js/jumps_(2).json"
+
+
+@pytest.fixture(scope="module")
+def jumps2():
+    with open(JUMPS2) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def jumps2_clean(jumps2):
+    """People whose real rels have strictly-increasing non-null
+    timestamps — the export's list order is then identical to the
+    engine's ORDER BY, so reconstruction can be exact. (6 rels in the
+    file have null release dates and 4 tie; those people are skipped.)"""
+    out = []
+    for p in jumps2["people"]:
+        reals = [r for r in p["rels"] if not r["dummy"]]
+        ts = [r["movieReleaseYear"] for r in reals]
+        if all(t is not None for t in ts) and all(b > a for a, b in zip(ts, ts[1:])):
+            out.append((p, reals))
+    return out
+
+
+class TestJumpsExportReplay:
+    """Replay of the reference's second jump-formatted export
+    (`jumps_(2).json`, 2127 people — the variant whose rels carry
+    `location` coords, making the dummy-departure timestamps fully
+    reconstructible): the engine's geo + dummy-departure operators must
+    reproduce the published file bit-for-bit (dwwApi.js:283-293,
+    locUtils.js:2-34)."""
+
+    def test_export_shape_and_alternation(self, jumps2):
+        # jumps-only stream: real/dummy alternation, one dummy between
+        # consecutive real credits (dwwApi.js FormatRels)
+        assert len(jumps2["people"]) == 2127
+        for p in jumps2["people"]:
+            reals = [r for r in p["rels"] if not r["dummy"]]
+            dummies = [r for r in p["rels"] if r["dummy"]]
+            assert len(dummies) == max(0, len(reals) - 1), p["id"]
+
+    def test_jumps_only_stream_is_jump_fixpoint(self, spark, jumps2_clean):
+        # the export is already jump-filtered: running the engine's W1
+        # jump detector over it must keep every row (consecutive
+        # companies always differ)
+        rows = [
+            (p["id"], r["imdbMovieId"], int(r["movieReleaseYear"]), r["matchedCompanyName"])
+            for p, reals in jumps2_clean
+            for r in reals
+        ]
+        df = spark.createDataFrame(rows, ["person_id", "movie_id", "ts_ms", "company"])
+        out = seq.jumps(df, "person_id", "company", ["ts_ms"])
+        assert out.count() == len(rows)
+
+    def test_dummy_departure_timestamps_reconstructed_exactly(
+        self, spark, jumps2_clean
+    ):
+        """W5 + F16 + F20 on the real export: dummy ts = next credit's
+        ts − max(1, floor(haversine_km/100)) days, computed from the
+        rels' own lat/lon strings — all 2600+ published dummy rows must
+        match to the millisecond."""
+        from pyspark.sql import Window
+
+        from dww_data_pipeline_spark.functions import geo
+
+        rows = [
+            (
+                p["id"],
+                r["imdbMovieId"],
+                int(r["movieReleaseYear"]),
+                r["matchedCompanyName"],
+                r["location"],
+            )
+            for p, reals in jumps2_clean
+            for r in reals
+        ]
+        df = spark.createDataFrame(
+            rows, ["person_id", "movie_id", "ts_ms", "company", "location"]
+        )
+        lat, lon = geo.parse_geo_loc(F.col("location"))
+        w = Window.partitionBy("person_id").orderBy("ts_ms")
+        trip = geo.trip_days(
+            geo.haversine_km(lat, lon, F.lead(lat).over(w), F.lead(lon).over(w))
+        )
+        out = seq.dummy_departures(df, "person_id", ["ts_ms"], "ts_ms", trip)
+        got = sorted(
+            (r["person_id"], r["ts_ms"], r["company"])
+            for r in out.filter(F.col("dummy")).collect()
+        )
+        want = sorted(
+            (p["id"], r["movieReleaseYear"], r["matchedCompanyName"])
+            for p, _ in jumps2_clean
+            for r in p["rels"]
+            if r["dummy"]
+        )
+        assert len(got) > 2500
+        assert got == want
+
+    def test_company_location_map_roundtrip(self, spark, jumps2):
+        # the export's `locations` dict is derivable from the rels
+        # themselves (J9 reverse-map shape): company → its single
+        # location string
+        rows = [
+            (r["matchedCompanyName"], r["location"])
+            for p in jumps2["people"]
+            for r in p["rels"]
+            if not r["dummy"]
+        ]
+        df = spark.createDataFrame(rows, ["company", "location"])
+        got = {
+            r["company"]: r["loc"]
+            for r in df.groupBy("company")
+            .agg(F.first("location").alias("loc"), F.count_distinct("location").alias("n"))
+            .collect()
+        }
+        per_company = df.groupBy("company").agg(
+            F.count_distinct("location").alias("n")
+        )
+        assert per_company.filter(F.col("n") > 1).count() == 0
+        for comp, loc in got.items():
+            assert jumps2["locations"][comp] == loc
