@@ -59,3 +59,30 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table).hint("merge")
     return left.join(right, on, how)
+
+
+def write_gold(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str],
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Gold-layer layout: directory-partitioned AND bucketed in one
+    table — the combination a 100 TB fact wants. Partition columns
+    (low-cardinality, time/enum) give partition pruning on range
+    predicates; bucketing by the join key gives exchange-free joins
+    against same-bucketed facts WITHIN the surviving partitions. A
+    year's worth of a 100 TB fact is still TB-scale, so pruning alone
+    never removes the join shuffle — only bucketing does; conversely
+    bucketing alone scans every date for a one-month query. The two
+    compose orthogonally (partition dirs × bucket files)."""
+    writer = (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -129,3 +129,53 @@ class TestBucketing:
         # pruning: only the 1997 directory is scanned
         want = o.filter(F.col("order_year") == 1997).count()
         assert filtered.count() == want
+
+
+class TestGoldLayout:
+    def test_partitioned_and_bucketed_combo(self, spark, sf_dir):
+        """write_gold: partition pruning AND exchange-free join from
+        the same table — the scan must show both a partition filter on
+        the partition column and no Exchange in the join."""
+        import shutil
+
+        from dww_data_pipeline_spark.sources.bucketing import write_gold
+
+        for t in ("g_orders", "g_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(f"{loc.removeprefix('file:')}/{t}", ignore_errors=True)
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", F.year("o_orderdate").alias("o_year")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_quantity",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        write_gold(o, "g_orders", ["o_year"], "o_orderkey", 8, sort_col="o_orderkey")
+        write_gold(li, "g_lineitem", ["l_year"], "o_orderkey", 8, sort_col="o_orderkey")
+
+        go = spark.table("g_orders").filter(F.col("o_year") == 1997)
+        gl = spark.table("g_lineitem").filter(F.col("l_year") == 1997).hint("merge")
+        joined = go.join(gl, "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location survives partition pruning
+        assert "PartitionFilters: [" in plan and "o_year" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+
+        # result parity with the plain join on raw parquet
+        o_raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li_raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        want = (
+            o_raw.filter(F.year("o_orderdate") == 1997)
+            .join(
+                li_raw.filter(F.year("l_shipdate") == 1997),
+                o_raw.o_orderkey == li_raw.l_orderkey,
+            )
+            .count()
+        )
+        assert joined.count() == want
