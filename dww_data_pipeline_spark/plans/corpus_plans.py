@@ -1,0 +1,207 @@
+"""Corpus-statistics + embedding-column operators (north-star
+LLM-pipeline surface, round 2): vocabulary building, n-gram frequency,
+per-dimension embedding statistics, int8 embedding quantization.
+
+These are the bread-and-butter jobs of a training-data pipeline at
+100 TB:
+
+* vocabulary / n-gram counts — one explode + hash aggregate; the
+  shuffle carries (token, partial count), never documents, and
+  partial (map-side) aggregation collapses each partition's counts
+  before the exchange. Top-k ordering is deterministic (count desc,
+  token asc).
+* per-dimension embedding stats — posexplode to (dim, value) with a
+  64-way aggregate; the shuffle is |dims| × |partitions| partial rows
+  regardless of corpus size. Means go through DECIMAL so partition
+  order can't change the result.
+* int8 quantization — pure per-row column math (no shuffle at all):
+  min-max scale each vector to [-128, 127], the standard storage
+  compression before ANN serving. All arithmetic is forced to DOUBLE
+  in an explicit order so the oracle computes bit-identical values.
+
+Reference analogue: the reference has no corpus/vector surface (its
+analytics stop at jump/density aggregates, dwwApi.js); these extend
+the engine per the north-star mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _spark_tokens(text):
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+@register(
+    "v1_vocabulary_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks GROUP BY tok
+    ORDER BY n_occ DESC, tok
+    LIMIT 100
+    """,
+    description="Vocabulary build: token -> occurrence count + document "
+    "frequency, top-100 (count desc, token asc — deterministic). One "
+    "explode + partial-agg; the shuffle carries (token, count) pairs, "
+    "never text (north-star corpus statistics)",
+)
+def v1_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occ").desc(), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "v2_bigram_topk",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len({_SQL_TOKS}) - 1),
+                    i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1])) AS gram
+      FROM documents
+    )
+    SELECT gram, COUNT(*) AS n_occ
+    FROM grams GROUP BY gram
+    ORDER BY n_occ DESC, gram
+    LIMIT 50
+    """,
+    description="Bigram frequency top-50: 2-word shingles via zipped "
+    "shifted slices (token array materialized once behind a generator "
+    "barrier — no per-element re-tokenization), then the same "
+    "(gram, count) shuffle discipline as v1",
+)
+def v2_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(F.explode(F.array(_spark_tokens(F.col("text")))).alias("tk"))
+    m = F.greatest(F.size("tk") - 1, F.lit(0))
+    z = F.arrays_zip(F.slice("tk", 1, m), F.slice("tk", 2, m))
+    grams = F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"]))
+    return (
+        tk.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(50)
+    )
+
+
+@register(
+    "e1_embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           CAST(MIN(val) AS DOUBLE) AS min_val,
+           CAST(MAX(val) AS DOUBLE) AS max_val,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 100000000) AS BIGINT))
+                AS DOUBLE) / 100000000 AS sum_val
+    FROM flat GROUP BY dim
+    """,
+    description="Per-dimension embedding statistics (count/min/max/sum): "
+    "posexplode to (dim, value), 64-group aggregate — the shuffle is "
+    "|dims| x |partitions| partial rows regardless of corpus size; sums "
+    "go through DECIMAL so 1000 executors summing in any order agree "
+    "(north-star embedding-column ops)",
+)
+def e1_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("dim", "val"))
+    return flat.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").cast("double").alias("min_val"),
+        F.max("val").cast("double").alias("max_val"),
+        # fixed-point sum: floor(value * 1e8) as BIGINT, summed exactly,
+        # then one double division. Decimal casts are NOT portable here:
+        # DuckDB rounds the double's true binary expansion while the
+        # JVM rounds its shortest decimal representation, and the two
+        # disagree on values a hair below a short decimal. Double
+        # multiply + floor is bit-identical on every engine and the
+        # integer sum is partition-order independent.
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * 100000000).cast("long")
+            ).cast("double")
+            / 100000000
+        ).alias("sum_val"),
+    )
+
+
+@register(
+    "e2_embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_min(embedding) AS mn, list_max(embedding) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           unnest(range(len(embedding))) AS dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(floor((CAST(unnest(embedding) AS DOUBLE)
+                                 - CAST(mn AS DOUBLE)) * 255
+                                / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)))
+                          AS BIGINT) - 128
+           END AS q
+    FROM base
+    """,
+    description="int8 min-max quantization of embedding vectors "
+    "(standard pre-ANN storage compression): pure per-row column math, "
+    "zero shuffle; arithmetic forced to DOUBLE in one explicit order so "
+    "any engine computes identical codes; q = floor((v-mn)*255/(mx-mn)) "
+    "- 128 with the constant-vector guard",
+)
+def e2_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding")
+    mx = F.array_max("embedding")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        mn.cast("double").alias("mn"),
+        mx.cast("double").alias("mx"),
+    )
+    flat = base.select(
+        "vec_id", "mn", "mx", F.posexplode("embedding").alias("dim", "val")
+    )
+    q = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("val").cast("double") - F.col("mn"))
+                * 255
+                / (F.col("mx") - F.col("mn"))
+            ).cast("long")
+            - 128
+        )
+    )
+    return flat.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), q.alias("q")
+    )

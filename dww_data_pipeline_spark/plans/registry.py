@@ -71,6 +71,7 @@ def _load_all() -> None:
         return
     from dww_data_pipeline_spark.plans import (  # noqa: F401
         analytics_ext,
+        corpus_plans,
         dedup_plans,
         relational,
         relational2,
