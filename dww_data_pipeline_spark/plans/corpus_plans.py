@@ -12,8 +12,8 @@ These are the bread-and-butter jobs of a training-data pipeline at
   token asc).
 * per-dimension embedding stats — posexplode to (dim, value) with a
   64-way aggregate; the shuffle is |dims| × |partitions| partial rows
-  regardless of corpus size. Means go through DECIMAL so partition
-  order can't change the result.
+  regardless of corpus size. Sums are fixed-point integers so
+  partition order can't change the result.
 * int8 quantization — pure per-row column math (no shuffle at all):
   min-max scale each vector to [-128, 127], the standard storage
   compression before ANN serving. All arithmetic is forced to DOUBLE
@@ -128,8 +128,8 @@ def v2_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-dimension embedding statistics (count/min/max/sum): "
     "posexplode to (dim, value), 64-group aggregate — the shuffle is "
     "|dims| x |partitions| partial rows regardless of corpus size; sums "
-    "go through DECIMAL so 1000 executors summing in any order agree "
-    "(north-star embedding-column ops)",
+    "are fixed-point (floor(val*1e8) summed as BIGINT) so 1000 executors "
+    "summing in any order agree (north-star embedding-column ops)",
 )
 def e1_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -204,4 +204,58 @@ def e2_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flat.select(
         "vec_id", F.col("dim").cast("long").alias("dim"), q.alias("q")
+    )
+
+
+@register(
+    "v3_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents WHERE doc_id < 50
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT doc_id, tok, score FROM (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    description="tf-idf top terms per document with a LINEAR idf "
+    "(tf * N / df — integer-derived, so cross-engine exact; log-idf "
+    "differs per libm): tf and df from one token explode, df joined "
+    "back (broadcast at scale: vocabulary << corpus), per-doc top-3 "
+    "via window with deterministic tiebreak",
+)
+def v3_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.explode(_spark_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = toks.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "score")
     )

@@ -287,3 +287,64 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count_distinct(F.col("l_partkey")).alias("exact_parts")
     )
+
+
+@register(
+    "j10_full_outer",
+    oracle="""
+    WITH neg AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    ), cnt AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey, acctbal, n_urgent
+    FROM neg FULL JOIN cnt ON c_custkey = o_custkey
+    """,
+    description="J-family completion: FULL OUTER join preserving both "
+    "unmatched sides (negative-balance customers vs urgent-order "
+    "counts) with COALESCE key recovery — the join type the "
+    "reference's nested loops could not express",
+)
+def j10_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", F.col("c_acctbal").cast("double").alias("acctbal"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "acctbal",
+        "n_urgent",
+    )
+
+
+@register(
+    "ext_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="GROUPING SETS extension: explicit grouping-set list "
+    "(status-only, priority-only, grand total) — generalizes "
+    "ROLLUP/CUBE; one pass, no self-union of separate aggregates",
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

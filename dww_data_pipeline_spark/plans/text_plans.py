@@ -528,3 +528,23 @@ def t9_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "t10_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5('strat-seed|' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '20' END
+    """,
+    description="Stratified deterministic sampling: per-stratum rates "
+    "(~50% of 'en', ~12.5% of the rest) via the seeded-md5-prefix "
+    "threshold — rebalancing a skewed corpus reproducibly, independent "
+    "of partition layout (the training-data mixture idiom)",
+)
+def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat-seed|"), F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("20"))
+    return d.filter(F.substring(h, 1, 2) < thr).select("doc_id", "lang")
