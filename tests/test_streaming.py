@@ -6,6 +6,8 @@ plan registry's oracles rely on.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -186,3 +188,88 @@ class TestStreamingParity:
             assert got == want
         finally:
             q.stop()
+
+
+class TestForeachBatchUpsert:
+    def test_multi_batch_upsert_converges_to_batch_last_per_key(
+        self, spark, sf_dir, tmp_path
+    ):
+        """st8: split events into 3 files, stream them one per
+        micro-batch through the foreachBatch upsert sink, and the gold
+        table must equal the batch last-event-per-user — including
+        across batch boundaries (later batch overwrites earlier keys,
+        out-of-order-safe merge)."""
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from dww_data_pipeline_spark.streaming.sinks import (
+            latest_per_key,
+            stream_upsert_to_gold,
+        )
+
+        ev = load_table(spark, str(sf_dir), "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        # 3 chunks with interleaved users (split by event_id mod, NOT by
+        # time — so batches genuinely overwrite each other's keys)
+        src = tmp_path / "src"
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"chunk_{i}"))
+        stage = tmp_path / "stream_in"
+        stage.mkdir()
+        n = 0
+        for i in range(3):
+            d = src / f"chunk_{i}"
+            for f in d.iterdir():
+                if f.suffix == ".parquet":
+                    os.link(f, stage / f"{i}_{f.name}")
+                    n += 1
+        assert n == 3
+
+        gold = str(tmp_path / "gold")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        q = stream_upsert_to_gold(
+            stream,
+            gold,
+            key_cols=["user_id"],
+            ts_col="ts",
+            tiebreak="event_id",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(gold)
+        want = latest_per_key(ev, ["user_id"], "ts", "event_id")
+        assert got.count() == want.count()
+        assert (
+            got.select("user_id", "event_id")
+            .exceptAll(want.select("user_id", "event_id"))
+            .count()
+            == 0
+        )
+
+    def test_upsert_idempotent_on_replay(self, spark, sf_dir, tmp_path):
+        """Replaying the same batch (at-least-once delivery) must not
+        change the gold table."""
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from dww_data_pipeline_spark.streaming.sinks import upsert_batch
+
+        ev = load_table(spark, str(sf_dir), "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        gold = str(tmp_path / "gold2")
+        upsert_batch(ev, gold, ["user_id"], "ts", "event_id")
+        first = sorted(
+            (r["user_id"], r["event_id"])
+            for r in spark.read.parquet(gold).collect()
+        )
+        upsert_batch(ev, gold, ["user_id"], "ts", "event_id")  # replay
+        second = sorted(
+            (r["user_id"], r["event_id"])
+            for r in spark.read.parquet(gold).collect()
+        )
+        assert first == second
