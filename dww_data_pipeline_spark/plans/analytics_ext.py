@@ -338,3 +338,73 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum(_dec(F.col("l_extendedprice"))).cast("decimal(28,3)")
     return joined.agg((total / F.lit(7.0)).cast("double").alias("avg_yearly"))
+
+
+@register(
+    "ext_range_frame",
+    oracle="""
+    SELECT user_id,
+           epoch_ms(ts) AS ts_ms,
+           COUNT(*) OVER w AS cnt_7d,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2))
+                AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 518400000 PRECEDING AND CURRENT ROW)
+    """,
+    description="RANGE-framed window (trailing 7-day per-user count + "
+    "decimal-exact sum over event-time milliseconds): value-based frame "
+    "bounds, not row counts — rides the same single per-entity shuffle "
+    "as every W-query; completes the window-frame family (ROWS frames "
+    "in ext_window_suite)",
+)
+def ext_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    base = ev.select("user_id", ms.alias("ts_ms"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-6 * 86400 * 1000, 0)
+    )
+    return base.select(
+        "user_id",
+        "ts_ms",
+        F.count(F.lit(1)).over(w).alias("cnt_7d"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_7d"),
+    )
+
+
+@register(
+    "ext_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+             COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'urgent' AS priority, urgent AS cnt FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'low' AS priority, low AS cnt FROM wide
+    """,
+    description="Unpivot (wide → long reshape via stack): the inverse of "
+    "the a6b conditional pivot — narrow schema restored without a "
+    "shuffle (stack is a generator, one pass)",
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return wide.select(
+        "o_orderstatus",
+        F.expr("stack(2, 'urgent', urgent, 'low', low)").alias("priority", "cnt"),
+    )
