@@ -408,3 +408,101 @@ def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.expr("stack(2, 'urgent', urgent, 'low', low)").alias("priority", "cnt"),
     )
+
+
+@register(
+    "ev1_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_ms(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND epoch_ms(e.ts) >= v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_ms(e.ts)) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND epoch_ms(e.ts) >= c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_buy
+    """,
+    description="Ordered funnel (view -> click -> purchase): each stage "
+    "is first-event-at-or-after the previous stage's first event — "
+    "per-stage min-aggregate + equi-join with a time lower bound "
+    "(never an inequality-only join); stage counts via three 1-row "
+    "broadcast aggregates (product-analytics shape over the events "
+    "stream table)",
+)
+def ev1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    base = ev.select("user_id", "event_type", ms.alias("t"))
+    v = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        base.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_buy"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+@register(
+    "ev2_retention",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_ms(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor((epoch_ms(e.ts) - s.t0) / 604800000.0) AS BIGINT) AS wk
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE epoch_ms(e.ts) >= s.t0
+    )
+    SELECT wk, COUNT(*) AS n_users FROM act GROUP BY wk
+    """,
+    description="Cohort retention: users active in week k after their "
+    "first signup — week index is pure epoch-ms arithmetic "
+    "(floor((t - t0)/7d)), NOT calendar date_trunc, so every engine "
+    "bins identically; distinct (user, week) then count (the cohort "
+    "shape every analytics engine must express)",
+)
+def ev2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    base = ev.select("user_id", "event_type", ms.alias("t"))
+    s = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    act = (
+        base.join(s, "user_id")
+        .filter(F.col("t") >= F.col("t0"))
+        .select(
+            "user_id",
+            F.floor((F.col("t") - F.col("t0")) / 604800000.0).cast("long").alias("wk"),
+        )
+        .distinct()
+    )
+    return act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users"))
