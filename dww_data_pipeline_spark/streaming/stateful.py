@@ -209,22 +209,3 @@ def streaming_jumps(
         .sortWithinPartitions("entity_id", "ts_ms")
         .mapInPandas(batch_parts, schema=jump_schema)
     )
-
-
-class _FreshState:
-    """Minimal GroupState stand-in for the batch twin (no persistence
-    needed — a batch group sees its full history at once)."""
-
-    exists = False
-    hasTimedOut = False
-    get = (None, None, False)
-
-    def update(self, value) -> None:
-        self.get = value
-        self.exists = True
-
-    def setTimeoutTimestamp(self, ts) -> None:  # noqa: D102 — no-op in batch
-        pass
-
-    def remove(self) -> None:
-        self.exists = False

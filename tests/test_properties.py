@@ -1,0 +1,185 @@
+"""Property-based differential tests (hypothesis): the sequence
+operators vs independent pure-Python oracles on randomized inputs —
+nulls, single-row entities, all-equal runs, and interleavings that
+fixed fixtures never cover.
+
+Example counts are kept small because every example runs Spark jobs;
+the value is in hypothesis's shrinking when an edge case breaks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.operators import sequence as seq
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (entity, value) rows; ts is assigned as the per-entity arrival index
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+def _with_ts(rows):
+    """Assign strictly-increasing per-entity timestamps (arrival order)."""
+    counters: dict[int, int] = {}
+    out = []
+    for ent, val in rows:
+        t = counters.get(ent, 0)
+        counters[ent] = t + 1
+        out.append((ent, t, val))
+    return out
+
+
+def _python_jumps(rows3):
+    """SQL-null-faithful oracle: changed = prev IS NULL OR (value IS
+    NOT NULL AND prev IS NOT NULL AND value <> prev) — lag's first-row
+    null makes the first row a jump; a NULL <> comparison is NULL and
+    the filter drops it."""
+    by_ent: dict[int, list] = {}
+    for ent, t, val in sorted(rows3):
+        by_ent.setdefault(ent, []).append((t, val))
+    out = []
+    for ent, evs in by_ent.items():
+        prev = None  # lag() of the first row IS null — same as a null value
+        first = True
+        for t, val in evs:
+            changed = first or prev is None or (val is not None and val != prev)
+            if changed:
+                out.append((ent, t, val))
+            prev, first = val, False
+    return sorted(out)
+
+
+class TestSequenceProperties:
+    @settings(**_SETTINGS)
+    @given(_ROWS)
+    def test_jumps_matches_python_oracle(self, spark, rows):
+        rows3 = _with_ts(rows)
+        if not rows3:
+            return
+        df = spark.createDataFrame(rows3, "ent int, ts bigint, val string")
+        got = sorted(
+            (r["ent"], r["ts"], r["val"])
+            for r in seq.jumps(df, "ent", "val", ["ts"]).collect()
+        )
+        assert got == _python_jumps(rows3)
+
+    @settings(**_SETTINGS)
+    @given(_ROWS)
+    def test_run_lengths_partition_row_count(self, spark, rows):
+        # runs partition each entity's rows: run lengths sum to the row
+        # count, and (for null-free values) the number of runs equals
+        # the number of jumps
+        rows3 = [(e, t, v) for e, t, v in _with_ts(rows) if v is not None]
+        if not rows3:
+            return
+        df = spark.createDataFrame(rows3, "ent int, ts bigint, val string")
+        runs = seq.run_lengths(df, "ent", "val", ["ts"]).collect()
+        assert sum(r["run_length"] for r in runs) == len(rows3)
+        n_jumps = seq.jumps(df, "ent", "val", ["ts"]).count()
+        assert len(runs) == n_jumps
+
+    @settings(**_SETTINGS)
+    @given(_ROWS)
+    def test_stateful_batch_twin_equals_window_jumps(self, spark, rows):
+        """The vectorized mapInPandas batch twin must agree with the
+        windowed jump detector on every input, including null values
+        and entity boundaries."""
+        import datetime as dt
+
+        from dww_data_pipeline_spark.streaming.stateful import streaming_jumps
+
+        rows3 = _with_ts(rows)
+        if not rows3:
+            return
+        base = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [
+                (str(e), base + dt.timedelta(seconds=t), v)
+                for e, t, v in rows3
+            ],
+            "user_id string, ts timestamp, event_type string",
+        )
+        got = sorted(
+            (r["entity_id"], r["ts_ms"], r["value"])
+            for r in streaming_jumps(ev)
+            .select("entity_id", "ts_ms", "value")
+            .collect()
+        )
+        # oracle: same lag semantics as the detector (emit on first,
+        # prev-null, or non-null change)
+        by_ent: dict[str, list] = {}
+        for e, t, v in rows3:
+            ms = int((base + dt.timedelta(seconds=t)).timestamp() * 1000)
+            by_ent.setdefault(str(e), []).append((ms, v))
+        want = []
+        for ent, evs in by_ent.items():
+            has_prev = False
+            last = None
+            for ms, val in sorted(evs):
+                if (not has_prev) or last is None or (val is not None and val != last):
+                    want.append((ent, ms, val))
+                last, has_prev = val, True
+        assert got == sorted(want)
+
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100)),
+            min_size=0,
+            max_size=30,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100)),
+            min_size=0,
+            max_size=30,
+        ),
+    )
+    def test_asof_join_matches_pandas_merge_asof(self, spark, left, right):
+        left = sorted(set(left))
+        right = sorted(set(right))
+        if not left or not right:
+            return
+        ldf = spark.createDataFrame(
+            [(k, t) for k, t in left], ["k", "lt"]
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, f"r{k}_{t}") for k, t in right], ["k", "rt", "payload"]
+        )
+        out = seq.asof_join(
+            ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+            right_cols=["payload", "rt"],
+        )
+        got = {
+            (r["k"], r["lt"]): (r["payload"], r["rt"]) for r in out.collect()
+        }
+        lp = pd.DataFrame(left, columns=["k", "lt"]).sort_values("lt")
+        rp = pd.DataFrame(
+            [(k, t, f"r{k}_{t}") for k, t in right],
+            columns=["k", "rt", "payload"],
+        ).sort_values("rt")
+        m = pd.merge_asof(
+            lp, rp, left_on="lt", right_on="rt", by="k", direction="backward"
+        )
+        for row in m.itertuples(index=False):
+            want = (
+                (None, None)
+                if pd.isna(row.rt)
+                else (row.payload, int(row.rt))
+            )
+            assert got[(row.k, row.lt)] == want
