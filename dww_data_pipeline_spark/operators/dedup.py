@@ -108,6 +108,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -116,6 +117,14 @@ def minhash_lsh_pairs(
     per-bucket (groupBy band hash), so cost is Σ bucket² not corpus²
     — the property that makes this the 100 TB path.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` caps the quadratic blowup: a bucket of B docs
+    emits B² pairs, and at corpus scale mega-buckets are almost always
+    templated/boilerplate content whose members are EXACT duplicates
+    of each other (handled by the cheaper exact-dedup stage upstream).
+    Buckets over the cap are dropped wholesale — the standard
+    production guard that bounds worst-case shuffle volume; a pair of
+    genuinely-similar docs is still found via its other bands.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
@@ -145,6 +154,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        cnt = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "bucket")
+        )
+        banded = (
+            banded.withColumn("_bsz", cnt)
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -349,3 +349,24 @@ class TestMultiProbeLsh:
         q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
         with pytest.raises(ValueError):
             similarity.lsh_topk(emb, q, "vec_id", "embedding", bits=4, n_probe=6)
+
+
+class TestBucketCap:
+    def test_max_bucket_size_drops_mega_buckets(self, spark):
+        # 20 identical docs share every band bucket (400-pair blowup);
+        # with a cap they emit nothing, while a distinct near-dup pair
+        # in small buckets survives
+        rows = [(i, "the same exact boilerplate text repeated here") for i in range(20)]
+        # a 2-doc bucket that must SURVIVE the cap
+        rows += [
+            (100, "a genuinely unique document about spark engines and scale"),
+            (101, "a genuinely unique document about spark engines and scale"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text")
+        capped = dedup.minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=10)
+        unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (100, 101) in unc and (100, 101) in cap
+        assert any(a < 20 and b < 20 for a, b in unc)  # mega-bucket pairs present
+        assert not any(a < 20 and b < 20 for a, b in cap)  # ...and capped away
