@@ -259,3 +259,50 @@ def v3_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "score")
     )
+
+
+@register(
+    "e3_embedding_normalize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           unnest(range(len(embedding))) AS dim,
+           CASE WHEN nrm > 0
+                THEN round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6)
+                ELSE 0.0 END AS nval
+    FROM base
+    """,
+    description="L2 vector normalization (unit-length embeddings — the "
+    "prerequisite for cosine == dot at serving time): zero-shuffle "
+    "column math, sequential-order norm sum so engines agree, "
+    "zero-norm guard",
+)
+def e3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    # widen each float to double BEFORE squaring (the library norm()
+    # multiplies float32-first, which differs from the oracle's
+    # double-first product by an ulp — enough to flip a round-at-6dp
+    # tie); same sequential sum order as list_sum
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    flat = base.select("vec_id", "nrm", F.posexplode("embedding").alias("dim", "val"))
+    nval = F.when(
+        F.col("nrm") > 0, F.round(F.col("val").cast("double") / F.col("nrm"), 6)
+    ).otherwise(F.lit(0.0))
+    return flat.select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), nval.alias("nval")
+    )

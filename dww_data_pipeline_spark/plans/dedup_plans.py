@@ -604,3 +604,38 @@ def s1_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+@register(
+    "s3_ann_range_search",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+    queries AS (SELECT vec_id AS query_id, embedding AS v FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT b.query_id, a.vec_id,
+             round({_SQL_COS}, 6) AS cos
+      FROM corpus AS a, queries AS b
+      WHERE a.vec_id <> b.query_id
+    )
+    SELECT query_id, vec_id, cos FROM scored WHERE cos >= 0.2
+    """,
+    description="Similarity RANGE search: every neighbor with cosine >= "
+    "tau (not top-k) per query — the radius-query sibling of s1; same "
+    "broadcast-query scan shape, result size data-dependent (north-star "
+    "similarity search)",
+)
+def s3_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+    )
