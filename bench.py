@@ -52,15 +52,17 @@ def main() -> None:
     # warm up the JVM + parquet footers once (not timed)
     queries["a10_distinct"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # two runs per query, report the min: the first run pays one-time
+    # three runs per query, report the min: the first run pays one-time
     # whole-stage-codegen compilation (1-2s for the widest expression
-    # trees), which is amortized away in any real deployment; the min
-    # is the steady-state per-query cost
+    # trees), which is amortized away in any real deployment, and the
+    # min-of-3 damps hypervisor/noisy-neighbor variance that hits
+    # many-small-job queries (iterative components, streaming twins)
+    # hardest — observed ±40% between otherwise-identical runs
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
