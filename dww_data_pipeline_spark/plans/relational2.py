@@ -348,3 +348,117 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "dq1_null_profile",
+    oracle="""
+    WITH neg AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer WHERE c_acctbal < 0
+    ), cnt AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey
+    ), fo AS (
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey, acctbal, n_urgent
+      FROM neg FULL JOIN cnt ON c_custkey = o_custkey
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_acctbal,
+           CAST(SUM(CASE WHEN n_urgent IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_n_urgent
+    FROM fo
+    """,
+    description="Data-quality null profile: per-column null counts over "
+    "a table with genuine nulls (the full-outer join output) — one "
+    "conditional-aggregate pass, the completeness report every "
+    "pipeline emits before training",
+)
+def dq1_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = j10_full_outer(spark, sf_dir)
+    return fo.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("acctbal").isNull(), 1).otherwise(0)).alias("null_acctbal"),
+        F.sum(F.when(F.col("n_urgent").isNull(), 1).otherwise(0)).alias(
+            "null_n_urgent"
+        ),
+    )
+
+
+@register(
+    "dq2_rule_violations",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+           AS BIGINT) AS bad_quantity,
+      CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS bad_discount,
+      CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS bad_price,
+      CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END)
+           AS BIGINT) AS near_cap_quantity
+    FROM lineitem
+    """,
+    description="Data-quality rule report: violation counts for "
+    "domain-range rules in ONE scan (conditional aggregates, no "
+    "per-rule passes) — the validation gate a pipeline runs before "
+    "promoting a batch to gold",
+)
+def dq2_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    def _viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+    return li.agg(
+        _viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), "bad_quantity"),
+        _viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), "bad_discount"),
+        _viol(F.col("l_extendedprice") <= 0, "bad_price"),
+        _viol(F.col("l_quantity") >= 45, "near_cap_quantity"),
+    )
+
+
+@register(
+    "dq3_referential_orphans",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT'))
+        AS customers_no_urgent
+    FROM (SELECT 1) one
+    """,
+    description="Referential-integrity audit: orphan fact rows per FK "
+    "edge via anti-joins (lineitem->orders, orders->customer) plus a "
+    "business-rule anti-join — three LeftAnti counts combined into one "
+    "report row",
+)
+def dq3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    orphan_li = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    no_urgent = (
+        c.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("customers_no_urgent"))
+    )
+    return orphan_li.crossJoin(F.broadcast(orphan_o)).crossJoin(
+        F.broadcast(no_urgent)
+    )
