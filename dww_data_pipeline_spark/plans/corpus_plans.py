@@ -32,17 +32,15 @@ from pyspark.sql import functions as F
 from dww_data_pipeline_spark.plans.registry import register
 from dww_data_pipeline_spark.sources.catalog import load_table
 
-_SQL_TOKS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+from dww_data_pipeline_spark.plans.text_exprs import (
+    SQL_TOKS as _SQL_TOKS,
+    exploded_kgrams,
+    spark_tokens as _spark_tokens,
 )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
-
-
-def _spark_tokens(text):
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
 
 
 @register(
@@ -96,12 +94,8 @@ def v1_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v2_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    tk = d.select(F.explode(F.array(_spark_tokens(F.col("text")))).alias("tk"))
-    m = F.greatest(F.size("tk") - 1, F.lit(0))
-    z = F.arrays_zip(F.slice("tk", 1, m), F.slice("tk", 2, m))
-    grams = F.transform(z, lambda x: F.concat_ws(" ", x["0"], x["1"]))
     return (
-        tk.select(F.explode(grams).alias("gram"))
+        exploded_kgrams(d, "text", 2)
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .orderBy(F.col("n_occ").desc(), "gram")

@@ -22,31 +22,15 @@ from dww_data_pipeline_spark.sources.catalog import load_table
 # kept textually parallel so the semantics are visibly identical.
 # ---------------------------------------------------------------------------
 
-_SQL_TOKS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+from dww_data_pipeline_spark.plans.text_exprs import (
+    SQL_TOKS as _SQL_TOKS,
+    exploded_kgrams,
+    spark_kgrams as _spark_shingles,
+    spark_tokens as _spark_tokens,
+    sql_kgrams,
 )
-_SQL_SHINGLES = (
-    f"list_transform(generate_series(1, len({_SQL_TOKS}) - 2), "
-    f"i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2])"
-)
 
-
-def _spark_tokens(text):
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
-
-
-def _spark_shingles(text, k: int = 3):
-    """k-word shingles via zip of k shifted slices.
-
-    Deliberately NOT element_at over an index sequence: the token
-    array subtree is re-inlined per element access (no CSE inside
-    higher-order functions), which turns shingling O(tokens²) per
-    document — measured 40× slower at sf0.1. The zip form evaluates
-    the token array k times per row, total O(k·tokens)."""
-    toks = _spark_tokens(text)
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(k)])
-    return F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(k)]))
+_SQL_SHINGLES = sql_kgrams(3)
 
 
 _NUM_HASHES = 8
@@ -174,19 +158,9 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation means the shuffle carries one (doc_id, 8 mins) row
     # per doc per partition, not the shingles. Docs with <3 tokens
     # have no shingles and drop out, matching the oracle's len>=3.
-    # single-element-array explode = a generator barrier that
-    # materializes the token array once; the shingle zip below
-    # references it 7× (3 slices + sizes), which would otherwise
-    # re-tokenize the text per reference (CollapseProject) —
-    # measured 0.69 s → 0.43 s for the shingle stage at sf0.1
-    tk = d.select(
-        "doc_id", F.explode(F.array(_spark_tokens(F.col("text")))).alias("tk")
-    )
-    _k = 3
-    _m = F.greatest(F.size("tk") - (_k - 1), F.lit(0))
-    _z = F.arrays_zip(*[F.slice("tk", i + 1, _m) for i in range(_k)])
-    _sh = F.transform(_z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(_k)]))
-    ex = tk.select("doc_id", F.explode(_sh).alias("s"))
+    # generator-barrier shingling (tokenize once per doc) — shared
+    # helper, see text_exprs.exploded_kgrams
+    ex = exploded_kgrams(d, "text", 3, carry=("doc_id",), out="s")
     # materialize the 2 md5s per shingle in a projection BELOW the
     # aggregate (Aggregate-over-Project is not collapsed), then take 8
     # chunk-mins — 2 crypto hashes per shingle, not 8
@@ -508,6 +482,20 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = sig + F.when(cnt * 2 > F.col("n_tok"), F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    # a doc with >= 2^20 tokens would carry into the adjacent packed
+    # field and corrupt the signature silently — fail loudly instead
+    # (the guard lives in the output column so it cannot be pruned)
+    sig = F.when(
+        F.col("n_tok") < F.lit(1 << _FIELD).cast("long"), sig
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document with "),
+                F.col("n_tok").cast("string"),
+                F.lit(" tokens overflows 20-bit packed vote counters"),
+            )
+        ).cast("long")
+    )
     return votes.select("doc_id", sig.alias("simhash"))
 
 

@@ -54,8 +54,30 @@ def upsert_batch(
 ) -> None:
     """Merge one (micro-)batch into the parquet gold table:
     last-write-wins per key over the union of existing state and the
-    batch, then atomic directory swap."""
+    batch, then a rename-based swap with crash recovery.
+
+    Swap protocol (local filesystem): write staging → rename gold to
+    ``.old`` → rename staging to gold → delete ``.old``. Every crash
+    window leaves either gold or ``.old`` intact, and the recovery
+    step below restores ``.old`` if a crash lost gold — state is never
+    silently discarded (the naive rmtree-then-rename has a window
+    where gold is simply gone and a replayed batch would rebuild it
+    from that batch alone).
+    """
+    if "://" in gold_path or gold_path.startswith("file:"):
+        raise ValueError(
+            "upsert_batch swaps via local renames; for object stores / "
+            "remote filesystems use a transactional table format "
+            "(Delta/Iceberg MERGE) instead: " + gold_path
+        )
     spark = batch_df.sparkSession
+    staging = gold_path + ".staging"
+    backup = gold_path + ".old"
+    # crash recovery: a previous run died between the two renames —
+    # the backup IS the latest committed state
+    if not os.path.isdir(gold_path) and os.path.isdir(backup):
+        os.replace(backup, gold_path)
+    shutil.rmtree(staging, ignore_errors=True)
     fresh = latest_per_key(batch_df, key_cols, ts_col, tiebreak)
     if os.path.isdir(gold_path):
         existing = spark.read.parquet(gold_path).select(*fresh.columns)
@@ -64,10 +86,12 @@ def upsert_batch(
         )
     else:
         merged = fresh
-    staging = gold_path + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(gold_path, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    if os.path.isdir(gold_path):
+        os.replace(gold_path, backup)
     os.replace(staging, gold_path)
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def stream_upsert_to_gold(

@@ -177,6 +177,7 @@ def streaming_jumps(
     # only a batch's first row can continue the previous batch's
     # entity — that boundary is patched with carried state.
     def batch_parts(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        have_prev_chunk = False  # distinct from last_ent being None/null
         last_ent = None
         last_val = None
         for pdf in pdfs:
@@ -184,9 +185,18 @@ def streaming_jumps(
                 continue
             ent = pdf["entity_id"]
             vals = pdf["value"]
-            prev = pdf.groupby("entity_id", sort=False)["value"].shift()
+            # dropna=False: a null entity is still ONE group (pandas
+            # drops NaN keys by default, which would make every
+            # null-entity row look like a group start and emit it)
+            prev = pdf.groupby("entity_id", sort=False, dropna=False)[
+                "value"
+            ].shift()
             first = ~ent.duplicated()
-            if last_ent is not None and ent.iat[0] == last_ent:
+            e0 = ent.iat[0]
+            same_as_prev_chunk = (pd.isna(e0) and pd.isna(last_ent)) or (
+                not pd.isna(e0) and not pd.isna(last_ent) and e0 == last_ent
+            )
+            if have_prev_chunk and same_as_prev_chunk:
                 first.iat[0] = False
                 prev.iat[0] = last_val
             emit = first | prev.isna() | (vals.notna() & (vals != prev))
@@ -201,6 +211,7 @@ def streaming_jumps(
             )
             last_ent = ent.iat[-1]
             last_val = vals.iat[-1]
+            have_prev_chunk = True
             yield out
 
     return (
