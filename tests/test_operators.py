@@ -370,3 +370,22 @@ class TestBucketCap:
         assert (100, 101) in unc and (100, 101) in cap
         assert any(a < 20 and b < 20 for a, b in unc)  # mega-bucket pairs present
         assert not any(a < 20 and b < 20 for a, b in cap)  # ...and capped away
+
+
+class TestArrowBruteForce:
+    def test_arrow_variant_matches_expression_path(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        expr = similarity.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+        arrow = similarity.brute_force_topk_arrow(
+            emb, queries, "vec_id", "embedding", k=5
+        )
+        got_e = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in expr.collect()
+        )
+        got_a = sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in arrow.collect()
+        )
+        assert got_e == got_a
