@@ -347,3 +347,55 @@ class TestBatchTwinNullEntity:
             key=lambda x: (x[0] is not None, x[0] or "", x[1]),
         )
         assert out == [(None, "a"), (None, "b"), ("u1", "x")]
+
+
+class TestCheckpointRestart:
+    def test_restart_processes_only_new_files(self, spark, sf_dir, tmp_path):
+        """Stop-and-restart with the same checkpoint: the file source's
+        offset log must skip already-processed files, and the upsert
+        sink must still converge to last-per-key over ALL data."""
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from dww_data_pipeline_spark.streaming.sinks import (
+            latest_per_key,
+            stream_upsert_to_gold,
+        )
+
+        ev = load_table(spark, str(sf_dir), "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        old_part = ev.filter(F.col("event_id") % 2 == 0)
+        new_part = ev.filter(F.col("event_id") % 2 == 1)
+        stage = tmp_path / "in"
+        stage.mkdir()
+        gold = str(tmp_path / "gold")
+        ckpt = str(tmp_path / "ckpt")
+
+        def _add(df, name):
+            d = tmp_path / name
+            df.coalesce(1).write.mode("overwrite").parquet(str(d))
+            for f in d.iterdir():
+                if f.suffix == ".parquet":
+                    os.link(f, stage / f"{name}.parquet")
+
+        def _run():
+            stream = spark.readStream.schema(ev.schema).parquet(str(stage))
+            q = stream_upsert_to_gold(
+                stream, gold, ["user_id"], "ts", "event_id", checkpoint=ckpt
+            )
+            q.awaitTermination(120)
+
+        _add(old_part, "a")
+        _run()
+        count_after_first = spark.read.parquet(gold).count()
+        _add(new_part, "b")
+        _run()  # restart from the same checkpoint
+
+        got = spark.read.parquet(gold)
+        want = latest_per_key(ev, ["user_id"], "ts", "event_id")
+        assert got.count() == want.count() >= count_after_first
+        assert (
+            got.select("user_id", "event_id")
+            .exceptAll(want.select("user_id", "event_id"))
+            .count()
+            == 0
+        )
