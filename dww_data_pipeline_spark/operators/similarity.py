@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 from dww_data_pipeline_spark.functions.vectors import cosine, dot
 
 
+def _topk(scored: DataFrame, query_id: str, id_col: str, k: int) -> DataFrame:
+    """Deterministic per-query top-k: cos desc, id asc tiebreak — the
+    single ranking contract every search path shares."""
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,11 +54,7 @@ def brute_force_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk(scored, query_id, id_col, k)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
@@ -169,8 +172,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, query_id, id_col, k)
 
 
 def lsh_topk(
@@ -246,8 +248,7 @@ def lsh_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, query_id, id_col, k)
 
 
 def brute_force_topk_arrow(
@@ -264,18 +265,23 @@ def brute_force_topk_arrow(
     higher-order functions, which Spark evaluates INTERPRETED (no
     whole-stage codegen) — fine for verification, but ~2 orders of
     magnitude off a vectorized matmul per element. This variant ships
-    the (small, bounded) query matrix in the task closure and scores
-    each Arrow batch with one ``V @ Q.T`` — the right brute-force
-    baseline at corpus scale. Same zero-norm semantics (cosine 0.0)
-    and the same deterministic top-k window as the expression path.
+    the (small, bounded) query matrix in the task closure, scores each
+    Arrow batch with one ``V @ Q.T``, and PRESELECTS the per-batch
+    top-k per query (``argpartition``) so the shuffle into the global
+    ranking window carries at most k rows per (query, batch) instead
+    of the full batch × queries cross product — the property that
+    makes this the scan path at corpus scale.
+
+    Semantics vs the expression path: same zero-norm → cosine 0.0
+    (null vectors score 0.0 everywhere), same half-up 6-decimal
+    rounding, same deterministic top-k tiebreak. NOT bit-exact: the
+    expression path multiplies float32 elements in single precision
+    while this path computes in float64, so cosines within ~1e-6 of a
+    rounding boundary can differ in the 6th decimal (the test compares
+    with that tolerance).
     """
     import numpy as np
     from pyspark.sql import types as T
-
-    qrows = queries.select(query_id, vec_col).collect()  # bounded: the query set
-    qids = [r[query_id] for r in qrows]
-    Q = np.asarray([list(r[vec_col]) for r in qrows], dtype="float64")
-    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     id_type = corpus.schema[id_col].dataType
     qid_type = queries.schema[query_id].dataType
@@ -287,24 +293,61 @@ def brute_force_topk_arrow(
         ]
     )
 
+    qrows = queries.select(query_id, vec_col).collect()  # bounded: the query set
+    if not qrows:
+        return _topk(
+            corpus.sparkSession.createDataFrame([], schema), query_id, id_col, k
+        )
+    qids = [r[query_id] for r in qrows]
+    dims = [len(r[vec_col]) for r in qrows if r[vec_col] is not None]
+    if dims:
+        dim = dims[0]
+        zero = [0.0] * dim
+        Q = np.asarray(
+            [list(r[vec_col]) if r[vec_col] is not None else zero for r in qrows],
+            dtype="float64",
+        )
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    else:
+        # every query vector is null → zero-norm semantics: cosine 0.0
+        # against the whole corpus (what the expression path yields)
+        zero = None
+        Qn = None
+
+    def _round6_half_up(x: "np.ndarray") -> "np.ndarray":
+        # numpy rounds half-even; Spark's F.round is HALF_UP (away from
+        # zero) — mirror it so ties break the same way
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.asarray(pdf[vec_col].tolist(), dtype="float64")
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            S = Vn @ Qn.T  # (batch, queries)
+            if Qn is None:
+                S = np.zeros((len(pdf), len(qids)))
+            else:
+                vecs = [v if v is not None else zero for v in pdf[vec_col]]
+                V = np.asarray([list(v) for v in vecs], dtype="float64")
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                S = _round6_half_up(Vn @ Qn.T)  # (batch, queries)
+            ids = pdf[id_col].to_numpy()
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    query_id: np.repeat(qids, n),
-                    id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
-                    "cos": np.round(S.T.reshape(-1), 6),
-                }
-            )
+            take = min(k, n)
+            # per-(batch, query) top-k preselection: global top-k over
+            # per-batch top-ks is identical, shuffle shrinks ~n/k.
+            # lexsort on (-cos, id) matches the window's tiebreak, so
+            # boundary ties select the same rows the window would.
+            out_q, out_i, out_c = [], [], []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -S[:, j]))[:take]
+                out_q.extend([qid] * len(order))
+                out_i.extend(ids[order])
+                out_c.extend(S[order, j])
+            yield pd.DataFrame({query_id: out_q, id_col: out_i, "cos": out_c})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, query_id, id_col, k)

@@ -374,6 +374,9 @@ class TestBucketCap:
 
 class TestArrowBruteForce:
     def test_arrow_variant_matches_expression_path(self, spark, sf_dir):
+        """Parity within float32-vs-float64 product precision: identical
+        member sets except where a cosine sits within 2e-6 of the k-th
+        threshold, and common members' cosines agree to 2e-6."""
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -382,10 +385,40 @@ class TestArrowBruteForce:
         arrow = similarity.brute_force_topk_arrow(
             emb, queries, "vec_id", "embedding", k=5
         )
-        got_e = sorted(
-            (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in expr.collect()
+        by_q_e, by_q_a = {}, {}
+        for r in expr.collect():
+            by_q_e.setdefault(r["query_id"], {})[r["vec_id"]] = r["cos"]
+        for r in arrow.collect():
+            by_q_a.setdefault(r["query_id"], {})[r["vec_id"]] = r["cos"]
+        assert set(by_q_e) == set(by_q_a)
+        for q in by_q_e:
+            e, a = by_q_e[q], by_q_a[q]
+            for vid in set(e) & set(a):
+                assert abs(e[vid] - a[vid]) <= 2e-6, (q, vid)
+            # any disagreeing member must be a boundary case: its score
+            # within 2e-6 of the k-th (minimum kept) score
+            thr = min(e.values())
+            for vid in set(e) ^ set(a):
+                score = e.get(vid, a.get(vid))
+                assert abs(score - thr) <= 2e-6, (q, vid, score, thr)
+
+    def test_arrow_degenerate_inputs(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        empty_q = emb.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        got_a = sorted(
-            (r["query_id"], r["rank"], r["vec_id"], r["cos"]) for r in arrow.collect()
+        out = similarity.brute_force_topk_arrow(
+            emb, empty_q, "vec_id", "embedding", k=5
         )
-        assert got_e == got_a
+        assert out.count() == 0
+        # null query vector scores 0.0 everywhere (expression-path
+        # zero-norm semantics) instead of crashing
+        null_q = spark.createDataFrame(
+            [(99, None)], "query_id long, embedding array<float>"
+        )
+        out2 = similarity.brute_force_topk_arrow(
+            emb, null_q, "vec_id", "embedding", k=3
+        )
+        rows = out2.collect()
+        assert len(rows) == 3
+        assert all(r["cos"] == 0.0 for r in rows)
