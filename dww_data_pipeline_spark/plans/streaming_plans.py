@@ -332,3 +332,63 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.size("feature").alias("dim"),
     )
+
+
+@register(
+    "m2_video_frame_dedup",
+    oracle=None,
+    description="END-TO-END multimodal pipeline: video binary column → "
+    "bounded frame sampling (mapInPandas flatMap) → per-frame feature "
+    "extraction (Arrow-batched stub decode) → near-duplicate frames "
+    "within each video by feature cosine — the frame-dedup flow a "
+    "video training pipeline runs before captioning. Rows-only by "
+    "design (Python decode stage).",
+)
+def m2_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import (
+        extract_media_features,
+        sample_frames,
+    )
+    from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    videos = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars").cast("long") * 100).alias("duration_ms"),
+    )
+    frames = sample_frames(videos, every_ms=1000, max_frames=6)
+    frame_media = frames.select(
+        # composite id: (video, frame) — collision-free since
+        # frame_index < max_frames << 1000
+        (F.col("media_id") * 1000 + F.col("frame_index")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        "payload",
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_media_features(frame_media, dim=8).filter(F.col("decode_ok"))
+    fa = feats.select(
+        (F.col("media_id") / 1000).cast("long").alias("video_a"),
+        F.col("media_id").alias("frame_a"),
+        F.col("feature").alias("va"),
+    )
+    fb = feats.select(
+        (F.col("media_id") / 1000).cast("long").alias("video_b"),
+        F.col("media_id").alias("frame_b"),
+        F.col("feature").alias("vb"),
+    )
+    return (
+        fa.join(fb, (fa.video_a == fb.video_b) & (fa.frame_a < fb.frame_b))
+        .withColumn("cos", F.round(_spark_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.5)
+        .select(
+            F.col("video_a").alias("video_id"), "frame_a", "frame_b", "cos"
+        )
+    )

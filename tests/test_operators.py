@@ -422,3 +422,18 @@ class TestArrowBruteForce:
         rows = out2.collect()
         assert len(rows) == 3
         assert all(r["cos"] == 0.0 for r in rows)
+
+
+class TestVideoFrameDedup:
+    def test_m2_pipeline_shape_and_determinism(self, spark):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        q = REGISTRY["m2_video_frame_dedup"].spark
+        a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+        b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+        assert a == b  # stub decode is deterministic end-to-end
+        assert len(a) > 0
+        for video_id, fa, fb, cos in a:
+            assert fa < fb and fa // 1000 == fb // 1000 == video_id
+            assert 0.5 <= cos <= 1.0
