@@ -127,6 +127,54 @@ def _centroid_probe_col(vec_col, centroids: np.ndarray, nprobe: int):
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["j"])
 
 
+def _pairwise_cos_arrow(
+    pairs: DataFrame, query_id: str, id_col: str, va: str, vb: str
+) -> DataFrame:
+    """Rowwise cosine over candidate pairs via mapInPandas (one numpy
+    einsum per Arrow batch) — the Arrow twin of the expression-path
+    cosine for the LSH/IVF scoring stage, where candidates after
+    bucket pruning still scale with the corpus. Same zero-norm → 0.0
+    semantics and half-up 6-decimal rounding."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(query_id, pairs.schema[query_id].dataType, True),
+            T.StructField(id_col, pairs.schema[id_col].dataType, True),
+            T.StructField("cos", T.DoubleType(), True),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dims = [len(v) for v in pdf[va] if v is not None] or [1]
+            zero = [0.0] * dims[0]
+            A = np.asarray(
+                [list(v) if v is not None else zero for v in pdf[va]], dtype="float64"
+            )
+            B = np.asarray(
+                [list(v) if v is not None else zero for v in pdf[vb]], dtype="float64"
+            )
+            dot = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = np.where(denom > 0, dot / np.maximum(denom, 1e-300), 0.0)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    id_col: pdf[id_col],
+                    "cos": cos,
+                }
+            )
+
+    return pairs.mapInPandas(score, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,6 +186,7 @@ def ivf_topk(
     seed: int = 42,
     query_id: str = "query_id",
     nprobe: int = 1,
+    scorer: str = "expr",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest coarse centroid; each query scans its
@@ -167,11 +216,18 @@ def ivf_topk(
             "_list", F.explode(_centroid_probe_col("_qv", centroids, nprobe))
         )
     )
-    scored = c_assigned.join(F.broadcast(q_assigned), "_list").select(
-        query_id,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
-    )
+    pairs = c_assigned.join(F.broadcast(q_assigned), "_list")
+    if scorer == "arrow":
+        scored = _pairwise_cos_arrow(
+            pairs.select(query_id, id_col, vec_col, "_qv"),
+            query_id, id_col, vec_col, "_qv",
+        )
+    else:
+        scored = pairs.select(
+            query_id,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
+        )
     return _topk(scored, query_id, id_col, k)
 
 
@@ -186,6 +242,7 @@ def lsh_topk(
     seed: int = 42,
     query_id: str = "query_id",
     n_probe: int = 1,
+    scorer: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH
     bucket(s).
@@ -243,11 +300,18 @@ def lsh_topk(
         )
     # a corpus row lives in exactly one bucket and probe buckets are
     # distinct, so no (query, id) pair appears twice — no dedup needed
-    scored = c.join(F.broadcast(q), "_bucket").select(
-        query_id,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
-    )
+    pairs = c.join(F.broadcast(q), "_bucket")
+    if scorer == "arrow":
+        scored = _pairwise_cos_arrow(
+            pairs.select(query_id, id_col, vec_col, "_qv"),
+            query_id, id_col, vec_col, "_qv",
+        )
+    else:
+        scored = pairs.select(
+            query_id,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("_qv")), 6).alias("cos"),
+        )
     return _topk(scored, query_id, id_col, k)
 
 

@@ -199,3 +199,38 @@ class TestIvfMultiProbe:
         q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
         with _pytest.raises(ValueError):
             similarity.ivf_topk(emb, q, "vec_id", "embedding", n_lists=8, nprobe=9)
+
+
+class TestArrowBucketScorer:
+    def test_lsh_and_ivf_arrow_scorer_parity(self, spark, sf_dir):
+        """scorer='arrow' must rank the same candidates as the
+        expression path (cos within float32/float64 tolerance)."""
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cases = [
+            (similarity.lsh_topk, dict(bits=4, dim=64, n_probe=3)),
+            (similarity.ivf_topk, dict(n_lists=8, nprobe=2)),
+        ]
+        for fn, kw in cases:
+            e = sorted(
+                (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+                for r in fn(
+                    emb, q, "vec_id", "embedding", k=5, scorer="expr", **kw
+                ).collect()
+            )
+            a = sorted(
+                (r["query_id"], r["rank"], r["vec_id"], r["cos"])
+                for r in fn(
+                    emb, q, "vec_id", "embedding", k=5, scorer="arrow", **kw
+                ).collect()
+            )
+            assert len(e) == len(a)
+            for x, y in zip(e, a):
+                assert x[:3] == y[:3], (fn.__name__, x, y)
+                assert abs(x[3] - y[3]) <= 2e-6, (fn.__name__, x, y)
