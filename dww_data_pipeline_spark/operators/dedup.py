@@ -339,3 +339,80 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the huge-graph alternative to min-label propagation:
+    converges in O(log n) rounds instead of O(diameter), and each
+    round SHRINKS hub neighborhoods (large-star points every
+    larger neighbor at the local minimum) instead of re-shuffling
+    them, so heavy-hitter nodes get cheaper as iterations proceed.
+
+    Same contract as ``connected_components``: returns (id, component)
+    with component = min id of the group. Used when dup graphs are
+    deep or hub-heavy; the pytest suite asserts equivalence with label
+    propagation on randomized graphs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = edges.select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u is re-pointed at
+        # m(u) = min(Γ(u) ∪ {u})
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges high→low, point every low neighbor
+        # (and the high node itself) at the minimum
+        dir_ = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dir_.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is a stable star forest
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+
+    # after convergence every edge points a node at its component root
+    labels = edges.groupBy(F.col("u").alias("id")).agg(
+        F.min("v").alias("component")
+    )
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )

@@ -437,3 +437,42 @@ class TestVideoFrameDedup:
         for video_id, fa, fb, cos in a:
             assert fa < fb and fa // 1000 == fb // 1000 == video_id
             assert 0.5 <= cos <= 1.0
+
+
+class TestStarComponents:
+    def test_star_equals_label_propagation_on_random_graphs(self, spark):
+        """large-star/small-star (O(log n) rounds) must produce the
+        exact same components as min-label propagation on seeded
+        random graphs — chains, hubs, isolated pairs."""
+        import random
+
+        random.seed(11)
+        for _ in range(4):
+            n_nodes = random.randint(4, 80)
+            n_edges = random.randint(1, 120)
+            pairs = list(
+                {
+                    (a, b)
+                    for _ in range(n_edges)
+                    for a, b in [sorted(random.sample(range(n_nodes), 2))]
+                }
+            )
+            df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+            lp = {
+                (r["id"], r["component"])
+                for r in dedup.connected_components(df).collect()
+            }
+            st = {
+                (r["id"], r["component"])
+                for r in dedup.connected_components_star(df).collect()
+            }
+            assert lp == st
+
+    def test_star_deep_chain(self, spark):
+        # a 40-node path graph: diameter 40 — label propagation's worst
+        # case, star's O(log n) case; both must collapse to component 0
+        pairs = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        out = dedup.connected_components_star(df).collect()
+        assert {r["component"] for r in out} == {0}
+        assert len(out) == 41
