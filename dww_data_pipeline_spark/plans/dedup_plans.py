@@ -646,3 +646,76 @@ def s3_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.2)
     )
+
+
+_D9_ORACLE = f"""
+WITH RECURSIVE sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+), comp AS (
+  SELECT id, MIN(r) AS component FROM walk GROUP BY id
+), scored AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+), best AS (
+  SELECT component,
+         first(doc_id ORDER BY n_chars DESC, doc_id) AS keeper
+  FROM scored GROUP BY component
+)
+SELECT s.doc_id, s.component, b.keeper,
+       (s.doc_id = b.keeper) AS kept
+FROM scored s JOIN best b ON s.component = b.component
+"""
+
+
+@register(
+    "d9_dedup_keep_best",
+    oracle=_D9_ORACLE,
+    description="Quality-aware dedup: duplicate groups keep their BEST "
+    "representative (longest document, deterministic doc_id tiebreak) "
+    "instead of the min id — the SlimPajama-style keep-longest policy; "
+    "per-group argmax via one row_number window over the component "
+    "labels",
+)
+def d9_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    scored = d.join(comp, d.doc_id == comp.id, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("keeper", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component",
+            "keeper",
+            (F.col("doc_id") == F.col("keeper")).alias("kept"),
+        )
+    )
