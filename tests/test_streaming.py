@@ -399,3 +399,39 @@ class TestCheckpointRestart:
             .count()
             == 0
         )
+
+
+class TestServingFromGold:
+    def test_streamed_jump_view_serves_batch_answer(self, spark, sf_dir, tmp_path):
+        """The reference re-scans the whole graph per serving request
+        (dwwApi.js:63-68); the replacement maintains a continuously
+        upserted materialized jump view: stream -> stateful jump
+        detection -> foreachBatch upsert -> gold, which a serving
+        query reads directly. The gold view must equal the batch jump
+        computation over the same events."""
+        from dww_data_pipeline_spark.streaming.sinks import stream_upsert_to_gold
+        from dww_data_pipeline_spark.streaming.stateful import streaming_jumps
+
+        stream = read_events_stream(spark, sf_dir)
+        jumps_stream = streaming_jumps(stream)
+        gold = str(tmp_path / "jump_gold")
+        q = stream_upsert_to_gold(
+            jumps_stream.select("entity_id", "ts_ms", "value"),
+            gold,
+            key_cols=["entity_id", "ts_ms"],  # jump rows are unique per (entity, ts)
+            ts_col="ts_ms",
+            tiebreak="value",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+
+        served = {
+            (r["entity_id"], r["ts_ms"], r["value"])
+            for r in spark.read.parquet(gold).collect()
+        }
+        batch = streaming_jumps(load_table(spark, sf_dir, "events"))
+        want = {
+            (r["entity_id"], r["ts_ms"], r["value"])
+            for r in batch.select("entity_id", "ts_ms", "value").collect()
+        }
+        assert served == want
