@@ -719,3 +719,156 @@ def d9_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("keeper")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked BUCKETED embedding dedup + ANN (the 100 TB shape on the
+# correctness surface).
+#
+# The production LSH path (operators/similarity.py) draws Gaussian
+# hyperplanes on the driver; here the hyperplane coefficients are
+# +/-1 signs derived from md5(plane || '_' || index) so DuckDB can
+# reproduce the buckets bit-for-bit (sign LSH with Rademacher
+# coefficients is a valid cosine-LSH family).  Cross-engine float
+# determinism: both sides fold the 64 doubles in index order
+# (F.aggregate over F.transform <-> list_sum over list_transform),
+# the same pattern the driver has hash-matched for d5/s1/s3.
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 4  # 16 buckets
+
+
+def _sql_rademacher_dot(p: int, vec: str = "embedding") -> str:
+    # DuckDB lambda index i is 1-based
+    return (
+        f"list_sum(list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * "
+        f"CASE WHEN substr(md5('{p}_' || CAST(i AS VARCHAR)), 1, 1) >= '8' "
+        f"THEN -1 ELSE 1 END))"
+    )
+
+
+def _sql_lsh_bucket(vec: str = "embedding") -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_rademacher_dot(p, vec)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_BITS)
+    )
+    return f"({terms})"
+
+
+def _spark_rademacher_dot(vec, p: int):
+    # Spark's two-arg transform lambda receives the 0-based index;
+    # align to DuckDB's 1-based lambda index with i + 1.
+    signed = F.transform(
+        vec,
+        lambda x, i: x.cast("double")
+        * F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{p}_"), (i + F.lit(1)).cast("string"))), 1, 1
+            )
+            >= "8",
+            F.lit(-1.0),
+        ).otherwise(F.lit(1.0)),
+    )
+    return F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
+
+
+def _spark_lsh_bucket(vec):
+    b = F.lit(0)
+    for p in range(_LSH_BITS):
+        b = b + F.when(_spark_rademacher_dot(vec, p) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return b
+
+
+@register(
+    "d7b_embedding_lsh_oracle",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_SQL_COS}, 6) AS cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= 0.3
+    """,
+    description="Embedding near-dup SCALE path on the correctness surface: "
+    "sign-LSH buckets (md5-derived Rademacher hyperplanes, reproducible in "
+    "DuckDB) prune the pair space to same-bucket candidates before the "
+    "cosine threshold — Sum(bucket^2) compares instead of corpus^2 "
+    "(north-star embedding near-dup; brute-force baseline d5 stays "
+    "oracle-checked for recall reference)",
+)
+def d7b_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _spark_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    cos = _spark_cos(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.3)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "s4_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             round(
+               (list_sum(list_transform(list_zip(a.v, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+               / (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+      FROM e a JOIN q ON a.bucket = q.bucket
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    description="Similarity search SCALE path on the correctness surface: "
+    "top-k restricted to the query's sign-LSH bucket — candidate scan is "
+    "|bucket| ~ n/2^bits instead of n (the verified ANN path is now the "
+    "bucket-pruned one; s1 brute force stays as the labeled recall "
+    "baseline)",
+)
+def s4_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _spark_lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    scored = e.join(F.broadcast(q), ["bucket"]).select(
+        "query_id",
+        "vec_id",
+        F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -51,14 +51,99 @@ def register(name: str, oracle: str | None, description: str = ""):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Emission order.
+#
+# The driver's correctness gate samples a PREFIX (~50) of the query dict
+# per round, so emission order decides which queries get a differential
+# CORRECTNESS row this round.  Queries that have never received a driver
+# row yet are listed first (rounds 1-2 verified the first 50 registered:
+# analytics_ext + corpus_plans + dedup_plans + relational, plus 12 from
+# relational2/sequence sampled in round 1).  Everything already
+# driver-green keeps pytest + tools/diffcheck.py coverage and rotates
+# back in later rounds.
+# ---------------------------------------------------------------------------
+
+_PRIORITY: list[str] = [
+    # sequence analytics (reference's signature ops — densityCalc.js,
+    # dwwApi.js) never sampled in r1/r2
+    "w4_directional_in",
+    "w4_directional_out",
+    "w5_dummy_departures",
+    "w8_nested_documents",
+    "a5_density",
+    "a6_density_report",
+    # parsing/scalar core (GetWeta.py) + text-analysis family
+    "f1_parse_credit_notes",
+    "f9_normalize_release_dates",
+    "f2_fuzzy_ratio",
+    "f4_blacklist_clean",
+    "f_string_suite",
+    "f_date_suite",
+    "f16_haversine",
+    "t1_token_stats",
+    "t2_quality_scores",
+    "t3_lang_id",
+    "t4_fingerprints",
+    "t5_pii_scrub",
+    "t6_normalize",
+    "t7_chunking",
+    "t8_repetition_ratio",
+    "t9_hash_sample",
+    "t10_stratified_sample",
+    # streaming batch-twins (north-star §2.9)
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_windows",
+    "st4_stream_dedup",
+    "st5_stateful_jumps",
+    "st6_interval_join",
+    "st7_hierarchical_rollup",
+    # data-quality gates
+    "dq1_null_profile",
+    "dq2_rule_violations",
+    "dq3_referential_orphans",
+    # oracle-checked BUCKETED dedup/ANN (scale path promoted to the
+    # correctness surface — the brute-force twins d5/s1 stay as baselines)
+    "d7b_embedding_lsh_oracle",
+    "s4_ann_lsh_topk",
+    # TPC-H shapes never sampled
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q12_priority_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+]
+
+
+def _ordered_names() -> list[str]:
+    pri = [n for n in _PRIORITY if n in REGISTRY]
+    pset = set(pri)
+    return pri + [n for n in REGISTRY if n not in pset]
+
+
 def all_queries() -> dict[str, SparkBuilder]:
     _load_all()
-    return {name: q.spark for name, q in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 _LOADED = False
