@@ -103,13 +103,12 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes | None, dim: int = 8) -> list[float]:
-    """STUB: deterministic fake 'decode + feature extract'.
-
-    Real deployments replace this with PIL/librosa/ffmpeg decode —
-    those libs are not in this container (see module docstring). The
-    fake hashes payload bytes into a fixed-dim feature so the Spark
-    plumbing (Arrow batches, schema, partitioning) is fully exercised
-    and deterministic.
+    """FALLBACK: deterministic hash 'decode + feature extract' for
+    payloads in formats the real codec does not cover (media codecs
+    beyond PPM/BMP are not in this container). Hashes payload bytes
+    into a fixed-dim feature so the Spark plumbing (Arrow batches,
+    schema, partitioning) stays exercised and deterministic for any
+    payload.
     """
     if payload is None:
         raise NotImplementedError("media decode requires payload bytes")
@@ -120,6 +119,22 @@ def _fake_decode(payload: bytes | None, dim: int = 8) -> list[float]:
             h = (h ^ b) * 16777619 & 0xFFFFFFFF
         out.append((h % 10_000) / 10_000.0)
     return out
+
+
+def _decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
+    """REAL decode first (pure-NumPy PPM/BMP codec — media_codec.py),
+    hash fallback for unknown formats; raises for NULL payloads."""
+    from dww_data_pipeline_spark.operators.media_codec import (
+        decode_image,
+        image_features,
+    )
+
+    if payload is None:
+        raise NotImplementedError("media decode requires payload bytes")
+    arr = decode_image(payload)
+    if arr is not None:
+        return image_features(arr, dim)
+    return _fake_decode(payload, dim)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -145,32 +160,42 @@ FRAME_SCHEMA = T.StructType(
 def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image resize over binary payloads via mapInPandas.
 
-    STUB decode (PIL absent in this container): the 'resize' is a
-    deterministic byte-stride downsample so output size tracks the
-    target dimensions; the distributed contract — Arrow batching,
-    schema, metadata columns — is real and tested. Swap `_resize_one`
-    for a PIL implementation in production.
+    REAL path: PPM/BMP payloads are decoded (pure-NumPy codec,
+    media_codec.py), nearest-neighbor resized, and re-encoded as
+    binary PPM — actual pixels in, actual pixels out. Unknown formats
+    take a deterministic byte-stride fallback (decode_ok=False) so the
+    batch never dies on one bad payload.
     """
+    from dww_data_pipeline_spark.operators.media_codec import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
 
-    def _resize_one(payload: bytes | None) -> bytes | None:
+    def _resize_one(payload: bytes | None) -> tuple[bytes | None, bool]:
         if payload is None:
-            return None
+            return None, False
+        arr = decode_image(payload)
+        if arr is not None:
+            return encode_ppm(resize_nearest(arr, width, height)), True
         target = max(1, width * height // 64)
         stride = max(1, len(payload) // target)
-        return payload[::stride][:target]
+        return payload[::stride][:target], False
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
+            out, oks = [], []
             for payload in pdf["payload"]:
-                out.append(_resize_one(payload))
+                p, ok = _resize_one(payload)
+                out.append(p)
+                oks.append(ok)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": out,
                     "width": width,
                     "height": height,
-                    "decode_ok": [p is not None for p in out],
+                    "decode_ok": oks,
                 }
             )
 
@@ -184,10 +209,22 @@ def sample_frames(
     (media_id, frame_index, frame_ts_ms, payload) via mapInPandas —
     a Python-side flatMap whose fan-out is bounded by max_frames.
 
-    STUB decode (ffmpeg absent): frames are deterministic byte slices
-    of the payload; duration comes from the metadata column
+    REAL path: a concatenated-PPM stream (the rawvideo/image2pipe
+    shape) splits into self-delimiting frames by sequential parsing —
+    real pixel frames out. Other formats fall back to deterministic
+    byte slices; duration comes from the metadata column
     (duration_ms), the real contract for pre-extracted media tables.
     """
+    from dww_data_pipeline_spark.operators.media_codec import split_video_frames
+
+    def _frames_of(payload: bytes) -> list[bytes]:
+        try:
+            return split_video_frames(payload, max_frames=max_frames)
+        except ValueError:
+            n = min(max_frames, max(1, len(payload) // 16))
+            return [
+                payload[(i * len(payload)) // max(n, 1) :][:16] for i in range(n)
+            ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -197,13 +234,13 @@ def sample_frames(
             ):
                 if payload is None or dur is None:
                     continue
-                n = min(max_frames, max(1, int(dur) // every_ms))
+                frames = _frames_of(payload)
+                n = min(len(frames), min(max_frames, max(1, int(dur) // every_ms)))
                 for i in range(n):
-                    lo = (i * len(payload)) // max(n, 1)
                     rows["media_id"].append(mid)
                     rows["frame_index"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
-                    rows["payload"].append(payload[lo : lo + 16])
+                    rows["payload"].append(frames[i])
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
@@ -211,16 +248,17 @@ def sample_frames(
 
 def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract over binary media columns via
-    mapInPandas (Arrow-batched; batch shape preserved). The decode
-    itself is a deterministic stub (_fake_decode) — the distributed
-    plumbing is real."""
+    mapInPandas (Arrow-batched; batch shape preserved). PPM/BMP
+    payloads get REAL pixel decode (media_codec.py: channel means/stds
+    + luma histogram); unknown formats get the deterministic hash
+    fallback — either way the distributed plumbing is identical."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, oks = [], []
             for payload in pdf["payload"]:
                 try:
-                    feats.append(_fake_decode(payload, dim))
+                    feats.append(_decode_features(payload, dim))
                     oks.append(True)
                 except NotImplementedError:
                     feats.append(None)

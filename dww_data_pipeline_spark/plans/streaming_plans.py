@@ -304,13 +304,22 @@ def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p3_image_expr(seed_col, w: int = 2, h: int = 2):
+    """A REAL image as a Spark expression: ASCII PPM (P3) whose pixel
+    values derive deterministically from ``seed_col`` — JVM-side string
+    assembly, no Python, decodable by the pure-NumPy codec."""
+    vals = [F.pmod(seed_col * (3 * i + 7) + i, F.lit(256)) for i in range(w * h * 3)]
+    body = F.concat_ws(" ", *[v.cast("string") for v in vals])
+    return F.encode(F.concat(F.lit(f"P3\n{w} {h}\n255\n"), body, F.lit("\n")), "utf-8")
+
+
 @register(
     "m1_multimodal_features",
     oracle=None,
-    description="Multimodal plumbing: binary payload column → mapInPandas "
-    "Arrow-batched feature extraction (decode stubbed deterministically — "
-    "media libs absent; schema/partitioning/batch shape real). Rows-only "
-    "check by design.",
+    description="Multimodal pipeline with REAL pixels: P3 images are "
+    "synthesized JVM-side (format-valid PPM from doc_id), decoded by the "
+    "pure-NumPy codec inside Arrow-batched mapInPandas, and reduced to "
+    "channel-stat features. Rows-only check (Python decode stage).",
 )
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.documents import extract_media_features
@@ -319,10 +328,10 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
+        _p3_image_expr(F.col("doc_id")).alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(2).alias("width"),
+        F.lit(2).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
     feats = extract_media_features(media, dim=8)
@@ -337,9 +346,10 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m2_video_frame_dedup",
     oracle=None,
-    description="END-TO-END multimodal pipeline: video binary column → "
-    "bounded frame sampling (mapInPandas flatMap) → per-frame feature "
-    "extraction (Arrow-batched stub decode) → near-duplicate frames "
+    description="END-TO-END multimodal pipeline with REAL pixels: "
+    "concatenated-PPM video column → self-delimiting frame split "
+    "(mapInPandas flatMap, bounded fan-out) → per-frame REAL decode + "
+    "feature extraction (pure-NumPy codec) → near-duplicate frames "
     "within each video by feature cosine — the frame-dedup flow a "
     "video training pipeline runs before captioning. Rows-only by "
     "design (Python decode stage).",
@@ -352,14 +362,24 @@ def m2_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # REAL video: concatenated-PPM stream (4 frames; frames 0 and 2
+    # share a seed so every video contains a genuine near-dup pair)
+    video_payload = F.concat(
+        _p3_image_expr(F.col("doc_id")),
+        _p3_image_expr(F.col("doc_id") + 1),
+        _p3_image_expr(F.col("doc_id")),
+        _p3_image_expr(F.col("doc_id") + 7),
+    )
     videos = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("video/fake").alias("mime"),
+        video_payload.alias("payload"),
+        F.lit("video/x-ppm-stream").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        (F.col("n_chars").cast("long") * 100).alias("duration_ms"),
+        F.greatest(
+            F.col("n_chars").cast("long") * 100, F.lit(4000).cast("long")
+        ).alias("duration_ms"),
     )
     frames = sample_frames(videos, every_ms=1000, max_frames=6)
     frame_media = frames.select(

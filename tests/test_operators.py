@@ -281,13 +281,24 @@ class TestMultimodal:
 
     def test_resize_plumbing(self, spark):
         from dww_data_pipeline_spark.operators.documents import resize_media
+        from dww_data_pipeline_spark.operators.media_codec import (
+            decode_image,
+            encode_ppm,
+        )
+        import numpy as np
 
-        rows = [(1, b"x" * 4096), (2, None)]
+        real = encode_ppm(np.full((8, 8, 3), 200, dtype=np.uint8))
+        rows = [(1, b"x" * 4096), (2, None), (3, real)]
         media = spark.createDataFrame(rows, ["media_id", "payload"])
         out = {r["media_id"]: r for r in resize_media(media, 32, 32).collect()}
-        assert out[1]["decode_ok"] and out[1]["width"] == 32
+        # unknown format: byte-stride fallback, flagged as not-decoded
+        assert not out[1]["decode_ok"] and out[1]["width"] == 32
         assert len(out[1]["payload"]) <= 32 * 32 // 64
         assert not out[2]["decode_ok"]
+        # real PPM: decoded, truly resized, re-encoded
+        assert out[3]["decode_ok"]
+        arr = decode_image(bytes(out[3]["payload"]))
+        assert arr.shape == (32, 32, 3) and int(arr[0, 0, 0]) == 200
 
     def test_frame_sampling_fanout_bounded(self, spark):
         from dww_data_pipeline_spark.operators.documents import sample_frames
