@@ -103,16 +103,33 @@ def read_map_json(
     return exploded.select(*cols)
 
 
+#: Hard ceiling on rows a map-file sink will collect to the driver.
+#: Dimension maps are small by construction (reference maps are ~32 KB);
+#: anything larger indicates a fact table routed at the wrong sink and
+#: would OOM the driver at scale — fail loudly instead.
+MAP_JSON_MAX_ROWS = 100_000
+
+
 def write_map_json(df: DataFrame, path: str, maptype: str, backup: bool = True) -> None:
     """S10: map-file sink — single JSON doc {maptype, maps} with a
     timestamped backup of any existing file before overwrite
     (reference GetWeta.py:507-512; backup behavior dwwRoutes.js:131-163).
     Dimension maps are small by construction; assembled driver-side
-    like the reference."""
+    like the reference, guarded by MAP_JSON_MAX_ROWS so a mis-routed
+    fact table cannot silently collect to the driver."""
     import json
     import os
     import shutil
     import time
+
+    # limit+1 probe: bounds the check itself (never counts the full table)
+    probe = df.limit(MAP_JSON_MAX_ROWS + 1).count()
+    if probe > MAP_JSON_MAX_ROWS:
+        raise ValueError(
+            f"write_map_json: input exceeds {MAP_JSON_MAX_ROWS} rows — "
+            "dimension maps are driver-side by design; route large tables "
+            "to a distributed sink (parquet/CSV) instead"
+        )
 
     if backup and os.path.exists(path):
         shutil.copy2(path, f"{path}.{int(time.time())}.bak")

@@ -372,6 +372,18 @@ class TestMapFiles:
         write_map_json(cmap, path, "company")  # second write backs up
         assert len(glob.glob(f"{path}.*.bak")) == 1
 
+    def test_map_json_oversized_input_rejected(self, spark, tmp_path, monkeypatch):
+        from dww_data_pipeline_spark.sources import files as files_mod
+
+        monkeypatch.setattr(files_mod, "MAP_JSON_MAX_ROWS", 10)
+        big = spark.range(11).select(
+            F.col("id").cast("string").alias("search"), F.lit("x").alias("name")
+        )
+        path = str(tmp_path / "tooBig.json")
+        with pytest.raises(ValueError, match="exceeds 10 rows"):
+            files_mod.write_map_json(big, path, "company")
+        assert not (tmp_path / "tooBig.json").exists()
+
     def test_map_json_wrong_maptype_rejected(self, spark, tmp_path):
         path = str(tmp_path / "roleMap.json")
         with open(path, "w") as f:
