@@ -209,6 +209,86 @@ def export_people_json(worked_for: DataFrame) -> DataFrame:
     )
 
 
+def export_serving_envelope(
+    worked_for: DataFrame,
+    locations: DataFrame,
+    regions: DataFrame,
+    global_regions: DataFrame | None = None,
+) -> DataFrame:
+    """The full serving-document envelope the reference's API returns
+    (dwwApi.js:219-223): ``{jumps, locations, regions, globalRegions}``
+    as ONE nested document —
+
+    * ``jumps``: the nested people docs (export_people_json), sorted
+      by person id;
+    * ``locations``: company name → geoLoc string (dwwApi.js:123
+      ``companyLocations[name] = location`` — the shape of the
+      reference's own jumps_(2).json export);
+    * ``regions``: location → region index, values lowercased
+      (companyLocationCsvToJson.py:40-44);
+    * ``globalRegions``: region → global-region index, or an empty map
+      when the dim is absent (the reference proceeds with an empty
+      index when the CSV is missing, companyLocationCsvToJson.py:55-57).
+
+    Assembled fully Spark-side: people stay distributed until the
+    terminal single-document agg; the three dimension maps are
+    broadcast-sized by construction (same contract as write_map_json).
+    Returns a one-row DataFrame — write with ``.write.json`` or serve
+    via ``toJSON().first()``.
+    """
+    people = export_people_json(worked_for)
+    jumps_doc = people.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("name"), F.col("rels")))
+        ).alias("jumps")
+    )
+    locations_doc = locations.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("loc_company_name"), F.col("geo_loc"))
+                )
+            )
+        ).alias("locations")
+    )
+    regions_doc = regions.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("reg_location"), F.lower(F.col("global_region"))
+                    )
+                )
+            )
+        ).alias("regions")
+    )
+    if global_regions is not None:
+        gr_doc = global_regions.agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(global_regions.columns[0]),
+                            F.lower(F.col(global_regions.columns[1])),
+                        )
+                    )
+                )
+            ).alias("globalRegions")
+        )
+    else:
+        gr_doc = regions.sparkSession.range(1).select(
+            F.map_from_entries(
+                F.array().cast("array<struct<key:string,value:string>>")
+            ).alias("globalRegions")
+        )
+    return (
+        jumps_doc.crossJoin(locations_doc)
+        .crossJoin(regions_doc)
+        .crossJoin(gr_doc)
+        .select("jumps", "locations", "regions", "globalRegions")
+    )
+
+
 def export_jumps_csv(jumps: DataFrame) -> DataFrame:
     """S7: jump CSV rows ``person,role,date,company,location,region``
     (reference header dwwApi.js:145), comma-strip escaping applied to

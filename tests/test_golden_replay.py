@@ -294,3 +294,79 @@ class TestJumpsExportReplay:
         assert per_company.filter(F.col("n") > 1).count() == 0
         for comp, loc in got.items():
             assert jumps2["locations"][comp] == loc
+
+
+class TestServingEnvelope:
+    """S8+: the FULL four-key serving document (dwwApi.js:219-223
+    ``{jumps, locations, regions, globalRegions}``) assembled as one
+    operator, checked against the reference's own exports."""
+
+    def test_envelope_keys_and_people_shape(self, spark, worked_for):
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+
+        locations = spark.createDataFrame(
+            [("Weta Digital", "-41.30528,174.823492", "Wellington")],
+            ["loc_company_name", "geo_loc", "location"],
+        )
+        regions = spark.createDataFrame(
+            [("Wellington", "Oceania")], ["reg_location", "global_region"]
+        )
+        env = export_serving_envelope(worked_for, locations, regions)
+        assert env.columns == ["jumps", "locations", "regions", "globalRegions"]
+        row = env.collect()[0]
+
+        # people list matches the published export's scale and shape
+        golden_people = _load_people()
+        assert len(row["jumps"]) == len(golden_people) == 330
+        got_ids = [p["id"] for p in row["jumps"]]
+        assert got_ids == sorted(p["id"] for p in golden_people)
+        rel_keys = set(row["jumps"][0]["rels"][0].asDict())
+        assert rel_keys == set(golden_people[0]["rels"][0])
+
+        # maps carry through with reference value shapes
+        assert row["locations"] == {"Weta Digital": "-41.30528,174.823492"}
+        assert row["regions"] == {"Wellington": "oceania"}
+        assert row["globalRegions"] == {}
+
+    def test_envelope_locations_match_published_export(self, spark, jumps2):
+        """The locations map in the envelope has exactly the shape the
+        reference published in jumps_(2).json: company → geoLoc."""
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+
+        loc_rows = [
+            (name, geo, "") for name, geo in jumps2["locations"].items()
+        ]
+        locations = spark.createDataFrame(
+            loc_rows, ["loc_company_name", "geo_loc", "location"]
+        )
+        regions = spark.createDataFrame(
+            [("x", "y")], ["reg_location", "global_region"]
+        ).limit(0)
+        wf = spark.createDataFrame(
+            [("p1", "P One", "m1", "s", 100, "r", "R", "2001", "c1", "C")],
+            [
+                "person_id", "person_name", "movie_id", "company_search",
+                "match_ratio", "role", "true_role", "release",
+                "company_id", "company_name",
+            ],
+        )
+        row = export_serving_envelope(wf, locations, regions).collect()[0]
+        assert row["locations"] == jumps2["locations"]
+        assert row["regions"] == {}
+
+    def test_envelope_json_serializes_as_document(self, spark, worked_for):
+        import json as _json
+
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+
+        locations = spark.createDataFrame(
+            [("Weta Digital", "-41.3,174.8", "Wellington")],
+            ["loc_company_name", "geo_loc", "location"],
+        )
+        regions = spark.createDataFrame(
+            [("Wellington", "Oceania")], ["reg_location", "global_region"]
+        )
+        env = export_serving_envelope(worked_for.limit(50), locations, regions)
+        doc = _json.loads(env.toJSON().first())
+        assert list(doc) == ["jumps", "locations", "regions", "globalRegions"]
+        assert isinstance(doc["jumps"], list) and isinstance(doc["locations"], dict)
