@@ -370,3 +370,46 @@ class TestServingEnvelope:
         doc = _json.loads(env.toJSON().first())
         assert list(doc) == ["jumps", "locations", "regions", "globalRegions"]
         assert isinstance(doc["jumps"], list) and isinstance(doc["locations"], dict)
+
+
+class TestF2ParityDrift:
+    """F2: quantified drift between the engine's default JVM-side
+    levenshtein_ratio and the reference's SequenceMatcher ratio
+    (GetWeta.py:236-237), measured on the reference's OWN crawl pairs
+    in the decision band 75-95 where the 80/90 thresholds
+    (GetWeta.py:496-497) live. Measured r3 on 450 distinct
+    (companySearch, matchedCompanyName) pairs: 37 in-band, 51% exactly
+    equal, max |delta| 9; threshold crossings 80: 10.8%, 90: 8.1%
+    (documented in COVERAGE.md §F2). The exact-parity pandas_udf mode
+    exists for when zero crossings are required."""
+
+    def test_drift_bounded_on_crawl_pairs(self, spark, worked_for):
+        from dww_data_pipeline_spark.functions.fuzzy import (
+            levenshtein_ratio,
+            sequence_matcher_ratio,
+        )
+
+        pairs = worked_for.select("company_search", "company_name").distinct()
+        scored = pairs.select(
+            levenshtein_ratio(F.col("company_search"), F.col("company_name")).alias(
+                "lev"
+            ),
+            sequence_matcher_ratio(
+                F.col("company_search"), F.col("company_name")
+            ).alias("sm"),
+        ).collect()
+        assert len(scored) == 450
+        band = [r for r in scored if 75 <= r["sm"] <= 95]
+        assert len(band) == 37
+        exact = sum(r["lev"] == r["sm"] for r in band)
+        cross80 = sum((r["sm"] >= 80) != (r["lev"] >= 80) for r in band)
+        cross90 = sum((r["sm"] >= 90) != (r["lev"] >= 90) for r in band)
+        max_delta = max(abs(r["lev"] - r["sm"]) for r in band)
+        # pin the measured drift so regressions in either path surface
+        assert exact == 19
+        assert cross80 == 4 and cross90 == 3
+        assert max_delta == 9
+        # structural property: indel identity means lev never scores
+        # BELOW SequenceMatcher on these pairs (substitutions only
+        # cheapen the distance)
+        assert all(r["lev"] >= r["sm"] for r in band)
