@@ -31,7 +31,9 @@ HEADLINE = [
     "d2_minhash_lsh_pairs",    # minhash LSH self-join
     "d4_simhash",              # explode + 32-way vote agg
     "t2_quality_scores",       # text-analysis expressions
-    "s1_ann_brute_force_topk", # vector math + per-query topk
+    "s1_ann_brute_force_topk", # vector math + per-query topk (baseline)
+    "s4_ann_lsh_topk",         # bucket-pruned ANN (the verified scale path)
+    "d7b_embedding_lsh_oracle",# bucket-pruned embedding near-dup
     "st1_tumbling_window",     # event-time window agg
     "st3_session_windows",     # session windows
     "q3_shipping_priority",    # selective dim filter + 2 fact joins + topk

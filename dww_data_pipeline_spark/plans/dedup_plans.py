@@ -755,21 +755,31 @@ def _sql_lsh_bucket(vec: str = "embedding") -> str:
     return f"({terms})"
 
 
+_EMBED_DIM = 64  # testdata embeddings dim (e1_embedding_dim_stats = 64 rows)
+
+
+def _rademacher_signs(p: int, dim: int = _EMBED_DIM) -> list[float]:
+    """The sign matrix is data-INDEPENDENT, so it folds to literals at
+    plan build time (hashlib.md5 here == SQL md5 in the oracle: same
+    input string, same hex). Recomputing md5 per element cost 256
+    hash calls PER ROW (measured 3.6 s at sf0.1 — the slowest
+    headline); as literals the dot is a pure zip_with/aggregate fold,
+    bit-identical doubles. DuckDB's 1-based lambda index -> j + 1."""
+    import hashlib
+
+    return [
+        -1.0 if hashlib.md5(f"{p}_{j + 1}".encode()).hexdigest()[0] >= "8" else 1.0
+        for j in range(dim)
+    ]
+
+
 def _spark_rademacher_dot(vec, p: int):
-    # Spark's two-arg transform lambda receives the 0-based index;
-    # align to DuckDB's 1-based lambda index with i + 1.
-    signed = F.transform(
-        vec,
-        lambda x, i: x.cast("double")
-        * F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{p}_"), (i + F.lit(1)).cast("string"))), 1, 1
-            )
-            >= "8",
-            F.lit(-1.0),
-        ).otherwise(F.lit(1.0)),
+    signs = F.array(*[F.lit(s) for s in _rademacher_signs(p)])
+    return F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    return F.aggregate(signed, F.lit(0.0), lambda a, x: a + x)
 
 
 def _spark_lsh_bucket(vec):
@@ -801,16 +811,35 @@ def _spark_lsh_bucket(vec):
     "oracle-checked for recall reference)",
 )
 def d7b_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norm is per-VECTOR, so it computes once before the pair join
+    # (candidate pairs ~ Sum(bucket^2) >> n; same fold expression as the
+    # oracle's inline norms -> identical doubles, just not re-folded per
+    # pair)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _spark_lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
     )
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+        "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        "bucket",
     )
-    cos = _spark_cos(F.col("va"), F.col("vb"))
+    da = F.transform(F.col("va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
