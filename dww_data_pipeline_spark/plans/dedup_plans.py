@@ -901,3 +901,65 @@ def s4_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data decontamination (north-star: eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_K = 4  # n-gram width: production decontamination uses 8-13-grams
+# on web text; the synthetic corpus has a ~40-word vocabulary, so 4 is
+# the width where overlap is rare-but-present (19 hits at sf0.01; 5
+# yields 1, 3 floods half the corpus)
+
+
+@register(
+    "d10_decontamination",
+    oracle=f"""
+    WITH tg AS (
+      SELECT DISTINCT doc_id, md5(g) AS g
+      FROM (SELECT doc_id, unnest({sql_kgrams(_DECON_K)}) AS g
+            FROM documents WHERE doc_id % 50 <> 0)
+    ), eg AS (
+      SELECT DISTINCT doc_id AS eval_id, md5(g) AS g
+      FROM (SELECT doc_id, unnest({sql_kgrams(_DECON_K)}) AS g
+            FROM documents WHERE doc_id % 50 = 0)
+    )
+    SELECT tg.doc_id,
+           COUNT(DISTINCT tg.g) AS n_shared_ngrams,
+           COUNT(DISTINCT eg.eval_id) AS n_eval_docs
+    FROM tg JOIN eg ON tg.g = eg.g
+    GROUP BY tg.doc_id
+    """,
+    description="Training-data DECONTAMINATION: flag training documents "
+    "sharing any n-gram with the held-out eval set (doc_id % 50 == 0 "
+    "models the benchmark corpus) and count shared n-grams / eval docs "
+    "hit — the pre-training hygiene pass every LLM corpus runs. Scale "
+    "shape: eval grams are benchmark-sized by construction -> broadcast "
+    "hash join on 16-byte gram fingerprints; training grams never "
+    "shuffle (north-star; no reference counterpart)",
+)
+def d10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tg = (
+        exploded_kgrams(
+            d.filter(F.col("doc_id") % 50 != 0), "text", _DECON_K, carry=("doc_id",)
+        )
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    eg = (
+        exploded_kgrams(
+            d.filter(F.col("doc_id") % 50 == 0), "text", _DECON_K, carry=("doc_id",)
+        )
+        .select(F.col("doc_id").alias("eval_id"), F.md5("gram").alias("g"))
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_ngrams"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )

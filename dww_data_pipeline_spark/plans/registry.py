@@ -107,7 +107,11 @@ _PRIORITY: list[str] = [
     # correctness surface — the brute-force twins d5/s1 stay as baselines)
     "d7b_embedding_lsh_oracle",
     "s4_ann_lsh_topk",
-    # TPC-H shapes never sampled
+    # eval-set decontamination (new this round)
+    "d10_decontamination",
+    # TPC-H shapes never sampled (q22 lands at position 51: it keeps
+    # pytest + diffcheck coverage and rotates into the driver prefix
+    # next round)
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q5_local_supplier_volume",
