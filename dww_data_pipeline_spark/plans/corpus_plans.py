@@ -300,3 +300,58 @@ def e3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select(
         "vec_id", F.col("dim").cast("long").alias("dim"), nval.alias("nval")
     )
+
+
+@register(
+    "t11_token_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), model AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(m.n) AS BIGINT) AS freq_sum,
+             CAST(MIN(m.n) AS BIGINT) AS rarest_freq
+      FROM toks t JOIN model m ON t.tok = m.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tok,
+           CAST(CAST(freq_sum AS DECIMAL(28,6)) / n_tok AS DOUBLE)
+             AS mean_token_freq,
+           rarest_freq
+    FROM scored
+    """,
+    description="Corpus-model quality scoring (the CCNet two-pass shape): "
+    "pass 1 builds the unigram frequency model from the corpus itself "
+    "(token -> count, partial-agg shuffle of counts only); pass 2 "
+    "broadcasts the model back onto documents and scores each doc by "
+    "mean and min token corpus-frequency — low mean = off-distribution "
+    "text, the rarity signal quality filters threshold on. All "
+    "arithmetic integer/DECIMAL so partition order cannot change a "
+    "value (north-star text-quality scoring)",
+)
+def t11_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_spark_tokens(F.col("text"))).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # the unigram model is vocabulary-sized (bounded, zipf-truncated in
+    # practice) — broadcast it; the big side never shuffles
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("n").alias("freq_sum"),
+            F.min("n").alias("rarest_freq"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        (F.col("freq_sum").cast("decimal(28,6)") / F.col("n_tok"))
+        .cast("double")
+        .alias("mean_token_freq"),
+        "rarest_freq",
+    )

@@ -143,27 +143,19 @@ FROM banded a JOIN banded b
 """
 
 
-@register(
-    "d2_minhash_lsh_pairs",
-    oracle=_D2_ORACLE,
-    description="MinHash+LSH near-dup candidates: 3-word shingles → 8 "
-    "md5-minhashes → 4 bands → per-bucket self-join (cost Σ bucket², "
-    "never corpus² — the 100 TB path; north-star MinHash dedup)",
-)
-def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # explode shingles once, minhash via groupBy(min) — tokenization
-    # runs exactly once per document (the inline-expression form
-    # re-evaluates the token array per hash function), and partial
-    # aggregation means the shuffle carries one (doc_id, 8 mins) row
-    # per doc per partition, not the shingles. Docs with <3 tokens
-    # have no shingles and drop out, matching the oracle's len>=3.
-    # generator-barrier shingling (tokenize once per doc) — shared
-    # helper, see text_exprs.exploded_kgrams
-    ex = exploded_kgrams(d, "text", 3, carry=("doc_id",), out="s")
-    # materialize the 2 md5s per shingle in a projection BELOW the
-    # aggregate (Aggregate-over-Project is not collapsed), then take 8
-    # chunk-mins — 2 crypto hashes per shingle, not 8
+def _banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one row per (doc_id, band, bucket).
+
+    Explode shingles once, minhash via groupBy(min) — tokenization
+    runs exactly once per document (the inline-expression form
+    re-evaluates the token array per hash function), and partial
+    aggregation means the shuffle carries one (doc_id, 8 mins) row
+    per doc per partition, not the shingles. Docs with <3 tokens
+    have no shingles and drop out, matching the oracles' len>=3.
+    The 2 md5s per shingle materialize in a projection BELOW the
+    aggregate (Aggregate-over-Project is not collapsed), then 8
+    chunk-mins — 2 crypto hashes per shingle, not 8."""
+    ex = exploded_kgrams(docs, "text", 3, carry=("doc_id",), out="s")
     hx = ex.select(
         "doc_id",
         *[
@@ -187,9 +179,21 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_BANDS)
     ]
-    banded = base.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+    return base.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
+
+
+@register(
+    "d2_minhash_lsh_pairs",
+    oracle=_D2_ORACLE,
+    description="MinHash+LSH near-dup candidates: 3-word shingles → 8 "
+    "md5-minhashes → 4 bands → per-bucket self-join (cost Σ bucket², "
+    "never corpus² — the 100 TB path; north-star MinHash dedup)",
+)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    banded = _banded_signatures(d.select("doc_id", "text"))
     # Pair generation via groupBy + in-bucket combination expansion
     # instead of a self-join: ONE shuffle of (band, bucket, id) and the
     # signature pipeline runs once (a self-join recomputes it for both
@@ -961,5 +965,128 @@ def d10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("g").alias("n_shared_ngrams"),
             F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot) dedup: new ingest batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_D11_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice({_SQL_TOKS}, 1, 10), ' ')) AS fp
+  FROM documents
+), corpus_fp AS (
+  SELECT fp, COUNT(*) AS n FROM fp WHERE doc_id % 10 <> 0 GROUP BY fp
+), exact AS (
+  SELECT b.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_exact
+  FROM (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0) b
+  LEFT JOIN corpus_fp c ON b.fp = c.fp
+), sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+), sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE len({_SQL_TOKS}) >= 3
+), near AS (
+  SELECT bid AS doc_id, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_near
+  FROM cand
+  JOIN sh sa ON sa.doc_id = bid
+  JOIN sh sb ON sb.doc_id = cid
+  WHERE CAST((len(sa.sh) + len(sb.sh)
+              - len(list_distinct(list_concat(sa.sh, sb.sh)))) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1) >= 0.2
+  GROUP BY bid
+)
+SELECT e.doc_id,
+       CASE WHEN e.n_exact > 0 THEN 'exact_dup'
+            WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+            ELSE 'keep' END AS decision,
+       CAST(CASE WHEN e.n_exact > 0 THEN e.n_exact
+                 ELSE COALESCE(n.n_near, 0) END AS BIGINT) AS n_matches
+FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
+"""
+
+
+@register(
+    "d11_incremental_dedup",
+    oracle=_D11_ORACLE,
+    description="INCREMENTAL ingest dedup: every new-batch document "
+    "(doc_id % 10 == 0 models the incoming crawl snapshot) is checked "
+    "against the EXISTING corpus only — exact stage joins content "
+    "fingerprints, surviving docs go through the batch-x-corpus banded "
+    "LSH join + 3-gram Jaccard verify (0.2). Scale shape: corpus "
+    "signatures are the precomputed index a production pipeline "
+    "persists between snapshots; the batch side is ingest-sized, so "
+    "every join is batch-driven — no corpus self-join ever happens "
+    "(north-star: the recurring-crawl dedup flow)",
+)
+def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _spark_tokens(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 10)))
+    docs = d.select("doc_id", fp.alias("fp"), "text")
+    is_batch = F.col("doc_id") % 10 == 0
+
+    corpus_fp = (
+        docs.filter(~is_batch).groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = (
+        docs.filter(is_batch)
+        .join(corpus_fp, "fp", "left")
+        .select(
+            "doc_id", F.coalesce("n", F.lit(0).cast("long")).alias("n_exact")
+        )
+    )
+
+    banded = _banded_signatures(docs.select("doc_id", "text"))
+    cand = (
+        banded.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("bid"), "band", "bucket")
+        .join(
+            banded.filter(F.col("doc_id") % 10 != 0).select(
+                F.col("doc_id").alias("cid"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("bid", "cid")
+        .distinct()
+    )
+    sh = docs.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+    )
+    union_size = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    inter_size = F.size("sh_a") + F.size("sh_b") - union_size
+    jacc = inter_size.cast("double") / F.greatest(union_size, F.lit(1))
+    near = (
+        cand.join(sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("sh_a")), "bid")
+        .join(sh.select(F.col("doc_id").alias("cid"), F.col("sh").alias("sh_b")), "cid")
+        .filter(jacc >= 0.2)
+        .groupBy("bid")
+        .agg(F.count_distinct("cid").alias("n_near"))
+        .withColumnRenamed("bid", "doc_id")
+    )
+
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_exact") > 0, F.lit("exact_dup"))
+            .when(F.coalesce("n_near", F.lit(0)) > 0, F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+            F.when(F.col("n_exact") > 0, F.col("n_exact"))
+            .otherwise(F.coalesce("n_near", F.lit(0).cast("long")))
+            .alias("n_matches"),
         )
     )
