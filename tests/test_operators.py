@@ -487,3 +487,29 @@ class TestStarComponents:
         out = dedup.connected_components_star(df).collect()
         assert {r["component"] for r in out} == {0}
         assert len(out) == 41
+
+
+class TestOracleLshAnn:
+    """The oracle-checked bucketed ANN family (s4 single-probe, s5
+    multi-probe) against the oracle-checked brute-force baseline s1:
+    multi-probe must dominate single-probe on recall, and every query
+    must find itself."""
+
+    def _topk_sets(self, spark, sf_dir, name):
+        from dww_data_pipeline_spark.plans.registry import all_queries
+
+        out = {}
+        for r in all_queries()[name](spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    def test_multiprobe_recall_dominates_single_probe(self, spark, sf_dir):
+        bf = self._topk_sets(spark, sf_dir, "s1_ann_brute_force_topk")
+        single = self._topk_sets(spark, sf_dir, "s4_ann_lsh_topk")
+        multi = self._topk_sets(spark, sf_dir, "s5_ann_multiprobe_topk")
+        r_single = sum(len(bf[q] & single.get(q, set())) for q in bf) / (5 * len(bf))
+        r_multi = sum(len(bf[q] & multi.get(q, set())) for q in bf) / (5 * len(bf))
+        assert r_multi >= r_single
+        # each query's own vector is in its bucket -> always found
+        assert all(q in multi.get(q, set()) for q in bf)
+        assert all(q in single.get(q, set()) for q in bf)
