@@ -32,14 +32,25 @@ HEADLINE = [
     "d4_simhash",              # explode + 32-way vote agg
     "t2_quality_scores",       # text-analysis expressions
     "s1_ann_brute_force_topk", # vector math + per-query topk (baseline)
-    "s4_ann_lsh_topk",         # bucket-pruned ANN (the verified scale path)
-    "d7b_embedding_lsh_oracle",# bucket-pruned embedding near-dup
     "st1_tumbling_window",     # event-time window agg
     "st3_session_windows",     # session windows
     "q3_shipping_priority",    # selective dim filter + 2 fact joins + topk
     "t7_chunking",             # token-window chunking explode
     "d6_dup_components",       # iterative label propagation
     "st5_stateful_jumps",      # applyInPandasWithState path
+]
+
+# Newer queries benched alongside but EXCLUDED from the headline total:
+# the 17-query set above is frozen for round-over-round comparability
+# (rounds 1-2 recorded totals over exactly that set). These land in the
+# per-query dict so the scale paths still have recorded numbers.
+EXTRA = [
+    "s4_ann_lsh_topk",          # bucket-pruned ANN (the verified scale path)
+    "s5_ann_multiprobe_topk",   # multi-probe variant
+    "d7b_embedding_lsh_oracle", # bucket-pruned embedding near-dup
+    "d10_decontamination",      # eval-set n-gram overlap
+    "d11_incremental_dedup",    # snapshot-vs-corpus dedup
+    "t11_token_rarity_score",   # corpus-model quality scoring
 ]
 
 
@@ -61,7 +72,7 @@ def main() -> None:
     # many-small-job queries (iterative components, streaming twins)
     # hardest — observed ±40% between otherwise-identical runs
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         q = queries[name]
         best = float("inf")
         for _ in range(3):
@@ -76,8 +87,11 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     out = {
+        # total over the FROZEN 17-query headline set (comparable to the
+        # recorded round-1/2 totals); the queries dict additionally
+        # carries the newer scale-path queries (EXTRA), not summed here
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
