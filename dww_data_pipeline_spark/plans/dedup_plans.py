@@ -1033,28 +1033,37 @@ FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
 )
 def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    return incremental_decisions(
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
+        d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+    )
+
+
+def incremental_decisions(batch_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+    """Shared batch/stream core of incremental ingest dedup: decide
+    exact_dup / near_dup / keep for every (doc_id, text) row of
+    ``batch_docs`` against ``corpus_docs`` only. Used by the d11 query
+    and by streaming/ingest.py's foreachBatch flow (where the corpus
+    side is cached across micro-batches)."""
     toks = _spark_tokens(F.col("text"))
     fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 10)))
-    docs = d.select("doc_id", fp.alias("fp"), "text")
-    is_batch = F.col("doc_id") % 10 == 0
 
     corpus_fp = (
-        docs.filter(~is_batch).groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        corpus_docs.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     exact = (
-        docs.filter(is_batch)
+        batch_docs.select("doc_id", fp.alias("fp"))
         .join(corpus_fp, "fp", "left")
-        .select(
-            "doc_id", F.coalesce("n", F.lit(0).cast("long")).alias("n_exact")
-        )
+        .select("doc_id", F.coalesce("n", F.lit(0).cast("long")).alias("n_exact"))
     )
 
-    banded = _banded_signatures(docs.select("doc_id", "text"))
     cand = (
-        banded.filter(F.col("doc_id") % 10 == 0)
+        _banded_signatures(batch_docs.select("doc_id", "text"))
         .select(F.col("doc_id").alias("bid"), "band", "bucket")
         .join(
-            banded.filter(F.col("doc_id") % 10 != 0).select(
+            _banded_signatures(corpus_docs.select("doc_id", "text")).select(
                 F.col("doc_id").alias("cid"), "band", "bucket"
             ),
             ["band", "bucket"],
@@ -1062,15 +1071,28 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bid", "cid")
         .distinct()
     )
-    sh = docs.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
-        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
-    )
+
+    def _shingle_sets(docs: DataFrame) -> DataFrame:
+        return docs.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
+            "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+        )
+
     union_size = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
     inter_size = F.size("sh_a") + F.size("sh_b") - union_size
     jacc = inter_size.cast("double") / F.greatest(union_size, F.lit(1))
     near = (
-        cand.join(sh.select(F.col("doc_id").alias("bid"), F.col("sh").alias("sh_a")), "bid")
-        .join(sh.select(F.col("doc_id").alias("cid"), F.col("sh").alias("sh_b")), "cid")
+        cand.join(
+            _shingle_sets(batch_docs).select(
+                F.col("doc_id").alias("bid"), F.col("sh").alias("sh_a")
+            ),
+            "bid",
+        )
+        .join(
+            _shingle_sets(corpus_docs).select(
+                F.col("doc_id").alias("cid"), F.col("sh").alias("sh_b")
+            ),
+            "cid",
+        )
         .filter(jacc >= 0.2)
         .groupBy("bid")
         .agg(F.count_distinct("cid").alias("n_near"))

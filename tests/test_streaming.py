@@ -435,3 +435,54 @@ class TestServingFromGold:
             for r in batch.select("entity_id", "ts_ms", "value").collect()
         }
         assert served == want
+
+
+class TestStreamingIngestDedup:
+    def test_streamed_batches_match_batch_d11(self, spark, sf_dir, tmp_path):
+        """Continuous-ingest dedup: new-doc files arriving as TWO
+        separate micro-batches through the stream must produce exactly
+        the decisions the one-shot batch query (d11) produces for the
+        same split — streaming admission control equals batch replay."""
+        from dww_data_pipeline_spark.plans.dedup_plans import incremental_decisions
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from dww_data_pipeline_spark.streaming.ingest import stream_incremental_dedup
+
+        d = load_table(spark, str(sf_dir), "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+        batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        corpus.cache().count()
+
+        stage = tmp_path / "in"
+        stage.mkdir()
+        out = str(tmp_path / "decisions")
+        ckpt = str(tmp_path / "ckpt")
+
+        def _add(df, name):
+            dd = tmp_path / name
+            df.coalesce(1).write.mode("overwrite").parquet(str(dd))
+            for f in dd.iterdir():
+                if f.suffix == ".parquet":
+                    os.link(f, stage / f"{name}.parquet")
+
+        def _drain():
+            stream = spark.readStream.schema(batch.schema).parquet(str(stage))
+            q = stream_incremental_dedup(stream, corpus, out, ckpt)
+            q.awaitTermination(120)
+
+        # two arrivals -> two micro-batches (restart reuses checkpoint)
+        _add(batch.filter(F.col("doc_id") < 250), "early")
+        _drain()
+        _add(batch.filter(F.col("doc_id") >= 250), "late")
+        _drain()
+
+        got = {
+            r["doc_id"]: (r["decision"], r["n_matches"])
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        want = {
+            r["doc_id"]: (r["decision"], r["n_matches"])
+            for r in incremental_decisions(batch, corpus).collect()
+        }
+        assert got == want
+        assert len(got) == batch.count()
+        corpus.unpersist()
