@@ -109,9 +109,11 @@ _PRIORITY: list[str] = [
     "s4_ann_lsh_topk",
     # eval-set decontamination (new this round)
     "d10_decontamination",
-    # TPC-H shapes never sampled (q22 lands at position 51: it keeps
-    # pytest + diffcheck coverage and rotates into the driver prefix
-    # next round)
+    # multimodal with REAL pixel decode, oracle-checked end to end
+    "m1_multimodal_features",
+    # TPC-H shapes never sampled (q21/q22 land at positions 51-52:
+    # they keep pytest + diffcheck coverage and rotate into the driver
+    # prefix next round)
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q5_local_supplier_volume",

@@ -313,13 +313,38 @@ def _p3_image_expr(seed_col, w: int = 2, h: int = 2):
     return F.encode(F.concat(F.lit(f"P3\n{w} {h}\n255\n"), body, F.lit("\n")), "utf-8")
 
 
+# The 2x2 P3 image's channel-0 pixels are vals i = 0, 3, 6, 9 of
+# _p3_image_expr's generator: v_i = (doc_id * (3i+7) + i) % 256. The
+# decoder's f0 = mean(channel0)/255 as float32 — the oracle recomputes
+# it from FIRST PRINCIPLES (no image parsing), mirroring the float32
+# quantization with CAST(REAL): same double in, same float32 out, so
+# the differential check covers synthesis -> decode -> feature math.
+_M1_F0_SQL = (
+    "CAST(CAST((("
+    "  (doc_id * 7 + 0) % 256 / 255.0"
+    "  + (doc_id * 16 + 3) % 256 / 255.0"
+    "  + (doc_id * 25 + 6) % 256 / 255.0"
+    "  + (doc_id * 34 + 9) % 256 / 255.0"
+    ") / 4.0) AS REAL) AS DOUBLE)"
+)
+
+
 @register(
     "m1_multimodal_features",
-    oracle=None,
-    description="Multimodal pipeline with REAL pixels: P3 images are "
-    "synthesized JVM-side (format-valid PPM from doc_id), decoded by the "
-    "pure-NumPy codec inside Arrow-batched mapInPandas, and reduced to "
-    "channel-stat features. Rows-only check (Python decode stage).",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           TRUE AS decode_ok,
+           {_M1_F0_SQL} AS f0,
+           8 AS dim
+    FROM documents
+    """,
+    description="Multimodal pipeline with REAL pixels, ORACLE-CHECKED: "
+    "P3 images are synthesized JVM-side (format-valid PPM from doc_id), "
+    "decoded by the pure-NumPy codec inside Arrow-batched mapInPandas, "
+    "and reduced to channel-stat features; the oracle recomputes the "
+    "expected feature from the pixel-generation arithmetic WITHOUT "
+    "parsing images, so a drift anywhere in synthesis/decode/feature "
+    "math breaks the hash match.",
 )
 def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.documents import extract_media_features
@@ -338,7 +363,7 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "decode_ok",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.element_at("feature", 1).cast("double").alias("f0"),
         F.size("feature").alias("dim"),
     )
 
