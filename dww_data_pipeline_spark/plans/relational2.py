@@ -462,3 +462,69 @@ def dq3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphan_li.crossJoin(F.broadcast(orphan_o)).crossJoin(
         F.broadcast(no_urgent)
     )
+
+
+@register(
+    "dq4_distribution_drift",
+    oracle="""
+    WITH w1 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS a
+      FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY event_type
+    ), w2 AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS b
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY event_type
+    ), j AS (
+      SELECT COALESCE(w1.event_type, w2.event_type) AS event_type,
+             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+      FROM w1 FULL OUTER JOIN w2 ON w1.event_type = w2.event_type
+    ), tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(abs(a * n2 - b * n1)) AS BIGINT) AS drift_num,
+           CAST(CAST(SUM(abs(a * n2 - b * n1)) AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS DOUBLE) AS l1_drift
+    FROM j, tot GROUP BY n1, n2
+    """,
+    description="Data-quality gate: event-type distribution DRIFT between "
+    "two ingest windows (L1 / total-variation distance) — the monitor a "
+    "continuously-fed training pipeline runs to catch upstream mix "
+    "shifts. Cross-products keep the arithmetic INTEGER-exact until one "
+    "final double division, so partition order cannot move the metric "
+    "(north-star data-quality; composes with dq1-dq3)",
+)
+def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    w1 = ev.filter(F.col("ts") < cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    w2 = ev.filter(F.col("ts") >= cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    j = (
+        w1.join(w2, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("a", F.lit(0).cast("long")).alias("a"),
+            F.coalesce("b", F.lit(0).cast("long")).alias("b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("a").alias("n1"), F.sum("b").alias("n2")
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1"))).alias(
+                "drift_num"
+            ),
+            (
+                F.sum(
+                    F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1"))
+                ).cast("double")
+                / (F.first("n1").cast("double") * F.first("n2").cast("double"))
+            ).alias("l1_drift"),
+        )
+    )
