@@ -214,6 +214,7 @@ def export_serving_envelope(
     locations: DataFrame,
     regions: DataFrame,
     global_regions: DataFrame | None = None,
+    hubs: DataFrame | None = None,
 ) -> DataFrame:
     """The full serving-document envelope the reference's API returns
     (dwwApi.js:219-223): ``{jumps, locations, regions, globalRegions}``
@@ -228,7 +229,11 @@ def export_serving_envelope(
       (companyLocationCsvToJson.py:40-44);
     * ``globalRegions``: region → global-region index, or an empty map
       when the dim is absent (the reference proceeds with an empty
-      index when the CSV is missing, companyLocationCsvToJson.py:55-57).
+      index when the CSV is missing, companyLocationCsvToJson.py:55-57);
+    * ``hubs`` (optional): VFX-center name → geoLoc string — present in
+      the reference's published jumps_(2).json export and consumed by
+      the client visualization (functions.js:125); included only when
+      the hubs dim is passed.
 
     Assembled fully Spark-side: people stay distributed until the
     terminal single-document agg; the three dimension maps are
@@ -281,12 +286,26 @@ def export_serving_envelope(
                 F.array().cast("array<struct<key:string,value:string>>")
             ).alias("globalRegions")
         )
-    return (
+    out = (
         jumps_doc.crossJoin(locations_doc)
         .crossJoin(regions_doc)
         .crossJoin(gr_doc)
         .select("jumps", "locations", "regions", "globalRegions")
     )
+    if hubs is not None:
+        hubs_doc = hubs.agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(hubs.columns[0]), F.col(hubs.columns[1]))
+                    )
+                )
+            ).alias("hubs")
+        )
+        out = out.crossJoin(hubs_doc).select(
+            "jumps", "locations", "regions", "globalRegions", "hubs"
+        )
+    return out
 
 
 def export_jumps_csv(jumps: DataFrame) -> DataFrame:

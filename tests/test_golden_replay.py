@@ -371,6 +371,35 @@ class TestServingEnvelope:
         assert list(doc) == ["jumps", "locations", "regions", "globalRegions"]
         assert isinstance(doc["jumps"], list) and isinstance(doc["locations"], dict)
 
+    def test_envelope_hubs_match_published_export(self, spark, jumps2):
+        """With the hubs dim passed, the envelope's hubs map equals the
+        published jumps_(2).json hubs dict exactly."""
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+
+        hubs = spark.createDataFrame(
+            list(jumps2["hubs"].items()), ["hub", "geo_loc"]
+        )
+        locations = spark.createDataFrame(
+            [("x", "0,0", "loc")], ["loc_company_name", "geo_loc", "location"]
+        ).limit(0)
+        regions = spark.createDataFrame(
+            [("x", "y")], ["reg_location", "global_region"]
+        ).limit(0)
+        wf = spark.createDataFrame(
+            [("p1", "P One", "m1", "s", 100, "r", "R", "2001", "c1", "C")],
+            [
+                "person_id", "person_name", "movie_id", "company_search",
+                "match_ratio", "role", "true_role", "release",
+                "company_id", "company_name",
+            ],
+        )
+        env = export_serving_envelope(wf, locations, regions, hubs=hubs)
+        assert env.columns == [
+            "jumps", "locations", "regions", "globalRegions", "hubs"
+        ]
+        row = env.collect()[0]
+        assert row["hubs"] == jumps2["hubs"]
+
 
 class TestF2ParityDrift:
     """F2: quantified drift between the engine's default JVM-side
