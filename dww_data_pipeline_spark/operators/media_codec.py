@@ -73,7 +73,14 @@ def _decode_ppm(payload: bytes, start: int = 0) -> tuple[np.ndarray, int]:
         arr = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
         return arr, pos + n
     if magic == b"P3":
-        # ASCII samples; body ends after n integers
+        # ASCII samples; body ends after n integers. Bound the
+        # allocation by the bytes actually present BEFORE trusting the
+        # header dims — each sample is at least one byte, so a huge
+        # declared w*h with a tiny body must raise ValueError (which
+        # callers catch), not attempt a multi-GB np.empty that dies
+        # with an uncatchable MemoryError inside the Spark task.
+        if n > len(payload) - pos:
+            raise ValueError("P3 header declares more samples than payload bytes")
         vals = np.empty(n, dtype=np.int64)
         got = 0
         while got < n:

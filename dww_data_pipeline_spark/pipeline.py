@@ -247,38 +247,35 @@ def export_serving_envelope(
             F.collect_list(F.struct(F.col("id"), F.col("name"), F.col("rels")))
         ).alias("jumps")
     )
-    locations_doc = locations.agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col("loc_company_name"), F.col("geo_loc"))
-                )
+
+    def _map_doc(df: DataFrame, key, value, alias: str) -> DataFrame:
+        # the reference assembles these dicts with plain JS assignment
+        # (last key wins); map_from_entries THROWS on duplicate keys
+        # under the default mapKeyDedupPolicy, so collapse duplicates
+        # first — max per key as the deterministic stand-in for the
+        # reference's file-order "last"
+        return (
+            df.groupBy(key.alias("_k"))
+            .agg(F.max(value).alias("_v"))
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("_k", "_v")))
+                ).alias(alias)
             )
-        ).alias("locations")
+        )
+
+    locations_doc = _map_doc(
+        locations, F.col("loc_company_name"), F.col("geo_loc"), "locations"
     )
-    regions_doc = regions.agg(
-        F.map_from_entries(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("reg_location"), F.lower(F.col("global_region"))
-                    )
-                )
-            )
-        ).alias("regions")
+    regions_doc = _map_doc(
+        regions, F.col("reg_location"), F.lower(F.col("global_region")), "regions"
     )
     if global_regions is not None:
-        gr_doc = global_regions.agg(
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col(global_regions.columns[0]),
-                            F.lower(F.col(global_regions.columns[1])),
-                        )
-                    )
-                )
-            ).alias("globalRegions")
+        gr_doc = _map_doc(
+            global_regions,
+            F.col(global_regions.columns[0]),
+            F.lower(F.col(global_regions.columns[1])),
+            "globalRegions",
         )
     else:
         gr_doc = regions.sparkSession.range(1).select(
@@ -293,14 +290,8 @@ def export_serving_envelope(
         .select("jumps", "locations", "regions", "globalRegions")
     )
     if hubs is not None:
-        hubs_doc = hubs.agg(
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(F.col(hubs.columns[0]), F.col(hubs.columns[1]))
-                    )
-                )
-            ).alias("hubs")
+        hubs_doc = _map_doc(
+            hubs, F.col(hubs.columns[0]), F.col(hubs.columns[1]), "hubs"
         )
         out = out.crossJoin(hubs_doc).select(
             "jumps", "locations", "regions", "globalRegions", "hubs"

@@ -318,7 +318,7 @@ def e3_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.doc_id
     )
     SELECT doc_id, n_tok,
-           CAST(CAST(freq_sum AS DECIMAL(28,6)) / n_tok AS DOUBLE)
+           CAST(freq_sum AS DOUBLE) / CAST(n_tok AS DOUBLE)
              AS mean_token_freq,
            rarest_freq
     FROM scored
@@ -350,8 +350,8 @@ def t11_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id",
         "n_tok",
-        (F.col("freq_sum").cast("decimal(28,6)") / F.col("n_tok"))
-        .cast("double")
-        .alias("mean_token_freq"),
+        (F.col("freq_sum").cast("double") / F.col("n_tok").cast("double")).alias(
+            "mean_token_freq"
+        ),
         "rarest_freq",
     )

@@ -792,7 +792,19 @@ def _spark_lsh_bucket(vec):
         b = b + F.when(_spark_rademacher_dot(vec, p) >= 0, F.lit(1 << p)).otherwise(
             F.lit(0)
         )
-    return b
+    # the literal-folded sign vectors are _EMBED_DIM wide; a different
+    # vector length would null-pad the zip_with, null the dot, and
+    # silently send EVERY vector to bucket 0 (one giant O(n^2) bucket).
+    # Fail loudly instead — the guard lives in the output column so it
+    # cannot be pruned.
+    return F.when(F.size(vec) == _EMBED_DIM, b).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign-LSH expects {_EMBED_DIM}-dim embeddings, got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("int")
+    )
 
 
 @register(
@@ -1039,23 +1051,52 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_decisions(batch_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+    )
+
+
+def _content_fp(text_col):
+    toks = _spark_tokens(text_col)
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, 10)))
+
+
+def build_corpus_index(corpus_docs: DataFrame) -> dict[str, DataFrame]:
+    """The corpus-side artifacts incremental dedup joins against:
+    fingerprint counts, banded MinHash signatures, shingle sets. In a
+    production pipeline these are PERSISTED between snapshots and only
+    appended to; the streaming flow caches them once per run so each
+    micro-batch pays only for its own signatures."""
+    docs = corpus_docs.select("doc_id", "text")
+    return {
+        "fp_counts": docs.select(_content_fp(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "banded": _banded_signatures(docs),
+        "shingles": _shingle_sets(docs),
+    }
+
+
+def incremental_decisions(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame | None = None,
+    index: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Shared batch/stream core of incremental ingest dedup: decide
     exact_dup / near_dup / keep for every (doc_id, text) row of
-    ``batch_docs`` against ``corpus_docs`` only. Used by the d11 query
-    and by streaming/ingest.py's foreachBatch flow (where the corpus
-    side is cached across micro-batches)."""
-    toks = _spark_tokens(F.col("text"))
-    fp = F.md5(F.concat_ws(" ", F.slice(toks, 1, 10)))
+    ``batch_docs`` against the corpus only. Pass either the raw
+    ``corpus_docs`` (one-shot batch use, d11) or a prebuilt — and
+    ideally cached — ``index`` from build_corpus_index (streaming use:
+    the index derivations must not be recomputed per micro-batch)."""
+    if index is None:
+        if corpus_docs is None:
+            raise ValueError("need corpus_docs or a prebuilt index")
+        index = build_corpus_index(corpus_docs)
 
-    corpus_fp = (
-        corpus_docs.select(fp.alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     exact = (
-        batch_docs.select("doc_id", fp.alias("fp"))
-        .join(corpus_fp, "fp", "left")
+        batch_docs.select("doc_id", _content_fp(F.col("text")).alias("fp"))
+        .join(index["fp_counts"], "fp", "left")
         .select("doc_id", F.coalesce("n", F.lit(0).cast("long")).alias("n_exact"))
     )
 
@@ -1063,7 +1104,7 @@ def incremental_decisions(batch_docs: DataFrame, corpus_docs: DataFrame) -> Data
         _banded_signatures(batch_docs.select("doc_id", "text"))
         .select(F.col("doc_id").alias("bid"), "band", "bucket")
         .join(
-            _banded_signatures(corpus_docs.select("doc_id", "text")).select(
+            index["banded"].select(
                 F.col("doc_id").alias("cid"), "band", "bucket"
             ),
             ["band", "bucket"],
@@ -1071,11 +1112,6 @@ def incremental_decisions(batch_docs: DataFrame, corpus_docs: DataFrame) -> Data
         .select("bid", "cid")
         .distinct()
     )
-
-    def _shingle_sets(docs: DataFrame) -> DataFrame:
-        return docs.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
-            "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
-        )
 
     union_size = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
     inter_size = F.size("sh_a") + F.size("sh_b") - union_size
@@ -1088,7 +1124,7 @@ def incremental_decisions(batch_docs: DataFrame, corpus_docs: DataFrame) -> Data
             "bid",
         )
         .join(
-            _shingle_sets(corpus_docs).select(
+            index["shingles"].select(
                 F.col("doc_id").alias("cid"), F.col("sh").alias("sh_b")
             ),
             "cid",

@@ -122,9 +122,12 @@ def write_map_json(df: DataFrame, path: str, maptype: str, backup: bool = True) 
     import shutil
     import time
 
-    # limit+1 probe: bounds the check itself (never counts the full table)
-    probe = df.limit(MAP_JSON_MAX_ROWS + 1).count()
-    if probe > MAP_JSON_MAX_ROWS:
+    # limit+1 collect: ONE job gives both the bounded guard and the
+    # rows (a separate count probe would execute the upstream plan
+    # twice, and a source changing between jobs could pass the probe
+    # yet collect unboundedly)
+    rows = df.limit(MAP_JSON_MAX_ROWS + 1).collect()
+    if len(rows) > MAP_JSON_MAX_ROWS:
         raise ValueError(
             f"write_map_json: input exceeds {MAP_JSON_MAX_ROWS} rows — "
             "dimension maps are driver-side by design; route large tables "
@@ -135,8 +138,6 @@ def write_map_json(df: DataFrame, path: str, maptype: str, backup: bool = True) 
         shutil.copy2(path, f"{path}.{int(time.time())}.bak")
 
     key_col = df.columns[0]
-    maps = {
-        row[key_col]: {c: row[c] for c in df.columns[1:]} for row in df.collect()
-    }
+    maps = {row[key_col]: {c: row[c] for c in df.columns[1:]} for row in rows}
     with open(path, "w") as f:
         json.dump({"maptype": maptype, "maps": maps}, f, sort_keys=True)

@@ -11,10 +11,10 @@ micro-batch overwrites rather than duplicates (same idempotency
 discipline as streaming/sinks.upsert_batch).
 
 At scale the corpus side (fingerprints, banded LSH signatures,
-shingle sets) is a persisted index, not a per-batch recompute — the
-caller passes the corpus DataFrame once and should cache()/persist it;
-every micro-batch then only pays for its own signatures plus
-batch-driven joins.
+shingle sets) is a persisted index, not a per-batch recompute — this
+module builds that index once per run via build_corpus_index and
+caches its three DataFrames, so every micro-batch only pays for its
+own signatures plus batch-driven joins.
 """
 
 from __future__ import annotations
@@ -39,20 +39,34 @@ def stream_incremental_dedup(
     ``batch=<id>`` subdirectory, so foreachBatch replays after a crash
     converge instead of appending duplicates. Read results with
     ``spark.read.parquet(out_path + "/batch=*")``.
+
+    The corpus index (fingerprint counts, banded signatures, shingle
+    sets) is built ONCE here and cached, so micro-batches pay only for
+    their own signatures + the batch-driven joins — not a per-batch
+    re-derivation of the corpus side. Call ``.unpersist()`` on the
+    returned query's ``corpus_index`` attribute values when done, or
+    let the session end reclaim them.
     """
-    from dww_data_pipeline_spark.plans.dedup_plans import incremental_decisions
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        build_corpus_index,
+        incremental_decisions,
+    )
+
+    index = {k: df.cache() for k, df in build_corpus_index(corpus_docs).items()}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         decisions = incremental_decisions(
-            batch_df.select("doc_id", "text"), corpus_docs
+            batch_df.select("doc_id", "text"), index=index
         )
         decisions.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch={batch_id}")
         )
 
-    return (
+    query = (
         stream_docs.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+    query.corpus_index = index  # expose for unpersist by the caller
+    return query

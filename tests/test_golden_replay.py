@@ -400,6 +400,27 @@ class TestServingEnvelope:
         row = env.collect()[0]
         assert row["hubs"] == jumps2["hubs"]
 
+    def test_envelope_duplicate_dim_keys_last_wins(self, spark, worked_for):
+        """The reference assembles these dicts by JS assignment (last
+        key wins); duplicate keys in a dim must not throw
+        DUPLICATE_MAP_KEY — they collapse deterministically."""
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+
+        locations = spark.createDataFrame(
+            [
+                ("Weta Digital", "-41.3,174.8", "Wellington"),
+                ("Weta Digital", "-41.9,174.9", "Wellington"),  # dup key
+            ],
+            ["loc_company_name", "geo_loc", "location"],
+        )
+        regions = spark.createDataFrame(
+            [("Wellington", "Oceania")], ["reg_location", "global_region"]
+        )
+        row = export_serving_envelope(
+            worked_for.limit(10), locations, regions
+        ).collect()[0]
+        assert row["locations"] == {"Weta Digital": "-41.9,174.9"}
+
 
 class TestF2ParityDrift:
     """F2: quantified drift between the engine's default JVM-side

@@ -59,6 +59,12 @@ class TestCodec:
         assert decode_image(None) is None
         assert decode_image(b"P6\n9999 9999\n255\nshort") is None  # truncated
 
+    def test_huge_header_tiny_body_rejected_without_allocation(self):
+        # a ~30-byte payload declaring a 100000x100000 image must fail
+        # as a clean ValueError->None (NOT attempt a 30 GB np.empty
+        # that dies with MemoryError inside a Spark task)
+        assert decode_image(b"P3\n100000 100000\n255\n1 2 3") is None
+
     def test_resize_nearest_known_values(self):
         arr = np.array(
             [[[0, 0, 0], [100, 100, 100]], [[200, 200, 200], [50, 50, 50]]],
