@@ -1217,3 +1217,109 @@ def s5_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+_RP_DIMS = 16  # 64 -> 16 Rademacher random projection
+
+
+@register(
+    "e4_embedding_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(
+               f"round({_sql_rademacher_dot(100 + p)} / sqrt({_RP_DIMS}), 6) AS r{p}"
+               for p in range(_RP_DIMS)
+           )}
+    FROM embeddings
+    """,
+    description="Embedding DIMENSIONALITY REDUCTION: 64 -> 16 via a "
+    "Rademacher random projection (+-1/sqrt(k) entries, md5-derived, "
+    "plane ids offset from the LSH family) — the "
+    "Johnson-Lindenstrauss compression a pipeline applies before "
+    "storing/serving billions of vectors (4x storage cut, "
+    "distance-preserving in expectation). Pure per-row column math: "
+    "no shuffle at all; the projection matrix folds to plan-time "
+    "literals (north-star embedding ops)",
+)
+def e4_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.lit(math.sqrt(_RP_DIMS))
+    return e.select(
+        "vec_id",
+        *[
+            F.round(
+                _spark_rademacher_dot(F.col("embedding"), 100 + p) / scale, 6
+            ).alias(f"r{p}")
+            for p in range(_RP_DIMS)
+        ],
+    )
+
+
+@register(
+    "s6_knn_graph",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round({_SQL_COS}, 6) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cos, rank FROM (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    description="kNN-GRAPH construction: every vector's top-3 neighbors "
+    "within its sign-LSH bucket — the graph-building pass clustering / "
+    "semantic-dedup pipelines run over the whole corpus (per-bucket "
+    "candidate generation keeps it Sum(bucket^2), per-src window keeps "
+    "the top-k local; at higher recall, union multiple hash tables). "
+    "Distinct from s1/s4/s5: ALL vectors are queries here (north-star "
+    "similarity search)",
+)
+def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+        "bucket",
+    )
+    da = F.transform(F.col("va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        a.join(b, ["bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", "cos", "rank")
+    )
