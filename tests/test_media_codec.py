@@ -158,3 +158,46 @@ class TestSparkRealPixels:
             and r["cos"] == pytest.approx(1.0)
         }
         assert len(exact) > 50
+
+
+class TestCodecProperties:
+    """Fuzzed roundtrip invariants for the pure-NumPy codec."""
+
+    def test_ppm_roundtrip_fuzz(self):
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+    def test_bmp_roundtrip_fuzz(self):
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_image(encode_bmp(arr)), arr)
+
+    def test_video_split_roundtrip_fuzz(self):
+        rng = np.random.default_rng(13)
+        for _ in range(10):
+            frames = [
+                encode_ppm(
+                    rng.integers(
+                        0, 256,
+                        size=(int(rng.integers(1, 6)), int(rng.integers(1, 6)), 3),
+                        dtype=np.uint8,
+                    )
+                )
+                for _ in range(int(rng.integers(1, 6)))
+            ]
+            assert split_video_frames(b"".join(frames)) == frames
+
+    def test_truncated_payload_fuzz_never_raises(self):
+        """Every prefix of a valid payload either decodes or returns
+        None — no uncaught exception may escape into a Spark task."""
+        payload = encode_ppm(_gradient(3, 4))
+        for cut in range(len(payload)):
+            decode_image(payload[:cut])  # must not raise
+        bmp = encode_bmp(_gradient(3, 4))
+        for cut in range(len(bmp)):
+            decode_image(bmp[:cut])
