@@ -51,6 +51,8 @@ EXTRA = [
     "d10_decontamination",      # eval-set n-gram overlap
     "d11_incremental_dedup",    # snapshot-vs-corpus dedup
     "t11_token_rarity_score",   # corpus-model quality scoring
+    "e4_embedding_random_projection",  # 64->16 JL projection (no shuffle)
+    "s6_knn_graph",             # bucketed all-vectors top-k edges
 ]
 
 
