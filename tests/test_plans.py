@@ -129,3 +129,36 @@ class TestTpchShapePlans:
         plan = _plan(spark, sf_dir, "q19_discounted_revenue")
         assert plan.count("BroadcastHashJoin") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestRound3PlanDiscipline:
+    """Physical-plan assertions for the round-3 scale-path operators."""
+
+    def test_decontamination_broadcasts_eval_grams(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "d10_decontamination")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+    def test_rarity_scoring_broadcasts_model(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "t11_token_rarity_score")
+        assert "BroadcastHashJoin" in plan  # unigram model side
+
+    def test_random_projection_no_shuffle(self, spark, sf_dir):
+        # e4 is per-row column math: the plan must contain NO exchange
+        plan = _plan(spark, sf_dir, "e4_embedding_random_projection")
+        assert "Exchange" not in plan
+
+    def test_bucketed_ann_no_cartesian_or_nested_loop(self, spark, sf_dir):
+        # the whole point of sign-LSH: equi-joins on bucket, never a
+        # nested-loop pair scan
+        for q in ("d7b_embedding_lsh_oracle", "s4_ann_lsh_topk",
+                  "s5_ann_multiprobe_topk", "s6_knn_graph"):
+            plan = _plan(spark, sf_dir, q)
+            assert "BroadcastNestedLoopJoin" not in plan, q
+            assert "CartesianProduct" not in plan, q
+
+    def test_incremental_dedup_batch_driven(self, spark, sf_dir):
+        # exact stage: corpus fingerprint counts broadcast to the batch
+        plan = _plan(spark, sf_dir, "d11_incremental_dedup")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
