@@ -559,13 +559,34 @@ def _spark_cos(va, vb):
     "operators/similarity.py)",
 )
 def d5_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = _spark_cos(F.col("va"), F.col("vb"))
+    # brute force is the LABELED baseline (the verified scale path is
+    # d7b) — but norms still hoist out of the O(n^2) pair loop: same
+    # fold expression as the oracle's inline norms, computed n times
+    # instead of n^2 (84.6 s -> 37.6 s at sf0.1, bit-identical doubles)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    da = F.transform(F.col("va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cos)
+        .withColumn("_cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("_cos") >= 0.3)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
     )
