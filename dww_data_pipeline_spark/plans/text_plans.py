@@ -548,3 +548,75 @@ def t10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.concat(F.lit("strat-seed|"), F.col("doc_id").cast("string")))
     thr = F.when(F.col("lang") == "en", F.lit("80")).otherwise(F.lit("20"))
     return d.filter(F.substring(h, 1, 2) < thr).select("doc_id", "lang")
+
+
+_WIN_K = 4  # k-gram width for winnowing
+_WIN_W = 4  # window width (guarantee: any match >= k+w-1 tokens is caught)
+
+
+@register(
+    "t12_winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform({{}}, g -> substr(md5(g), 1, 8)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_distinct(
+               list_transform(
+                 generate_series(1, len(hs) - {_WIN_W - 1}),
+                 i -> list_aggregate(list_slice(hs, i, i + {_WIN_W - 1}), 'min')
+               )
+             )), ',') AS fps,
+           len(list_distinct(
+             list_transform(
+               generate_series(1, len(hs) - {_WIN_W - 1}),
+               i -> list_aggregate(list_slice(hs, i, i + {_WIN_W - 1}), 'min')
+             )
+           )) AS n_fps
+    FROM grams
+    WHERE len(hs) >= {_WIN_W}
+    """.format(
+        "list_transform(generate_series(1, len("
+        + "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+        + f") - {_WIN_K - 1}), i -> "
+        + " || ' ' || ".join(
+            "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"x -> x <> '')[i+{j}]" if j else
+            "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            "x -> x <> '')[i]"
+            for j in range(_WIN_K)
+        )
+        + ")"
+    ),
+    description="ROLLING-HASH document fingerprinting (winnowing, "
+    "Schleimer et al. / MOSS): k-gram hashes -> min hash per sliding "
+    "window -> distinct selected fingerprints per doc. Position-robust "
+    "partial-overlap detection (any shared run of >= k+w-1 tokens "
+    "shares a fingerprint) — the fingerprint family t4's whole-doc "
+    "hash cannot provide; pure Column expressions, no shuffle "
+    "(north-star document fingerprinting)",
+)
+def t12_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import spark_kgrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = spark_kgrams(F.col("text"), _WIN_K)
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    # generator barrier: bind the hash array once; every window slice
+    # then references the bound attribute instead of re-hashing
+    bound = d.select("doc_id", F.explode(F.array(hashes)).alias("hs")).filter(
+        F.size("hs") >= _WIN_W
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (_WIN_W - 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, _WIN_W)),
+    )
+    fps = F.array_sort(F.array_distinct(wins))
+    return bound.select(
+        "doc_id",
+        F.concat_ws(",", fps).alias("fps"),
+        F.size(fps).alias("n_fps"),
+    )
