@@ -620,3 +620,127 @@ def t12_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", fps).alias("fps"),
         F.size(fps).alias("n_fps"),
     )
+
+
+_T13_QUALITY_SQL = """
+      0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * least(
+          (CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE)
+           / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) * 5.0, 1.0)
+      + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1))
+"""
+
+_T13_TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "t13_corpus_filter_decision",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_T13_TOKS}) AS tok FROM documents
+    ), model AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), rarity AS (
+      SELECT t.doc_id,
+             CAST(SUM(m.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq
+      FROM toks t JOIN model m ON t.tok = m.tok
+      GROUP BY t.doc_id
+    ), signals AS (
+      SELECT d.doc_id,
+             len({_T13_TOKS}) AS n_tok,
+             len(list_distinct({_T13_TOKS})) AS n_distinct,
+             ({_T13_QUALITY_SQL}) AS quality,
+             r.mean_freq
+      FROM documents d LEFT JOIN rarity r ON r.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(
+             list_filter([
+               CASE WHEN n_tok < 10 THEN 'short' ELSE '' END,
+               CASE WHEN quality < 0.5 THEN 'low_quality' ELSE '' END,
+               CASE WHEN n_distinct * 10 < n_tok * 3 THEN 'repetitive' ELSE '' END,
+               CASE WHEN mean_freq IS NOT NULL AND mean_freq > 3000.0
+                    THEN 'generic' ELSE '' END
+             ], x -> x <> '')), ','), '') AS reasons,
+           (n_tok >= 10 AND quality >= 0.5 AND n_distinct * 10 >= n_tok * 3
+            AND (mean_freq IS NULL OR mean_freq <= 3000.0)) AS keep
+    FROM signals
+    """,
+    description="The corpus FILTER GATE a training pipeline ships: one "
+    "decision per document composed from the quality composite (t2), "
+    "integer-exact distinct-token repetition, length, and the "
+    "corpus-model mean-frequency signal (t11's two-pass shape — too "
+    "GENERIC text is as unwanted as too rare). Emits keep + the sorted "
+    "reason list so filtering is auditable (north-star quality "
+    "filtering)",
+)
+def t13_corpus_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks_all = tx.tokens(text)
+    n_tok = F.size(toks_all)
+    n_distinct = F.size(F.array_distinct(toks_all))
+
+    n_tok_q = tx.token_count(text).cast("double")
+    toks_l = tx.tokens(F.lower(text))
+    sw_hits = F.size(
+        F.filter(toks_l, lambda t: t.isin("the", "and", "of", "to", "a"))
+    ).cast("double")
+    sw_ratio = sw_hits / F.greatest(F.size(toks_l), F.lit(1))
+    n = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")).cast("double")
+    quality = (
+        F.lit(0.5) * F.least(n_tok_q / 100.0, F.lit(1.0))
+        + F.lit(0.3) * F.least(sw_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct / F.greatest(n, F.lit(1)))
+    )
+
+    toks = d.select("doc_id", F.explode(tx.tokens(text)).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    rarity = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_freq"
+            )
+        )
+    )
+
+    signals = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct"),
+        quality.alias("quality"),
+    ).join(rarity, "doc_id", "left")
+
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(F.col("n_tok") < 10, F.lit("short")).otherwise(F.lit("")),
+                F.when(F.col("quality") < 0.5, F.lit("low_quality")).otherwise(
+                    F.lit("")
+                ),
+                F.when(
+                    F.col("n_distinct") * 10 < F.col("n_tok") * 3,
+                    F.lit("repetitive"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("mean_freq").isNotNull() & (F.col("mean_freq") > 3000.0),
+                    F.lit("generic"),
+                ).otherwise(F.lit("")),
+            ),
+            lambda x: x != "",
+        )
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_distinct") * 10 >= F.col("n_tok") * 3)
+        & (F.col("mean_freq").isNull() | (F.col("mean_freq") <= 3000.0))
+    )
+    return signals.select(
+        "doc_id", F.concat_ws(",", reasons).alias("reasons"), keep.alias("keep")
+    )
