@@ -1,0 +1,99 @@
+"""END-TO-END LLM preprocessing pipeline: the full DAG a training-data
+team would run on this engine, composed ONLY from registry operators —
+
+    documents
+      -> t13 corpus filter gate   (keep/drop + audited reasons)
+      -> d9-style dedup keep-best (LSH -> components -> best per group)
+      -> t7 chunking              (64-token windows, stride 48)
+      -> partitioned gold write   (pruned reads downstream)
+    embeddings of survivors -> e3 L2 normalize -> gold
+
+Assertions are flow invariants (conservation, ordering, idempotence,
+partition pruning), not re-implementations — the per-operator math is
+already differentially verified against DuckDB by the registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+class TestLlmPipelineEndToEnd:
+    def test_full_preprocessing_dag(self, spark, sf_dir, qs, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("gold")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+
+        # 1. filter gate: keep decisions partition the corpus exactly
+        gate = qs["t13_corpus_filter_decision"](spark, sf_dir).cache()
+        assert gate.count() == n_docs
+        kept = gate.filter(F.col("keep")).select("doc_id")
+        dropped = gate.filter(~F.col("keep"))
+        assert kept.count() + dropped.count() == n_docs
+        # every dropped doc carries at least one audited reason
+        assert dropped.filter(F.col("reasons") == "").count() == 0
+
+        # 2. dedup keep-best over the SURVIVORS: keeper per component
+        best = qs["d9_dedup_keep_best"](spark, sf_dir)
+        survivors = (
+            kept.join(best, "doc_id")
+            .filter(F.col("kept"))
+            .select("doc_id")
+        )
+        n_survivors = survivors.count()
+        assert 0 < n_survivors <= n_docs
+
+        # 3. chunking the surviving docs: every chunk traces to a
+        # survivor, chunk ids dense from 0
+        chunks = qs["t7_chunking"](spark, sf_dir).join(survivors, "doc_id")
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("chunk_id").alias("lo"),
+            F.max("chunk_id").alias("hi"),
+        )
+        bad = per_doc.filter(
+            (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+        )
+        assert bad.count() == 0
+
+        # 4. gold write partitioned by a derived shard; reads prune
+        from dww_data_pipeline_spark.sources.bucketing import write_partitioned
+
+        gold = chunks.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+        write_partitioned(gold, str(tmp / "chunks"), ["shard"])
+        back = spark.read.parquet(str(tmp / "chunks"))
+        assert back.count() == chunks.count()
+        plan = (
+            back.filter(F.col("shard") == 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [isnotnull(shard" in plan
+
+        # 5. embeddings of survivors, L2-normalized for serving —
+        # e3 emits (vec_id, dim, nval) rows; sum of squares per vector
+        # must be 1 (nval rounds to 6 decimals, hence the tolerance)
+        norm = qs["e3_embedding_normalize"](spark, sf_dir)
+        emb_gold = norm.join(
+            survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        sq = emb_gold.groupBy("vec_id").agg(
+            F.sum(F.col("nval") * F.col("nval")).alias("s")
+        )
+        assert sq.count() > 0
+        assert sq.filter(F.abs(F.col("s") - 1.0) > 1e-4).count() == 0
+        gate.unpersist()
+
+    def test_gate_is_idempotent_and_deterministic(self, spark, sf_dir, qs):
+        a = qs["t13_corpus_filter_decision"](spark, sf_dir)
+        b = qs["t13_corpus_filter_decision"](spark, sf_dir)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
