@@ -179,3 +179,40 @@ class TestGoldLayout:
             .count()
         )
         assert joined.count() == want
+
+
+class TestFormatRoundTrips:
+    """S-family widening: the gold layer reads/writes every format the
+    container's Spark ships natively — parquet is the default; ORC,
+    JSON-lines, and header-CSV round-trip with schema fidelity."""
+
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
+            ["k", "name", "weight"],
+        )
+
+    def test_orc_round_trip(self, spark, tmp_path):
+        df = self._dim(spark)
+        path = str(tmp_path / "dim_orc")
+        df.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == df.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_jsonlines_round_trip(self, spark, tmp_path):
+        df = self._dim(spark)
+        path = str(tmp_path / "dim_json")
+        df.write.mode("overwrite").json(path)
+        back = spark.read.schema(df.schema).json(path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_csv_round_trip_with_schema(self, spark, tmp_path):
+        from dww_data_pipeline_spark.sources.files import read_csv_dim
+
+        df = self._dim(spark)
+        path = str(tmp_path / "dim_csv")
+        df.write.mode("overwrite").option("header", True).csv(path)
+        back = read_csv_dim(spark, path, df.schema)
+        assert back.schema == df.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
