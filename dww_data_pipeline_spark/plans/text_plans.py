@@ -744,3 +744,72 @@ def t13_corpus_filter_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signals.select(
         "doc_id", F.concat_ws(",", reasons).alias("reasons"), keep.alias("keep")
     )
+
+
+_PACK_CAP = 512  # tokens per packed training sequence (bin)
+_PACK_BUCKET = 50  # doc_ids per phase-1 range bucket
+
+
+@register(
+    "t14_sequence_packing",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, chunk_id, n_tokens
+      FROM ({_CHUNK_ORACLE.replace(';', '')})
+    ), cum AS (
+      SELECT doc_id, chunk_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start_tok
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens, start_tok,
+           CAST(start_tok // {_PACK_CAP} AS BIGINT) AS bin_id
+    FROM cum
+    """,
+    description="SEQUENCE PACKING: assign every chunk its global token "
+    "offset and fixed-capacity training-bin id (GPT-style concatenate-"
+    "and-cut at {cap} tokens). The global prefix sum is computed the "
+    "SCALE-CORRECT way — phase 1: per-range-bucket running sums "
+    "(partitioned window); phase 2: bucket totals cumulated on the "
+    "tiny bucket table and broadcast back — NO single-partition window "
+    "ever materializes the corpus on one task (north-star training-"
+    "batch assembly)".format(cap=_PACK_CAP),
+)
+def t14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = t7_chunking(spark, sf_dir).select("doc_id", "chunk_id", "n_tokens")
+    bucketed = chunks.withColumn(
+        "_bkt", (F.col("doc_id") / _PACK_BUCKET).cast("long")
+    )
+    # phase 1: running sum WITHIN each range bucket (parallel windows)
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "_local_cum", F.sum("n_tokens").over(w_in).cast("long")
+    )
+    # phase 2: bucket totals -> exclusive cumulative offsets (the bucket
+    # table is tiny by construction -> window over it is cheap; result
+    # broadcast back)
+    totals = local.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "_offset", (F.sum("_tot").over(w_off) - F.col("_tot")).cast("long")
+    ).select("_bkt", "_offset")
+    packed = local.join(F.broadcast(offsets), "_bkt").select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        (F.col("_offset") + F.col("_local_cum") - F.col("n_tokens")).alias(
+            "start_tok"
+        ),
+    )
+    return packed.withColumn(
+        "bin_id", F.floor(F.col("start_tok") / _PACK_CAP).cast("long")
+    )
