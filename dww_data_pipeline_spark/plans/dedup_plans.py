@@ -1344,3 +1344,57 @@ def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("src", "dst", "cos", "rank")
     )
+
+
+@register(
+    "d12_dedup_report",
+    oracle=f"""
+    WITH comp AS (
+      {_D6_ORACLE}
+    ), sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM comp GROUP BY component
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs_in_groups,
+           CAST(SUM(group_size - 1) AS BIGINT) AS n_removable,
+           CAST(CAST(SUM(group_size - 1) AS DOUBLE)
+                / CAST((SELECT n_docs FROM corpus) AS DOUBLE) AS DOUBLE)
+             AS removable_share
+    FROM sizes
+    GROUP BY group_size
+    """,
+    description="DEDUP AUDIT REPORT: duplicate-group size histogram with "
+    "removable-document counts and corpus share — the health summary "
+    "every dedup run publishes before anyone deletes data (composes the "
+    "d6 component labels; integer counts + one final double division "
+    "per row)",
+)
+def d12_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+
+    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_docs_in_groups"),
+            F.sum(F.col("group_size") - 1).alias("n_removable"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "group_size",
+            "n_groups",
+            "n_docs_in_groups",
+            "n_removable",
+            (
+                F.col("n_removable").cast("double") / F.col("n_docs").cast("double")
+            ).alias("removable_share"),
+        )
+    )
