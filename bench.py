@@ -53,6 +53,10 @@ EXTRA = [
     "t11_token_rarity_score",   # corpus-model quality scoring
     "e4_embedding_random_projection",  # 64->16 JL projection (no shuffle)
     "s6_knn_graph",             # bucketed all-vectors top-k edges
+    "t12_winnowing_fingerprints",  # rolling-hash winnowing
+    "t13_corpus_filter_decision",  # composite filter gate
+    "t14_sequence_packing",     # two-phase prefix-sum packing
+    "d12_dedup_report",         # dup-group audit over CC labels
 ]
 
 

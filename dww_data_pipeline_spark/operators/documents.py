@@ -268,3 +268,74 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def frame_features(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, dim: int = 8
+) -> DataFrame:
+    """ONE-PASS video → per-frame feature table: frame split + decode +
+    feature extraction inside a single mapInPandas stage.
+
+    At scale this matters: splitting and decoding in one pass reads the
+    (potentially large) payload bytes once, and frame metadata
+    (index / timestamp / byte length) rides along with the feature —
+    no second scan of the videos and no join to re-attach metadata to
+    features. Fan-out is bounded by ``max_frames``; frames sampled on
+    the ``every_ms`` grid limited by ``duration_ms``, exactly like
+    :func:`sample_frames`.
+    """
+    from dww_data_pipeline_spark.operators.media_codec import split_video_frames
+
+    def _frames_of(payload: bytes) -> list[bytes]:
+        try:
+            return split_video_frames(payload, max_frames=max_frames)
+        except ValueError:
+            n = min(max_frames, max(1, len(payload) // 16))
+            return [
+                payload[(i * len(payload)) // max(n, 1) :][:16] for i in range(n)
+            ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id",
+            "frame_index",
+            "frame_ts_ms",
+            "frame_len",
+            "feature",
+            "decode_ok",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or dur is None:
+                    continue
+                frames = _frames_of(payload)
+                n = min(len(frames), min(max_frames, max(1, int(dur) // every_ms)))
+                for i in range(n):
+                    try:
+                        feat, ok = _decode_features(frames[i], dim), True
+                    except NotImplementedError:
+                        feat, ok = None, False
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame_len"].append(len(frames[i]))
+                    rows["feature"].append(feat)
+                    rows["decode_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)

@@ -437,3 +437,81 @@ def m2_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("video_a").alias("video_id"), "frame_a", "frame_b", "cos"
         )
     )
+
+
+# m3 oracle: every frame of the 3-frame video below is a P3 image whose
+# pixel i is ((doc_id + off) * (3i+7) + i) % 256 (offsets 0/1/7 per
+# frame). The oracle recomputes, WITHOUT parsing any bytes:
+#   frame_len — header 'P3\n2 2\n255\n' (11) + 11 separator spaces +
+#               the digits of the 12 pixel values (the splitter stops
+#               after the last digit token, so the trailing newline
+#               belongs to the inter-frame gap, not the frame),
+#   f0        — mean of channel-0 pixels (i = 0,3,6,9) / 255 with the
+#               decoder's float32 quantization mirrored via CAST(REAL).
+# A drift anywhere in synthesis, the self-delimiting frame SPLIT
+# (wrong boundaries shift every downstream byte), decode, or feature
+# math breaks the hash match.
+_M3_F0_SQL = (
+    "CAST(CAST((("
+    + " + ".join(
+        f"((doc_id + f.off) * {3 * i + 7} + {i}) % 256 / 255.0" for i in (0, 3, 6, 9)
+    )
+    + ") / 4.0) AS REAL) AS DOUBLE)"
+)
+
+_M3_LEN_SQL = (
+    "CAST(22 + "
+    + " + ".join(
+        f"LENGTH(CAST(((doc_id + f.off) * {3 * i + 7} + {i}) % 256 AS VARCHAR))"
+        for i in range(12)
+    )
+    + " AS BIGINT)"
+)
+
+
+@register(
+    "m3_video_frame_features",
+    oracle=f"""
+    SELECT doc_id * 1000 + f.idx AS frame_id,
+           f.idx AS frame_index,
+           CAST(f.idx * 1000 AS BIGINT) AS frame_ts_ms,
+           {_M3_LEN_SQL} AS frame_len,
+           {_M3_F0_SQL} AS f0
+    FROM documents
+    CROSS JOIN (VALUES (0, 0), (1, 1), (2, 7)) AS f(idx, off)
+    WHERE doc_id < 300
+    """,
+    description="ORACLE-CHECKED end-to-end video pipeline: synthesized "
+    "concatenated-PPM videos → ONE-PASS frame split + REAL pixel decode "
+    "+ feature extraction (frame_features: single mapInPandas, payload "
+    "bytes read once, metadata rides with the feature — no join, no "
+    "second scan). The oracle recomputes frame byte-lengths and the "
+    "channel-0 feature from the pixel-generation arithmetic alone, so "
+    "it independently verifies the Python split boundaries and the "
+    "decode/feature math.",
+)
+def m3_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import frame_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    videos = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(
+            _p3_image_expr(F.col("doc_id")),
+            _p3_image_expr(F.col("doc_id") + 1),
+            _p3_image_expr(F.col("doc_id") + 7),
+        ).alias("payload"),
+        F.lit("video/x-ppm-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(3000).cast("long").alias("duration_ms"),
+    )
+    frames = frame_features(videos, every_ms=1000, max_frames=3, dim=8)
+    return frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_index")).alias("frame_id"),
+        "frame_index",
+        "frame_ts_ms",
+        "frame_len",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+    )

@@ -143,6 +143,47 @@ class TestSparkRealPixels:
         assert bytes(out[1]["payload"]) == f1
         assert bytes(out[2]["payload"]) == f0
 
+    def test_frame_features_one_pass_matches_composition(self, spark):
+        """frame_features (single mapInPandas) must agree with the
+        two-stage sample_frames -> extract_media_features composition
+        on every frame's metadata and feature vector."""
+        from dww_data_pipeline_spark.operators.documents import (
+            extract_media_features,
+            frame_features,
+            sample_frames,
+        )
+
+        f0 = encode_ppm(np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+        f1 = encode_ppm(np.full((2, 2, 3), 250, dtype=np.uint8))
+        from dww_data_pipeline_spark.operators.documents import MEDIA_SCHEMA
+
+        rows = [(7, "video", f0 + f1 + f0, None, None, None, 3000)]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+        one_pass = {
+            r["frame_index"]: r
+            for r in frame_features(media, every_ms=1000, max_frames=8).collect()
+        }
+        frames = sample_frames(media, every_ms=1000, max_frames=8)
+        staged = frames.select(
+            (F.col("media_id") * 10 + F.col("frame_index")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            "payload",
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+        two_pass = {
+            r["media_id"] % 10: r for r in extract_media_features(staged).collect()
+        }
+        assert set(one_pass) == set(two_pass) == {0, 1, 2}
+        for idx, row in one_pass.items():
+            assert row["decode_ok"] and two_pass[idx]["decode_ok"]
+            assert row["feature"] == two_pass[idx]["feature"]
+            assert row["frame_ts_ms"] == idx * 1000
+            assert row["frame_len"] == len(f0 if idx != 1 else f1)
+
     def test_m2_pipeline_finds_duplicate_frames(self, spark, sf_dir):
         from dww_data_pipeline_spark.plans.registry import all_queries
 
