@@ -57,6 +57,8 @@ EXTRA = [
     "t13_corpus_filter_decision",  # composite filter gate
     "t14_sequence_packing",     # two-phase prefix-sum packing
     "d12_dedup_report",         # dup-group audit over CC labels
+    "m3_video_frame_features",  # one-pass video frame features
+    "t15_topic_buckets",        # taxonomy bucketing for data mixing
 ]
 
 

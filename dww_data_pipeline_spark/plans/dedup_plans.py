@@ -978,22 +978,35 @@ _DECON_K = 4  # n-gram width: production decontamination uses 8-13-grams
 )
 def d10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tg = (
-        exploded_kgrams(
-            d.filter(F.col("doc_id") % 50 != 0), "text", _DECON_K, carry=("doc_id",)
-        )
-        .select("doc_id", F.md5("gram").alias("g"))
-        .distinct()
-    )
-    eg = (
-        exploded_kgrams(
-            d.filter(F.col("doc_id") % 50 == 0), "text", _DECON_K, carry=("doc_id",)
-        )
+    eval_index = build_eval_gram_index(d.filter(F.col("doc_id") % 50 == 0))
+    return decontamination_hits(d.filter(F.col("doc_id") % 50 != 0), eval_index)
+
+
+def build_eval_gram_index(eval_docs: DataFrame, k: int = _DECON_K) -> DataFrame:
+    """Distinct (eval_id, g) n-gram fingerprints of the held-out eval
+    set — benchmark-sized by construction, so the index is cacheable
+    and broadcastable against every training batch (the streaming twin
+    builds it once per run; see streaming/decontam.py)."""
+    return (
+        exploded_kgrams(eval_docs, "text", k, carry=("doc_id",))
         .select(F.col("doc_id").alias("eval_id"), F.md5("gram").alias("g"))
         .distinct()
     )
+
+
+def decontamination_hits(
+    train_docs: DataFrame, eval_index: DataFrame, k: int = _DECON_K
+) -> DataFrame:
+    """Flag training documents sharing any k-gram with the eval index:
+    (doc_id, n_shared_ngrams, n_eval_docs), clean docs absent. Training
+    grams never shuffle — the eval side broadcasts."""
+    tg = (
+        exploded_kgrams(train_docs, "text", k, carry=("doc_id",))
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
     return (
-        tg.join(F.broadcast(eg), "g")
+        tg.join(F.broadcast(eval_index), "g")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("g").alias("n_shared_ngrams"),

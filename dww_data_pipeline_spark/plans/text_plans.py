@@ -813,3 +813,90 @@ def t14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.withColumn(
         "bin_id", F.floor(F.col("start_tok") / _PACK_CAP).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — taxonomy / topic bucketing (north-star: corpus domain mixing).
+# A keyword taxonomy assigns every document its dominant topic; the
+# per-topic histogram is what a pretraining data-mixing stage consumes.
+# Whole-token matching (split + membership), not substring matching —
+# so 'a' never fires inside 'table'. Ties break by taxonomy priority
+# order, identical CASE chains on both engines; all scores are
+# integers, so cross-engine equality is exact by construction.
+# ---------------------------------------------------------------------------
+
+_TAXONOMY: list[tuple[str, list[str]]] = [
+    ("execution", ["join", "sort", "merge", "hash", "agg", "group", "filter"]),
+    ("storage", ["scan", "table", "row", "column", "part"]),
+    ("streaming", ["stream", "window", "batch"]),
+    ("performance", ["fast", "slow", "big", "small"]),
+]
+
+
+def _topic_filter(kws: list[str]):
+    # single-arg closure factory: default-arg lambdas would receive the
+    # element INDEX as a second argument (see F.transform/F.filter trap)
+    vals = list(kws)
+    return lambda t: t.isin(vals)
+
+
+def _t15_scored_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{kw}'" for kw in kws)
+        + f"], t))) AS s{i}"
+        for i, (_, kws) in enumerate(_TAXONOMY)
+    )
+    mx = "greatest(" + ", ".join(f"s{i}" for i in range(len(_TAXONOMY))) + ")"
+    label = "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
+        f"WHEN s{i} = {mx} THEN '{name}'" for i, (name, _) in enumerate(_TAXONOMY)
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT n_chars, {score_cols} FROM documents
+    )
+    SELECT {label} AS topic,
+           COUNT(*) AS n_docs,
+           CAST(SUM({mx}) AS BIGINT) AS total_hits,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM scored
+    GROUP BY 1
+    """
+
+
+@register(
+    "t15_topic_buckets",
+    oracle=_t15_scored_sql(),
+    description="TAXONOMY BUCKETING: classify every document into its "
+    "dominant topic by whole-token keyword counts (priority-ordered "
+    "tie-break, 'other' when nothing fires) and emit the per-topic "
+    "doc/hit/char histogram a data-mixing stage consumes. Pure Column "
+    "expressions — the per-topic scores stay inside whole-stage "
+    "codegen with NO shuffle until the final tiny topic aggregate "
+    "(scores re-scan the token array per topic rather than exploding "
+    "it: linear work beats shuffling every token at corpus scale).",
+)
+def t15_topic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "n_chars",
+        *[
+            F.size(F.filter(toks, _topic_filter(kws))).alias(f"s{i}")
+            for i, (_, kws) in enumerate(_TAXONOMY)
+        ],
+    )
+    s = [F.col(f"s{i}") for i in range(len(_TAXONOMY))]
+    mx = F.greatest(*s)
+    label = F.when(mx == F.lit(0), F.lit("other"))
+    for i, (name, _) in enumerate(_TAXONOMY):
+        label = label.when(s[i] == mx, F.lit(name))
+    return (
+        scored.select(label.alias("topic"), mx.alias("_hits"), "n_chars")
+        .groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_hits").cast("long").alias("total_hits"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

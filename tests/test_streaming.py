@@ -486,3 +486,57 @@ class TestStreamingIngestDedup:
         assert got == want
         assert len(got) == batch.count()
         corpus.unpersist()
+
+
+class TestStreamingDecontamination:
+    def test_streamed_batches_match_batch_d10(self, spark, sf_dir, tmp_path):
+        """Continuous decontamination: training docs arriving as TWO
+        micro-batches must produce exactly the flags the one-shot batch
+        core produces for the same split — streaming screening equals
+        offline replay."""
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            build_eval_gram_index,
+            decontamination_hits,
+        )
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from dww_data_pipeline_spark.streaming.decontam import stream_decontamination
+
+        d = load_table(spark, str(sf_dir), "documents")
+        eval_docs = d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+        train = d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+
+        stage = tmp_path / "in"
+        stage.mkdir()
+        out = str(tmp_path / "flags")
+        ckpt = str(tmp_path / "ckpt")
+
+        def _add(df, name):
+            dd = tmp_path / name
+            df.coalesce(1).write.mode("overwrite").parquet(str(dd))
+            for f in dd.iterdir():
+                if f.suffix == ".parquet":
+                    os.link(f, stage / f"{name}.parquet")
+
+        def _drain():
+            stream = spark.readStream.schema(train.schema).parquet(str(stage))
+            q = stream_decontamination(stream, eval_docs, out, ckpt)
+            q.awaitTermination(120)
+            q.eval_index.unpersist()
+
+        _add(train.filter(F.col("doc_id") < 250), "early")
+        _drain()
+        _add(train.filter(F.col("doc_id") >= 250), "late")
+        _drain()
+
+        got = {
+            r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+            for r in spark.read.parquet(f"{out}/batch=*").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_shared_ngrams"], r["n_eval_docs"])
+            for r in decontamination_hits(
+                train, build_eval_gram_index(eval_docs)
+            ).collect()
+        }
+        assert got == want
+        assert got, "synthetic corpus must contain at least one hit"
