@@ -59,6 +59,7 @@ EXTRA = [
     "d12_dedup_report",         # dup-group audit over CC labels
     "m3_video_frame_features",  # one-pass video frame features
     "t15_topic_buckets",        # taxonomy bucketing for data mixing
+    "t16_mixture_sample",       # deterministic per-topic admission
 ]
 
 

@@ -840,17 +840,55 @@ def _topic_filter(kws: list[str]):
     return lambda t: t.isin(vals)
 
 
-def _t15_scored_sql() -> str:
-    score_cols = ", ".join(
+def _taxonomy_scored(d: DataFrame, carry: tuple[str, ...]) -> DataFrame:
+    """Per-topic whole-token keyword scores s0..sN as pure Column
+    expressions (shared by t15/t16)."""
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        *carry,
+        *[
+            F.size(F.filter(toks, _topic_filter(kws))).alias(f"s{i}")
+            for i, (_, kws) in enumerate(_TAXONOMY)
+        ],
+    )
+
+
+def _taxonomy_label():
+    """(label, max_score) Columns over s0..sN: priority-ordered argmax
+    with an 'other' floor — the CASE chain mirrors _taxonomy_label_sql
+    clause for clause."""
+    s = [F.col(f"s{i}") for i in range(len(_TAXONOMY))]
+    mx = F.greatest(*s)
+    label = F.when(mx == F.lit(0), F.lit("other"))
+    for i, (name, _) in enumerate(_TAXONOMY):
+        label = label.when(s[i] == mx, F.lit(name))
+    return label, mx
+
+
+def _taxonomy_score_sql() -> str:
+    return ", ".join(
         "len(list_filter(string_split(text, ' '), t -> list_contains(["
         + ", ".join(f"'{kw}'" for kw in kws)
         + f"], t))) AS s{i}"
         for i, (_, kws) in enumerate(_TAXONOMY)
     )
-    mx = "greatest(" + ", ".join(f"s{i}" for i in range(len(_TAXONOMY))) + ")"
-    label = "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
+
+
+def _taxonomy_max_sql() -> str:
+    return "greatest(" + ", ".join(f"s{i}" for i in range(len(_TAXONOMY))) + ")"
+
+
+def _taxonomy_label_sql() -> str:
+    mx = _taxonomy_max_sql()
+    return "CASE WHEN " + mx + " = 0 THEN 'other' " + " ".join(
         f"WHEN s{i} = {mx} THEN '{name}'" for i, (name, _) in enumerate(_TAXONOMY)
     ) + " END"
+
+
+def _t15_scored_sql() -> str:
+    score_cols = _taxonomy_score_sql()
+    mx = _taxonomy_max_sql()
+    label = _taxonomy_label_sql()
     return f"""
     WITH scored AS (
       SELECT n_chars, {score_cols} FROM documents
@@ -878,19 +916,8 @@ def _t15_scored_sql() -> str:
 )
 def t15_topic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    scored = d.select(
-        "n_chars",
-        *[
-            F.size(F.filter(toks, _topic_filter(kws))).alias(f"s{i}")
-            for i, (_, kws) in enumerate(_TAXONOMY)
-        ],
-    )
-    s = [F.col(f"s{i}") for i in range(len(_TAXONOMY))]
-    mx = F.greatest(*s)
-    label = F.when(mx == F.lit(0), F.lit("other"))
-    for i, (name, _) in enumerate(_TAXONOMY):
-        label = label.when(s[i] == mx, F.lit(name))
+    scored = _taxonomy_scored(d, carry=("n_chars",))
+    label, mx = _taxonomy_label()
     return (
         scored.select(label.alias("topic"), mx.alias("_hits"), "n_chars")
         .groupBy("topic")
@@ -899,4 +926,65 @@ def t15_topic_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_hits").cast("long").alias("total_hits"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t16 — static mixture sampling (north-star: data mixing). Given the
+# taxonomy topics and a per-topic sampling rate, admit documents by a
+# DETERMINISTIC content-independent coin: the top 32 bits of
+# md5(doc_id) as a uniform in [0,1). n/2^32 is exact in a double and
+# both engines derive the same integer from the same hex, so the
+# admitted set is bit-identical — reproducible corpus builds, no RNG
+# state, re-runs and backfills pick the same documents.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES: list[tuple[str, float]] = [
+    ("execution", 1.0),
+    ("storage", 0.5),
+    ("streaming", 0.25),
+    ("performance", 0.1),
+    ("other", 0.05),
+]
+
+
+@register(
+    "t16_mixture_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_taxonomy_score_sql()} FROM documents
+    ), labeled AS (
+      SELECT doc_id, {_taxonomy_label_sql()} AS topic FROM scored
+    )
+    SELECT doc_id, topic
+    FROM labeled
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0
+          < CASE topic {" ".join(f"WHEN '{n}' THEN {r}" for n, r in _MIX_RATES)} END
+    """,
+    description="DATA MIXING: admit documents per-topic at configured "
+    "rates using a deterministic md5-derived uniform (top 32 hash bits "
+    "/ 2^32 — exact in a double on both engines), so corpus builds are "
+    "reproducible with no RNG state and identical across re-runs, "
+    "backfills, and engines. Composition of the t15 taxonomy with "
+    "hash-gated admission — one scan, zero shuffle, zero UDFs "
+    "(the DoReMi-style static mixture step).",
+)
+def t16_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = _taxonomy_scored(d, carry=("doc_id",))
+    label, _ = _taxonomy_label()
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(None).cast("double")
+    for name, r in _MIX_RATES:
+        rate = F.when(F.col("topic") == name, F.lit(float(r))).otherwise(rate)
+    return (
+        scored.select("doc_id", label.alias("topic"))
+        .withColumn("_u", u)
+        .filter(F.col("_u") < rate)
+        .select("doc_id", "topic")
     )
