@@ -60,6 +60,7 @@ EXTRA = [
     "m3_video_frame_features",  # one-pass video frame features
     "t15_topic_buckets",        # taxonomy bucketing for data mixing
     "t16_mixture_sample",       # deterministic per-topic admission
+    "t17_curriculum_deciles",   # per-source quality deciles
 ]
 
 

@@ -301,25 +301,20 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t2_quality_scores",
-    oracle="""
-    SELECT doc_id,
+# identical double-op order on both engines → bit-exact quality score
+# (shared by t2 and the t17 curriculum deciles)
+_QUALITY_SQL = """
       0.5 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
       + 0.3 * least(
           (CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                 x -> list_contains(['the','and','of','to','a'], x))) AS DOUBLE)
            / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) * 5.0, 1.0)
       + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
-                     / greatest(length(text), 1)) AS quality
-    FROM documents
-    """,
-    description="Text quality scoring: length + stopword + punctuation "
-    "composite (north-star quality scoring); identical double-op order on "
-    "both sides → bit-exact",
-)
-def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+                     / greatest(length(text), 1))
+"""
+
+
+def _quality_col():
     text = F.col("text")
     n_tok = tx.token_count(text).cast("double")
     toks = tx.tokens(F.lower(text))
@@ -330,12 +325,27 @@ def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length(text)
     punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")).cast("double")
     pr = punct / F.greatest(n, F.lit(1))
-    quality = (
+    return (
         F.lit(0.5) * F.least(n_tok / 100.0, F.lit(1.0))
         + F.lit(0.3) * F.least(sw_ratio * 5.0, F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - pr)
     )
-    return d.select("doc_id", quality.alias("quality"))
+
+
+@register(
+    "t2_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+      {_QUALITY_SQL} AS quality
+    FROM documents
+    """,
+    description="Text quality scoring: length + stopword + punctuation "
+    "composite (north-star quality scoring); identical double-op order on "
+    "both sides → bit-exact",
+)
+def t2_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _quality_col().alias("quality"))
 
 
 def _lang_oracle() -> str:
@@ -987,4 +997,34 @@ def t16_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_u", u)
         .filter(F.col("_u") < rate)
         .select("doc_id", "topic")
+    )
+
+
+@register(
+    "t17_curriculum_deciles",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, source, quality,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS BIGINT) AS decile
+    FROM q
+    """,
+    description="CURRICULUM BUCKETING: per-source quality deciles "
+    "(deterministic tie-break on doc_id) — the bucket assignment a "
+    "quality-curriculum / annealing schedule consumes. Partitioned "
+    "window, so sources sort in parallel; for very low source "
+    "cardinality at corpus scale, swap in the t14 two-phase pattern "
+    "(per-range local ranks + tiny offset table) to avoid fat window "
+    "partitions.",
+)
+def t17_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        d.select("doc_id", "source", _quality_col().alias("quality"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
     )
