@@ -61,6 +61,7 @@ EXTRA = [
     "t15_topic_buckets",        # taxonomy bucketing for data mixing
     "t16_mixture_sample",       # deterministic per-topic admission
     "t17_curriculum_deciles",   # per-source quality deciles
+    "d13_snapshot_diff",        # cross-snapshot corpus delta
 ]
 
 

@@ -1411,3 +1411,54 @@ def d12_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removable_share"),
         )
     )
+
+
+@register(
+    "d13_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp_old
+      FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)
+               AS fp_new
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp_old IS NULL THEN 'added'
+                WHEN n.fp_new IS NULL THEN 'removed'
+                WHEN o.fp_old <> n.fp_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    description="SNAPSHOT DIFF: classify every document across two "
+    "corpus snapshots as added / removed / changed / unchanged by "
+    "full-outer-joining 16-byte content fingerprints on doc_id — the "
+    "audit a pipeline runs between crawl snapshots to drive "
+    "incremental re-processing (only 'added'+'changed' flow "
+    "downstream). Scale shape: only (doc_id, fingerprint) pairs ever "
+    "shuffle, never document bytes; the diff is one sort-merge join "
+    "at ~32 bytes/doc. Snapshots modeled as overlapping doc_id "
+    "slices; %11 docs carry edited text in the new snapshot.",
+)
+def d13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(new_text).alias("fp_new")
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return old.join(new, "doc_id", "full_outer").select(
+        "doc_id", status.alias("status")
+    )

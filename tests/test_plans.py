@@ -162,3 +162,31 @@ class TestRound3PlanDiscipline:
         plan = _plan(spark, sf_dir, "d11_incremental_dedup")
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestLateRound3PlanDiscipline:
+    """Physical-plan assertions for the late round-3 operators."""
+
+    def test_mixture_sample_no_shuffle(self, spark, sf_dir):
+        # t16 is scan + per-row scoring + hash-gated filter: NO exchange
+        plan = _plan(spark, sf_dir, "t16_mixture_sample")
+        assert "Exchange" not in plan
+
+    def test_topic_buckets_single_tiny_shuffle(self, spark, sf_dir):
+        # t15's only exchange is the final per-topic aggregate
+        plan = _plan(spark, sf_dir, "t15_topic_buckets")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_curriculum_deciles_partitioned_window(self, spark, sf_dir):
+        # one shuffle on source for the window; never a single-partition
+        # global sort (Exchange SinglePartition)
+        plan = _plan(spark, sf_dir, "t17_curriculum_deciles")
+        assert "SinglePartition" not in plan
+
+    def test_frame_features_single_python_stage(self, spark, sf_dir):
+        # m3's split+decode+features fuse into ONE mapInPandas stage
+        # and nothing joins back: no exchange, one python evaluation
+        plan = _plan(spark, sf_dir, "m3_video_frame_features")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+        assert "Join" not in plan
