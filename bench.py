@@ -62,6 +62,7 @@ EXTRA = [
     "t16_mixture_sample",       # deterministic per-topic admission
     "t17_curriculum_deciles",   # per-source quality deciles
     "d13_snapshot_diff",        # cross-snapshot corpus delta
+    "e5_embedding_gram",        # fixed-point 64x64 second-moment matrix
 ]
 
 

@@ -355,3 +355,50 @@ def t11_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rarest_freq",
     )
+
+
+@register(
+    "e5_embedding_gram",
+    oracle="""
+    SELECT i.i AS i, j.j AS j,
+           CAST(SUM(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                               * CAST(embedding[j.j + 1] AS DOUBLE)
+                               * 1e8) AS BIGINT)) AS BIGINT) AS s_fp
+    FROM embeddings
+    CROSS JOIN generate_series(0, 63) AS i(i)
+    CROSS JOIN generate_series(0, 63) AS j(j)
+    GROUP BY 1, 2
+    """,
+    description="EMBEDDING GRAM MATRIX (PCA / whitening prep): the "
+    "64x64 second-moment matrix sum(x_i * x_j) over all vectors, "
+    "accumulated in fixed-point (floor(prod * 1e8) as BIGINT — exact "
+    "and partition-order-proof, see the float-sum parity rule). One "
+    "generator + map-side partial aggregation: each task folds its "
+    "vectors into 4096 cells before the shuffle, so the exchange "
+    "carries 4096 rows per partition regardless of corpus size — the "
+    "driver-side eigendecomposition then runs on a 64x64 matrix. The "
+    "nested transform closes over the RAW column (no computed "
+    "subtree), so nothing is re-evaluated per element.",
+)
+def e5_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    outer = F.flatten(
+        F.transform(
+            emb,
+            lambda xi: F.transform(
+                emb, lambda xj: xi.cast("double") * xj.cast("double")
+            ),
+        )
+    )
+    fixed = F.transform(outer, lambda v: F.floor(v * F.lit(1e8)).cast("long"))
+    flat = e.select(F.posexplode(fixed).alias("pos", "v"))
+    return (
+        flat.groupBy("pos")
+        .agg(F.sum("v").alias("s_fp"))
+        .select(
+            F.floor(F.col("pos") / 64).cast("long").alias("i"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("long").alias("j"),
+            "s_fp",
+        )
+    )
