@@ -183,6 +183,15 @@ class TestLateRound3PlanDiscipline:
         plan = _plan(spark, sf_dir, "t17_curriculum_deciles")
         assert "SinglePartition" not in plan
 
+    def test_gram_matrix_partial_agg_before_shuffle(self, spark, sf_dir):
+        # e5's exchange must carry only the 4096 partially-aggregated
+        # cells, never the exploded outer products
+        plan = _plan(spark, sf_dir, "e5_embedding_gram")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Generate" in plan  # posexplode stays pre-shuffle
+        first_exchange = plan.index("Exchange hashpartitioning")
+        assert "HashAggregate" in plan[:first_exchange]  # partial agg
+
     def test_frame_features_single_python_stage(self, spark, sf_dir):
         # m3's split+decode+features fuse into ONE mapInPandas stage
         # and nothing joins back: no exchange, one python evaluation
