@@ -63,6 +63,8 @@ EXTRA = [
     "t17_curriculum_deciles",   # per-source quality deciles
     "d13_snapshot_diff",        # cross-snapshot corpus delta
     "e5_embedding_gram",        # fixed-point 64x64 second-moment matrix
+    "dq5_skew_profile",         # heavy-hitter join-key diagnosis
+    "e6_pca_project",           # Gram -> eigh -> literal-folded projection
 ]
 
 

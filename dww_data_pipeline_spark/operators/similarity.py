@@ -415,3 +415,70 @@ def brute_force_topk_arrow(
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
     return _topk(scored, query_id, id_col, k)
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8, dim: int = 64
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal directions of the corpus second-moment matrix.
+
+    Same driver-bounded-training shape as the IVF quantizer: the
+    DISTRIBUTED part reduces the corpus to a dim x dim Gram matrix
+    (map-side partial aggregation — the shuffle carries dim^2 cells per
+    partition, never vectors; see e5_embedding_gram), the collect is
+    bounded at dim^2 rows by construction, and the eigendecomposition
+    runs driver-side on the tiny matrix. Accumulation is fixed-point
+    (floor(prod * 1e8) as BIGINT), so the Gram matrix — and therefore
+    the components — is deterministic across runs and partitionings.
+    Eigenvector signs are canonicalized (largest-|w| entry positive).
+    Returns (components, eigenvalues), components ordered by
+    descending eigenvalue.
+    """
+    emb = F.col(vec_col)
+    outer = F.flatten(
+        F.transform(
+            emb,
+            lambda xi: F.transform(
+                emb, lambda xj: xi.cast("double") * xj.cast("double")
+            ),
+        )
+    )
+    fixed = F.transform(outer, lambda v: F.floor(v * F.lit(1e8)).cast("long"))
+    cells = (
+        df.select(F.posexplode(fixed).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .collect()  # bounded: dim*dim rows
+    )
+    g = np.zeros((dim, dim))
+    for r in cells:
+        g[r["pos"] // dim][r["pos"] % dim] = r["s"] / 1e8
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    comps: list[list[float]] = []
+    for o in order:
+        v = vecs[:, o]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[o]) for o in order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project vectors onto the given components — the matrix folds to
+    plan-time literals exactly like the Rademacher projection (e4):
+    pure per-row column math, zero shuffle, zero UDFs."""
+    emb = F.col(vec_col)
+    cols = []
+    for p, comp in enumerate(components):
+        s = None
+        for i, w in enumerate(comp):
+            term = F.get(emb, i).cast("double") * F.lit(float(w))
+            s = term if s is None else s + term
+        cols.append(s.alias(f"{out_prefix}{p}"))
+    return df.select("*", *cols)

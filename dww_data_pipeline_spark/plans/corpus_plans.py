@@ -402,3 +402,30 @@ def e5_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_fp",
         )
     )
+
+
+@register(
+    "e6_pca_project",
+    oracle=None,
+    description="PCA PROJECTION (rows-only: the eigendecomposition is "
+    "not SQL-expressible; determinism + math properties are pytest-"
+    "verified instead): embeddings projected onto the top-8 principal "
+    "directions of the corpus. Two-phase scale shape — the distributed "
+    "pass reduces the corpus to the 64x64 FIXED-POINT Gram matrix "
+    "(deterministic across runs/partitionings, map-side partial agg), "
+    "the driver eigendecomposes the tiny matrix, and the projection "
+    "folds to plan-time literals (zero shuffle, zero UDFs) — the "
+    "data-driven counterpart of the e4 random projection.",
+)
+def e6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(e, "embedding", k=8, dim=64)
+    out = pca_project(e, comps, "embedding")
+    return out.select(
+        "vec_id", *[F.round(F.col(f"pc{p}"), 6).alias(f"pc{p}") for p in range(8)]
+    )

@@ -528,3 +528,44 @@ def dq4_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l1_drift"),
         )
     )
+
+
+@register(
+    "dq5_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c
+    )
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, t
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+    description="SKEW PROFILE: heavy-hitter diagnosis for a join/agg "
+    "key — top-20 user_ids by event count with their share of the "
+    "total, the report that decides whether a key needs salting "
+    "(operators/skew.py) or AQE skew-join handling before a 100 TB "
+    "run. One partial-agg shuffle on the key; the total joins back as "
+    "a broadcast literal, and the top-k is a TakeOrdered, never a "
+    "global single-partition sort.",
+)
+def dq5_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(20)
+    )

@@ -234,3 +234,38 @@ class TestArrowBucketScorer:
             for x, y in zip(e, a):
                 assert x[:3] == y[:3], (fn.__name__, x, y)
                 assert abs(x[3] - y[3]) <= 2e-6, (fn.__name__, x, y)
+
+
+class TestPcaProjection:
+    def test_components_orthonormal_and_sorted(self, spark, sf_dir):
+        import numpy as np
+
+        from dww_data_pipeline_spark.operators.similarity import pca_components
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        e = load_table(spark, str(sf_dir), "embeddings")
+        comps, vals = pca_components(e, "embedding", k=8, dim=64)
+        m = np.array(comps)
+        assert np.allclose(m @ m.T, np.eye(8), atol=1e-8)
+        assert vals == sorted(vals, reverse=True)
+        # deterministic: a second run reproduces the components exactly
+        comps2, vals2 = pca_components(e, "embedding", k=8, dim=64)
+        assert comps == comps2 and vals == vals2
+
+    def test_projection_variance_descends(self, spark, sf_dir):
+        import numpy as np
+
+        from dww_data_pipeline_spark.operators.similarity import (
+            pca_components,
+            pca_project,
+        )
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        e = load_table(spark, str(sf_dir), "embeddings")
+        comps, _ = pca_components(e, "embedding", k=4, dim=64)
+        rows = pca_project(e, comps, "embedding").select("pc0", "pc1", "pc2", "pc3").collect()
+        arr = np.array([[r[f"pc{i}"] for i in range(4)] for r in rows])
+        second_moments = (arr * arr).mean(axis=0)
+        assert all(
+            second_moments[i] >= second_moments[i + 1] - 1e-9 for i in range(3)
+        ), second_moments
