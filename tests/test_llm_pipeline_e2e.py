@@ -97,3 +97,52 @@ class TestLlmPipelineEndToEnd:
         a = qs["t13_corpus_filter_decision"](spark, sf_dir)
         b = qs["t13_corpus_filter_decision"](spark, sf_dir)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestIncrementalRefreshEndToEnd:
+    def test_incremental_refresh_dag(self, spark, sf_dir, qs):
+        """Compose the late round-3 stages the way a periodic corpus
+        refresh runs them: snapshot diff -> decontaminate only the new
+        work -> mixture admission -> curriculum deciles."""
+        diff = qs["d13_snapshot_diff"](spark, sf_dir).cache()
+        # statuses must match the synthetic snapshot construction
+        assert diff.filter(
+            (F.col("status") == "changed") & (F.col("doc_id") % 11 != 0)
+        ).count() == 0
+        assert diff.filter(
+            (F.col("status") == "removed") & (F.col("doc_id") % 5 != 0)
+        ).count() == 0
+        assert diff.filter(
+            (F.col("status") == "added") & (F.col("doc_id") % 7 != 0)
+        ).count() == 0
+        work = diff.filter(F.col("status").isin("added", "changed")).select("doc_id")
+        n_work = work.count()
+        assert n_work > 0
+
+        # only the work set is screened against the eval slice — the
+        # point of the diff is that unchanged docs are never reprocessed
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            build_eval_gram_index,
+            decontamination_hits,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        eval_docs = d.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+        work_docs = d.join(work, "doc_id").select("doc_id", "text")
+        flags = decontamination_hits(work_docs, build_eval_gram_index(eval_docs))
+        clean = work.join(flags.select("doc_id"), "doc_id", "left_anti")
+        assert clean.count() + flags.count() == n_work  # flags partition work
+
+        # mixture admission restricted to the clean work docs
+        sample = qs["t16_mixture_sample"](spark, sf_dir).join(clean, "doc_id")
+        n_admitted = sample.count()
+        assert 0 < n_admitted <= clean.count()
+
+        # curriculum deciles cover every admitted doc with a valid bucket
+        dec = qs["t17_curriculum_deciles"](spark, sf_dir).join(
+            sample.select("doc_id"), "doc_id"
+        )
+        assert dec.count() == n_admitted
+        rng = dec.agg(F.min("decile").alias("lo"), F.max("decile").alias("hi")).collect()[0]
+        assert 1 <= rng["lo"] and rng["hi"] <= 10
+        diff.unpersist()
