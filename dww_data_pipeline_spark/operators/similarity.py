@@ -435,11 +435,16 @@ def pca_components(
     descending eigenvalue.
     """
     emb = F.col(vec_col)
+    # symmetry: generate only the upper triangle (dim*(dim+1)/2 cells,
+    # half the work of the full matrix) and mirror driver-side. The
+    # two-arg transform lambda receives (element, index) — the one
+    # place that calling convention is what we want.
     outer = F.flatten(
         F.transform(
             emb,
-            lambda xi: F.transform(
-                emb, lambda xj: xi.cast("double") * xj.cast("double")
+            lambda xi, i: F.transform(
+                F.slice(emb, i + 1, F.lit(dim) - i),
+                lambda xj: xi.cast("double") * xj.cast("double"),
             ),
         )
     )
@@ -448,11 +453,19 @@ def pca_components(
         df.select(F.posexplode(fixed).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.sum("v").alias("s"))
-        .collect()  # bounded: dim*dim rows
+        .collect()  # bounded: dim*(dim+1)/2 rows
     )
+    # flattened upper-triangle position -> (i, j)
+    offsets = [0] * dim
+    for i in range(1, dim):
+        offsets[i] = offsets[i - 1] + (dim - (i - 1))
     g = np.zeros((dim, dim))
     for r in cells:
-        g[r["pos"] // dim][r["pos"] % dim] = r["s"] / 1e8
+        pos = r["pos"]
+        i = max(k for k in range(dim) if offsets[k] <= pos)
+        j = i + (pos - offsets[i])
+        g[i][j] = r["s"] / 1e8
+        g[j][i] = g[i][j]
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:k]
     comps: list[list[float]] = []
