@@ -199,3 +199,10 @@ class TestLateRound3PlanDiscipline:
         assert plan.count("MapInPandas") == 1
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+    def test_skew_profile_topk_never_global_sort(self, spark, sf_dir):
+        # dq5's top-20 must be a TakeOrdered, not a single-partition
+        # sort of all keys; the total joins back as a broadcast
+        plan = _plan(spark, sf_dir, "dq5_skew_profile")
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
