@@ -65,6 +65,12 @@ def _decode_ppm(payload: bytes, start: int = 0) -> tuple[np.ndarray, int]:
     magic, (w, h, maxval), pos = _parse_ppm_header(payload, start)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
+    if w <= 0 or h <= 0:
+        # A (h, 0, 3) array is header-valid but poisons everything
+        # downstream (resize indexes into an empty axis, features go
+        # NaN); treat degenerate dims as malformed so callers take the
+        # fallback path.
+        raise ValueError(f"degenerate PPM dims {w}x{h}")
     n = w * h * 3
     if magic == b"P6":
         body = payload[pos : pos + n]
@@ -92,7 +98,15 @@ def _decode_ppm(payload: bytes, start: int = 0) -> tuple[np.ndarray, int]:
                 pos += 1
             if not num:
                 raise ValueError("truncated P3 body")
-            vals[got] = int(num)
+            # int(num) is an unbounded Python int; a sample like
+            # b"1234567890123456789012" would overflow the int64 store
+            # below with an OverflowError that escapes the ValueError-only
+            # catches in decode_image / split_video_frames and kills the
+            # Spark task. Any sample above maxval is malformed anyway.
+            sample = int(num) if len(num) <= 9 else maxval + 1
+            if sample > maxval:
+                raise ValueError(f"P3 sample {num[:16]!r}... exceeds maxval {maxval}")
+            vals[got] = sample
             got += 1
         arr = vals.astype(np.uint8).reshape(h, w, 3)
         return arr, pos
@@ -112,6 +126,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dims {w}x{h}")
     row_bytes = (w * 3 + 3) & ~3
     need = data_off + row_bytes * h
     if len(payload) < need:

@@ -252,16 +252,20 @@ def export_serving_envelope(
         # the reference assembles these dicts with plain JS assignment
         # (last key wins); map_from_entries THROWS on duplicate keys
         # under the default mapKeyDedupPolicy, so collapse duplicates
-        # first — max per key as the deterministic stand-in for the
-        # reference's file-order "last"
-        return (
-            df.groupBy(key.alias("_k"))
-            .agg(F.max(value).alias("_v"))
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("_k", "_v")))
-                ).alias(alias)
+        # first. When the source carries a `_row_order` column
+        # (read_csv_dim(with_row_order=True)) this is TRUE file-order
+        # last-wins via max_by; otherwise max(value) is the documented
+        # deterministic stand-in.
+        if "_row_order" in df.columns:
+            collapsed = df.groupBy(key.alias("_k")).agg(
+                F.max_by(value, F.col("_row_order")).alias("_v")
             )
+        else:
+            collapsed = df.groupBy(key.alias("_k")).agg(F.max(value).alias("_v"))
+        return collapsed.agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("_k", "_v")))
+            ).alias(alias)
         )
 
     locations_doc = _map_doc(

@@ -56,13 +56,29 @@ def read_credits_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CREDITS_SCHEMA).json(path)
 
 
-def read_csv_dim(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+def read_csv_dim(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    with_row_order: bool = False,
+) -> DataFrame:
     """S3: header CSV dimension read (reference
-    utils/companyLocationCsvToJson.py:27-55)."""
+    utils/companyLocationCsvToJson.py:27-55).
+
+    ``with_row_order=True`` appends a ``_row_order`` long column
+    reproducing file line order, so downstream map assembly can apply
+    the reference's JS last-assignment-wins on duplicate keys
+    (dwwApi.js:123). Dimension files are single-split by construction,
+    where ``monotonically_increasing_id`` is exactly the line number;
+    across splits it remains monotone in (split, line) order.
+    """
     reader = spark.read.option("header", True)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.csv(path)
+    df = reader.csv(path)
+    if with_row_order:
+        df = df.withColumn("_row_order", F.monotonically_increasing_id())
+    return df
 
 
 def read_map_json(

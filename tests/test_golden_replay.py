@@ -421,6 +421,31 @@ class TestServingEnvelope:
         ).collect()[0]
         assert row["locations"] == {"Weta Digital": "-41.9,174.9"}
 
+    def test_envelope_row_order_true_last_wins(self, spark, worked_for, tmp_path):
+        """With a `_row_order` column (read_csv_dim with_row_order=True)
+        the envelope reproduces the reference's FILE-ORDER last-wins,
+        even when the file's last value is NOT the lexicographic max
+        (the case where the max(value) stand-in diverges)."""
+        from dww_data_pipeline_spark.pipeline import export_serving_envelope
+        from dww_data_pipeline_spark.sources.files import read_csv_dim
+
+        csv = tmp_path / "locs.csv"
+        csv.write_text(
+            "loc_company_name,geo_loc,location\n"
+            "Weta Digital,\"-49.9,174.9\",Wellington\n"
+            "Weta Digital,\"-41.3,174.8\",Wellington\n"  # file-last, sorts LOWER
+        )
+        locations = read_csv_dim(spark, str(csv), with_row_order=True)
+        regions = spark.createDataFrame(
+            [("Wellington", "Oceania")], ["reg_location", "global_region"]
+        )
+        row = export_serving_envelope(
+            worked_for.limit(10), locations, regions
+        ).collect()[0]
+        # max(value) would pick "-49.9,174.9"; true last-wins picks the
+        # file's final assignment, matching dwwApi.js:123
+        assert row["locations"] == {"Weta Digital": "-41.3,174.8"}
+
 
 class TestF2ParityDrift:
     """F2: quantified drift between the engine's default JVM-side

@@ -65,6 +65,35 @@ class TestCodec:
         # that dies with MemoryError inside a Spark task)
         assert decode_image(b"P3\n100000 100000\n255\n1 2 3") is None
 
+    def test_p3_overlong_sample_is_valueerror_not_overflow(self):
+        # a >19-digit ASCII sample used to overflow the int64 store with
+        # an OverflowError that escaped the ValueError-only catches and
+        # killed the whole Spark task on one adversarial payload
+        payload = b"P3\n1 1\n255\n12345678901234567890123 0 0"
+        assert decode_image(payload) is None
+        with pytest.raises(ValueError):
+            split_video_frames(payload)
+
+    def test_p3_sample_above_maxval_rejected(self):
+        assert decode_image(b"P3\n1 1\n255\n256 0 0") is None
+
+    def test_zero_dimension_images_rejected(self):
+        # header-valid zero-dim payloads decode to (h, 0, 3) arrays that
+        # crash resize (IndexError) and NaN-poison features downstream
+        assert decode_image(b"P6\n0 5\n255\n") is None
+        assert decode_image(b"P6\n5 0\n255\n") is None
+        assert decode_image(b"P3\n0 0\n255\n") is None
+        # zero-dim BMP: patch width bytes of an otherwise valid header
+        bmp = bytearray(encode_bmp(_gradient(2, 2)))
+        bmp[18:22] = (0).to_bytes(4, "little", signed=True)
+        assert decode_image(bytes(bmp)) is None
+        bmp = bytearray(encode_bmp(_gradient(2, 2)))
+        bmp[22:26] = (0).to_bytes(4, "little", signed=True)
+        assert decode_image(bytes(bmp)) is None
+        bmp = bytearray(encode_bmp(_gradient(2, 2)))
+        bmp[18:22] = (-3).to_bytes(4, "little", signed=True)  # negative width
+        assert decode_image(bytes(bmp)) is None
+
     def test_resize_nearest_known_values(self):
         arr = np.array(
             [[[0, 0, 0], [100, 100, 100]], [[200, 200, 200], [50, 50, 50]]],
