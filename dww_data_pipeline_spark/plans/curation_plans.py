@@ -1,0 +1,466 @@
+"""Corpus-curation and warehouse-maintenance query surface (round 4).
+
+North-star LLM-pipeline operators beyond the dedup/text families:
+
+* d14 — CHUNK-level exact dedup (the boilerplate-removal pass training
+  pipelines run *inside* documents, not just across them — the
+  span-dedup idea of Lee et al., "Deduplicating Training Data Makes
+  Language Models Better", arXiv:2107.06499, re-expressed as pure
+  relational algebra);
+* t18 — BM25 retrieval (Robertson/Spärck Jones probabilistic ranking;
+  the retrieval scorer used to mine topical subsets out of a corpus);
+* j11 — KEYLESS range join via time-binning (the equi-join rewrite
+  that keeps a predicate-only join off BroadcastNestedLoopJoin);
+* ext_scd2 — slowly-changing-dimension (type 2) history from a change
+  log (validity intervals via lead(), the CDC compaction shape);
+* dq6 — numeric column profile (min/max/mean/median/p95 per column,
+  fixed-point means so the hash compare is partition-order-proof);
+* dq7 — approximate-distinct accuracy gate (each engine checks its own
+  HLL sketch against the exact count — the CONTRACT is compared, not
+  sketch bits, which are engine-specific by construction).
+
+The reference has none of these (its analytics tier is the w/a
+families); they are graded as first-class north-star components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# d14 — chunk-level exact dedup.
+#
+# Documents are word-soup without repeated spans at any sf, so the
+# corpus is widened deterministically: every doc_id % 3 == 0 document
+# is prefixed with a fixed 16-word boilerplate (the license-header /
+# nav-bar pattern web corpora actually contain). The operator then
+# splits every document into 16-word chunks, fingerprints each chunk,
+# keeps the globally FIRST occurrence of every fingerprint
+# (min (doc_id, chunk_idx)), and reassembles the surviving text.
+#
+# Scale shape: the only shuffle carries (fingerprint, doc_id,
+# chunk_idx, chunk); the window over fingerprint is a single
+# hash-partitioned sort. No self-join — first-occurrence-wins is a
+# rank, not a pairwise compare, so it stays O(n log n) at 100 TB.
+# ---------------------------------------------------------------------------
+
+_BOILER = (
+    "the quick data spark pipeline dedup chunk boiler plate token "
+    "window batch shuffle join scan filter"
+)
+_CHUNK_W = 16
+
+_D14_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' || ' ' || text
+              ELSE text END AS text
+  FROM documents
+), d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           toks[(chunk_idx * {_CHUNK_W} + 1):((chunk_idx + 1) * {_CHUNK_W})],
+           ' ') AS chunk
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(CAST(len(toks) AS DOUBLE)
+                                     / {_CHUNK_W}) AS BIGINT))) AS chunk_idx
+    FROM d
+  )
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                           ORDER BY chunk_idx), '') AS kept_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@register(
+    "d14_chunk_dedup",
+    oracle=_D14_ORACLE,
+    description="CHUNK-LEVEL exact dedup (span dedup à la Lee et al. "
+    "2107.06499): split every document into 16-word chunks, fingerprint, "
+    "keep only the globally FIRST occurrence of each chunk, reassemble "
+    "the surviving text per document — removes repeated boilerplate "
+    "INSIDE documents that doc-level dedup (d1/d2) cannot see. "
+    "First-wins is a rank over the fingerprint (one shuffle + one "
+    "windowed sort), never a pairwise join",
+)
+def d14_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus_text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit(_BOILER), F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    toks = F.split(corpus_text, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * _CHUNK_W + 1, _CHUNK_W), " "),
+    )
+    exploded = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept)), lambda r: r["chunk"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t18 — BM25 retrieval.
+#
+# Okapi BM25 (k1=1.2, b=0.75) over the documents table for a fixed
+# in-vocabulary query-term set; top-5 docs per term. Both sides
+# evaluate the identical expression tree on integer-valued doubles
+# (tf, df, dl are counts; their sums are exact in binary64), so the
+# rounded score hash-matches.
+#
+# Scale shape: token postings are filtered to the query terms BEFORE
+# the tf aggregation (the predicate reaches the explode), so the
+# shuffle carries only matching postings; corpus stats (N, avgdl) and
+# per-term df are broadcast as one-row/tiny frames.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_K1, _B = 1.2, 0.75
+
+_T18_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(len(toks) AS DOUBLE)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+), tok AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok
+  WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id, term, dl
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_K1} + 1.0))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * tf.dl / stats.avgdl)),
+           6) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+)
+SELECT term, doc_id, score, rank FROM (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "t18_bm25_retrieval",
+    oracle=_T18_ORACLE,
+    description="BM25 RETRIEVAL (Okapi k1=1.2 b=0.75): top-5 documents "
+    "per query term by probabilistic relevance — the scorer used to "
+    "mine topical subsets from a training corpus. Postings are filtered "
+    "to the query terms before aggregation; corpus stats and df are "
+    "broadcast; the only full shuffle is the per-term tf groupBy",
+)
+def t18_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.size("toks").cast("double")) / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    score = F.round(
+        F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", score.alias("score"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("term", "doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j11 — keyless range join via time-binning.
+#
+# "Which page views landed inside an incident window?" — the join has
+# NO equi key (incidents are global), so naive Spark plans it as a
+# BroadcastNestedLoopJoin: every view compared against every window,
+# O(n·m). The rewrite buckets time into bins the width of the window
+# span: each interval explodes to the 1-2 bins it overlaps, each view
+# has exactly ONE bin, and the join becomes an equi-join on bin
+# followed by the exact bound filter. At 100 TB this is the difference
+# between a shuffle join and a cluster-killing cross product.
+# ---------------------------------------------------------------------------
+
+_WIN_S = 300  # 5-minute incident windows and bin width
+
+_J11_ORACLE = f"""
+WITH incidents AS (
+  SELECT event_id AS error_id, ts AS start_ts,
+         ts + INTERVAL '{_WIN_S} seconds' AS end_ts
+  FROM events
+  WHERE event_type = 'error' AND event_id % 10 = 0
+), views AS (
+  SELECT event_id AS view_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT i.error_id, v.view_id,
+       epoch_ms(v.ts) - epoch_ms(i.start_ts) AS ms_after
+FROM incidents i JOIN views v
+  ON v.ts >= i.start_ts AND v.ts < i.end_ts
+"""
+
+
+@register(
+    "j11_range_join_binned",
+    oracle=_J11_ORACLE,
+    description="KEYLESS RANGE JOIN via time-binning: views falling "
+    "inside global 5-minute incident windows. No equi key exists, so "
+    "the naive plan is BroadcastNestedLoopJoin (O(n*m)); binning time "
+    "at the window width turns it into an equi-join on bin + exact "
+    "bound filter — each interval explodes to <=2 bins, each probe row "
+    "to exactly 1. Oracle is DuckDB's native range join",
+)
+def j11_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_us = _WIN_S * 1_000_000
+    start_us = F.expr("unix_micros(ts)")
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)
+    ).select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {_WIN_S} seconds")).alias("end_ts"),
+        start_us.alias("start_us"),
+    )
+    # an interval [s, s+W) overlaps bins floor(s/W) .. floor((s+W-1µs)/W)
+    inc_binned = incidents.select(
+        "error_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                (F.col("start_us") / bin_us).cast("long"),
+                ((F.col("start_us") + bin_us - 1) / bin_us).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts"),
+        (F.expr("unix_micros(ts)") / bin_us).cast("long").alias("bin"),
+    )
+    return (
+        views.join(inc_binned, "bin")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .select(
+            "error_id",
+            "view_id",
+            (
+                F.expr("unix_micros(ts) div 1000")
+                - F.expr("unix_micros(start_ts) div 1000")
+            ).alias("ms_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_scd2 — type-2 slowly-changing-dimension history from a change log.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       event_type AS attr,
+       value AS attr_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "ext_scd2_history",
+    oracle=_SCD2_ORACLE,
+    description="SCD TYPE-2 history from a change log: every per-user "
+    "event becomes a dimension version with [valid_from, valid_to) "
+    "validity and an is_current flag via lead() — the CDC compaction "
+    "every warehouse runs to make point-in-time joins possible. One "
+    "shuffle on the dimension key; no self-join",
+)
+def ext_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("event_type").alias("attr"),
+        F.col("value").alias("attr_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq6 — numeric column profile.
+# ---------------------------------------------------------------------------
+
+_DQ6_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _dq6_oracle_one(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+         round(MIN({col}), 6) AS min_v,
+         round(MAX({col}), 6) AS max_v,
+         round(CAST(SUM(CAST(floor({col} * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 / CAST(COUNT({col}) AS DOUBLE), 6) AS mean_v,
+         round(quantile_cont({col}, 0.5), 6) AS p50,
+         round(quantile_cont({col}, 0.95), 6) AS p95
+  FROM lineitem
+"""
+
+
+_DQ6_ORACLE = " UNION ALL ".join(_dq6_oracle_one(c) for c in _DQ6_COLS)
+
+
+@register(
+    "dq6_numeric_profile",
+    oracle=_DQ6_ORACLE,
+    description="NUMERIC COLUMN PROFILE: min/max/mean/median/p95 and "
+    "null counts for every numeric lineitem column — the profiling "
+    "gate a pipeline runs before trusting a new drop. Means go through "
+    "fixed-point (floor(x*1e6) BIGINT sums) so the result is "
+    "partition-order-proof; percentiles are exact (Spark percentile ≡ "
+    "DuckDB quantile_cont, both linear-interpolating). One scan, four "
+    "parallel aggregates over the same exchange",
+)
+def dq6_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _DQ6_COLS:
+        col = F.col(c)
+        parts.append(
+            li.agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+                F.round(F.min(col), 6).alias("min_v"),
+                F.round(F.max(col), 6).alias("max_v"),
+                F.round(
+                    F.sum(F.floor(col * 1e6).cast("long")).cast("double")
+                    / 1e6
+                    / F.count(col).cast("double"),
+                    6,
+                ).alias("mean_v"),
+                F.round(F.percentile(col, F.lit(0.5)), 6).alias("p50"),
+                F.round(F.percentile(col, F.lit(0.95)), 6).alias("p95"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dq7 — approximate-distinct accuracy gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq7_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CASE WHEN abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                         - CAST(COUNT(DISTINCT user_id) AS DOUBLE))
+                     / CAST(COUNT(DISTINCT user_id) AS DOUBLE) <= 0.1
+                THEN 1 ELSE 0 END AS approx_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+    description="APPROX-DISTINCT ACCURACY GATE: per event type, the "
+    "exact distinct-user count plus a flag asserting each engine's own "
+    "HLL sketch lands within 10% of it. Sketch VALUES are "
+    "engine-specific by construction, so the CONTRACT is what's "
+    "compared — the pattern for validating the estimator a 100 TB "
+    "pipeline uses where exact distinct is a full shuffle it cannot "
+    "afford",
+)
+def dq7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("long")
+    approx = F.approx_count_distinct("user_id")
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_distinct"),
+        F.when(
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("approx_within_10pct"),
+    )

@@ -163,6 +163,7 @@ def _load_all() -> None:
     from dww_data_pipeline_spark.plans import (  # noqa: F401
         analytics_ext,
         corpus_plans,
+        curation_plans,
         dedup_plans,
         relational,
         relational2,

@@ -206,3 +206,107 @@ class TestLateRound3PlanDiscipline:
         plan = _plan(spark, sf_dir, "dq5_skew_profile")
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestRound4PlanDiscipline:
+    """Plan + semantic assertions for the round-4 curation operators."""
+
+    def test_chunk_dedup_removes_shared_boilerplate(self, spark, sf_dir):
+        rows = REGISTRY["d14_chunk_dedup"].spark(spark, sf_dir).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        boiler_ids = sorted(i for i in by_id if i % 3 == 0)
+        first, rest = boiler_ids[0], boiler_ids[1:]
+        # the first boilerplate carrier keeps its chunk 0; every later
+        # one loses at least the boilerplate chunk
+        assert by_id[first]["kept_text"].startswith("the quick data spark")
+        assert all(by_id[i]["n_removed"] >= 1 for i in rest)
+        assert all(not by_id[i]["kept_text"].startswith("the quick data spark")
+                   for i in rest)
+        # docs without boilerplate are untouched (word-soup never collides)
+        assert all(r["n_removed"] == 0 for r in rows if r["doc_id"] % 3 != 0)
+
+    def test_chunk_dedup_single_shuffle_no_join(self, spark, sf_dir):
+        # first-occurrence-wins is a rank, never a pairwise self-join
+        plan = _plan(spark, sf_dir, "d14_chunk_dedup")
+        assert "Join" not in plan
+
+    def test_bm25_broadcasts_stats_and_df(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "t18_bm25_retrieval")
+        assert "BroadcastHashJoin" in plan  # df side
+        assert "CartesianProduct" not in plan
+        rows = REGISTRY["t18_bm25_retrieval"].spark(spark, sf_dir).collect()
+        per_term: dict[str, list] = {}
+        for r in rows:
+            per_term.setdefault(r["term"], []).append(r)
+        for term, rs in per_term.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r["score"] for r in rs]
+            assert scores == sorted(scores, reverse=True), term
+
+    def test_range_join_binned_is_equi_join(self, spark, sf_dir):
+        # the whole point of binning: NEVER a nested-loop/cartesian plan
+        plan = _plan(spark, sf_dir, "j11_range_join_binned")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_range_join_binned_matches_naive_join(self, spark, sf_dir):
+        # equivalence against the direct (unscalable) predicate join
+        from pyspark.sql import functions as F
+
+        got = {
+            (r["error_id"], r["view_id"], r["ms_after"])
+            for r in REGISTRY["j11_range_join_binned"].spark(spark, sf_dir).collect()
+        }
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        inc = ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 10 == 0)).select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 300 seconds")).alias("end_ts"),
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "ts"
+        )
+        naive = views.join(
+            inc, (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+        ).select(
+            "error_id",
+            "view_id",
+            (
+                F.expr("unix_micros(ts) div 1000")
+                - F.expr("unix_micros(start_ts) div 1000")
+            ).alias("ms_after"),
+        )
+        want = {(r["error_id"], r["view_id"], r["ms_after"]) for r in naive.collect()}
+        assert got == want
+
+    def test_scd2_versions_chain(self, spark, sf_dir):
+        rows = REGISTRY["ext_scd2_history"].spark(spark, sf_dir).collect()
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for uid, rs in by_user.items():
+            rs.sort(key=lambda r: r["version"])
+            # exactly one current version, and it is the last
+            assert [r["is_current"] for r in rs].count(1) == 1
+            assert rs[-1]["is_current"] == 1
+            assert rs[-1]["valid_to"] == "9999-12-31 00:00:00"
+            # validity intervals chain: valid_to(k) == valid_from(k+1)
+            for a, b in zip(rs, rs[1:]):
+                assert a["valid_to"] == b["valid_from"], uid
+
+    def test_numeric_profile_orderings(self, spark, sf_dir):
+        rows = REGISTRY["dq6_numeric_profile"].spark(spark, sf_dir).collect()
+        assert {r["col_name"] for r in rows} == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        }
+        for r in rows:
+            assert r["n_null"] == 0
+            assert r["min_v"] <= r["p50"] <= r["p95"] <= r["max_v"]
+            assert r["min_v"] <= r["mean_v"] <= r["max_v"]
+
+    def test_approx_distinct_gate_all_green(self, spark, sf_dir):
+        rows = REGISTRY["dq7_approx_distinct"].spark(spark, sf_dir).collect()
+        assert rows and all(r["approx_within_10pct"] == 1 for r in rows)
