@@ -128,13 +128,22 @@ def _centroid_probe_col(vec_col, centroids: np.ndarray, nprobe: int):
 
 
 def _pairwise_cos_arrow(
-    pairs: DataFrame, query_id: str, id_col: str, va: str, vb: str
+    pairs: DataFrame,
+    query_id: str,
+    id_col: str,
+    va: str,
+    vb: str,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """Rowwise cosine over candidate pairs via mapInPandas (one numpy
     einsum per Arrow batch) — the Arrow twin of the expression-path
     cosine for the LSH/IVF scoring stage, where candidates after
     bucket pruning still scale with the corpus. Same zero-norm → 0.0
-    semantics and half-up 6-decimal rounding."""
+    semantics and half-up 6-decimal rounding. ``min_cos`` filters on
+    the RAW (unrounded) cosine inside the batch — matching a SQL
+    ``WHERE cos >= t`` applied before rounding — so the threshold
+    prunes in the Python stage and the exchange never carries
+    below-threshold pairs."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -163,12 +172,13 @@ def _pairwise_cos_arrow(
             dot = np.einsum("ij,ij->i", A, B)
             denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             cos = np.where(denom > 0, dot / np.maximum(denom, 1e-300), 0.0)
+            keep = slice(None) if min_cos is None else cos >= min_cos
             cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {
-                    query_id: pdf[query_id],
-                    id_col: pdf[id_col],
-                    "cos": cos,
+                    query_id: pdf[query_id][keep],
+                    id_col: pdf[id_col][keep],
+                    "cos": cos[keep],
                 }
             )
 
@@ -417,6 +427,60 @@ def brute_force_topk_arrow(
     return _topk(scored, query_id, id_col, k)
 
 
+def gram_fixed_point(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: float = 1e8
+) -> DataFrame:
+    """Corpus second-moment (Gram) matrix in fixed point: one row per
+    flattened cell ``pos = i*dim + j`` with
+    ``s_fp = sum(floor(x_i * x_j * scale))`` as BIGINT.
+
+    Scale shape: each Arrow batch folds its vectors into a single
+    dim^2 int64 accumulator via numpy outer products (vectorized,
+    zero Python per-element work), and each PARTITION emits exactly
+    one dim^2-row partial — the shuffle carries dim^2 cells per
+    partition no matter the corpus size, and the final groupBy is a
+    trivial reduce over #partitions rows. Per-term floor before the
+    integer sum makes the result exact and partition-order-proof
+    (IEEE multiplication commutes, so the matrix is symmetric bit-for-
+    bit). At extreme scale the int64 cell sums bound the corpus at
+    ~1e9 vectors per 1e8 scale step — drop ``scale`` or widen the
+    final aggregate to DECIMAL if a deployment ever exceeds that.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s_fp", T.LongType(), False),
+        ]
+    )
+
+    def partial(batches):
+        import pandas as pd
+
+        acc = np.zeros(dim * dim, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # chunk rows so the n×dim×dim temporary stays bounded
+            for s in range(0, len(X), 2048):
+                C = X[s : s + 2048]
+                outer = (C[:, :, None] * C[:, None, :]).reshape(len(C), -1)
+                acc += np.floor(outer * scale).astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"pos": np.arange(dim * dim, dtype=np.int32), "s_fp": acc}
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial, schema=out_schema)
+    return partials.groupBy("pos").agg(F.sum("s_fp").alias("s_fp"))
+
+
 def pca_components(
     df: DataFrame, vec_col: str = "embedding", k: int = 8, dim: int = 64
 ) -> tuple[list[list[float]], list[float]]:
@@ -424,48 +488,20 @@ def pca_components(
 
     Same driver-bounded-training shape as the IVF quantizer: the
     DISTRIBUTED part reduces the corpus to a dim x dim Gram matrix
-    (map-side partial aggregation — the shuffle carries dim^2 cells per
-    partition, never vectors; see e5_embedding_gram), the collect is
-    bounded at dim^2 rows by construction, and the eigendecomposition
-    runs driver-side on the tiny matrix. Accumulation is fixed-point
-    (floor(prod * 1e8) as BIGINT), so the Gram matrix — and therefore
-    the components — is deterministic across runs and partitionings.
-    Eigenvector signs are canonicalized (largest-|w| entry positive).
-    Returns (components, eigenvalues), components ordered by
-    descending eigenvalue.
+    (``gram_fixed_point`` — one dim^2 partial per partition, never
+    vectors on the shuffle), the collect is bounded at dim^2 rows by
+    construction, and the eigendecomposition runs driver-side on the
+    tiny matrix. Accumulation is fixed-point (floor(prod * 1e8) as
+    BIGINT), so the Gram matrix — and therefore the components — is
+    deterministic across runs and partitionings. Eigenvector signs
+    are canonicalized (largest-|w| entry positive). Returns
+    (components, eigenvalues), components ordered by descending
+    eigenvalue.
     """
-    emb = F.col(vec_col)
-    # symmetry: generate only the upper triangle (dim*(dim+1)/2 cells,
-    # half the work of the full matrix) and mirror driver-side. The
-    # two-arg transform lambda receives (element, index) — the one
-    # place that calling convention is what we want.
-    outer = F.flatten(
-        F.transform(
-            emb,
-            lambda xi, i: F.transform(
-                F.slice(emb, i + 1, F.lit(dim) - i),
-                lambda xj: xi.cast("double") * xj.cast("double"),
-            ),
-        )
-    )
-    fixed = F.transform(outer, lambda v: F.floor(v * F.lit(1e8)).cast("long"))
-    cells = (
-        df.select(F.posexplode(fixed).alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.sum("v").alias("s"))
-        .collect()  # bounded: dim*(dim+1)/2 rows
-    )
-    # flattened upper-triangle position -> (i, j)
-    offsets = [0] * dim
-    for i in range(1, dim):
-        offsets[i] = offsets[i - 1] + (dim - (i - 1))
+    cells = gram_fixed_point(df, vec_col, dim=dim).collect()  # dim^2 rows
     g = np.zeros((dim, dim))
     for r in cells:
-        pos = r["pos"]
-        i = max(k for k in range(dim) if offsets[k] <= pos)
-        j = i + (pos - offsets[i])
-        g[i][j] = r["s"] / 1e8
-        g[j][i] = g[i][j]
+        g[r["pos"] // dim][r["pos"] % dim] = r["s_fp"] / 1e8
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:k]
     comps: list[list[float]] = []
@@ -485,13 +521,16 @@ def pca_project(
 ) -> DataFrame:
     """Project vectors onto the given components — the matrix folds to
     plan-time literals exactly like the Rademacher projection (e4):
-    pure per-row column math, zero shuffle, zero UDFs."""
-    emb = F.col(vec_col)
-    cols = []
-    for p, comp in enumerate(components):
-        s = None
-        for i, w in enumerate(comp):
-            term = F.get(emb, i).cast("double") * F.lit(float(w))
-            s = term if s is None else s + term
-        cols.append(s.alias(f"{out_prefix}{p}"))
+    pure per-row column math, zero shuffle, zero UDFs. The dot
+    products are zip_with/aggregate higher-order expressions (left-to-
+    right fold: deterministic per row) rather than k×dim chained
+    literal terms — the compact tree analyzes/compiles in milliseconds
+    where the unrolled sum cost whole seconds of driver time."""
+    from dww_data_pipeline_spark.functions.vectors import dot
+
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cols = [
+        dot(emb_d, F.lit([float(w) for w in comp])).alias(f"{out_prefix}{p}")
+        for p, comp in enumerate(components)
+    ]
     return df.select("*", *cols)

@@ -372,35 +372,22 @@ def t11_token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="EMBEDDING GRAM MATRIX (PCA / whitening prep): the "
     "64x64 second-moment matrix sum(x_i * x_j) over all vectors, "
     "accumulated in fixed-point (floor(prod * 1e8) as BIGINT — exact "
-    "and partition-order-proof, see the float-sum parity rule). One "
-    "generator + map-side partial aggregation: each task folds its "
-    "vectors into 4096 cells before the shuffle, so the exchange "
-    "carries 4096 rows per partition regardless of corpus size — the "
-    "driver-side eigendecomposition then runs on a 64x64 matrix. The "
-    "nested transform closes over the RAW column (no computed "
-    "subtree), so nothing is re-evaluated per element.",
+    "and partition-order-proof, see the float-sum parity rule). "
+    "Arrow-vectorized partial aggregation (operators/similarity."
+    "gram_fixed_point): each PARTITION folds its vectors into one "
+    "4096-cell int64 accumulator via numpy outer products, so the "
+    "exchange carries 4096 rows per partition regardless of corpus "
+    "size and the final reduce is trivial — the driver-side "
+    "eigendecomposition then runs on a 64x64 matrix.",
 )
 def e5_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.similarity import gram_fixed_point
+
     e = _t(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    outer = F.flatten(
-        F.transform(
-            emb,
-            lambda xi: F.transform(
-                emb, lambda xj: xi.cast("double") * xj.cast("double")
-            ),
-        )
-    )
-    fixed = F.transform(outer, lambda v: F.floor(v * F.lit(1e8)).cast("long"))
-    flat = e.select(F.posexplode(fixed).alias("pos", "v"))
-    return (
-        flat.groupBy("pos")
-        .agg(F.sum("v").alias("s_fp"))
-        .select(
-            F.floor(F.col("pos") / 64).cast("long").alias("i"),
-            F.pmod(F.col("pos"), F.lit(64)).cast("long").alias("j"),
-            "s_fp",
-        )
+    return gram_fixed_point(e, "embedding", dim=64).select(
+        F.floor(F.col("pos") / 64).cast("long").alias("i"),
+        F.pmod(F.col("pos"), F.lit(64)).cast("long").alias("j"),
+        "s_fp",
     )
 
 

@@ -848,42 +848,31 @@ def _spark_lsh_bucket(vec):
     "oracle-checked for recall reference)",
 )
 def d7b_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norm is per-VECTOR, so it computes once before the pair join
-    # (candidate pairs ~ Sum(bucket^2) >> n; same fold expression as the
-    # oracle's inline norms -> identical doubles, just not re-folded per
-    # pair)
-    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # bucket prune in JVM expressions, then score surviving pairs in
+    # ONE Arrow stage (numpy einsum per batch + raw-cosine threshold):
+    # candidate pairs ~ Sum(bucket^2) >> n is the hot path, and the
+    # interpreted zip_with/aggregate cosine is ~3x slower than the
+    # vectorized scorer at identical semantics (zero-norm → 0.0,
+    # half-up 6-decimal rounding, threshold on the RAW cosine)
+    from dww_data_pipeline_spark.operators.similarity import _pairwise_cos_arrow
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
     )
     a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-        "bucket",
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-        "bucket",
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
     )
-    da = F.transform(F.col("va"), lambda x: x.cast("double"))
-    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
-    return (
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", cos)
-        .filter(F.col("_cos") >= 0.3)
-        .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
+        .select("id_a", "id_b", "va", "vb")
     )
+    return _pairwise_cos_arrow(pairs, "id_a", "id_b", "va", "vb", min_cos=0.3)
 
 
 @register(
@@ -1320,37 +1309,28 @@ def e4_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFram
 def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    from dww_data_pipeline_spark.operators.similarity import _pairwise_cos_arrow
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
-        F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
     )
     a = e.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-        "bucket",
+        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "bucket"
     )
     b = e.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-        "bucket",
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), "bucket"
     )
-    da = F.transform(F.col("va"), lambda x: x.cast("double"))
-    db = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    scored = (
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src", "dst", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos")
-        )
+        .select("src", "dst", "va", "vb")
     )
+    # all O(Sum(bucket^2)) candidate cosines run in one vectorized
+    # Arrow stage; the per-src top-3 window then ranks on the rounded
+    # score exactly as the oracle does
+    scored = _pairwise_cos_arrow(pairs, "src", "dst", "va", "vb")
     w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -52,6 +52,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division (double division would lose precision at
         # 1e18 nanos) — matches DuckDB's nanos→micros truncation.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
+    # under Spark 4's default inference; normalize to session-local
+    # TIMESTAMP so the whole expression surface (unix_micros, window(),
+    # interval arithmetic) sees one timestamp flavor. The session runs
+    # UTC (session.py), so the wall-clock values are unchanged and match
+    # DuckDB's naive-timestamp arithmetic exactly.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

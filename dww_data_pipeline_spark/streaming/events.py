@@ -56,6 +56,11 @@ def read_events_stream(
     )
     if isinstance(stream.schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        # TIMESTAMP(isAdjustedToUTC=false) parquet → NTZ under Spark 4
+        # inference; normalize to session-local TIMESTAMP (UTC session)
+        # so watermarks/windows/unix_micros see one flavor (catalog.py)
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 

@@ -184,13 +184,17 @@ class TestLateRound3PlanDiscipline:
         assert "SinglePartition" not in plan
 
     def test_gram_matrix_partial_agg_before_shuffle(self, spark, sf_dir):
-        # e5's exchange must carry only the 4096 partially-aggregated
-        # cells, never the exploded outer products
+        # e5's exchange must carry only the 4096-cell per-partition
+        # partials emitted by the Arrow gram operator, never exploded
+        # outer products: one python stage before the single exchange
         plan = _plan(spark, sf_dir, "e5_embedding_gram")
         assert plan.count("Exchange hashpartitioning") == 1
-        assert "Generate" in plan  # posexplode stays pre-shuffle
+        # plan strings print root-first: the map side (Arrow partials +
+        # partial agg) sits BELOW the exchange in the text
         first_exchange = plan.index("Exchange hashpartitioning")
-        assert "HashAggregate" in plan[:first_exchange]  # partial agg
+        assert "MapInPandas" in plan[first_exchange:]
+        assert "HashAggregate" in plan[first_exchange:]  # partial agg
+        assert "Generate" not in plan  # the 4096-wide explode is gone
 
     def test_frame_features_single_python_stage(self, spark, sf_dir):
         # m3's split+decode+features fuse into ONE mapInPandas stage
@@ -222,8 +226,31 @@ class TestRound4PlanDiscipline:
         assert all(by_id[i]["n_removed"] >= 1 for i in rest)
         assert all(not by_id[i]["kept_text"].startswith("the quick data spark")
                    for i in rest)
-        # docs without boilerplate are untouched (word-soup never collides)
-        assert all(r["n_removed"] == 0 for r in rows if r["doc_id"] % 3 != 0)
+        # the corpus itself carries organic cross-document duplicate
+        # chunks (the generator seeds near-dup text), so docs without
+        # boilerplate may legitimately lose chunks too; the invariant is
+        # global: kept chunks == distinct chunks of the widened corpus
+        total_kept = sum(r["n_chunks"] - r["n_removed"] for r in rows)
+        total_removed = sum(r["n_removed"] for r in rows)
+        assert total_removed >= len(rest)
+        from dww_data_pipeline_spark.plans.curation_plans import _BOILER, _CHUNK_W
+        from dww_data_pipeline_spark.sources.catalog import load_table
+        from pyspark.sql import functions as F
+        d = load_table(spark, sf_dir, "documents")
+        corpus_text = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text"))
+        toks = F.split(corpus_text, " ")
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_W))).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * _CHUNK_W + 1, _CHUNK_W), " "),
+        )
+        distinct_chunks = (
+            d.select(F.explode(chunks).alias("chunk")).distinct().count()
+        )
+        assert total_kept == distinct_chunks
 
     def test_chunk_dedup_single_shuffle_no_join(self, spark, sf_dir):
         # first-occurrence-wins is a rank, never a pairwise self-join
