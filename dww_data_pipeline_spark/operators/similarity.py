@@ -427,6 +427,142 @@ def brute_force_topk_arrow(
     return _topk(scored, query_id, id_col, k)
 
 
+def bucket_pairs_cos_arrow(
+    e: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    min_cos: float,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """All within-bucket pairs (id_a < id_b) with cosine >= min_cos.
+
+    Scale shape: ONE applyInPandas task per LSH bucket — each vector
+    crosses the JVM→Arrow boundary once (O(sum n_b) transfer), and the
+    bucket's full cosine matrix is dense BLAS (row-blocked so the
+    temporary stays bounded at block×n_b), versus O(sum n_b^2) vector
+    copies when pairs are materialized first. The threshold applies to
+    the RAW cosine (SQL ``WHERE cos >= t`` before rounding); output
+    cos is half-up 6-decimal rounded. Per-bucket work is n_b^2 — the
+    skew story is the LSH bit-width (more bits → smaller buckets), and
+    AQE cannot split a single Python group, so size buckets for the
+    corpus."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(out_a, e.schema[id_col].dataType, True),
+            T.StructField(out_b, e.schema[id_col].dataType, True),
+            T.StructField("cos", T.DoubleType(), True),
+        ]
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({out_a: ids[:0], out_b: ids[:0], "cos": []})
+        norms = np.linalg.norm(X, axis=1)
+        out_i, out_j, out_c = [], [], []
+        B = 4096
+        for s in range(0, n, B):
+            cb = X[s : s + B] @ X.T
+            denom = np.outer(norms[s : s + B], norms)
+            cos = np.where(denom > 0, cb / np.maximum(denom, 1e-300), 0.0)
+            # ids are sorted, so positional j > i == id_b > id_a
+            rows, cols = np.where(cos >= min_cos)
+            upper = cols > rows + s
+            rows, cols = rows[upper], cols[upper]
+            out_i.append(ids[rows + s])
+            out_j.append(ids[cols])
+            c = cos[rows, cols]
+            out_c.append(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {
+                out_a: np.concatenate(out_i),
+                out_b: np.concatenate(out_j),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return e.select(id_col, vec_col, bucket_col).groupBy(bucket_col).applyInPandas(
+        per_bucket, schema=schema
+    )
+
+
+def bucket_knn_arrow(
+    e: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    k: int,
+    out_src: str = "src",
+    out_dst: str = "dst",
+) -> DataFrame:
+    """Every vector's top-k neighbors WITHIN its LSH bucket: (src, dst,
+    cos, rank) ranked by rounded cos desc, dst asc — the kNN-graph
+    construction pass. Same per-bucket applyInPandas shape as
+    ``bucket_pairs_cos_arrow`` (one gemm per bucket, vectors cross the
+    boundary once, output is k rows per vector)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(out_src, e.schema[id_col].dataType, True),
+            T.StructField(out_dst, e.schema[id_col].dataType, True),
+            T.StructField("cos", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {out_src: ids[:0], out_dst: ids[:0], "cos": [], "rank": []}
+            )
+        norms = np.linalg.norm(X, axis=1)
+        srcs, dsts, coss, ranks = [], [], [], []
+        B = 4096
+        for s in range(0, n, B):
+            cb = X[s : s + B] @ X.T
+            denom = np.outer(norms[s : s + B], norms)
+            cos = np.where(denom > 0, cb / np.maximum(denom, 1e-300), 0.0)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            for r in range(len(cos)):
+                row = cos[r]
+                # exclude self; rank by rounded cos desc, id asc
+                mask = np.arange(n) != (s + r)
+                cand = np.where(mask)[0]
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
+                srcs.append(np.full(len(order), ids[s + r]))
+                dsts.append(ids[order])
+                coss.append(row[order])
+                ranks.append(np.arange(1, len(order) + 1, dtype=np.int32))
+        return pd.DataFrame(
+            {
+                out_src: np.concatenate(srcs),
+                out_dst: np.concatenate(dsts),
+                "cos": np.concatenate(coss),
+                "rank": np.concatenate(ranks),
+            }
+        )
+
+    return e.select(id_col, vec_col, bucket_col).groupBy(bucket_col).applyInPandas(
+        per_bucket, schema=schema
+    )
+
+
 def gram_fixed_point(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64, scale: float = 1e8
 ) -> DataFrame:

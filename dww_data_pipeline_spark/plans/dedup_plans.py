@@ -848,31 +848,23 @@ def _spark_lsh_bucket(vec):
     "oracle-checked for recall reference)",
 )
 def d7b_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bucket prune in JVM expressions, then score surviving pairs in
-    # ONE Arrow stage (numpy einsum per batch + raw-cosine threshold):
-    # candidate pairs ~ Sum(bucket^2) >> n is the hot path, and the
-    # interpreted zip_with/aggregate cosine is ~3x slower than the
-    # vectorized scorer at identical semantics (zero-norm → 0.0,
-    # half-up 6-decimal rounding, threshold on the RAW cosine)
-    from dww_data_pipeline_spark.operators.similarity import _pairwise_cos_arrow
+    # bucket assignment in JVM expressions, then ONE applyInPandas task
+    # per bucket scores the whole bucket as a dense BLAS cosine matrix:
+    # vectors cross the JVM→Arrow boundary once each (O(n) transfer),
+    # never once per candidate pair (O(sum n_b^2) — measured 2x slower
+    # than even the interpreted per-pair cosine). Same semantics:
+    # zero-norm → 0.0, threshold on the RAW cosine, half-up 6-decimal
+    # rounding on the output.
+    from dww_data_pipeline_spark.operators.similarity import bucket_pairs_cos_arrow
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket"
+    return bucket_pairs_cos_arrow(
+        e, "vec_id", "embedding", "bucket", min_cos=0.3
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
-    )
-    pairs = (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-    )
-    return _pairwise_cos_arrow(pairs, "id_a", "id_b", "va", "vb", min_cos=0.3)
 
 
 @register(
@@ -1307,36 +1299,19 @@ def e4_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFram
     "similarity search)",
 )
 def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from dww_data_pipeline_spark.operators.similarity import _pairwise_cos_arrow
+    # each vector's candidates all live in its single LSH bucket, so
+    # the per-src top-3 is computable ENTIRELY within the bucket group:
+    # one applyInPandas task per bucket does the dense cosine matrix
+    # (BLAS) + per-row top-k — no pair materialization, no separate
+    # window shuffle, vectors cross into Python once each
+    from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
         _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
     )
-    a = e.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), "bucket"
-    )
-    b = e.select(
-        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), "bucket"
-    )
-    pairs = (
-        a.join(b, ["bucket"])
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", "va", "vb")
-    )
-    # all O(Sum(bucket^2)) candidate cosines run in one vectorized
-    # Arrow stage; the per-src top-3 window then ranks on the rounded
-    # score exactly as the oracle does
-    scored = _pairwise_cos_arrow(pairs, "src", "dst", "va", "vb")
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("src", "dst", "cos", "rank")
-    )
+    return bucket_knn_arrow(e, "vec_id", "embedding", "bucket", k=3)
 
 
 @register(

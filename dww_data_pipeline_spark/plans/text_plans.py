@@ -802,16 +802,38 @@ def t14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = bucketed.withColumn(
         "_local_cum", F.sum("n_tokens").over(w_in).cast("long")
     )
-    # phase 2: bucket totals -> exclusive cumulative offsets (the bucket
-    # table is tiny by construction -> window over it is cheap; result
-    # broadcast back)
+    # phase 2: bucket totals -> exclusive cumulative offsets. The
+    # bucket table is corpus_size/_PACK_BUCKET rows — small by
+    # construction — so the carry is ONE explicit single-task pandas
+    # cumsum (coalesce(1) + mapInPandas) rather than a partition-less
+    # WindowExec: same bounded single-partition shape, but stated in
+    # the plan instead of warned about at runtime, and it stays a
+    # narrow no-shuffle stage. (At extreme bucket counts, recurse the
+    # two-phase split once more before this step.)
+    from pyspark.sql import types as T
+
     totals = local.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
-    w_off = (
-        Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _carry(batches):
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            yield pd.DataFrame({"_bkt": [], "_offset": []})
+            return
+        pdf = pdf.sort_values("_bkt")
+        pdf["_offset"] = pdf["_tot"].cumsum() - pdf["_tot"]
+        yield pdf[["_bkt", "_offset"]]
+
+    offsets = totals.coalesce(1).mapInPandas(
+        _carry,
+        schema=T.StructType(
+            [
+                T.StructField("_bkt", T.LongType(), True),
+                T.StructField("_offset", T.LongType(), True),
+            ]
+        ),
     )
-    offsets = totals.withColumn(
-        "_offset", (F.sum("_tot").over(w_off) - F.col("_tot")).cast("long")
-    ).select("_bkt", "_offset")
     packed = local.join(F.broadcast(offsets), "_bkt").select(
         "doc_id",
         "chunk_id",
