@@ -65,6 +65,17 @@ EXTRA = [
     "e5_embedding_gram",        # fixed-point 64x64 second-moment matrix
     "dq5_skew_profile",         # heavy-hitter join-key diagnosis
     "e6_pca_project",           # Gram -> eigh -> literal-folded projection
+    # round 4
+    "d14_chunk_dedup",          # span-level first-occurrence dedup
+    "t18_bm25_retrieval",       # BM25 topical mining
+    "j11_range_join_binned",    # keyless range join via time-binning
+    "ext_scd2_history",         # SCD type-2 CDC compaction
+    "ext_merge_upsert",         # MERGE INTO with broadcast changeset
+    "dq6_numeric_profile",      # fixed-point numeric column profile
+    "dq7_approx_distinct",      # HLL accuracy gate
+    "dq8_fd_profile",           # functional-dependency profiling
+    "t19_bigram_lm_score",      # bigram-LM perplexity quality filter
+    "m4_audio_features",        # A16 audio decode + window features
 ]
 
 

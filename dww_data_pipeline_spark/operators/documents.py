@@ -270,6 +270,72 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("rms0", T.DoubleType(), True),
+        T.StructField("zcr0", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, window: int = 8) -> DataFrame:
+    """Decode + featurize binary AUDIO columns via mapInPandas: A16
+    waveforms (media_codec.decode_audio) reduced to per-window RMS +
+    zero-crossing-rate, surfacing the first window's values plus
+    stream metadata. Malformed payloads yield decode_ok=False rows
+    (never a raised batch) — the audio twin of
+    :func:`extract_media_features`, same batch shape and fallback
+    contract."""
+    from dww_data_pipeline_spark.operators.media_codec import (
+        audio_features,
+        decode_audio,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id",
+            "decode_ok",
+            "sample_rate",
+            "n_samples",
+            "n_windows",
+            "rms0",
+            "zcr0",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate = n = nw = None
+                rms0 = zcr0 = None
+                ok = False
+                try:
+                    decoded = decode_audio(payload)
+                    if decoded is not None:
+                        rate, samples = decoded
+                        n = len(samples)
+                        wins = audio_features(samples, window=window)
+                        nw = len(wins)
+                        if wins:
+                            rms0, zcr0 = wins[0]
+                        ok = True
+                except ValueError:
+                    pass
+                rows["media_id"].append(mid)
+                rows["decode_ok"].append(ok)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["n_windows"].append(nw)
+                rows["rms0"].append(rms0)
+                rows["zcr0"].append(zcr0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
 FRAME_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -27,6 +27,8 @@ import numpy as np
 
 __all__ = [
     "decode_image",
+    "decode_audio",
+    "audio_features",
     "encode_ppm",
     "encode_bmp",
     "resize_nearest",
@@ -209,6 +211,66 @@ def image_features(arr: np.ndarray, dim: int = 8) -> list[float]:
         hist, _ = np.histogram(luma, bins=nbins, range=(0.0, 1.0))
         feats += (hist / luma.size).tolist()
     return feats[:dim]
+
+
+def decode_audio(payload: bytes | None) -> tuple[int, np.ndarray] | None:
+    """Decode the ASCII ``A16`` audio format: ``A16\\n<rate> <n>\\n``
+    followed by ``n`` whitespace-separated signed 16-bit samples.
+
+    Like P3 for images, A16 exists so REAL waveforms can be
+    synthesized from pure Spark string expressions and decoded by a
+    dependency-free codec. Returns (sample_rate, int16 samples) or
+    None for a None payload; raises ValueError for any malformed
+    payload (wrong magic, non-integer fields, sample count mismatch,
+    out-of-range samples) — never any other exception type, so the
+    mapInPandas fallback contract holds under adversarial bytes."""
+    if payload is None:
+        return None
+    if payload[:4] != b"A16\n":
+        raise ValueError("not an A16 payload")
+    try:
+        header_end = payload.index(b"\n", 4)
+    except ValueError:
+        raise ValueError("truncated A16 header") from None
+    fields = payload[4:header_end].split()
+    if len(fields) != 2:
+        raise ValueError("A16 header needs '<rate> <n>'")
+    try:
+        rate, n = int(fields[0]), int(fields[1])
+    except (ValueError, OverflowError):
+        raise ValueError("non-integer A16 header field") from None
+    if rate <= 0 or n < 0 or n > 1 << 24:
+        raise ValueError(f"unreasonable A16 header rate={rate} n={n}")
+    toks = payload[header_end + 1 :].split()
+    if len(toks) != n:
+        raise ValueError(f"A16 sample count mismatch: header {n}, got {len(toks)}")
+    try:
+        vals = [int(t) for t in toks]
+    except (ValueError, OverflowError):
+        raise ValueError("non-integer A16 sample") from None
+    # range-check on the Python ints: arbitrary-precision literals
+    # would OverflowError inside np.array, escaping the ValueError-only
+    # contract
+    if any(v > 32767 or v < -32768 for v in vals):
+        raise ValueError("A16 sample out of int16 range")
+    return rate, np.array(vals, dtype=np.int16)
+
+
+def audio_features(samples: np.ndarray, window: int = 8) -> list[tuple[float, float]]:
+    """Per-window (rms, zcr) over an int16 waveform: rms normalized by
+    the int16 full scale, zcr = strict sign-change count (s[i-1]*s[i]
+    < 0) over window-1 adjacent pairs. Integer-derived doubles +
+    correctly-rounded sqrt/div make the values bit-identical to a SQL
+    re-derivation. The trailing partial window is dropped (training
+    featurizers pad or drop; dropping keeps the math exact)."""
+    out: list[tuple[float, float]] = []
+    s = samples.astype(np.float64)
+    for w0 in range(0, len(s) - window + 1, window):
+        win = s[w0 : w0 + window]
+        rms = float(np.sqrt(np.dot(win, win) / float(window)) / 32768.0)
+        zc = int(np.sum(win[:-1] * win[1:] < 0))
+        out.append((rms, zc / float(window - 1)))
+    return out
 
 
 def split_video_frames(payload: bytes, max_frames: int | None = None) -> list[bytes]:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS as _SQL_TOKS_CURATION
 from dww_data_pipeline_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -464,3 +465,325 @@ def dq7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("approx_within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m4 — audio feature extraction (multimodal family, audio leg).
+#
+# Real waveforms, oracle-checked end to end: A16 audio (the ASCII
+# int16 format media_codec decodes dependency-free) is synthesized
+# JVM-side from doc_id arithmetic, decoded + featurized inside one
+# Arrow-batched mapInPandas stage, and the oracle recomputes the
+# expected RMS / zero-crossing values from the SAME generator
+# arithmetic without parsing bytes — drift anywhere in synthesis,
+# decode, or feature math breaks the hash match. Every squared sample
+# is an exact integer in binary64, so the window sums are
+# order-independent and sqrt/division are correctly rounded: the
+# doubles are bit-identical across engines by construction.
+# ---------------------------------------------------------------------------
+
+_A16_N = 16  # samples per clip; window=8 -> 2 windows
+
+
+def _a16_payload_expr(seed_col):
+    """A REAL audio clip as a Spark expression: A16 header + 16
+    samples s_i = ((seed*(5i+11) + 3i) % 2048) - 1024, all JVM-side
+    string assembly (the audio twin of _p3_image_expr)."""
+    samples = [
+        (F.pmod(seed_col * (5 * i + 11) + 3 * i, F.lit(2048)) - 1024).cast("string")
+        for i in range(_A16_N)
+    ]
+    return F.encode(
+        F.concat(F.lit(f"A16\n8000 {_A16_N}\n"), F.concat_ws(" ", *samples)),
+        "utf-8",
+    )
+
+
+_M4_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {_A16_N - 1}),
+                        i -> ((doc_id * (5*i + 11) + 3*i) % 2048) - 1024) AS sm
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       TRUE AS decode_ok,
+       8000 AS sample_rate,
+       {_A16_N} AS n_samples,
+       {_A16_N // 8} AS n_windows,
+       round(sqrt(list_sum(list_transform(sm[1:8],
+                                          x -> CAST(x * x AS DOUBLE))) / 8.0)
+             / 32768.0, 6) AS rms0,
+       round(CAST(len(list_filter(generate_series(2, 8),
+                                  i -> sm[i-1] * sm[i] < 0)) AS DOUBLE)
+             / 7.0, 6) AS zcr0
+FROM s
+"""
+
+
+@register(
+    "m4_audio_features",
+    oracle=_M4_ORACLE,
+    description="AUDIO pipeline with REAL waveforms, ORACLE-CHECKED: "
+    "A16 clips synthesized JVM-side from doc_id, decoded by the "
+    "dependency-free codec inside Arrow-batched mapInPandas, reduced "
+    "to per-window RMS + zero-crossing-rate; the oracle re-derives "
+    "the features from the sample-generator arithmetic without "
+    "parsing bytes. Squared-integer window sums are exact in "
+    "binary64, so values are bit-identical across engines",
+)
+def m4_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import extract_audio_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _a16_payload_expr(F.col("doc_id")).alias("payload"),
+    )
+    feats = extract_audio_features(media, window=8)
+    return feats.select(
+        "media_id",
+        "decode_ok",
+        "sample_rate",
+        "n_samples",
+        "n_windows",
+        F.round("rms0", 6).alias("rms0"),
+        F.round("zcr0", 6).alias("zcr0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t19 — bigram language-model perplexity scoring (CCNet shape).
+#
+# Pass 1 trains the bigram model on the corpus itself (conditional
+# counts c(w1 w2) and continuation totals c(w1 ·) — one partial-agg
+# shuffle of counts, never text); pass 2 joins the model back onto
+# the per-document bigrams and scores each document by its mean
+# smoothed log-probability. Low avg_logp = off-distribution text:
+# the perplexity filter CCNet/Gopher-style pipelines threshold on,
+# here with the corpus itself as the LM (add-0.5 smoothing over the
+# unigram vocabulary).
+#
+# Scale shape: the bigram model is vocabulary-bounded; the score join
+# keys on the bigram string and aggregates per (doc, bigram) BEFORE
+# joining, so the join input carries distinct doc-bigram pairs with
+# counts, not raw occurrences. ln() is evaluated per MODEL ROW (once
+# per distinct bigram), and per-doc sums weight it by the occurrence
+# count — float sums of a few hundred terms, 1e-6 rounding >> any
+# summation-order noise.
+# ---------------------------------------------------------------------------
+
+_T19_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS_CURATION} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), w AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg
+), c2 AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM w GROUP BY bg
+), c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM w GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+), scored AS (
+  SELECT w.doc_id,
+         ln((CAST(c2.c2 AS DOUBLE) + 0.5)
+            / (CAST(c1.c1 AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+  FROM w JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(lp) / COUNT(*), 6) AS avg_logp
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register(
+    "t19_bigram_lm_score",
+    oracle=_T19_ORACLE,
+    description="BIGRAM-LM PERPLEXITY SCORING (CCNet two-pass): train "
+    "the bigram model on the corpus (conditional + continuation "
+    "counts, one count shuffle), then score every document by mean "
+    "add-0.5-smoothed log P(w2|w1) — the perplexity quality filter of "
+    "CCNet/Gopher pipelines with the corpus as its own LM. Model is "
+    "vocab-bounded; the score join carries distinct (doc, bigram) "
+    "pairs with counts, and ln() evaluates once per model row",
+)
+def t19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import (
+        exploded_kgrams,
+        spark_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = exploded_kgrams(d, "text", 2, carry=("doc_id",), out="bg")
+    w = bg.select("doc_id", "bg", F.split("bg", " ")[0].alias("w1"))
+    c2 = w.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = w.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    # distinct (doc, bigram) pairs with occurrence counts — the join
+    # input is deduped before the model attach
+    doc_bg = w.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(
+        (F.col("c2").cast("double") + 0.5)
+        / (F.col("c1").cast("double") + 0.5 * F.col("v").cast("double"))
+    )
+    scored = (
+        doc_bg.join(c2, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "n", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp") * F.col("n").cast("double"))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_merge — MERGE INTO (CDC upsert/delete compaction).
+#
+# The warehouse-maintenance primitive: apply a changeset (updates,
+# inserts, deletes) to a snapshot in one pass. The changeset here is
+# derived deterministically from the snapshot so the query is
+# self-contained: keys %10==3 get a 10% price update, %10==5 are
+# deleted, and %10==7 spawn inserts under new keys.
+#
+# Scale shape: changesets are tiny relative to snapshots, so the
+# merge is snapshot LEFT JOIN broadcast(changes) + union of inserts —
+# the 100 TB snapshot NEVER shuffles; with a large changeset the same
+# plan degrades gracefully to a key-partitioned shuffle join.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH upd AS (
+  SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+  FROM orders WHERE o_orderkey % 10 = 3
+), del AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 5
+), ins AS (
+  SELECT o_orderkey + 600000000 AS o_orderkey, o_totalprice AS new_price
+  FROM orders WHERE o_orderkey % 10 = 7
+)
+SELECT s.o_orderkey,
+       CAST(COALESCE(u.new_price, s.o_totalprice) AS DOUBLE) AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated' ELSE 'kept' END AS src
+FROM orders s
+LEFT JOIN upd u USING (o_orderkey)
+WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM del)
+UNION ALL
+SELECT o_orderkey, CAST(new_price AS DOUBLE) AS o_totalprice, 'inserted' AS src
+FROM ins
+"""
+
+
+@register(
+    "ext_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    description="MERGE INTO (CDC compaction): apply an "
+    "update/delete/insert changeset to the orders snapshot in one "
+    "pass — updated rows rewritten, deleted keys dropped, inserts "
+    "appended, each row tagged with its provenance. Changesets are "
+    "small, so the snapshot side joins against a BROADCAST changeset "
+    "and never shuffles; inserts append by union",
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select("o_orderkey", "o_totalprice")
+    upd = snap.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+    )
+    dels = snap.filter(F.col("o_orderkey") % 10 == 5).select(
+        "o_orderkey", F.lit(True).alias("_del")
+    )
+    ins = snap.filter(F.col("o_orderkey") % 10 == 7).select(
+        (F.col("o_orderkey") + 600000000).alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit("inserted").alias("src"),
+    )
+    merged = (
+        snap.join(F.broadcast(upd), "o_orderkey", "left")
+        .join(F.broadcast(dels), "o_orderkey", "left")
+        .filter(F.col("_del").isNull())
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("new_price"), F.col("o_totalprice"))
+            .cast("double")
+            .alias("o_totalprice"),
+            F.when(F.col("new_price").isNotNull(), F.lit("updated"))
+            .otherwise(F.lit("kept"))
+            .alias("src"),
+        )
+    )
+    return merged.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# dq8 — functional-dependency profiling.
+#
+# "Does column A determine column B?" answered with evidence: for
+# each candidate FD, the number of determinant values, how many of
+# them map to >1 dependent value (violations), and the worst fan-out.
+# nation->region key mapping is a TRUE FD in the schema; user->
+# event_type and customer->priority are expected NON-dependencies —
+# the profile quantifies all three. One count-shuffle per candidate
+# on (A, B) pairs; nothing wide ever moves.
+# ---------------------------------------------------------------------------
+
+_DQ8_CANDS = (
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("user_to_event_type", "events", "user_id", "event_type"),
+    ("cust_to_priority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+_DQ8_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(MAX(nv) AS BIGINT) AS max_fanout
+FROM (SELECT {a}, COUNT(DISTINCT {b}) AS nv FROM {tbl} GROUP BY {a})
+"""
+    for name, tbl, a, b in _DQ8_CANDS
+)
+
+
+@register(
+    "dq8_fd_profile",
+    oracle=_DQ8_ORACLE,
+    description="FUNCTIONAL-DEPENDENCY PROFILING: for each candidate "
+    "A->B dependency, the determinant-key count, how many keys map to "
+    "more than one dependent value, and the worst fan-out — the "
+    "schema-inference / data-contract check that distinguishes true "
+    "FDs (nation->region) from coincidental ones before a pipeline "
+    "relies on them. One distinct-count shuffle per candidate",
+)
+def dq8_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name, tbl, a, b in _DQ8_CANDS:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(a).agg(F.countDistinct(b).alias("nv"))
+        parts.append(
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("nv") > 1).cast("long")).alias("n_violating"),
+                F.max("nv").cast("long").alias("max_fanout"),
+            ).select(F.lit(name).alias("fd"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

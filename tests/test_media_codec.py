@@ -271,3 +271,79 @@ class TestCodecProperties:
         bmp = encode_bmp(_gradient(3, 4))
         for cut in range(len(bmp)):
             decode_image(bmp[:cut])
+
+
+class TestAudioCodec:
+    """A16 audio decode/feature invariants (m4's codec layer)."""
+
+    def _clip(self, seed: int, n: int = 16) -> bytes:
+        vals = [((seed * (5 * i + 11) + 3 * i) % 2048) - 1024 for i in range(n)]
+        return f"A16\n8000 {n}\n{' '.join(map(str, vals))}".encode()
+
+    def test_roundtrip_matches_first_principles(self):
+        from dww_data_pipeline_spark.operators.media_codec import (
+            audio_features,
+            decode_audio,
+        )
+
+        for seed in (0, 1, 7, 123, 99991):
+            rate, samples = decode_audio(self._clip(seed))
+            assert rate == 8000 and len(samples) == 16
+            wins = audio_features(samples, window=8)
+            assert len(wins) == 2
+            s = [((seed * (5 * i + 11) + 3 * i) % 2048) - 1024 for i in range(8)]
+            exp_rms = (sum(x * x for x in s) / 8.0) ** 0.5 / 32768.0
+            exp_zcr = sum(
+                1 for i in range(1, 8) if s[i - 1] * s[i] < 0
+            ) / 7.0
+            assert wins[0] == (exp_rms, exp_zcr)
+
+    def test_none_payload(self):
+        from dww_data_pipeline_spark.operators.media_codec import decode_audio
+
+        assert decode_audio(None) is None
+
+    def test_malformed_only_raises_valueerror(self):
+        """Adversarial payloads must raise ValueError and NOTHING else
+        (the mapInPandas fallback catches only ValueError)."""
+        import pytest
+
+        from dww_data_pipeline_spark.operators.media_codec import decode_audio
+
+        bad = [
+            b"",
+            b"A16",
+            b"A16\n",
+            b"A16\n8000\n1 2",                      # one header field
+            b"A16\n8000 2 9\n1 2",                  # three header fields
+            b"A16\nx 2\n1 2",                       # non-integer rate
+            b"A16\n8000 3\n1 2",                    # count mismatch
+            b"A16\n8000 2\n1 99999",                # out of int16 range
+            b"A16\n8000 2\n1 " + b"9" * 40,         # > int64 digits
+            b"A16\n0 2\n1 2",                       # zero rate
+            b"A16\n8000 99999999999999\n",          # absurd count
+            b"P6\n1 1\n255\nxyz",                   # wrong magic
+        ]
+        for payload in bad:
+            with pytest.raises(ValueError):
+                decode_audio(payload)
+        # truncations of a valid clip: ValueError or success, never
+        # another exception type
+        clip = self._clip(5)
+        for cut in range(len(clip)):
+            try:
+                decode_audio(clip[:cut])
+            except ValueError:
+                pass
+
+    def test_zero_and_short_streams(self):
+        from dww_data_pipeline_spark.operators.media_codec import (
+            audio_features,
+            decode_audio,
+        )
+
+        rate, samples = decode_audio(b"A16\n8000 0\n")
+        assert rate == 8000 and len(samples) == 0
+        assert audio_features(samples, window=8) == []
+        _, short = decode_audio(b"A16\n8000 3\n1 -2 3")
+        assert audio_features(short, window=8) == []  # partial window dropped

@@ -337,3 +337,54 @@ class TestRound4PlanDiscipline:
     def test_approx_distinct_gate_all_green(self, spark, sf_dir):
         rows = REGISTRY["dq7_approx_distinct"].spark(spark, sf_dir).collect()
         assert rows and all(r["approx_within_10pct"] == 1 for r in rows)
+
+
+class TestRound4LateAdditions:
+    """Plan + semantic assertions for m4 / t19 / ext_merge / dq8."""
+
+    def test_merge_upsert_broadcasts_changeset(self, spark, sf_dir):
+        # the snapshot side must join against BROADCAST changesets —
+        # a 100 TB snapshot never shuffles for a small changeset
+        plan = _plan(spark, sf_dir, "ext_merge_upsert")
+        assert plan.count("BroadcastHashJoin") >= 2  # updates + deletes
+        assert "SortMergeJoin" not in plan
+
+    def test_merge_upsert_provenance_counts(self, spark, sf_dir):
+        rows = REGISTRY["ext_merge_upsert"].spark(spark, sf_dir).collect()
+        by_src: dict[str, int] = {}
+        for r in rows:
+            by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+        total = by_src.get("kept", 0) + by_src.get("updated", 0)
+        # ~1/10 of keys deleted, ~1/10 updated, ~1/10 inserted
+        assert by_src.get("updated", 0) > 0
+        assert by_src.get("inserted", 0) > 0
+        assert total < len(rows)  # inserts on top of the surviving snapshot
+
+    def test_audio_features_single_python_stage(self, spark, sf_dir):
+        # synth + decode + features: one MapInPandas, no exchange at all
+        plan = _plan(spark, sf_dir, "m4_audio_features")
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan
+
+    def test_audio_features_all_decode(self, spark, sf_dir):
+        rows = REGISTRY["m4_audio_features"].spark(spark, sf_dir).collect()
+        assert rows and all(r["decode_ok"] for r in rows)
+        assert all(0.0 <= r["rms0"] <= 1.0 for r in rows)
+        assert all(0.0 <= r["zcr0"] <= 1.0 for r in rows)
+
+    def test_bigram_lm_scores_are_log_probs(self, spark, sf_dir):
+        rows = REGISTRY["t19_bigram_lm_score"].spark(spark, sf_dir).collect()
+        assert rows and all(r["avg_logp"] < 0.0 for r in rows)
+        # every scored doc has >= 1 bigram by construction
+        assert all(r["n_bigrams"] >= 1 for r in rows)
+
+    def test_fd_profile_finds_true_fd(self, spark, sf_dir):
+        rows = {
+            r["fd"]: r
+            for r in REGISTRY["dq8_fd_profile"].spark(spark, sf_dir).collect()
+        }
+        # nation->region is a REAL functional dependency of the schema
+        assert rows["nation_to_region"]["n_violating"] == 0
+        assert rows["nation_to_region"]["max_fanout"] == 1
+        # user->event_type is expected NOT to be one
+        assert rows["user_to_event_type"]["n_violating"] > 0
