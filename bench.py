@@ -76,6 +76,9 @@ EXTRA = [
     "dq8_fd_profile",           # functional-dependency profiling
     "t19_bigram_lm_score",      # bigram-LM perplexity quality filter
     "m4_audio_features",        # A16 audio decode + window features
+    "d15_semantic_dedup",       # SemDeDup: LSH pairs -> components -> keep-one
+    "t20_contamination_share",  # graded eval-overlap report
+    "st8_stream_static_enrich", # broadcast dim enrich + windowed agg
 ]
 
 

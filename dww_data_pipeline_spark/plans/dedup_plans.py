@@ -1417,3 +1417,131 @@ def d13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.join(new, "doc_id", "full_outer").select(
         "doc_id", status.alias("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# d15 — semantic dedup (SemDeDup shape): embedding-LSH near-dup pairs
+# -> connected components -> keep one representative per semantic
+# cluster. The composition a training pipeline actually runs: d7b's
+# bucket-pruned pair generation feeding d6's component machinery, with
+# the keep/drop decision materialized per vector.
+# ---------------------------------------------------------------------------
+
+_D15_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_SQL_COS} >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r
+)
+SELECT id AS vec_id,
+       MIN(r) AS component,
+       CAST(id = MIN(r) AS BOOLEAN) AS is_kept
+FROM walk
+GROUP BY id
+"""
+
+
+@register(
+    "d15_semantic_dedup",
+    oracle=_D15_ORACLE,
+    description="SEMANTIC DEDUP (SemDeDup shape): sign-LSH bucketed "
+    "cosine pairs (d7b's Arrow per-bucket scorer) collapsed into "
+    "semantic clusters by connected components, keeping the min-id "
+    "representative of each cluster — the embedding-space analogue of "
+    "MinHash dedup, deciding keep/drop per vector. Pair generation is "
+    "Sum(bucket^2) with one gemm per bucket; components are "
+    "O(diameter) join+agg rounds; nothing ever pairs across buckets",
+)
+def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = d7b_embedding_lsh_oracle(spark, sf_dir)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t20 — per-document contamination share. d10 flags and drops; t20
+# GRADES: the fraction of each training document's distinct k-grams
+# that appear anywhere in the eval set — the graded-contamination
+# report (GPT-3 appendix style) used to pick an overlap threshold
+# before committing to a drop rule. Same broadcast shape as d10; the
+# left join keeps clean documents in the output at share 0.
+# ---------------------------------------------------------------------------
+
+_T20_ORACLE = f"""
+WITH tg AS (
+  SELECT DISTINCT doc_id, md5(g) AS g
+  FROM (SELECT doc_id, unnest({sql_kgrams(_DECON_K)}) AS g
+        FROM documents WHERE doc_id % 50 <> 0)
+), eg AS (
+  SELECT DISTINCT md5(g) AS g
+  FROM (SELECT doc_id, unnest({sql_kgrams(_DECON_K)}) AS g
+        FROM documents WHERE doc_id % 50 = 0)
+)
+SELECT tg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(eg.g) AS BIGINT) AS n_shared,
+       round(CAST(COUNT(eg.g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS contamination_share
+FROM tg LEFT JOIN eg ON tg.g = eg.g
+GROUP BY tg.doc_id
+"""
+
+
+@register(
+    "t20_contamination_share",
+    oracle=_T20_ORACLE,
+    description="GRADED CONTAMINATION REPORT: per training document, "
+    "the fraction of its distinct k-grams appearing anywhere in the "
+    "eval set (clean docs included at 0.0) — the overlap histogram a "
+    "team inspects before fixing d10's drop threshold. Eval grams "
+    "broadcast; training grams never shuffle before the per-doc agg",
+)
+def t20_contamination_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eg = (
+        exploded_kgrams(
+            d.filter(F.col("doc_id") % 50 == 0), "text", _DECON_K
+        )
+        .select(F.md5("gram").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tg = (
+        exploded_kgrams(
+            d.filter(F.col("doc_id") % 50 != 0), "text", _DECON_K, carry=("doc_id",)
+        )
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(eg), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("contamination_share"),
+        )
+    )

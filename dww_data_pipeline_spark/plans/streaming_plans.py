@@ -515,3 +515,44 @@ def m3_video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_len",
         F.element_at("feature", 1).cast("double").alias("f0"),
     )
+
+
+@register(
+    "st8_stream_static_enrich",
+    oracle="""
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           n.n_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    description="STREAM-STATIC ENRICHMENT: events joined per micro-"
+    "batch against a BROADCAST static dimension (user cohort -> "
+    "nation) then aggregated in tumbling event-time windows — the "
+    "enrich-then-window shape of production stream pipelines; the "
+    "stream side never shuffles for the join, and Structured "
+    "Streaming re-reads the dim per batch so slow dimension updates "
+    "surface without a restart. DECIMAL value sums keep micro-batch "
+    "order out of the result",
+)
+def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.events import stream_static_enrich_agg
+
+    ev = _events(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = stream_static_enrich_agg(
+        ev,
+        nation,
+        key_expr=F.pmod(F.col("user_id"), F.lit(25)).cast("int"),
+        dim_key="n_nationkey",
+        name_col="n_name",
+        width="1 hour",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_name",
+        "n_events",
+        "sum_value",
+    )

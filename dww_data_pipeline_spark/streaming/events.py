@@ -121,6 +121,45 @@ def session_window_agg(
     )
 
 
+def stream_static_enrich_agg(
+    events: DataFrame,
+    dim: DataFrame,
+    key_expr,
+    dim_key: str,
+    name_col: str,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static enrichment + windowed aggregation: join each
+    event against a BROADCAST static dimension (re-read per micro-
+    batch by Structured Streaming, so slowly-updated dims stay fresh)
+    and count per (window, dimension name). ``key_expr`` maps an
+    event row to the dimension key. The stream side never shuffles
+    for the join — only the windowed aggregation exchanges data."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    joined = src.withColumn("_k", key_expr).join(
+        F.broadcast(dim), F.col("_k") == F.col(dim_key)
+    )
+    return (
+        joined.groupBy(F.window("ts", width).alias("win"), name_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL accumulate: the sum is exact, so partition /
+            # micro-batch order cannot change the value (float-sum
+            # parity rule)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(name_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Exactly-once event-id dedup within the watermark horizon
     (dropDuplicatesWithinWatermark on streams; dropDuplicates in

@@ -164,6 +164,50 @@ class TestStreamingParity:
         finally:
             q.stop()
 
+    def test_stream_static_enrich_stream_equals_batch(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.streaming.events import (
+            stream_static_enrich_agg,
+        )
+
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+        key = F.pmod(F.col("user_id"), F.lit(25)).cast("int")
+        stream = read_events_stream(spark, sf_dir)
+        q = _run_stream_to_memory(
+            stream_static_enrich_agg(
+                stream, nation, key, "n_nationkey", "n_name"
+            ),
+            "enrich_t",
+        )
+        try:
+            got = {
+                (str(r["window_start"]), r["n_name"]): (
+                    r["n_events"],
+                    r["sum_value"],
+                )
+                for r in spark.sql("SELECT * FROM enrich_t").collect()
+            }
+            batch = stream_static_enrich_agg(
+                load_table(spark, sf_dir, "events"),
+                nation,
+                key,
+                "n_nationkey",
+                "n_name",
+            )
+            want = {
+                (str(r["window_start"]), r["n_name"]): (
+                    r["n_events"],
+                    r["sum_value"],
+                )
+                for r in batch.collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+
     def test_stream_dedup_drops_dups_within_watermark(self, spark, sf_dir):
         stream = read_events_stream(spark, sf_dir)
         deduped = stream_dedup(stream)
