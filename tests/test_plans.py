@@ -388,3 +388,24 @@ class TestRound4LateAdditions:
         assert rows["nation_to_region"]["max_fanout"] == 1
         # user->event_type is expected NOT to be one
         assert rows["user_to_event_type"]["n_violating"] > 0
+
+
+class TestGlobalWindowDiscipline:
+    def test_no_partitionless_windows_anywhere(self, spark, sf_dir):
+        """No registered query may plan a partition-less WindowExec
+        (the 'No Partition Defined ... single partition' runtime
+        warning): global carries must be explicit bounded reduces
+        (see t14), partitioned windows, or TakeOrdered."""
+        import re
+
+        for name, q in REGISTRY.items():
+            lp = q.spark(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", lp):
+                head = m.group(1).split(",")[0]
+                # a window spec lists partition cols first; if the
+                # first entry is already a sort order ("col ASC/DESC
+                # ...") the partition spec is empty -> global window
+                assert " ASC" not in head and " DESC" not in head, (
+                    name,
+                    m.group(1)[:120],
+                )
