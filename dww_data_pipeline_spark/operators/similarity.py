@@ -435,6 +435,7 @@ def bucket_pairs_cos_arrow(
     min_cos: float,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """All within-bucket pairs (id_a < id_b) with cosine >= min_cos.
 
@@ -450,15 +451,16 @@ def bucket_pairs_cos_arrow(
     corpus."""
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField(out_a, e.schema[id_col].dataType, True),
-            T.StructField(out_b, e.schema[id_col].dataType, True),
-            T.StructField("cos", T.DoubleType(), True),
-        ]
-    )
+    fields = [
+        T.StructField(out_a, e.schema[id_col].dataType, True),
+        T.StructField(out_b, e.schema[id_col].dataType, True),
+        T.StructField("cos", T.DoubleType(), True),
+    ]
+    if keep_bucket:
+        fields.append(T.StructField(bucket_col, e.schema[bucket_col].dataType, True))
+    schema = T.StructType(fields)
 
-    def per_bucket(pdf):
+    def per_bucket(key, pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(id_col)
@@ -466,7 +468,10 @@ def bucket_pairs_cos_arrow(
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({out_a: ids[:0], out_b: ids[:0], "cos": []})
+            out = pd.DataFrame({out_a: ids[:0], out_b: ids[:0], "cos": []})
+            if keep_bucket:
+                out[bucket_col] = ids[:0]
+            return out
         norms = np.linalg.norm(X, axis=1)
         out_i, out_j, out_c = [], [], []
         B = 4096
@@ -482,16 +487,82 @@ def bucket_pairs_cos_arrow(
             out_j.append(ids[cols])
             c = cos[rows, cols]
             out_c.append(np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 out_a: np.concatenate(out_i),
                 out_b: np.concatenate(out_j),
                 "cos": np.concatenate(out_c),
             }
         )
+        if keep_bucket:
+            out[bucket_col] = key[0]
+        return out
 
     return e.select(id_col, vec_col, bucket_col).groupBy(bucket_col).applyInPandas(
         per_bucket, schema=schema
+    )
+
+
+def bucket_local_components_arrow(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Connected components of a BUCKET-LOCAL pair graph: when every
+    vertex belongs to exactly one bucket (single-table LSH: pairs are
+    generated within buckets only), components cannot span buckets, so
+    the global answer is the disjoint union of per-bucket answers —
+    ONE union-find pass per bucket inside applyInPandas, no iterative
+    driver loop, no checkpoints, no convergence probes. Returns (id,
+    component = min id of the group) for every vertex that appears in
+    a pair, exactly like ``operators.dedup.connected_components``.
+
+    Use the iterative operator when edges can cross the grouping key;
+    use this one when the generator guarantees bucket-locality."""
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema[id_a].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type, True),
+            T.StructField("component", id_type, True),
+        ]
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root is already the label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = list(parent)
+        return pd.DataFrame(
+            {"id": nodes, "component": [find(x) for x in nodes]}
+        )
+
+    return (
+        pairs.select(id_a, id_b, bucket_col)
+        .groupBy(bucket_col)
+        .applyInPandas(per_bucket, schema=schema)
     )
 
 

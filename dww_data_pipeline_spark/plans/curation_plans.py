@@ -394,35 +394,97 @@ _DQ6_ORACLE = " UNION ALL ".join(_dq6_oracle_one(c) for c in _DQ6_COLS)
     "null counts for every numeric lineitem column — the profiling "
     "gate a pipeline runs before trusting a new drop. Means go through "
     "fixed-point (floor(x*1e6) BIGINT sums) so the result is "
-    "partition-order-proof; percentiles are exact (Spark percentile ≡ "
-    "DuckDB quantile_cont, both linear-interpolating). One scan, four "
-    "parallel aggregates over the same exchange",
+    "partition-order-proof; percentiles are exact (≡ DuckDB "
+    "quantile_cont) but computed the SCALE-CORRECT way: a value "
+    "HISTOGRAM per column (one shuffle of distinct (col, value) "
+    "counts after map-side partial agg — never raw rows) feeds a "
+    "per-column pandas stage that derives every metric, including "
+    "interpolated quantiles, from cumulative counts. Spark's exact "
+    "percentile aggregate buffers every value through one reducer "
+    "(4.8s at sf0.1 and unusable at 100 TB); the histogram is bounded "
+    "by column CARDINALITY instead of row count",
 )
 def dq6_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     li = load_table(spark, sf_dir, "lineitem")
-    parts = []
-    for c in _DQ6_COLS:
-        col = F.col(c)
-        parts.append(
-            li.agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
-                F.round(F.min(col), 6).alias("min_v"),
-                F.round(F.max(col), 6).alias("max_v"),
-                F.round(
-                    F.sum(F.floor(col * 1e6).cast("long")).cast("double")
-                    / 1e6
-                    / F.count(col).cast("double"),
-                    6,
-                ).alias("mean_v"),
-                F.round(F.percentile(col, F.lit(0.5)), 6).alias("p50"),
-                F.round(F.percentile(col, F.lit(0.95)), 6).alias("p95"),
-            ).select(F.lit(c).alias("col_name"), "*")
+    melted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in _DQ6_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.v")
+    hist = melted.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("n_null", T.LongType(), True),
+            T.StructField("min_v", T.DoubleType(), True),
+            T.StructField("max_v", T.DoubleType(), True),
+            T.StructField("mean_v", T.DoubleType(), True),
+            T.StructField("p50", T.DoubleType(), True),
+            T.StructField("p95", T.DoubleType(), True),
+        ]
+    )
+
+    def profile(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        name = pdf["col_name"].iloc[0]
+        nulls = int(pdf.loc[pdf["v"].isna(), "cnt"].sum())
+        h = pdf.dropna(subset=["v"]).sort_values("v")
+        vals = h["v"].to_numpy()
+        cnts = h["cnt"].to_numpy()
+        nn = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def quantile_cont(q: float) -> float:
+            # DuckDB/Spark exact interpolation: x = (n-1)q, result =
+            # lower + (upper - lower) * frac — from cumulative counts
+            x = (nn - 1) * q
+            lo_rank, frac = math.floor(x), x - math.floor(x)
+            lo = float(vals[np.searchsorted(cum, lo_rank + 1)])
+            if frac == 0.0:
+                return lo
+            hi = float(vals[np.searchsorted(cum, lo_rank + 2)])
+            return lo + (hi - lo) * frac
+
+        def r6(x: float) -> float:
+            # half-away-from-zero like SQL round() — python round() is
+            # banker's and would diverge on exact .5 boundaries
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+        # mean via the same fixed-point contract as the oracle:
+        # sum over rows of floor(v*1e6) == sum over values weighted
+        mean_fp = int(np.sum(np.floor(vals * 1e6).astype(np.int64) * cnts))
+        return pd.DataFrame(
+            [
+                {
+                    "col_name": name,
+                    "n": nn + nulls,
+                    "n_null": nulls,
+                    "min_v": r6(float(vals[0])),
+                    "max_v": r6(float(vals[-1])),
+                    "mean_v": r6(mean_fp / 1e6 / nn),
+                    "p50": r6(quantile_cont(0.5)),
+                    "p95": r6(quantile_cont(0.95)),
+                }
+            ]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    return hist.groupBy("col_name").applyInPandas(profile, schema=schema)
 
 
 # ---------------------------------------------------------------------------
