@@ -216,3 +216,62 @@ class TestFormatRoundTrips:
         back = read_csv_dim(spark, path, df.schema)
         assert back.schema == df.schema
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+class TestLakeMaintenance:
+    def test_compaction_reduces_file_count_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.sources.maintenance import (
+            compact_parquet_dir,
+            dir_stats,
+        )
+
+        path = str(tmp_path / "frag")
+        df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+        # fragment: 64 shards of ~150 rows each (micro-batch litter)
+        df.repartition(64).write.mode("overwrite").parquet(path)
+        before, _ = dir_stats(path)
+        assert before >= 32
+        total_before = spark.read.parquet(path).count()
+        sum_before = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+
+        fb, fa = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        assert fb == before and fa < before
+        after = spark.read.parquet(path)
+        assert after.count() == total_before
+        assert after.agg(F.sum("v")).collect()[0][0] == sum_before
+
+    def test_compaction_empty_dir_noop(self, spark, tmp_path):
+        from dww_data_pipeline_spark.sources.maintenance import compact_parquet_dir
+
+        p = tmp_path / "empty"
+        p.mkdir()
+        assert compact_parquet_dir(spark, str(p)) == (0, 0)
+
+    def test_dynamic_overwrite_touches_only_incoming_partitions(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.sources.maintenance import (
+            write_dynamic_partitions,
+        )
+
+        path = str(tmp_path / "bydate")
+        base = spark.createDataFrame(
+            [(d, i) for d in ("2026-01-01", "2026-01-02") for i in range(5)],
+            "dt string, v int",
+        )
+        write_dynamic_partitions(base, path, "dt")
+        # backfill day 2 with different values; day 1 must be untouched
+        backfill = spark.createDataFrame(
+            [("2026-01-02", 100 + i) for i in range(3)], "dt string, v int"
+        )
+        write_dynamic_partitions(backfill, path, "dt")
+        got = spark.read.parquet(path)
+        day1 = got.filter(F.col("dt") == "2026-01-01")
+        day2 = got.filter(F.col("dt") == "2026-01-02")
+        assert day1.count() == 5  # untouched
+        assert day2.count() == 3  # replaced
+        assert day2.agg(F.min("v")).collect()[0][0] == 100
