@@ -65,70 +65,67 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # sequence analytics (reference's signature ops — densityCalc.js,
-    # dwwApi.js) never sampled in r1/r2
-    "w4_directional_in",
-    "w4_directional_out",
-    "w5_dummy_departures",
-    "w8_nested_documents",
-    "a5_density",
-    "a6_density_report",
-    # parsing/scalar core (GetWeta.py) + text-analysis family
-    "f1_parse_credit_notes",
-    "f9_normalize_release_dates",
-    "f2_fuzzy_ratio",
-    "f4_blacklist_clean",
-    "f_string_suite",
-    "f_date_suite",
-    "f16_haversine",
-    "t1_token_stats",
-    "t2_quality_scores",
-    "t3_lang_id",
-    "t4_fingerprints",
-    "t5_pii_scrub",
-    "t6_normalize",
-    "t7_chunking",
-    "t8_repetition_ratio",
-    "t9_hash_sample",
-    "t10_stratified_sample",
-    # streaming batch-twins (north-star §2.9)
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_windows",
-    "st4_stream_dedup",
-    "st5_stateful_jumps",
-    "st6_interval_join",
-    "st7_hierarchical_rollup",
-    # data-quality gates
-    "dq1_null_profile",
-    "dq2_rule_violations",
-    "dq3_referential_orphans",
-    # oracle-checked BUCKETED dedup/ANN (scale path promoted to the
-    # correctness surface — the brute-force twins d5/s1 stay as baselines)
-    "d7b_embedding_lsh_oracle",
-    "s4_ann_lsh_topk",
-    # eval-set decontamination (new this round)
-    "d10_decontamination",
-    # multimodal with REAL pixel decode, oracle-checked end to end
-    "m1_multimodal_features",
-    # TPC-H shapes never sampled (q21/q22 land at positions 51-52:
-    # they keep pytest + diffcheck coverage and rotate into the driver
-    # prefix next round)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q12_priority_counts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
+    # ------- round-4 prefix: the 38 queries without a driver row yet
+    # (rounds 1-3 accumulated green rows for the other 112) — the
+    # driver's ~50-query prefix covers all of them this round.
+    # round-3-late scale paths
+    "d11_incremental_dedup",
+    "d12_dedup_report",
+    "d13_snapshot_diff",
+    "t11_token_rarity_score",
+    "t12_winnowing_fingerprints",
+    "t13_corpus_filter_decision",
+    "t14_sequence_packing",
+    "t15_topic_buckets",
+    "t16_mixture_sample",
+    "t17_curriculum_deciles",
+    "e4_embedding_random_projection",
+    "e5_embedding_gram",
+    "s5_ann_multiprobe_topk",
+    "s6_knn_graph",
+    "m3_video_frame_features",
+    "dq4_distribution_drift",
+    "dq5_skew_profile",
+    # TPC-H stragglers (registered r3, never prefixed)
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    "ext_grouping_sets",
+    "j10_full_outer",
+    # round-4 additions
+    "d14_chunk_dedup",
+    "d15_semantic_dedup",
+    "t18_bm25_retrieval",
+    "t19_bigram_lm_score",
+    "t20_contamination_share",
+    "j11_range_join_binned",
+    "ext_scd2_history",
+    "ext_merge_upsert",
+    "dq6_numeric_profile",
+    "dq7_approx_distinct",
+    "dq8_fd_profile",
+    "m4_audio_features",
+    "st8_stream_static_enrich",
+    # rows-only (no oracle by design — the driver records the weaker
+    # rows-only check; listed so even that lands at least once)
+    "d7_embedding_lsh_near_dups",
+    "e6_pca_project",
+    "m2_video_frame_dedup",
+    "s2_ann_ivf_topk",
+    # ------- rotation: signature reference ops re-verified after the
+    # round-4 execution-shape changes (d7b/s6/e5 rewrites share
+    # operators with these)
+    "d7b_embedding_lsh_oracle",
+    "s4_ann_lsh_topk",
+    "d10_decontamination",
+    "m1_multimodal_features",
+    "w1_jumps",
+    "w5_dummy_departures",
+    "a5_density",
+    "a1_pricing_summary",
+    "j1_star_join",
+    "d1_exact_dedup_groups",
+    "d2_minhash_lsh_pairs",
+    "d6_dup_components",
 ]
 
 
