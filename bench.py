@@ -79,6 +79,7 @@ EXTRA = [
     "d15_semantic_dedup",       # SemDeDup: LSH pairs -> components -> keep-one
     "t20_contamination_share",  # graded eval-overlap report
     "st8_stream_static_enrich", # broadcast dim enrich + windowed agg
+    "j12_pit_join",             # point-in-time feature join (asof carry)
 ]
 
 

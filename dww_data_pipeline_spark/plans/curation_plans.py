@@ -849,3 +849,72 @@ def dq8_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# j12 — point-in-time (temporal) join: facts against the dimension
+# version in effect AT EVENT TIME. The feature-store / ML-training
+# correctness primitive (no feature leakage from the future): each
+# purchase joins the signup-attribute version current at purchase
+# time, never a later one. Composes the ext_scd2 change-log shape
+# with the asof_join operator — ONE shuffle on the entity key, no
+# interval self-join blowup.
+# ---------------------------------------------------------------------------
+
+_J12_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS v_ts, value AS signup_value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS version
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_ms(p.p_ts) AS p_ms,
+       v.version,
+       epoch_ms(v.v_ts) AS v_ms,
+       v.signup_value
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+"""
+
+
+@register(
+    "j12_pit_join",
+    oracle=_J12_ORACLE,
+    description="POINT-IN-TIME JOIN: each purchase event joined to "
+    "the signup-attribute version in effect AT PURCHASE TIME (never a "
+    "later one) — the feature-store primitive that prevents future "
+    "leakage into training features. Composed as the union-sort-"
+    "window as-of carry (one shuffle on the entity key); oracle is "
+    "DuckDB's native ASOF LEFT JOIN",
+)
+def j12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.sequence import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id",
+            ms.alias("v_ms"),
+            F.col("value").alias("signup_value"),
+            "version",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", ms.alias("p_ms")
+    )
+    return asof_join(
+        purchases,
+        versions,
+        on="user_id",
+        left_ts="p_ms",
+        right_ts="v_ms",
+        right_cols=["version", "v_ms", "signup_value"],
+    )
