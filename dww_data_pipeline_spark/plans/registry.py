@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "dq8_fd_profile",
     "m4_audio_features",
     "st8_stream_static_enrich",
+    "j12_pit_join",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
