@@ -80,6 +80,7 @@ EXTRA = [
     "t20_contamination_share",  # graded eval-overlap report
     "st8_stream_static_enrich", # broadcast dim enrich + windowed agg
     "j12_pit_join",             # point-in-time feature join (asof carry)
+    "pr1_supplier_pagerank",    # iterative weighted PageRank (5 rounds)
 ]
 
 

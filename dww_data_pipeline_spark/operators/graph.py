@@ -1,0 +1,92 @@
+"""Iterative graph analytics on DataFrames (GraphFrames-free).
+
+The reference's domain IS a graph (people ↔ companies,
+``GetWeta.py`` builds it in Neo4j); its analytics tier walks it for
+jumps and density. This module adds the iterative-algorithm pattern
+on top of the same DataFrame machinery as
+``operators.dedup.connected_components``: a driver loop that only
+orchestrates, per-iteration lineage truncation, and all data
+distributed.
+
+Weighted PageRank with dangling-mass redistribution: at each step
+
+    r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/W(u)  +  D/N )
+
+where W(u) is u's total out-weight and D the mass on dangling nodes
+(no out-edges). A FIXED iteration count keeps the computation
+SQL-expressible (the oracle unrolls the same recurrence), which is
+what makes an iterative algorithm hash-checkable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed power iterations.
+
+    Scale shape per iteration: one join of the (node, rank) table to
+    the edge list on src + one aggregate on dst — identical to the
+    label-propagation shape, so the same partitioning is reused every
+    round; ranks (two columns) are what shuffles, never the graph
+    payload. localCheckpoint truncates lineage so iteration i does not
+    replan iterations 0..i-1. Dangling mass is a one-row aggregate
+    broadcast back. Returns (node, rank) with ranks summing to ~1.
+    """
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+    ).localCheckpoint()
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # bounded: node-count scalar, one job
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # pre-join edge weights with out-weights once: contribution edge
+    # fraction w/W(u) is iteration-invariant
+    frac = (
+        e.join(outw, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_f"))
+        .localCheckpoint()
+    )
+    src_nodes = e.select("_s").distinct()
+    for _ in range(iters):
+        dangling = (
+            ranks.join(src_nodes, ranks.node == src_nodes._s, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            frac.join(ranks, frac._s == ranks.node)
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") * F.col("_f")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib._d, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

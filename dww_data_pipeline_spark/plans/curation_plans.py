@@ -918,3 +918,112 @@ def j12_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="v_ms",
         right_cols=["version", "v_ms", "signup_value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# pr1 — PageRank over the supplier-transition graph.
+#
+# The reference's domain is a talent-flow graph (people jumping
+# between companies); the analogous graph in the test schema is
+# "which supplier does a customer buy from NEXT": consecutive
+# lineitems per customer timeline yield supplier→supplier edges
+# weighted by transition count. PageRank then ranks suppliers by
+# centrality in the flow network — an ITERATIVE algorithm made
+# hash-checkable by fixing the iteration count so the oracle can
+# unroll the identical recurrence as plain CTEs.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_D = 0.85
+
+_PR_EDGES_SQL = """
+  SELECT prev AS src, l_suppkey AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (
+    SELECT l.l_suppkey,
+           lag(l.l_suppkey) OVER (
+             PARTITION BY o.o_custkey
+             ORDER BY o.o_orderdate, o.o_orderkey, l.l_linenumber,
+                      l.l_suppkey
+           ) AS prev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  )
+  WHERE prev IS NOT NULL AND prev <> l_suppkey
+  GROUP BY prev, l_suppkey
+"""
+
+
+def _pr_oracle() -> str:
+    parts = [
+        f"WITH edges AS ({_PR_EDGES_SQL}),",
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),",
+        "frac AS (SELECT e.src, e.dst, e.w / o.ow AS f"
+        " FROM edges e JOIN outw o ON e.src = o.src),",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r), 0.0) AS dm FROM r{p}"
+            f" WHERE node NOT IN (SELECT src FROM edges)),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (1.0 - {_PR_D}) / (SELECT n FROM nn)"
+            f" + {_PR_D} * (COALESCE(c.c, 0.0)"
+            f" + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r"
+            f" FROM nodes LEFT JOIN ("
+            f"SELECT f.dst AS node, SUM(r{p}.r * f.f) AS c"
+            f" FROM frac f JOIN r{p} ON f.src = r{p}.node GROUP BY f.dst"
+            f") c ON nodes.node = c.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS supplier, round(r, 8) AS rank FROM r{_PR_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pr1_supplier_pagerank",
+    oracle=_pr_oracle(),
+    description="PAGERANK over the supplier-transition graph (the "
+    "talent-flow centrality of the reference domain, re-keyed to "
+    "which supplier a customer buys from next): weighted power "
+    "iteration with dangling-mass redistribution, FIXED 5 iterations "
+    "so the oracle unrolls the identical recurrence as CTEs — the "
+    "iterative-algorithm pattern (driver loop orchestrates, data "
+    "stays distributed, lineage truncated per round) made "
+    "hash-checkable cross-engine",
+)
+def pr1_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # l_linenumber is NOT unique within an order in the synthetic data:
+    # the supplier key completes the total order (SURVEY §7.3
+    # order-dependency hazard — every window must sort on a total key)
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
+    )
+    timeline = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
+    )
+    edges = (
+        timeline.withColumn("prev", F.lag("l_suppkey").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("l_suppkey")))
+        .groupBy(F.col("prev").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", "w", iters=_PR_ITERS, damping=_PR_D)
+    return ranks.select(
+        F.col("node").alias("supplier"), F.round("rank", 8).alias("rank")
+    )

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "m4_audio_features",
     "st8_stream_static_enrich",
     "j12_pit_join",
+    "pr1_supplier_pagerank",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

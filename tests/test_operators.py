@@ -513,3 +513,40 @@ class TestOracleLshAnn:
         # each query's own vector is in its bucket -> always found
         assert all(q in multi.get(q, set()) for q in bf)
         assert all(q in single.get(q, set()) for q in bf)
+
+
+class TestPageRank:
+    def test_known_graph_ranks(self, spark):
+        from dww_data_pipeline_spark.operators.graph import pagerank
+
+        # star: everyone points at hub 1; hub dangles
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 1), (4, 1)], "src long, dst long"
+        )
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+        assert ranks[1] > ranks[2]  # hub dominates
+        assert abs(ranks[2] - ranks[3]) < 1e-12  # symmetry
+
+    def test_weights_shift_mass(self, spark):
+        from dww_data_pipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges, weight="w").collect()}
+        assert ranks[2] > ranks[3]  # 9x the edge weight -> more mass
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    def test_deterministic_across_runs(self, spark):
+        from dww_data_pipeline_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i * 7) % 23) for i in range(23)], "src long, dst long"
+        ).filter("src <> dst")
+        a = sorted(pagerank(edges).collect())
+        b = sorted(pagerank(edges.repartition(7)).collect())
+        assert [r["node"] for r in a] == [r["node"] for r in b]
+        for ra, rb in zip(a, b):
+            assert abs(ra["rank"] - rb["rank"]) < 1e-12
