@@ -1027,3 +1027,54 @@ def pr1_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("supplier"), F.round("rank", 8).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_json_props — semi-structured (JSON) column extraction.
+#
+# events.props carries a JSON payload; extraction stays JVM-side
+# (get_json_object compiles into the scan stage — no Python, no
+# separate parse pass), and the aggregate shuffles only (event_type,
+# counters). The schema-on-read path every event pipeline needs for
+# loosely-typed instrumentation payloads.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    description="SEMI-STRUCTURED JSON extraction: the events.props "
+    "payload parsed schema-on-read (get_json_object — JVM-side, "
+    "fused into the scan stage) and profiled per event type; only "
+    "(event_type, counters) ever shuffle. The loosely-typed "
+    "instrumentation-payload path of every event pipeline",
+)
+def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
