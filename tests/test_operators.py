@@ -550,3 +550,49 @@ class TestPageRank:
         assert [r["node"] for r in a] == [r["node"] for r in b]
         for ra, rb in zip(a, b):
             assert abs(ra["rank"] - rb["rank"]) < 1e-12
+
+
+class TestBucketLocalComponents:
+    def test_equivalent_to_iterative_on_random_bucket_graphs(self, spark):
+        import random
+
+        from dww_data_pipeline_spark.operators.dedup import connected_components
+        from dww_data_pipeline_spark.operators.similarity import (
+            bucket_local_components_arrow,
+        )
+
+        rng = random.Random(42)
+        rows = []
+        # 6 buckets of 12 nodes; edges only within a bucket (the
+        # invariant single-table LSH pair generation guarantees)
+        for b in range(6):
+            nodes = [b * 100 + i for i in range(12)]
+            for _ in range(10):
+                a, c = rng.sample(nodes, 2)
+                rows.append((min(a, c), max(a, c), b))
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long, bucket int")
+        fast = {
+            r["id"]: r["component"]
+            for r in bucket_local_components_arrow(pairs).collect()
+        }
+        slow = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert fast == slow
+
+    def test_chain_within_bucket(self, spark):
+        from dww_data_pipeline_spark.operators.similarity import (
+            bucket_local_components_arrow,
+        )
+
+        # a 30-node chain: deep graphs are exactly where one-pass
+        # union-find beats O(diameter) label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 0) for i in range(30)], "id_a long, id_b long, bucket int"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in bucket_local_components_arrow(pairs).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 31
