@@ -275,3 +275,35 @@ class TestLakeMaintenance:
         assert day1.count() == 5  # untouched
         assert day2.count() == 3  # replaced
         assert day2.agg(F.min("v")).collect()[0][0] == 100
+
+
+class TestPartitionPruning:
+    def test_date_partition_filter_prunes_scan(self, spark, tmp_path):
+        """Directory-partitioned layout + a partition filter must show
+        up as PartitionFilters in the scan (files of other partitions
+        never open) — the layout contract for 100 TB date-partitioned
+        lakes."""
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.sources.maintenance import (
+            write_dynamic_partitions,
+        )
+
+        path = str(tmp_path / "part_events")
+        df = spark.createDataFrame(
+            [(f"2026-0{1 + (i % 3)}-01", i, float(i)) for i in range(300)],
+            "dt string, id int, v double",
+        )
+        write_dynamic_partitions(df, path, "dt")
+        q = spark.read.parquet(path).filter(F.col("dt") == "2026-02-01")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "2026-02-01" in plan.split("PartitionFilters")[1].split("]")[0]
+        assert q.count() == 100
+        # non-partition filters must still push down to parquet
+        q2 = spark.read.parquet(path).filter(
+            (F.col("dt") == "2026-02-01") & (F.col("id") > 250)
+        )
+        plan2 = q2._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan2
+        assert "GreaterThan(id,250)" in plan2
