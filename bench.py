@@ -81,6 +81,8 @@ EXTRA = [
     "st8_stream_static_enrich", # broadcast dim enrich + windowed agg
     "j12_pit_join",             # point-in-time feature join (asof carry)
     "pr1_supplier_pagerank",    # iterative weighted PageRank (5 rounds)
+    "ext_json_props",           # schema-on-read JSON profiling
+    "s7_ann_multitable_topk",   # L=2 hash-table LSH recall union
 ]
 
 

@@ -57,16 +57,24 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     # pre-join edge weights with out-weights once: contribution edge
     # fraction w/W(u) is iteration-invariant
-    frac = (
-        e.join(outw, "_s")
-        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_f"))
-        .localCheckpoint()
+    # no checkpoint: frac derives from the checkpointed edge list by a
+    # cheap self-join; re-planning it per iteration is cheaper than an
+    # extra eager materialization job
+    frac = e.join(outw, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_f")
     )
-    src_nodes = e.select("_s").distinct()
-    for _ in range(iters):
-        dangling = (
-            ranks.join(src_nodes, ranks.node == src_nodes._s, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+    # the dangling-node SET is iteration-invariant; flag it once so the
+    # per-iteration mass is one conditional sum inside the same plan
+    src_nodes = e.select(F.col("_s").alias("node")).distinct()
+    flagged = nodes.join(
+        src_nodes.withColumn("_has_out", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_has_out", F.lit(False)).alias("_has_out"))
+    ranks = flagged.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
+            ).alias("_dm")
         )
         contrib = (
             frac.join(ranks, frac._s == ranks.node)
@@ -74,10 +82,11 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("_f")).alias("_c"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib._d, "left")
+            flagged.join(contrib, flagged.node == contrib._d, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "_has_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -87,6 +96,10 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
-    return ranks
+        # truncate lineage every OTHER round: two iterations of
+        # join+agg replan cheaply, and halving the eager materialization
+        # jobs nearly halves wall-clock on small-to-medium graphs
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")

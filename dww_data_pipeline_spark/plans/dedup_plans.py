@@ -772,9 +772,10 @@ def _sql_rademacher_dot(p: int, vec: str = "embedding") -> str:
     )
 
 
-def _sql_lsh_bucket(vec: str = "embedding") -> str:
+def _sql_lsh_bucket(vec: str = "embedding", offset: int = 0) -> str:
     terms = " + ".join(
-        f"(CASE WHEN {_sql_rademacher_dot(p, vec)} >= 0 THEN {1 << p} ELSE 0 END)"
+        f"(CASE WHEN {_sql_rademacher_dot(offset + p, vec)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
         for p in range(_LSH_BITS)
     )
     return f"({terms})"
@@ -807,12 +808,12 @@ def _spark_rademacher_dot(vec, p: int):
     )
 
 
-def _spark_lsh_bucket(vec):
+def _spark_lsh_bucket(vec, offset: int = 0):
     b = F.lit(0)
     for p in range(_LSH_BITS):
-        b = b + F.when(_spark_rademacher_dot(vec, p) >= 0, F.lit(1 << p)).otherwise(
-            F.lit(0)
-        )
+        b = b + F.when(
+            _spark_rademacher_dot(vec, offset + p) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
     # the literal-folded sign vectors are _EMBED_DIM wide; a different
     # vector length would null-pad the zip_with, null the dot, and
     # silently send EVERY vector to bucket 0 (one giant O(n^2) bucket).
@@ -1561,4 +1562,94 @@ def t20_contamination_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("contamination_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s7 — multi-TABLE LSH ANN (the standard L-hash-tables recall
+# construction, complementing s5's multi-PROBE): candidates are the
+# union of same-bucket matches under two INDEPENDENT hyperplane
+# families (plane seeds 0.. and 200..). Each table is an equi-join on
+# its own bucket key (never an OR-join — that would plan as a
+# nested-loop); the union dedups (query, candidate) before scoring,
+# so every pair is scored once.
+# ---------------------------------------------------------------------------
+
+_S7_T2_OFFSET = 200
+
+
+@register(
+    "s7_ann_multitable_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding AS v,
+             {_sql_lsh_bucket()} AS b1,
+             {_sql_lsh_bucket(offset=_S7_T2_OFFSET)} AS b2
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, b1, b2 FROM e
+      WHERE vec_id IN (0, 1, 2)
+    ), cand AS (
+      SELECT q.query_id, a.vec_id, a.v, q.qv
+      FROM e a JOIN q ON a.b1 = q.b1
+      UNION
+      SELECT q.query_id, a.vec_id, a.v, q.qv
+      FROM e a JOIN q ON a.b2 = q.b2
+    ), scored AS (
+      SELECT query_id, vec_id,
+             round(
+               (list_sum(list_transform(list_zip(v, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+               / (sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos
+      FROM cand
+    )
+    SELECT query_id, vec_id, cos, rank FROM (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    description="MULTI-TABLE LSH ANN (L=2 independent hyperplane "
+    "families): per-table equi-joins on each table's bucket key "
+    "unioned + deduped before scoring — the standard recall "
+    "construction alongside multi-probe (s5); an OR of bucket "
+    "equalities would plan a nested loop, the union of equi-joins "
+    "stays hash-partitioned. Recall >= single-table s4 by "
+    "construction (asserted in pytest)",
+)
+def s7_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket(F.col("embedding")).alias("b1"),
+        _spark_lsh_bucket(F.col("embedding"), offset=_S7_T2_OFFSET).alias("b2"),
+    )
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("b1").alias("qb1"),
+        F.col("b2").alias("qb2"),
+    )
+    c1 = e.join(F.broadcast(q), F.col("b1") == F.col("qb1"))
+    c2 = e.join(F.broadcast(q), F.col("b2") == F.col("qb2"))
+    cand = (
+        c1.select("query_id", "vec_id", "embedding", "qv")
+        .union(c2.select("query_id", "vec_id", "embedding", "qv"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cos", "rank")
     )

@@ -596,3 +596,26 @@ class TestBucketLocalComponents:
             for r in bucket_local_components_arrow(pairs).collect()
         }
         assert set(got.values()) == {0} and len(got) == 31
+
+
+class TestMultiTableLsh:
+    def test_recall_dominates_single_table(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+
+        brute = {
+            (r["query_id"], r["vec_id"])
+            for r in REGISTRY["s1_ann_brute_force_topk"].spark(spark, sf_dir).collect()
+        }
+        single = {
+            (r["query_id"], r["vec_id"])
+            for r in REGISTRY["s4_ann_lsh_topk"].spark(spark, sf_dir).collect()
+        }
+        multi = {
+            (r["query_id"], r["vec_id"])
+            for r in REGISTRY["s7_ann_multitable_topk"].spark(spark, sf_dir).collect()
+        }
+        # table-1 candidates are a subset of the two-table union, so
+        # recall vs brute force cannot decrease
+        assert len(multi & brute) >= len(single & brute)
