@@ -55,9 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
     # under Spark 4's default inference; normalize to session-local
     # TIMESTAMP so the whole expression surface (unix_micros, window(),
-    # interval arithmetic) sees one timestamp flavor. The session runs
-    # UTC (session.py), so the wall-clock values are unchanged and match
-    # DuckDB's naive-timestamp arithmetic exactly.
+    # interval arithmetic) sees one timestamp flavor. The NTZ→TIMESTAMP
+    # cast interprets wall-clock in the SESSION timezone, so pin it to
+    # UTC here (runtime-settable, same rationale as nanosAsLong above):
+    # under any caller's session the values then match DuckDB's
+    # naive-timestamp arithmetic exactly.
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))

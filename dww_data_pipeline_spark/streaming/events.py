@@ -58,8 +58,11 @@ def read_events_stream(
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
         # TIMESTAMP(isAdjustedToUTC=false) parquet → NTZ under Spark 4
-        # inference; normalize to session-local TIMESTAMP (UTC session)
-        # so watermarks/windows/unix_micros see one flavor (catalog.py)
+        # inference; normalize to session-local TIMESTAMP so
+        # watermarks/windows/unix_micros see one flavor. The cast is
+        # session-timezone-sensitive — pin UTC like catalog.py so the
+        # wall-clock values survive ANY caller session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
