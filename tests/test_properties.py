@@ -183,3 +183,62 @@ class TestSequenceProperties:
                 else (row.payload, int(row.rt))
             )
             assert got[(row.k, row.lt)] == want
+
+
+class TestCodecProperties:
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=64,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_a16_roundtrip_and_window_count(self, samples):
+        # pure-Python property: no Spark jobs, so examples are cheap
+        import numpy as np
+
+        from dww_data_pipeline_spark.operators.media_codec import (
+            audio_features,
+            decode_audio,
+        )
+
+        payload = (
+            f"A16\n8000 {len(samples)}\n" + " ".join(map(str, samples))
+        ).encode()
+        rate, decoded = decode_audio(payload)
+        assert rate == 8000
+        assert list(decoded) == samples
+        wins = audio_features(decoded, window=8)
+        assert len(wins) == len(samples) // 8
+        for rms, zcr in wins:
+            assert 0.0 <= rms <= 1.0 and 0.0 <= zcr <= 1.0
+        if len(samples) >= 8:
+            s = np.asarray(samples[:8], dtype=np.float64)
+            assert wins[0][0] == float(np.sqrt((s * s).mean()) / 32768.0)
+
+
+class TestGraphProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_pagerank_mass_conserved_on_random_graphs(self, spark, raw):
+        from dww_data_pipeline_spark.operators.graph import pagerank
+
+        edges = [(a, b) for a, b in raw if a != b]
+        if not edges:
+            return
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ranks = pagerank(df, iters=3)
+        vals = [r["rank"] for r in ranks.collect()]
+        assert all(v > 0 for v in vals)
+        # dangling mass is redistributed, never lost
+        assert abs(sum(vals) - 1.0) < 1e-9
