@@ -146,3 +146,59 @@ class TestIncrementalRefreshEndToEnd:
         rng = dec.agg(F.min("decile").alias("lo"), F.max("decile").alias("hi")).collect()[0]
         assert 1 <= rng["lo"] and rng["hi"] <= 10
         diff.unpersist()
+
+
+class TestCurationDagRound4:
+    def test_span_dedup_quality_contamination_packing_dag(
+        self, spark, sf_dir, qs
+    ):
+        """Round-4 composition: chunk-level span dedup -> bigram-LM
+        quality floor -> graded contamination cap -> sequence packing.
+        Each stage's output keys must nest inside the previous one, and
+        the packing output must cover exactly the surviving docs that
+        have chunkable text."""
+        from pyspark.sql import functions as F
+
+        # stage 1: span dedup — every doc survives (as a row), some
+        # shrink; dedup stats must be internally consistent
+        spans = qs["d14_chunk_dedup"](spark, sf_dir)
+        bad = spans.filter(
+            (F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_chunks"))
+        )
+        assert bad.count() == 0
+        n_docs = spans.count()
+
+        # stage 2: LM-quality floor at the corpus median avg_logp —
+        # half-ish of the corpus passes, all scored docs are covered
+        lm = qs["t19_bigram_lm_score"](spark, sf_dir)
+        assert lm.count() <= n_docs  # docs with >= 2 tokens
+        median = lm.agg(F.percentile("avg_logp", F.lit(0.5))).collect()[0][0]
+        quality_pass = lm.filter(F.col("avg_logp") >= median).select("doc_id")
+        n_quality = quality_pass.count()
+        assert 0 < n_quality <= lm.count()
+
+        # stage 3: contamination cap — keep share <= 0.5; clean docs
+        # (share 0.0) must all survive this gate
+        contam = qs["t20_contamination_share"](spark, sf_dir)
+        kept = contam.filter(F.col("contamination_share") <= 0.5).select("doc_id")
+        survivors = quality_pass.join(kept, "doc_id")
+        n_surv = survivors.count()
+        assert n_surv <= n_quality
+
+        # stage 4: packing restricted to survivors — bins must be
+        # dense from 0 and every chunk accounted for exactly once
+        packed = qs["t14_sequence_packing"](spark, sf_dir).join(
+            survivors, "doc_id"
+        )
+        n_chunks = packed.count()
+        assert n_chunks > 0
+        per_doc = packed.groupBy("doc_id").count()
+        assert per_doc.count() <= n_surv
+        # start_tok strictly increasing within a doc's chunks
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("chunk_id")
+        mono = packed.withColumn("_prev", F.lag("start_tok").over(w)).filter(
+            F.col("_prev").isNotNull() & (F.col("start_tok") <= F.col("_prev"))
+        )
+        assert mono.count() == 0
