@@ -307,3 +307,28 @@ class TestPartitionPruning:
         plan2 = q2._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan2
         assert "GreaterThan(id,250)" in plan2
+
+
+class TestSchemaEvolution:
+    def test_merge_schema_reads_mixed_file_generations(self, spark, tmp_path):
+        """Appending files written with a WIDER schema must stay
+        readable: mergeSchema unions the generations, old files
+        surface nulls for new columns — the additive-evolution
+        contract a long-lived lake depends on."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+        v1.write.mode("overwrite").parquet(path)
+        v2 = spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, name string, score double"
+        )
+        v2.write.mode("append").parquet(path)
+
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"id", "name", "score"}
+        rows = {r["id"]: r for r in merged.collect()}
+        assert rows[1]["score"] is None  # old generation: null-filled
+        assert rows[3]["score"] == 0.5
+        # filters on the new column must not error on old files
+        assert merged.filter(F.col("score") > 0).count() == 1
