@@ -409,3 +409,30 @@ class TestGlobalWindowDiscipline:
                     name,
                     m.group(1)[:120],
                 )
+
+
+class TestLatestRound4Plans:
+    def test_pit_join_single_key_shuffle_no_range_join(self, spark, sf_dir):
+        # the as-of carry must never plan an inequality join
+        plan = _plan(spark, sf_dir, "j12_pit_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_json_extraction_stays_jvm_side(self, spark, sf_dir):
+        # get_json_object must not spawn a Python stage
+        plan = _plan(spark, sf_dir, "ext_json_props")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_multitable_ann_equi_joins_only(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "s7_ann_multitable_topk")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2  # one per hash table
+
+    def test_numeric_profile_histogram_not_value_buffering(self, spark, sf_dir):
+        # the only exchange carries (col, value) histogram cells; the
+        # exact-percentile ObjectHashAggregate buffer must be gone
+        plan = _plan(spark, sf_dir, "dq6_numeric_profile")
+        assert "percentile" not in plan.lower()
+        assert "FlatMapGroupsInPandas" in plan
