@@ -1,12 +1,20 @@
 """Thread-scaling harness: run representative queries at increasing
 local parallelism and report speedup / parallel efficiency.
 
-    python tools/scaling.py [sf_dir] [--threads 4,8,16,32]
+    python tools/scaling.py [sf_dir] [--threads 4,8,16,32] [--multiply N]
 
 Each thread count gets a FRESH SparkSession (local[N], shuffle
 partitions = N — the same sizing rule session.py applies), each query
 runs twice and keeps the min (one warm-up for codegen). Output: one
 JSON line per thread count plus a speedup table vs the smallest N.
+
+At sf0.1 the queries are OVERHEAD-bound (sub-2s) and scaling
+saturates; ``--multiply N`` builds a key-shifted N× replica of the
+fact tables under /tmp (dimension tables nation/region stay
+canonical so join semantics hold) and runs against that, which is
+where throughput-bound scaling becomes visible. The replica is a
+PERFORMANCE fixture only — correctness stays pinned to the driver's
+own parquet.
 
 This is the local stand-in for executor-count scaling on a cluster:
 a query whose wall-clock refuses to drop with N is serialized
@@ -20,6 +28,61 @@ import json
 import os
 import sys
 import time
+
+# per-table integer key columns to shift per replica so keys stay
+# globally unique AND cross-table references stay consistent
+_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_KEY_OFFSET = 1_000_000_000
+
+
+def build_replica(sf_dir: str, n: int) -> str:
+    """Materialize an n× key-shifted copy of the fact tables (tiny
+    canonical dims copied as-is). Cached by (sf_dir, n)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dww_data_pipeline_spark.session import get_spark
+    from dww_data_pipeline_spark.sources.catalog import TABLES, load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/dww_scale_{tag}_x{n}"
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    spark = get_spark("replica-build")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        keys = _KEY_COLS.get(t)
+        if not keys:  # nation/region: canonical dimensions
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            continue
+        parts = []
+        for i in range(n):
+            rep = df
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * _KEY_OFFSET))
+            parts.append(rep)
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        # enough files that every thread count under test gets input
+        # splits — a single large row group reads as ONE task and
+        # silently serializes the scan no matter the parallelism
+        full.repartition(64).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    spark.stop()
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
 
 QUERIES = [
     "a1_pricing_summary",   # scan + agg: should scale with cores
@@ -35,12 +98,19 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = [4, 8, 16, 32]
+    multiply = 0
     for a in sys.argv[1:]:
         if a.startswith("--threads"):
             threads = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--multiply"):
+            multiply = int(a.split("=", 1)[1])
 
     from dww_data_pipeline_spark.plans.registry import all_queries
     from dww_data_pipeline_spark.session import get_spark
+
+    if multiply > 1:
+        sf_dir = build_replica(sf_dir, multiply)
+        print(f"# running against {multiply}x replica: {sf_dir}")
 
     results: dict[int, dict[str, float]] = {}
     for n in threads:
