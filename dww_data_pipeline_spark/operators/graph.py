@@ -54,7 +54,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # bounded: node-count scalar, one job
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if n == 0:
+        # empty graph → empty result, not a ZeroDivisionError at
+        # plan-build time
+        return nodes.withColumn("rank", F.lit(0.0))
     # pre-join edge weights with out-weights once: contribution edge
     # fraction w/W(u) is iteration-invariant
     # no checkpoint: frac derives from the checkpointed edge list by a

@@ -263,6 +263,11 @@ def audio_features(samples: np.ndarray, window: int = 8) -> list[tuple[float, fl
     correctly-rounded sqrt/div make the values bit-identical to a SQL
     re-derivation. The trailing partial window is dropped (training
     featurizers pad or drop; dropping keeps the math exact)."""
+    if window < 2:
+        # zcr needs >= 1 adjacent pair; a bad window must surface as
+        # the contract exception type, not ZeroDivisionError inside a
+        # Spark task
+        raise ValueError(f"audio_features window must be >= 2, got {window}")
     out: list[tuple[float, float]] = []
     s = samples.astype(np.float64)
     for w0 in range(0, len(s) - window + 1, window):

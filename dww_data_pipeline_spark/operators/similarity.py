@@ -128,22 +128,14 @@ def _centroid_probe_col(vec_col, centroids: np.ndarray, nprobe: int):
 
 
 def _pairwise_cos_arrow(
-    pairs: DataFrame,
-    query_id: str,
-    id_col: str,
-    va: str,
-    vb: str,
-    min_cos: float | None = None,
+    pairs: DataFrame, query_id: str, id_col: str, va: str, vb: str
 ) -> DataFrame:
     """Rowwise cosine over candidate pairs via mapInPandas (one numpy
     einsum per Arrow batch) — the Arrow twin of the expression-path
     cosine for the LSH/IVF scoring stage, where candidates after
     bucket pruning still scale with the corpus. Same zero-norm → 0.0
-    semantics and half-up 6-decimal rounding. ``min_cos`` filters on
-    the RAW (unrounded) cosine inside the batch — matching a SQL
-    ``WHERE cos >= t`` applied before rounding — so the threshold
-    prunes in the Python stage and the exchange never carries
-    below-threshold pairs."""
+    semantics and half-up 6-decimal rounding. (Bucket-grouped scoring
+    with thresholds lives in ``bucket_pairs_cos_arrow``.)"""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -172,13 +164,12 @@ def _pairwise_cos_arrow(
             dot = np.einsum("ij,ij->i", A, B)
             denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             cos = np.where(denom > 0, dot / np.maximum(denom, 1e-300), 0.0)
-            keep = slice(None) if min_cos is None else cos >= min_cos
             cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {
-                    query_id: pdf[query_id][keep],
-                    id_col: pdf[id_col][keep],
-                    "cos": cos[keep],
+                    query_id: pdf[query_id],
+                    id_col: pdf[id_col],
+                    "cos": cos,
                 }
             )
 
@@ -448,7 +439,14 @@ def bucket_pairs_cos_arrow(
     cos is half-up 6-decimal rounded. Per-bucket work is n_b^2 — the
     skew story is the LSH bit-width (more bits → smaller buckets), and
     AQE cannot split a single Python group, so size buckets for the
-    corpus."""
+    corpus.
+
+    Float caveat (accepted, shared with the einsum scorers s4/s5):
+    BLAS summation order differs from a SQL fold, so a pair whose RAW
+    cosine sits within ~1e-15 of the threshold or of a rounding
+    boundary could flip against a fold-based oracle. Empirically zero
+    hits across every scale factor; the alternative (per-pair
+    left-to-right loops) forfeits the vectorized scoring entirely."""
     from pyspark.sql import types as T
 
     fields = [

@@ -448,6 +448,23 @@ def dq6_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = h["v"].to_numpy()
         cnts = h["cnt"].to_numpy()
         nn = int(cnts.sum())
+        if nn == 0:
+            # an all-null column is exactly what a profiler must
+            # REPORT, not crash on
+            return pd.DataFrame(
+                [
+                    {
+                        "col_name": name,
+                        "n": nulls,
+                        "n_null": nulls,
+                        "min_v": None,
+                        "max_v": None,
+                        "mean_v": None,
+                        "p50": None,
+                        "p95": None,
+                    }
+                ]
+            )
         cum = np.cumsum(cnts)
 
         def quantile_cont(q: float) -> float:

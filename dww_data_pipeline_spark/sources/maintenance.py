@@ -47,9 +47,12 @@ def compact_parquet_dir(
 
     Sizing uses the directory's ACTUAL byte footprint (not row or
     file counts — ingest files vary wildly in size), and the rewrite
-    lands in a sibling temp dir that is atomically swapped in, so a
-    concurrent reader sees either the old or the new directory, never
-    a partial one. Returns (files_before, files_after).
+    lands in a sibling temp dir swapped in by two renames: a reader
+    never observes a PARTIAL directory, but there is a sub-millisecond
+    not-found window between the renames (POSIX has no atomic
+    directory exchange) — production deployments route readers
+    through a manifest/symlink pointer or a table format to close it.
+    Returns (files_before, files_after).
 
     At cluster scale the same routine runs per-partition-directory
     (compact the partitions a freshness watermark says are cold) —
@@ -66,7 +69,11 @@ def compact_parquet_dir(
     # repartition (round-robin), not coalesce: coalesce(n) merges
     # whole input partitions and can leave the skew it was meant to
     # remove
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    try:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # never leak the temp dir
+        raise
     os.rename(path, old)
     try:
         os.rename(tmp, path)

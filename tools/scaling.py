@@ -99,11 +99,20 @@ def main() -> None:
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = [4, 8, 16, 32]
     multiply = 0
-    for a in sys.argv[1:]:
-        if a.startswith("--threads"):
-            threads = [int(x) for x in a.split("=", 1)[1].split(",")]
-        if a.startswith("--multiply"):
-            multiply = int(a.split("=", 1)[1])
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        def _val(flag):
+            if a.startswith(flag + "="):
+                return a.split("=", 1)[1]
+            if a == flag and i + 1 < len(argv):
+                return argv[i + 1]
+            return None
+        v = _val("--threads")
+        if v is not None:
+            threads = [int(x) for x in v.split(",")]
+        v = _val("--multiply")
+        if v is not None:
+            multiply = int(v)
 
     from dww_data_pipeline_spark.plans.registry import all_queries
     from dww_data_pipeline_spark.session import get_spark
