@@ -799,33 +799,41 @@ def _rademacher_signs(p: int, dim: int = _EMBED_DIM) -> list[float]:
     ]
 
 
-def _spark_rademacher_dot(vec, p: int):
-    signs = F.array(*[F.lit(s) for s in _rademacher_signs(p)])
-    return F.aggregate(
-        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda a, x: a + x,
+def _spark_dot_sql(vec_sql: str, p: int) -> str:
+    """Spark-SQL text of the sign dot: the sign vector folds to an
+    array literal, the fold is the same zip_with/aggregate shape the
+    Column API built — but as ONE parsed string per dot instead of a
+    dozen Py4J lambda registrations (each Python lambda in
+    ``zip_with``/``aggregate`` costs a JVM round-trip; 4-bit buckets
+    over 64 dims spent ~0.5 s of driver time per query building the
+    tree, measured — parse-once builds in milliseconds, same plan)."""
+    signs = ", ".join(repr(s) + "D" for s in _rademacher_signs(p))
+    return (
+        f"aggregate(zip_with({vec_sql}, array({signs}), "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), 0D, (a, x) -> a + x)"
     )
 
 
-def _spark_lsh_bucket(vec, offset: int = 0):
-    b = F.lit(0)
-    for p in range(_LSH_BITS):
-        b = b + F.when(
-            _spark_rademacher_dot(vec, offset + p) >= 0, F.lit(1 << p)
-        ).otherwise(F.lit(0))
+def _spark_rademacher_dot(vec_sql: str, p: int):
+    return F.expr(_spark_dot_sql(vec_sql, p))
+
+
+def _spark_lsh_bucket(vec_sql: str = "embedding", offset: int = 0):
+    terms = " + ".join(
+        f"(CASE WHEN {_spark_dot_sql(vec_sql, offset + p)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_LSH_BITS)
+    )
     # the literal-folded sign vectors are _EMBED_DIM wide; a different
     # vector length would null-pad the zip_with, null the dot, and
     # silently send EVERY vector to bucket 0 (one giant O(n^2) bucket).
     # Fail loudly instead — the guard lives in the output column so it
     # cannot be pruned.
-    return F.when(F.size(vec) == _EMBED_DIM, b).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"sign-LSH expects {_EMBED_DIM}-dim embeddings, got "),
-                F.size(vec).cast("string"),
-            )
-        ).cast("int")
+    return F.expr(
+        f"CASE WHEN size({vec_sql}) = {_EMBED_DIM} THEN ({terms}) "
+        f"ELSE CAST(raise_error(concat("
+        f"'sign-LSH expects {_EMBED_DIM}-dim embeddings, got ', "
+        f"CAST(size({vec_sql}) AS STRING))) AS INT) END"
     )
 
 
@@ -861,7 +869,7 @@ def d7b_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
+        _spark_lsh_bucket("embedding").alias("bucket"),
     )
     return bucket_pairs_cos_arrow(
         e, "vec_id", "embedding", "bucket", min_cos=0.3
@@ -904,7 +912,7 @@ def s4_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _spark_lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _spark_lsh_bucket("embedding").alias("bucket")
     )
     q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
@@ -1206,7 +1214,7 @@ def s5_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _spark_lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _spark_lsh_bucket("embedding").alias("bucket")
     )
     probes = F.array(
         F.col("bucket"),
@@ -1266,7 +1274,7 @@ def e4_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFram
         "vec_id",
         *[
             F.round(
-                _spark_rademacher_dot(F.col("embedding"), 100 + p) / scale, 6
+                _spark_rademacher_dot("embedding", 100 + p) / scale, 6
             ).alias(f"r{p}")
             for p in range(_RP_DIMS)
         ],
@@ -1310,7 +1318,7 @@ def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
+        _spark_lsh_bucket("embedding").alias("bucket"),
     )
     return bucket_knn_arrow(e, "vec_id", "embedding", "bucket", k=3)
 
@@ -1482,7 +1490,7 @@ def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _spark_lsh_bucket(F.col("embedding")).alias("bucket"),
+        _spark_lsh_bucket("embedding").alias("bucket"),
     )
     pairs = bucket_pairs_cos_arrow(
         e, "vec_id", "embedding", "bucket", min_cos=0.3, keep_bucket=True
@@ -1626,8 +1634,8 @@ def s7_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        _spark_lsh_bucket(F.col("embedding")).alias("b1"),
-        _spark_lsh_bucket(F.col("embedding"), offset=_S7_T2_OFFSET).alias("b2"),
+        _spark_lsh_bucket("embedding").alias("b1"),
+        _spark_lsh_bucket("embedding", offset=_S7_T2_OFFSET).alias("b2"),
     )
     q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"),
