@@ -83,6 +83,7 @@ EXTRA = [
     "pr1_supplier_pagerank",    # iterative weighted PageRank (5 rounds)
     "ext_json_props",           # schema-on-read JSON profiling
     "s7_ann_multitable_topk",   # L=2 hash-table LSH recall union
+    "t21_corpus_shard",         # deterministic training-shard manifest
 ]
 
 

@@ -1050,3 +1050,49 @@ def t17_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", _quality_col().alias("quality"))
         .withColumn("decile", F.ntile(10).over(w).cast("long"))
     )
+
+
+@register(
+    "t21_corpus_shard",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 16 AS shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+               AS shard_pos
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(shard_pos) AS BIGINT) AS first_pos,
+           CAST(SUM(shard_pos) AS BIGINT) AS content_sig
+    FROM sharded
+    GROUP BY shard
+    """,
+    description="TRAINING-SHARD MANIFEST: per-shard stats of the "
+    "deterministic corpus sharding (sources/shards.py) — membership "
+    "is md5-top-32-bits mod N, within-shard order the second 32-bit "
+    "chunk, so shard layout is a pure function of content keys "
+    "(reproducible across re-runs, clusters, and engines; no RNG "
+    "state). content_sig (an order-independent BIGINT sum of the "
+    "order keys) is the witness a backfill compares to prove shards "
+    "are byte-stable before swapping a corpus version in. One scan + "
+    "one 16-group agg; the actual write shuffles each row once to "
+    "its shard writer (write_training_shards, round-trip tested).",
+)
+def t21_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.sources.shards import with_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        with_shards(d.select("doc_id", "n_chars"), "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("shard_pos").alias("first_pos"),
+            F.sum("shard_pos").alias("content_sig"),
+        )
+    )
