@@ -1,0 +1,53 @@
+"""CLI entry point (python -m dww_data_pipeline_spark)."""
+
+from __future__ import annotations
+
+from dww_data_pipeline_spark.__main__ import main
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestCli:
+    def test_list_filters(self, capsys):
+        assert main(["list", "--grep", "t21"]) == 0
+        out = capsys.readouterr().out
+        assert "t21_corpus_shard" in out and "oracle" in out
+
+    def test_oracle_print_and_rows_only(self, capsys):
+        assert main(["oracle", "a1_pricing_summary"]) == 0
+        assert "l_returnflag" in capsys.readouterr().out
+        assert main(["oracle", "e6_pca_project"]) == 1  # rows-only
+        assert main(["oracle", "nope"]) == 2
+
+    def test_unknown_query_rejected(self):
+        assert main(["run", "definitely_not_a_query", "--sf-dir", SF_DIR]) == 2
+
+    def test_run_writes_parquet(self, spark, tmp_path, capsys):
+        out = str(tmp_path / "res")
+        rc = main(
+            [
+                "run",
+                "a10_distinct",
+                "--sf-dir",
+                SF_DIR,
+                "--out",
+                out,
+                "--format",
+                "parquet",
+            ]
+        )
+        assert rc == 0
+        back = spark.read.parquet(out)
+        assert back.count() > 0
+
+    def test_sql_over_views(self, capsys):
+        rc = main(
+            [
+                "sql",
+                "SELECT COUNT(*) AS n FROM region",
+                "--sf-dir",
+                SF_DIR,
+            ]
+        )
+        assert rc == 0
+        assert "5" in capsys.readouterr().out
