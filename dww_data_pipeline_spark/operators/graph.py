@@ -77,12 +77,14 @@ def pagerank(
     # the same exchanges (ReusedExchange), so execution stays linear
     # while the per-iteration checkpoint/broadcast JOBS (2 per round,
     # each a full scheduler round-trip) disappear. Measured at sf0.1:
-    # 5.6 s (checkpoint-per-round) → 3.8 s. For very large iteration
-    # counts re-introduce a checkpoint every ~8 rounds to bound plan
-    # size; at the fixed 5 rounds the tree stays small because the
-    # leaves are checkpoint scans.
+    # 5.6 s (checkpoint-per-round) → 3.8 s. The tree doubles per
+    # round, so a checkpoint every 6 rounds bounds plan size (≤2^6
+    # leaf paths) for callers that ask for long iteration counts; the
+    # default 5 rounds never hits it.
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
+        if i > 0 and i % 6 == 0:
+            ranks = ranks.localCheckpoint()
         dangling = ranks.agg(
             F.coalesce(
                 F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
