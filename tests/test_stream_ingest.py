@@ -1,0 +1,95 @@
+"""Streaming shard ingest == batch shard write (streaming/ingest.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.sources.shards import write_training_shards
+from dww_data_pipeline_spark.streaming.ingest import (
+    read_shard_lake,
+    shard_ingest_batch,
+    stream_shard_ingest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SHARDS = 8
+
+
+def _manifest(df):
+    """Per-shard manifest rows; shard may arrive as partition-column
+    string — normalize to long."""
+    return sorted(
+        tuple(r)
+        for r in df.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("shard_pos").alias("sig"),
+            F.sum(F.col("doc_id") * F.col("shard_pos")).alias("xsig"),
+        )
+        .collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+
+
+class TestStreamShardIngest:
+    def test_stream_equals_batch(self, spark, docs, tmp_path):
+        # batch reference lake
+        batch_lake = str(tmp_path / "batch_lake")
+        write_training_shards(docs, batch_lake, "doc_id", n_shards=N_SHARDS)
+
+        # split the corpus into 2 source files -> 2 micro-batches
+        src = str(tmp_path / "src")
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            f"{src}/f0"
+        )
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{src}/f1"
+        )
+        stream_lake = str(tmp_path / "stream_lake")
+        sdf = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = stream_shard_ingest(
+            sdf,
+            stream_lake,
+            checkpoint=str(tmp_path / "ckpt"),
+            n_shards=N_SHARDS,
+        )
+        q.awaitTermination(120)
+
+        back = read_shard_lake(spark, stream_lake)
+        assert back.select("batch").distinct().count() >= 2  # really micro-batched
+        assert _manifest(back) == _manifest(
+            spark.read.parquet(batch_lake)
+        )
+
+    def test_replay_is_idempotent(self, spark, docs, tmp_path):
+        lake = str(tmp_path / "lake")
+        b0 = docs.limit(40)
+        assert shard_ingest_batch(b0, lake, 0, n_shards=N_SHARDS) is True
+        m1 = _manifest(read_shard_lake(spark, lake))
+
+        # committed batch replays as a no-op
+        assert shard_ingest_batch(b0, lake, 0, n_shards=N_SHARDS) is False
+        assert _manifest(read_shard_lake(spark, lake)) == m1
+
+        # crash window: files written but marker lost -> replay must
+        # remove partials and converge to one copy
+        os.remove(os.path.join(lake, "_commits", "0"))
+        assert shard_ingest_batch(b0, lake, 0, n_shards=N_SHARDS) is True
+        assert _manifest(read_shard_lake(spark, lake)) == m1
+
+    def test_object_store_path_rejected(self, docs):
+        with pytest.raises(ValueError, match="transactional"):
+            shard_ingest_batch(docs, "s3://bucket/lake", 0)
