@@ -90,41 +90,43 @@ def _kmeans_centroids(
     return centroids
 
 
-def _nearest_centroid_col(vec_col, centroids: np.ndarray):
-    """Column: index of the nearest centroid (L2)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    best_idx = F.lit(0)
-    best_d = None
-    for j, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-            best_idx = F.lit(0)
-        else:
-            best_idx = F.when(d < best_d, F.lit(j)).otherwise(best_idx)
-            best_d = F.least(best_d, d)
-    return best_idx
+def _centroid_dist_sql(vec_sql: str, c) -> str:
+    """Spark-SQL text of the squared-L2 distance to one centroid.
+
+    Built as SQL text and parsed once (F.expr) rather than nested
+    Column-API lambdas: each Python-side zip_with/aggregate lambda
+    costs a JVM round-trip to register, and k=16 centroids × 2
+    lambdas each spent ~1 s of pure driver time per query building
+    the tree (same finding as the PCA/sign-LSH builders)."""
+    arr = ", ".join(repr(float(x)) + "D" for x in c)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+    )
 
 
-def _centroid_probe_col(vec_col, centroids: np.ndarray, nprobe: int):
+def _centroid_structs_sql(vec_sql: str, centroids: np.ndarray) -> str:
+    return ", ".join(
+        f"named_struct('d', {_centroid_dist_sql(vec_sql, c)}, 'j', {j})"
+        for j, c in enumerate(centroids)
+    )
+
+
+def _nearest_centroid_col(vec_col: str, centroids: np.ndarray):
+    """Column: index of the nearest centroid (L2); ties keep the
+    earliest index (struct comparison orders by d, then j)."""
+    return F.expr(
+        f"array_min(array({_centroid_structs_sql(vec_col, centroids)})).j"
+    )
+
+
+def _centroid_probe_col(vec_col: str, centroids: np.ndarray, nprobe: int):
     """Column: array of the nprobe nearest centroid indices (L2)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    dists = []
-    for j, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-    ordered = F.sort_array(F.array(*dists))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["j"])
+    return F.expr(
+        f"transform(slice(sort_array(array("
+        f"{_centroid_structs_sql(vec_col, centroids)})), 1, {nprobe}), "
+        f"s -> s.j)"
+    )
 
 
 def _pairwise_cos_arrow(
