@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dww_data_pipeline_spark.functions.vectors import cosine, dot
+from dww_data_pipeline_spark.functions.vectors import cosine
 
 
 def _topk(scored: DataFrame, query_id: str, id_col: str, k: int) -> DataFrame:
@@ -62,14 +62,24 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.randn(bits, dim).astype("float64")
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray):
+def _plane_dot_sql(vec_sql: str, plane) -> str:
+    """Spark-SQL text of the hyperplane dot (parse-once build — same
+    Py4J-lambda-cost finding as the PCA/centroid builders)."""
+    arr = ", ".join(repr(float(x)) + "D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> x * y), 0D, (a, x) -> a + x)"
+    )
+
+
+def lsh_bucket_col(vec_col: str, planes: np.ndarray):
     """Bucket id expression: sign-bit concatenation over hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, arr) >= 0, 1).otherwise(0)
-        bucket = bucket + (bit.cast("long") * F.lit(1 << i).cast("long"))
-    return bucket
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(vec_col, plane)} >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(f"({terms})")
 
 
 def _kmeans_centroids(
@@ -267,11 +277,10 @@ def lsh_topk(
     c = corpus.withColumn("_bucket", lsh_bucket_col(vec_col, planes))
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")).withColumn(
         "_dots",
-        F.array(
-            *[
-                dot(F.col("_qv"), F.array(*[F.lit(float(x)) for x in plane]))
-                for plane in planes
-            ]
+        F.expr(
+            "array("
+            + ", ".join(_plane_dot_sql("_qv", plane) for plane in planes)
+            + ")"
         ),
     )
     # bucket from the materialized dots (same sign rule as
