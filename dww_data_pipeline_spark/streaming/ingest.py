@@ -1,21 +1,29 @@
-"""Continuous corpus ingestion into the deterministic shard lake.
+"""Continuous corpus ingestion: streaming dedup admission and the
+deterministic shard lake.
 
-Streaming twin of ``sources.shards.write_training_shards``: documents
-arrive as a stream, each micro-batch lands in the same
-content-addressed layout (``shard = md5-top-32-bits mod N``,
-intra-shard order = the next 32 bits), so the lake a stream builds is
-row-identical to the one a batch backfill builds — the t21 manifest
-(per-shard counts + order-key sums) is the cross-check, asserted in
-tests/test_stream_ingest.py.
+A production corpus is not rebuilt per crawl — new document batches
+arrive continuously, each must be deduped against the EXISTING corpus
+before admission, and admitted documents must land in a reproducible
+serialization layout. Two foreachBatch flows cover that:
 
-Exactly-once on plain parquet (no transaction log): every batch
-writes under its own partition (``shard=K/batch=B/part-*``) and then
-records a commit marker. A replayed batch (at-least-once foreachBatch
-after a crash) first deletes any uncommitted ``batch=B`` partials,
-then rewrites — so the lake converges to exactly one copy of every
-batch regardless of where a crash landed. Scale shape per batch: one
-shuffle (row → shard writer), sorted runs, bounded files; commit
-markers are O(#batches) empty files, not data.
+* ``stream_incremental_dedup`` — streaming twin of d11: each
+  micro-batch is decided by the same ``incremental_decisions`` core
+  the batch query uses, against a corpus index (fingerprint counts,
+  banded LSH signatures, shingle sets) built ONCE per run and cached,
+  so micro-batches pay only for their own signatures.
+* ``stream_shard_ingest`` — streaming twin of
+  ``sources.shards.write_training_shards``: micro-batches land in the
+  content-addressed shard layout (``shard = md5-top-32-bits mod N``,
+  intra-shard order = the next 32 bits), so the lake a stream builds
+  is row-identical to a batch backfill's — the t21 manifest is the
+  cross-check, asserted in tests/test_stream_ingest.py.
+
+Both are idempotent under foreachBatch's at-least-once replay:
+dedup decisions overwrite their own ``batch=<id>`` subdirectory;
+shard ingest writes under ``shard=K/batch=B`` partitions with commit
+markers and deletes uncommitted partials before a rewrite, so the
+lake converges to exactly one copy of every batch regardless of
+where a crash landed (same discipline as streaming/sinks.upsert_batch).
 """
 
 from __future__ import annotations
@@ -29,6 +37,58 @@ from pyspark.sql import functions as F
 
 from dww_data_pipeline_spark.sources.shards import with_shards
 
+
+# ------------------------------------------------ ingest dedup (d11 twin)
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Attach the ingest-dedup flow to a streaming (doc_id, text)
+    DataFrame. Returns the started query (availableNow trigger —
+    drain pending files then stop; swap for processingTime in
+    always-on mode).
+
+    Idempotency: each micro-batch writes (overwrite) its own
+    ``batch=<id>`` subdirectory, so foreachBatch replays after a crash
+    converge instead of appending duplicates. Read results with
+    ``spark.read.parquet(out_path + "/batch=*")``.
+
+    The corpus index (fingerprint counts, banded signatures, shingle
+    sets) is built ONCE here and cached, so micro-batches pay only for
+    their own signatures + the batch-driven joins — not a per-batch
+    re-derivation of the corpus side. Call ``.unpersist()`` on the
+    returned query's ``corpus_index`` attribute values when done, or
+    let the session end reclaim them.
+    """
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        build_corpus_index,
+        incremental_decisions,
+    )
+
+    index = {k: df.cache() for k, df in build_corpus_index(corpus_docs).items()}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = incremental_decisions(
+            batch_df.select("doc_id", "text"), index=index
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    query = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.corpus_index = index  # expose for unpersist by the caller
+    return query
+
+
+# ------------------------------------------------ shard lake (t21 twin)
 
 def _marker(lake_path: str, batch_id: int) -> str:
     return os.path.join(lake_path, "_commits", str(batch_id))
