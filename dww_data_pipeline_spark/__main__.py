@@ -46,6 +46,15 @@ def _build_parser() -> argparse.ArgumentParser:
     orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orc.add_argument("query", metavar="QUERY")
 
+    ex = sub.add_parser("explain", help="print a query's physical plan")
+    ex.add_argument("query", metavar="QUERY")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost"],
+    )
+
     sql = sub.add_parser("sql", help="run ad-hoc SQL over the test tables")
     sql.add_argument("statement", metavar="SQL")
     sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -81,10 +90,18 @@ def main(argv: list[str] | None = None) -> int:
         print(q.oracle.strip())
         return 0
 
-    # run / sql need a session
+    # run / sql / explain need a session
     from dww_data_pipeline_spark.session import get_spark
 
     spark = get_spark("cli")
+
+    if args.cmd == "explain":
+        q = REGISTRY.get(args.query)
+        if q is None:
+            print(f"unknown query {args.query!r}", file=sys.stderr)
+            return 2
+        q.spark(spark, args.sf_dir).explain(args.mode)
+        return 0
 
     if args.cmd == "sql":
         from dww_data_pipeline_spark.sql import register_all

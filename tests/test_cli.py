@@ -40,6 +40,13 @@ class TestCli:
         back = spark.read.parquet(out)
         assert back.count() > 0
 
+    def test_explain_prints_physical_plan(self, capsys):
+        rc = main(["explain", "j1_star_join", "--sf-dir", SF_DIR])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Physical Plan" in out
+        assert main(["explain", "nope"]) == 2
+
     def test_sql_over_views(self, capsys):
         rc = main(
             [
