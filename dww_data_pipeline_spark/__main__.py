@@ -90,17 +90,23 @@ def main(argv: list[str] | None = None) -> int:
         print(q.oracle.strip())
         return 0
 
+    # validate query names BEFORE paying Spark session startup
+    if args.cmd == "explain" and args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}", file=sys.stderr)
+        return 2
+    if args.cmd == "run":
+        unknown = [n for n in args.queries if n not in REGISTRY]
+        if unknown:
+            print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+            return 2
+
     # run / sql / explain need a session
     from dww_data_pipeline_spark.session import get_spark
 
     spark = get_spark("cli")
 
     if args.cmd == "explain":
-        q = REGISTRY.get(args.query)
-        if q is None:
-            print(f"unknown query {args.query!r}", file=sys.stderr)
-            return 2
-        q.spark(spark, args.sf_dir).explain(args.mode)
+        REGISTRY[args.query].spark(spark, args.sf_dir).explain(args.mode)
         return 0
 
     if args.cmd == "sql":
@@ -110,10 +116,6 @@ def main(argv: list[str] | None = None) -> int:
         spark.sql(args.statement).show(args.show, truncate=False)
         return 0
 
-    unknown = [n for n in args.queries if n not in REGISTRY]
-    if unknown:
-        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
-        return 2
     for name in args.queries:
         df = REGISTRY[name].spark(spark, args.sf_dir)
         if args.out:

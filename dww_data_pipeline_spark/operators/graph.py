@@ -38,9 +38,13 @@ def pagerank(
     the edge list on src + one aggregate on dst — identical to the
     label-propagation shape, so the same partitioning is reused every
     round; ranks (two columns) are what shuffles, never the graph
-    payload. localCheckpoint truncates lineage so iteration i does not
-    replan iterations 0..i-1. Dangling mass is a one-row aggregate
-    broadcast back. Returns (node, rank) with ranks summing to ~1.
+    payload. Dangling mass is a one-row aggregate broadcast back
+    inside the SAME lazy plan, so all rounds execute as one action
+    (see the loop comment); iteration-invariant inputs checkpoint
+    once up front. Returns (node, rank) with ranks summing to ~1.
+    The result is LAZY — a caller running several actions over it
+    should ``.localCheckpoint()`` or ``.cache()`` it first, or each
+    action re-executes the full recurrence.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(

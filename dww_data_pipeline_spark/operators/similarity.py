@@ -62,18 +62,33 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.randn(bits, dim).astype("float64")
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for generated SQL, so names with
+    dashes/spaces/keywords work exactly as F.col() did (the SQL-text
+    builders take column NAMES, not Column objects — fail loudly on
+    the latter rather than interpolating its repr)."""
+    if not isinstance(name, str):
+        raise TypeError(
+            f"expected a column name string, got {type(name).__name__} "
+            "(the parse-once SQL builders take names, not Columns)"
+        )
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _plane_dot_sql(vec_sql: str, plane) -> str:
     """Spark-SQL text of the hyperplane dot (parse-once build — same
     Py4J-lambda-cost finding as the PCA/centroid builders)."""
     arr = ", ".join(repr(float(x)) + "D" for x in plane)
     return (
-        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"aggregate(zip_with({_ident(vec_sql)}, array({arr}), "
         f"(x, y) -> x * y), 0D, (a, x) -> a + x)"
     )
 
 
 def lsh_bucket_col(vec_col: str, planes: np.ndarray):
     """Bucket id expression: sign-bit concatenation over hyperplanes."""
+    if len(planes) == 0:
+        return F.lit(0).cast("long")
     terms = " + ".join(
         f"(CASE WHEN {_plane_dot_sql(vec_col, plane)} >= 0 "
         f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -110,12 +125,14 @@ def _centroid_dist_sql(vec_sql: str, c) -> str:
     the tree (same finding as the PCA/sign-LSH builders)."""
     arr = ", ".join(repr(float(x)) + "D" for x in c)
     return (
-        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"aggregate(zip_with({_ident(vec_sql)}, array({arr}), "
         f"(x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
     )
 
 
 def _centroid_structs_sql(vec_sql: str, centroids: np.ndarray) -> str:
+    if len(centroids) == 0:
+        raise ValueError("centroids must be non-empty")
     return ", ".join(
         f"named_struct('d', {_centroid_dist_sql(vec_sql, c)}, 'j', {j})"
         for j, c in enumerate(centroids)
@@ -753,7 +770,8 @@ def pca_project(
         arr = ", ".join(repr(float(w)) + "D" for w in comp)
         cols.append(
             F.expr(
-                f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+                f"aggregate(zip_with(transform({_ident(vec_col)}, "
+                f"x -> CAST(x AS DOUBLE)), "
                 f"array({arr}), (x, y) -> x * y), 0D, (a, x) -> a + x)"
             ).alias(f"{out_prefix}{p}")
         )

@@ -49,6 +49,32 @@ def with_shards(df: DataFrame, key_col: str, n_shards: int = 16) -> DataFrame:
     )
 
 
+def write_sharded(
+    out: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    max_records_per_file: int,
+    partition_cols: tuple[str, ...] = ("shard",),
+    mode: str = "overwrite",
+) -> None:
+    """The ONE write pipeline both the batch backfill and the
+    streaming ingest use (repartition to shard writers → sorted runs
+    on (shard, shard_pos, key) → bounded files → partitioned layout).
+    ``out`` must already carry shard/shard_pos (``with_shards``);
+    sharing this keeps the stream-built lake row-identical to the
+    batch-built one by construction, not by parallel maintenance of
+    two copies of the sort/partition logic."""
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos", key_col)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -65,11 +91,4 @@ def write_training_shards(
     tests/test_shards.py.
     """
     out = with_shards(df, key_col, n_shards)
-    (
-        out.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shard_pos", key_col)
-        .write.option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("shard")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    write_sharded(out, path, key_col, n_shards, max_records_per_file)

@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dww_data_pipeline_spark.sources.shards import with_shards
+from dww_data_pipeline_spark.sources.shards import with_shards, write_sharded
 
 
 # ------------------------------------------------ ingest dedup (d11 twin)
@@ -94,6 +94,31 @@ def _marker(lake_path: str, batch_id: int) -> str:
     return os.path.join(lake_path, "_commits", str(batch_id))
 
 
+def _require_local_lake(spark, lake_path: str) -> None:
+    """The commit protocol pairs DRIVER-local markers with the Spark
+    write — both must land on the same (local) filesystem or the
+    exactly-once discipline silently breaks. Reject explicit remote
+    schemes AND a schemeless path when the session's default
+    filesystem is not local (the parquet would go to HDFS/S3 while
+    markers and partial-cleanup glob the driver's disk)."""
+    if "://" in lake_path or lake_path.startswith("file:"):
+        raise ValueError(
+            "shard_ingest_batch commits via local fs markers; on an "
+            "object store use a transactional table format instead: "
+            + lake_path
+        )
+    default_fs = (
+        spark.sparkContext._jsc.hadoopConfiguration().get("fs.defaultFS")
+        or "file:///"
+    )
+    if not default_fs.startswith("file:"):
+        raise ValueError(
+            "shard_ingest_batch needs a local default filesystem "
+            f"(fs.defaultFS={default_fs}); use a transactional table "
+            "format for remote lakes"
+        )
+
+
 def shard_ingest_batch(
     batch_df: DataFrame,
     lake_path: str,
@@ -104,12 +129,7 @@ def shard_ingest_batch(
 ) -> bool:
     """Ingest one micro-batch; returns False if it was already
     committed (idempotent replay no-op)."""
-    if "://" in lake_path or lake_path.startswith("file:"):
-        raise ValueError(
-            "shard_ingest_batch commits via local fs markers; on an "
-            "object store use a transactional table format instead: "
-            + lake_path
-        )
+    _require_local_lake(batch_df.sparkSession, lake_path)
     if os.path.exists(_marker(lake_path, batch_id)):
         return False
     # crash replay: drop uncommitted partials of THIS batch before
@@ -119,13 +139,14 @@ def shard_ingest_batch(
     out = with_shards(batch_df, key_col, n_shards).withColumn(
         "batch", F.lit(batch_id)
     )
-    (
-        out.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shard_pos", key_col)
-        .write.option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("shard", "batch")
-        .mode("append")
-        .parquet(lake_path)
+    write_sharded(
+        out,
+        lake_path,
+        key_col,
+        n_shards,
+        max_records_per_file,
+        partition_cols=("shard", "batch"),
+        mode="append",
     )
     os.makedirs(os.path.dirname(_marker(lake_path, batch_id)), exist_ok=True)
     with open(_marker(lake_path, batch_id), "w") as f:
@@ -139,13 +160,17 @@ def stream_shard_ingest(
     checkpoint: str,
     key_col: str = "doc_id",
     n_shards: int = 16,
+    max_records_per_file: int = 1_000_000,
 ):
     """Attach the shard-ingest sink via foreachBatch; returns the
     started query (availableNow — drain then stop; swap the trigger
     for always-on mode)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        shard_ingest_batch(batch_df, lake_path, batch_id, key_col, n_shards)
+        shard_ingest_batch(
+            batch_df, lake_path, batch_id, key_col, n_shards,
+            max_records_per_file,
+        )
 
     return (
         sdf.writeStream.foreachBatch(_sink)
@@ -156,7 +181,17 @@ def stream_shard_ingest(
 
 
 def read_shard_lake(spark, lake_path: str) -> DataFrame:
-    """Read the lake back; rows carry (shard, batch) partition
-    columns, and (shard, shard_pos, key) is the deterministic global
-    order regardless of how many batches built it."""
-    return spark.read.parquet(lake_path)
+    """Read the lake back — COMMITTED batches only: a crash between
+    the parquet write and the marker leaves ``batch=B`` partials on
+    disk until the next trigger replays them; filtering on the commit
+    list keeps readers from ever seeing a torn batch. The filter is on
+    the ``batch`` partition column, so uncommitted directories are
+    partition-pruned, not scanned. Rows carry (shard, batch), and
+    (shard, shard_pos, key) is the deterministic global order
+    regardless of how many batches built the lake."""
+    df = spark.read.parquet(lake_path)
+    commits_dir = os.path.join(lake_path, "_commits")
+    if os.path.isdir(commits_dir):
+        committed = [int(b) for b in os.listdir(commits_dir)]
+        df = df.filter(F.col("batch").isin(committed))
+    return df

@@ -90,6 +90,21 @@ class TestStreamShardIngest:
         assert shard_ingest_batch(b0, lake, 0, n_shards=N_SHARDS) is True
         assert _manifest(read_shard_lake(spark, lake)) == m1
 
+    def test_torn_batch_hidden_from_readers(self, spark, docs, tmp_path):
+        lake = str(tmp_path / "lake")
+        shard_ingest_batch(docs.limit(30), lake, 0, n_shards=N_SHARDS)
+        shard_ingest_batch(docs.limit(60), lake, 1, n_shards=N_SHARDS)
+        # crash window: batch 1's files exist but its marker was lost
+        os.remove(os.path.join(lake, "_commits", "1"))
+        seen = read_shard_lake(spark, lake)
+        assert seen.select("batch").distinct().collect() == [
+            spark.createDataFrame([(0,)], ["batch"]).first()
+        ]
+        # raw read (no marker filter) WOULD see the torn batch
+        assert (
+            spark.read.parquet(lake).select("batch").distinct().count() == 2
+        )
+
     def test_object_store_path_rejected(self, docs):
         with pytest.raises(ValueError, match="transactional"):
             shard_ingest_batch(docs, "s3://bucket/lake", 0)
