@@ -195,3 +195,59 @@ def read_shard_lake(spark, lake_path: str) -> DataFrame:
         committed = [int(b) for b in os.listdir(commits_dir)]
         df = df.filter(F.col("batch").isin(committed))
     return df
+
+
+def compact_shard_lake(
+    spark,
+    lake_path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    max_records_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite the committed lake as ONE generation (batch=0).
+
+    A long-running stream accumulates a ``batch=B`` directory (and its
+    small files) per micro-batch; compaction folds every COMMITTED row
+    into a single batch and drops torn partials. The swap is the
+    staged-rename protocol from streaming/sinks.upsert_batch: write
+    the compacted lake to ``.staging`` → rename current to ``.old`` →
+    rename staging in → delete ``.old``; every crash window leaves a
+    complete committed lake visible (never the duplicates a
+    marker-by-marker swap could expose). Returns the number of rows
+    compacted. Shard assignment and intra-shard order are pure
+    functions of the key, so the compacted lake's manifest is
+    byte-identical to the multi-batch one — asserted in tests. Run it
+    with the ingest stream STOPPED (between availableNow drains, or
+    in the stream's maintenance window) — the directory swap is not
+    coordinated with concurrent appends.
+    """
+    _require_local_lake(spark, lake_path)
+    staging = lake_path + ".staging"
+    backup = lake_path + ".old"
+    # crash recovery mirror of upsert_batch, BEFORE reading: if a
+    # previous compaction died between the renames, .old IS the
+    # committed lake
+    if not os.path.isdir(lake_path) and os.path.isdir(backup):
+        os.replace(backup, lake_path)
+    rows = read_shard_lake(spark, lake_path).drop("batch")
+    # shard/shard_pos already present from ingest; rewrite as batch=0
+    out = rows.withColumn("batch", F.lit(0))
+    shutil.rmtree(staging, ignore_errors=True)
+    n = out.count()
+    write_sharded(
+        out,
+        staging,
+        key_col,
+        n_shards,
+        max_records_per_file,
+        partition_cols=("shard", "batch"),
+        mode="overwrite",
+    )
+    os.makedirs(os.path.join(staging, "_commits"), exist_ok=True)
+    with open(os.path.join(staging, "_commits", "0"), "w") as f:
+        f.write("committed")
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(lake_path, backup)
+    os.replace(staging, lake_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return n

@@ -108,3 +108,27 @@ class TestStreamShardIngest:
     def test_object_store_path_rejected(self, docs):
         with pytest.raises(ValueError, match="transactional"):
             shard_ingest_batch(docs, "s3://bucket/lake", 0)
+
+    def test_compaction_preserves_manifest_and_drops_torn(
+        self, spark, docs, tmp_path
+    ):
+        from dww_data_pipeline_spark.streaming.ingest import compact_shard_lake
+
+        lake = str(tmp_path / "lake")
+        shard_ingest_batch(docs.limit(30), lake, 0, n_shards=N_SHARDS)
+        shard_ingest_batch(docs.limit(80), lake, 1, n_shards=N_SHARDS)
+        shard_ingest_batch(docs.limit(100), lake, 2, n_shards=N_SHARDS)
+        os.remove(os.path.join(lake, "_commits", "2"))  # torn batch
+        before = _manifest(read_shard_lake(spark, lake))
+        n = compact_shard_lake(spark, lake, n_shards=N_SHARDS)
+        after_df = read_shard_lake(spark, lake)
+        assert _manifest(after_df) == before          # committed rows identical
+        assert n == sum(r[1] for r in before)
+        assert after_df.select("batch").distinct().count() == 1
+        # torn batch-2 directories are gone from the compacted lake
+        import glob as _glob
+
+        assert not _glob.glob(os.path.join(lake, "shard=*", "batch=2"))
+        # compaction is rerunnable (recovery path + idempotent result)
+        compact_shard_lake(spark, lake, n_shards=N_SHARDS)
+        assert _manifest(read_shard_lake(spark, lake)) == before
