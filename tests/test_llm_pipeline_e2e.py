@@ -64,11 +64,15 @@ class TestLlmPipelineEndToEnd:
         )
         assert bad.count() == 0
 
-        # 4. gold write partitioned by a derived shard; reads prune
-        from dww_data_pipeline_spark.sources.bucketing import write_partitioned
+        # 4. gold write through the REAL training-shard serializer
+        # (content-addressed md5 sharding, t21's layout); reads prune
+        from dww_data_pipeline_spark.sources.shards import write_training_shards
 
-        gold = chunks.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
-        write_partitioned(gold, str(tmp / "chunks"), ["shard"])
+        gold = chunks.withColumn(
+            "chunk_uid",
+            F.concat_ws("_", F.col("doc_id"), F.col("chunk_id")),
+        )
+        write_training_shards(gold, str(tmp / "chunks"), "chunk_uid", n_shards=8)
         back = spark.read.parquet(str(tmp / "chunks"))
         assert back.count() == chunks.count()
         plan = (
