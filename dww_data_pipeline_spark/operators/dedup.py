@@ -294,13 +294,19 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nmin"))
         )
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                # change flag computed INSIDE the propagation projection
+                # (old component is right here), so the convergence
+                # probe below is a filter over the checkpoint — no
+                # join of old vs new label tables
+                (new_comp != F.col("component")).alias("_changed"),
             )
             # truncate lineage: without this each iteration replans the
             # whole history and the loop goes superlinear in wall-clock
@@ -312,17 +318,13 @@ def connected_components(
         # for half the probe jobs (measured ~9% off d6 at sf0.1)
         if it % 2 == 1 or it == max_iter - 1:
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("_changed")).limit(1).count()
             )
             if changed == 0:
                 labels = new_labels
                 break
         labels = new_labels
-    return labels
+    return labels.select("id", "component")
 
 
 # -------------------------------------------------- embedding near-dup
