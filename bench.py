@@ -84,6 +84,7 @@ EXTRA = [
     "ext_json_props",           # schema-on-read JSON profiling
     "s7_ann_multitable_topk",   # L=2 hash-table LSH recall union
     "t21_corpus_shard",         # deterministic training-shard manifest
+    "t22_ngram_novelty",        # intra-corpus boilerplate pressure
 ]
 
 

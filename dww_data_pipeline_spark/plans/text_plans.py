@@ -1052,6 +1052,73 @@ def t17_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVELTY_K = 8  # 8-token grams: long enough that sharing implies copying
+
+
+def _novelty_oracle() -> str:
+    from dww_data_pipeline_spark.plans.text_exprs import sql_kgrams
+
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, md5(g) AS g
+      FROM (SELECT doc_id, unnest({sql_kgrams(_NOVELTY_K)}) AS g
+            FROM documents)
+    ), df AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novel_share,
+           round(CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_share
+    FROM g JOIN df ON g.g = df.g
+    GROUP BY g.doc_id
+    """
+
+
+@register(
+    "t22_ngram_novelty",
+    oracle=_novelty_oracle(),
+    description="N-GRAM NOVELTY PROFILE: per-document share of 8-token "
+    "grams unique to that document (novel_share) vs shared by 3+ docs "
+    "(boiler_share) — the intra-corpus boilerplate-pressure metric "
+    "curation uses to down-weight template-heavy sources (complement "
+    "of d10's eval-set contamination, which looks OUTSIDE the "
+    "corpus). Scale shape: distinct (doc, md5-gram) pairs shuffle "
+    "once (16-byte fingerprints, never text), the document-frequency "
+    "table is gram-cardinality bounded, and indicator sums are "
+    "integers with one final double division per doc.",
+)
+def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        exploded_kgrams(d, "text", _NOVELTY_K, carry=("doc_id",))
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novel_share"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("boiler_share"),
+        )
+    )
+
+
 @register(
     "t21_corpus_shard",
     oracle="""
