@@ -85,6 +85,7 @@ EXTRA = [
     "s7_ann_multitable_topk",   # L=2 hash-table LSH recall union
     "t21_corpus_shard",         # deterministic training-shard manifest
     "t22_ngram_novelty",        # intra-corpus boilerplate pressure
+    "d16_containment",          # asymmetric near-superset detection
 ]
 
 

@@ -258,6 +258,96 @@ def d3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D16_THRESH = 0.5
+_D16_STRONG = 0.9
+
+
+@register(
+    "d16_containment",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_sql_minhash_cols()}
+      FROM documents
+      WHERE len({_SQL_TOKS}) >= 3
+    ), banded AS (
+      {_sql_band_union()}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+      FROM documents WHERE len({_SQL_TOKS}) >= 3
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             len(a.sh) + len(b.sh)
+               - len(list_distinct(list_concat(a.sh, b.sh))) AS inter,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM pairs p
+      JOIN sh a ON p.id_a = a.doc_id
+      JOIN sh b ON p.id_b = b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / greatest(na, 1), 6) AS cont_a,
+           round(CAST(inter AS DOUBLE) / greatest(nb, 1), 6) AS cont_b,
+           CASE WHEN CAST(inter AS DOUBLE) / greatest(na, 1) >= {_D16_STRONG}
+                     AND CAST(inter AS DOUBLE) / greatest(nb, 1) >= {_D16_STRONG}
+                THEN 'mutual'
+                WHEN CAST(inter AS DOUBLE) / greatest(na, 1) >= {_D16_STRONG}
+                THEN 'a_in_b'
+                WHEN CAST(inter AS DOUBLE) / greatest(nb, 1) >= {_D16_STRONG}
+                THEN 'b_in_a'
+                ELSE 'overlap' END AS relation
+    FROM scored
+    WHERE greatest(CAST(inter AS DOUBLE) / greatest(na, 1),
+                   CAST(inter AS DOUBLE) / greatest(nb, 1)) >= {_D16_THRESH}
+    """,
+    description="CONTAINMENT dedup (Broder containment |A∩B|/|A|): "
+    "asymmetric near-SUPERSET detection over the d2 LSH candidate "
+    "pairs — catches a document quoted or wholly included inside a "
+    "longer one, which symmetric Jaccard under-scores (a 100-shingle "
+    "doc inside a 1000-shingle doc has Jaccard 0.1 but containment "
+    "1.0). Each pair is classified a_in_b / b_in_a / mutual / "
+    "overlap; curation drops the contained side, not both. Scale "
+    "shape: candidates from banded LSH (Σ bucket², never corpus²), "
+    "shingle sets join on the pair list only, intersection via "
+    "inclusion-exclusion array math (same cross-engine-proven "
+    "formula as d3).",
+)
+def d16_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    sh = d.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    union_size = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    inter = (F.size("sh_a") + F.size("sh_b") - union_size).cast("double")
+    cont_a = inter / F.greatest(F.size("sh_a"), F.lit(1))
+    cont_b = inter / F.greatest(F.size("sh_b"), F.lit(1))
+    relation = (
+        F.when((cont_a >= _D16_STRONG) & (cont_b >= _D16_STRONG), "mutual")
+        .when(cont_a >= _D16_STRONG, "a_in_b")
+        .when(cont_b >= _D16_STRONG, "b_in_a")
+        .otherwise("overlap")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_ca", cont_a)
+        .withColumn("_cb", cont_b)
+        .filter(F.greatest(F.col("_ca"), F.col("_cb")) >= _D16_THRESH)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_ca", 6).alias("cont_a"),
+            F.round("_cb", 6).alias("cont_b"),
+            relation.alias("relation"),
+        )
+    )
+
+
 _D6_ORACLE = f"""
 WITH RECURSIVE sigs AS (
   SELECT doc_id, {_sql_minhash_cols()}
