@@ -86,6 +86,7 @@ EXTRA = [
     "t21_corpus_shard",         # deterministic training-shard manifest
     "t22_ngram_novelty",        # intra-corpus boilerplate pressure
     "d16_containment",          # asymmetric near-superset detection
+    "j13_interval_overlap_join",  # interval-x-interval binned join
 ]
 
 

@@ -318,6 +318,88 @@ def j11_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J13_A_S = 300  # incident window seconds (the wider side sets the bin)
+_J13_B_S = 120  # maintenance window seconds
+
+_J13_ORACLE = f"""
+WITH inc AS (
+  SELECT event_id AS inc_id, ts AS a_start,
+         ts + INTERVAL '{_J13_A_S} seconds' AS a_end
+  FROM events WHERE event_type = 'error' AND event_id % 5 = 0
+), win AS (
+  SELECT event_id AS win_id, ts AS b_start,
+         ts + INTERVAL '{_J13_B_S} seconds' AS b_end
+  FROM events WHERE event_type = 'purchase' AND event_id % 3 = 0
+)
+SELECT i.inc_id, w.win_id,
+       CAST(least(epoch_ms(i.a_end), epoch_ms(w.b_end))
+            - greatest(epoch_ms(i.a_start), epoch_ms(w.b_start))
+          AS BIGINT) AS overlap_ms
+FROM inc i JOIN win w
+  ON i.a_start < w.b_end AND w.b_start < i.a_end
+"""
+
+
+@register(
+    "j13_interval_overlap_join",
+    oracle=_J13_ORACLE,
+    description="INTERVAL-INTERVAL OVERLAP JOIN via shared time-binning: "
+    "incident windows x maintenance windows that truly overlap, with "
+    "the overlap duration — the keyless join shape j11 does not cover "
+    "(j11 probes POINTS into intervals; here BOTH sides are "
+    "intervals). Both sides explode to their covering bins at the "
+    "WIDER window's width (<=2 bins each), the equi-join on bin "
+    "replaces the BroadcastNestedLoopJoin, the exact overlap "
+    "predicate filters, and distinct collapses pairs that meet in "
+    "two bins. Oracle is DuckDB's native interval-overlap range join.",
+)
+def j13_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_us = _J13_A_S * 1_000_000
+
+    def binned(df, width_s: int, id_alias: str, s_alias: str, e_alias: str):
+        start_us = F.expr("unix_micros(ts)")
+        return df.select(
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(s_alias),
+            (F.col("ts") + F.expr(f"INTERVAL {width_s} seconds")).alias(e_alias),
+            F.explode(
+                F.sequence(
+                    (start_us / bin_us).cast("long"),
+                    ((start_us + width_s * 1_000_000 - 1) / bin_us).cast("long"),
+                )
+            ).alias("bin"),
+        )
+
+    inc = binned(
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 5 == 0)),
+        _J13_A_S, "inc_id", "a_start", "a_end",
+    )
+    win = binned(
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0)
+        ),
+        _J13_B_S, "win_id", "b_start", "b_end",
+    )
+    ms = lambda c: F.expr(f"unix_micros({c}) div 1000")  # noqa: E731
+    return (
+        inc.join(win, "bin")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select(
+            "inc_id",
+            "win_id",
+            (
+                F.least(ms("a_end"), ms("b_end"))
+                - F.greatest(ms("a_start"), ms("b_start"))
+            ).alias("overlap_ms"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # ext_scd2 — type-2 slowly-changing-dimension history from a change log.
 # ---------------------------------------------------------------------------

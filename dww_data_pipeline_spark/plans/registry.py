@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "t21_corpus_shard",
     "t22_ngram_novelty",
     "d16_containment",
+    "j13_interval_overlap_join",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -430,6 +430,18 @@ class TestLatestRound4Plans:
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastHashJoin") >= 2  # one per hash table
 
+    def test_interval_overlap_join_is_equi_binned(self, spark, sf_dir):
+        # both interval sides bin to an equi key; the pair space must
+        # never plan as a nested-loop/cartesian product
+        plan = _plan(spark, sf_dir, "j13_interval_overlap_join")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_containment_reuses_lsh_equi_path(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "d16_containment")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_numeric_profile_histogram_not_value_buffering(self, spark, sf_dir):
         # the only exchange carries (col, value) histogram cells; the
         # exact-percentile ObjectHashAggregate buffer must be gone
