@@ -1,0 +1,508 @@
+"""Round-4b mining / clustering plans.
+
+Five additions that round out the corpus-mining tier of the engine:
+
+* ``e7_kmeans_clusters`` — exact-arithmetic Lloyd k-means over the
+  embedding table (the clustering pass SemDeDup / data-mixing
+  pipelines run before per-cluster dedup or sampling);
+* ``s8_reciprocal_nn`` — mutual-kNN pairs from the s6 graph (the
+  high-precision edge set NN-descent / dedup clustering keeps);
+* ``ev3_markov_transitions`` — user-journey event transition matrix;
+* ``dq9_entropy_profile`` — per-column cardinality / concentration /
+  entropy profile from value histograms;
+* ``t23_dsir_importance`` — DSIR-style importance weights (target
+  vs raw unigram log-likelihood ratio) for data selection.
+
+Cross-engine determinism notes (house conventions, see registry.py):
+integer/fixed-point arithmetic wherever an aggregate feeds a
+comparison (k-means distances are PURE INT64 — quantization is
+``floor((x+2)*1e6)``, floor of an IEEE product, bit-identical across
+engines); ``ln()`` evaluates once per model/histogram row and 1e-6
+rounding swamps summation-order noise (the t19 argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import dww_data_pipeline_spark.plans.dedup_plans  # noqa: F401  (s8 reads the s6 oracle from the registry)
+from dww_data_pipeline_spark.plans.registry import REGISTRY, register
+from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS, spark_tokens
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# e7 — exact-integer Lloyd k-means over the embedding corpus.
+#
+# The clustering primitive the SemDeDup / DSIR / data-mixing papers
+# assume as given: partition the corpus embedding space into k cells,
+# then dedup / sample / balance WITHIN cells. The engine runs Lloyd's
+# algorithm with k bounded-size driver round-trips per iteration
+# (centroids are a k x dim artifact, exactly like the IVF quantizer
+# and the PageRank scalar), while ALL per-vector work — assignment,
+# distance, partial sums — stays distributed as Column expressions
+# with the centroids folded to plan-time literals.
+#
+# Determinism contract (what makes this ORACLE-CHECKABLE, which
+# floating k-means is not): embeddings are quantized up front to
+# int64 via floor((x + 2) * 1e6) — floor of an IEEE-754 product is
+# bit-identical on every engine (no decimal-string rounding anywhere);
+# init centroids are the k lowest vec_ids; distances are pure int64
+# sums of squares (max (2.5e6)^2 * 64 ≈ 4e14 << 2^63); the update is
+# integer round-half-up mean (2*S + n) DIV (2*n) on the positive
+# domain; ties in argmin break to the lowest cluster id. Every engine
+# that follows the recurrence produces the identical labeling.
+#
+# Scale shape: per iteration ONE partial-agg shuffle of k x dim x
+# n_partitions integer cells (map-side combine folds each task to at
+# most k*dim rows), one bounded collect (k x dim ints), zero joins;
+# the 100 TB table is scanned once per iteration with assignment as
+# whole-stage-codegen integer math. Empty clusters keep their old
+# centroid on both engines.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+_VQ_SQL_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT))"
+)
+_VQ_SQL_SPARK = (
+    "transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2D) * 1000000D) AS BIGINT))"
+)
+
+
+def _km_oracle() -> str:
+    """Unroll the fixed k-means recurrence as DuckDB CTEs."""
+    dim, k = _KM_DIM, _KM_K
+    sums = ", ".join(f"SUM(vq[{i + 1}]) AS s{i}" for i in range(dim))
+    upd = ", ".join(f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(dim))
+    d2 = " + ".join(f"(q.vq[{i + 1}] - c.cv[{i + 1}]) * (q.vq[{i + 1}] - c.cv[{i + 1}])" for i in range(dim))
+
+    def assign(prev: str, name: str) -> str:
+        return f"""{name}_d AS (
+  SELECT q.vec_id, q.vq, c.j, CAST({d2} AS BIGINT) AS d2
+  FROM q CROSS JOIN {prev} c
+), {name} AS (
+  SELECT vec_id, vq, j AS cluster, d2 FROM (
+    SELECT vec_id, vq, j, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM {name}_d
+  ) WHERE rn = 1
+)"""
+
+    def update(a: str, prev: str, name: str) -> str:
+        return f"""{name}_s AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+  FROM {a} GROUP BY cluster
+), {name} AS (
+  SELECT p.j,
+         CASE WHEN s.cluster IS NULL THEN p.cv
+              ELSE list_value({upd}) END AS cv
+  FROM {prev} p LEFT JOIN {name}_s s ON s.cluster = p.j
+)"""
+
+    parts = [
+        f"""q AS (
+  SELECT vec_id, {_VQ_SQL_DUCK} AS vq FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+  FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for it in range(_KM_ITERS):
+        parts.append(assign(prev, f"a{it + 1}"))
+        parts.append(update(f"a{it + 1}", prev, f"c{it + 1}"))
+        prev = f"c{it + 1}"
+    parts.append(assign(prev, "afin"))
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, d2 FROM afin"""
+
+
+def _km_assign_expr(cents: list[list[int]]) -> str:
+    """Spark SQL text: struct(min distance, cluster) over literal
+    centroids — one parsed expression, no Py4J lambda round-trips
+    (the e5/e6 driver-time finding)."""
+    structs = []
+    for j, c in enumerate(cents):
+        d2 = " + ".join(
+            f"(element_at(vq, {i + 1}) - {int(c[i])}L) * (element_at(vq, {i + 1}) - {int(c[i])}L)"
+            for i in range(_KM_DIM)
+        )
+        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
+    return f"array_min(array({', '.join(structs)}))"
+
+
+@register(
+    "e7_kmeans_clusters",
+    oracle=_km_oracle(),
+    description="EXACT-INTEGER LLOYD K-MEANS over the embedding corpus "
+    f"(k={_KM_K}, {_KM_ITERS} fixed iterations): embeddings quantized to "
+    "int64 by floor((x+2)*1e6) so distances, argmin and the round-half-up "
+    "integer centroid mean are bit-identical on every engine — the "
+    "clustering pass SemDeDup-style curation runs before per-cluster "
+    "dedup/sampling. Per iteration: one k*dim partial-agg shuffle + one "
+    "bounded driver collect (k*dim ints, the IVF-quantizer pattern); "
+    "assignment is whole-stage-codegen integer math with centroids "
+    "folded to plan-time literals (north-star embedding ops)",
+)
+def e7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", F.expr(_VQ_SQL_SPARK).alias("vq"))
+    vq = vq.persist()
+    try:
+        # init: the k lowest vec_ids (TakeOrdered — bounded, no full sort)
+        init = vq.orderBy("vec_id").limit(_KM_K).collect()
+        cents = [list(r["vq"]) for r in init]
+        for _ in range(_KM_ITERS):
+            assigned = vq.select(
+                "vq", F.expr(_km_assign_expr(cents) + ".j").alias("cluster")
+            )
+            sums = (
+                assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: k * dim rows of integers
+            )
+            new = [list(c) for c in cents]
+            for r in sums:
+                s, n = int(r["s"]), int(r["n"])
+                new[r["cluster"]][r["pos"]] = (2 * s + n) // (2 * n)
+            cents = new
+        st = F.expr(_km_assign_expr(cents))
+        return vq.select(
+            "vec_id",
+            st["j"].cast("int").alias("cluster"),
+            st["d"].alias("d2"),
+        )
+    finally:
+        vq.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# s8 — reciprocal nearest neighbours over the s6 kNN graph.
+#
+# Mutual-kNN is the high-precision edge subset: (a, b) survives only
+# if a ranks in b's top-k AND b ranks in a's top-k. NN-descent,
+# agglomerative semantic dedup and manifold-learning pipelines all
+# start from this symmetrized graph because one-directional edges
+# into hubs are the dominant false-positive source.
+#
+# Scale shape: the kNN edge list is n*k rows (tiny next to the
+# corpus); the mutuality check is one self-equi-join on the reversed
+# key pair — shuffle of n*k 2-id rows. cos is computed by the same
+# gemm on both directions (identical IEEE product order), so the
+# a->b and b->a copies agree bit-for-bit and either can be kept.
+# ---------------------------------------------------------------------------
+
+
+def _s8_oracle() -> str:
+    s6 = REGISTRY["s6_knn_graph"].oracle
+    return f"""WITH knn AS ({s6})
+SELECT f.src AS a, f.dst AS b, f.cos,
+       f.rank AS rank_ab, r.rank AS rank_ba
+FROM knn f JOIN knn r ON f.src = r.dst AND f.dst = r.src
+WHERE f.src < f.dst"""
+
+
+@register(
+    "s8_reciprocal_nn",
+    oracle=_s8_oracle(),
+    description="RECIPROCAL kNN pairs: keep (a,b) only when each is in "
+    "the other's s6 top-3 — the symmetrized high-precision edge set "
+    "NN-descent / semantic-dedup clustering consumes (one-directional "
+    "edges into hub vectors are the dominant false positives). One "
+    "self-equi-join over the n*k edge list; vectors never re-score "
+    "(north-star similarity search)",
+)
+def s8_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import s6_knn_graph
+
+    knn = s6_knn_graph(spark, sf_dir)
+    f = knn.alias("f")
+    r = knn.select(
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("r_dst"),
+        F.col("rank").alias("rank_ba"),
+    ).alias("r")
+    return (
+        f.join(r, (F.col("f.src") == F.col("r_dst")) & (F.col("f.dst") == F.col("r_src")))
+        .filter(F.col("f.src") < F.col("f.dst"))
+        .select(
+            F.col("f.src").alias("a"),
+            F.col("f.dst").alias("b"),
+            F.col("f.cos").alias("cos"),
+            F.col("f.rank").alias("rank_ab"),
+            F.col("rank_ba"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev3 — user-journey transition matrix.
+#
+# The Markov view of the event stream: per user, consecutive event
+# pairs ordered by (ts, event_id); the (src, dst) counts and the
+# row-normalized transition probabilities. Product analytics uses it
+# for journey maps; pipeline monitoring uses the matrix drift as a
+# behavioral-change alarm (the dq4 idea at transition granularity).
+#
+# Scale shape: one shuffle on user_id (the window), then one
+# partial-agg shuffle of (src, dst) pairs — the transition matrix is
+# |event_type|^2-bounded. The probability is one division of exact
+# BIGINT counts at the very end.
+# ---------------------------------------------------------------------------
+
+_EV3_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS src_type, next_type AS dst_type
+  FROM seq WHERE next_type IS NOT NULL
+), counts AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY src_type, dst_type
+)
+SELECT src_type, dst_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
+@register(
+    "ev3_markov_transitions",
+    oracle=_EV3_ORACLE,
+    description="USER-JOURNEY TRANSITION MATRIX: per-user consecutive "
+    "event pairs (deterministic (ts, event_id) order) rolled up to "
+    "(src, dst) counts and row-normalized probabilities — the Markov "
+    "journey map / behavioral-drift input. One user_id window shuffle "
+    "+ one |event_types|^2-bounded count shuffle; probability is a "
+    "single exact-integer division at the end (event analytics)",
+)
+def ev3_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = (
+        seq.groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("next_type").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq9 — column entropy / concentration profile.
+#
+# For each profiled column: distinct count, modal share, Shannon
+# entropy (nats). The profile separates near-key columns (high
+# entropy, distinct ~ n) from near-constant ones (modal share ~ 1)
+# — the signal that picks join/partition keys and flags degenerate
+# dimensions before they reach a shuffle.
+#
+# Scale shape: everything derives from per-column value HISTOGRAMS
+# (shuffle bounded by column cardinality, the dq6 discipline);
+# entropy = ln(N) - sum(c*ln(c))/N evaluated once per histogram row,
+# 1e-6 rounding >> double summation-order noise (the t19 argument).
+# ---------------------------------------------------------------------------
+
+
+def _dq9_col(duck_expr: str, name: str) -> str:
+    return f"""
+  SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_count,
+         round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+         round(ln(CAST(SUM(c) AS DOUBLE))
+               - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                 / CAST(SUM(c) AS DOUBLE), 6) AS entropy_nats
+  FROM (SELECT {duck_expr} AS v, COUNT(*) AS c FROM events GROUP BY 1)
+"""
+
+
+_DQ9_COLS = [
+    ("event_type", "event_type"),
+    ("CAST(user_id AS VARCHAR)", "user_id"),
+    ("strftime(ts, '%Y-%m-%d')", "event_day"),
+]
+
+_DQ9_ORACLE = " UNION ALL ".join(_dq9_col(e, n) for e, n in _DQ9_COLS)
+
+_DQ9_SPARK_COLS = [
+    ("event_type", "event_type"),
+    ("CAST(user_id AS STRING)", "user_id"),
+    ("date_format(ts, 'yyyy-MM-dd')", "event_day"),
+]
+
+
+@register(
+    "dq9_entropy_profile",
+    oracle=_DQ9_ORACLE,
+    description="COLUMN ENTROPY PROFILE: distinct count, modal share "
+    "and Shannon entropy (nats) per profiled column, all derived from "
+    "value histograms so the shuffle is bounded by column CARDINALITY "
+    "not row count (dq6 discipline) — the signal that picks partition/"
+    "join keys and flags near-constant columns before they hit a "
+    "shuffle. ln() evaluates once per histogram row (data quality)",
+)
+def dq9_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for expr, name in _DQ9_SPARK_COLS:
+        hist = ev.groupBy(F.expr(expr).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        prof = hist.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_count"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 6
+            ).alias("top_share"),
+            F.round(
+                F.log(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        outs.append(
+            prof.select(
+                F.lit(name).alias("col_name"),
+                "n_distinct",
+                "top_count",
+                "top_share",
+                "entropy_nats",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# t23 — DSIR importance weights (data selection via importance
+# resampling, Xie et al. 2023).
+#
+# Two corpus passes: build the TARGET unigram distribution (here the
+# 'en' slice — the domain the model is being built for) and the RAW
+# distribution (everything), both add-0.5 smoothed over the shared
+# vocabulary; then score every document by its mean per-token
+# log-likelihood ratio ln(p_target/p_raw). High scorers look like the
+# target domain and win the sampling lottery.
+#
+# Scale shape: both models are VOCABULARY-bounded count tables built
+# in one partial-agg shuffle each; scoring joins distinct (doc,
+# token) pairs with occurrence counts against the broadcast model
+# (documents never shuffle whole); ln() evaluates once per vocab row.
+# ---------------------------------------------------------------------------
+
+_T23_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks
+), tgt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM toks WHERE lang = 'en' GROUP BY tok
+), tgt_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM toks WHERE lang = 'en'
+), raw AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cr FROM toks GROUP BY tok
+), raw_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM toks
+), model AS (
+  SELECT r.tok,
+         ln(((CAST(COALESCE(t.ct, 0) AS DOUBLE) + 0.5)
+             / (CAST(tgt_n.nt AS DOUBLE) + 0.5 * CAST(vocab.v AS DOUBLE)))
+            / ((CAST(r.cr AS DOUBLE) + 0.5)
+               / (CAST(raw_n.nr AS DOUBLE) + 0.5 * CAST(vocab.v AS DOUBLE)))) AS llr
+  FROM raw r LEFT JOIN tgt t USING (tok)
+  CROSS JOIN tgt_n CROSS JOIN raw_n CROSS JOIN vocab
+), doc_tok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY doc_id, tok
+)
+SELECT d.doc_id,
+       CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+       round(SUM(CAST(d.n AS DOUBLE) * m.llr) / CAST(SUM(d.n) AS DOUBLE), 6)
+         AS importance
+FROM doc_tok d JOIN model m USING (tok)
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "t23_dsir_importance",
+    oracle=_T23_ORACLE,
+    description="DSIR IMPORTANCE WEIGHTS (Xie et al. 2023 data "
+    "selection): every document scored by its mean per-token "
+    "ln(p_target/p_raw) against add-0.5-smoothed unigram models of "
+    "the target ('en') slice vs the raw corpus — the importance-"
+    "resampling signal that up-weights target-domain-looking text. "
+    "Models are vocabulary-bounded and broadcast; scoring joins "
+    "distinct (doc, token) count pairs, never raw occurrences; ln() "
+    "evaluates once per vocab row (north-star text curation)",
+)
+def t23_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(spark_tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    tgt = toks.filter(F.col("lang") == "en").groupBy("tok").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tgt_n = toks.filter(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("nt"))
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    raw_n = toks.agg(F.count(F.lit(1)).alias("nr"))
+    model = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "tok",
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 0.5)
+                    / (F.col("nt").cast("double") + 0.5 * F.col("v").cast("double"))
+                )
+                / (
+                    (F.col("cr").cast("double") + 0.5)
+                    / (F.col("nr").cast("double") + 0.5 * F.col("v").cast("double"))
+                )
+            ).alias("llr"),
+        )
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_tok.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n").cast("double") * F.col("llr"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("importance"),
+        )
+    )

@@ -113,6 +113,12 @@ _PRIORITY: list[str] = [
     "t22_ngram_novelty",
     "d16_containment",
     "j13_interval_overlap_join",
+    # round-4b mining tier (registered this session, no driver row yet)
+    "e7_kmeans_clusters",
+    "s8_reciprocal_nn",
+    "ev3_markov_transitions",
+    "dq9_entropy_profile",
+    "t23_dsir_importance",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
@@ -170,6 +176,7 @@ def _load_all() -> None:
         corpus_plans,
         curation_plans,
         dedup_plans,
+        mining_plans,
         relational,
         relational2,
         sequence_plans,
