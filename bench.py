@@ -87,6 +87,15 @@ EXTRA = [
     "t22_ngram_novelty",        # intra-corpus boilerplate pressure
     "d16_containment",          # asymmetric near-superset detection
     "j13_interval_overlap_join",  # interval-x-interval binned join
+    # round-4b mining tier
+    "e7_kmeans_clusters",       # exact-integer Lloyd k-means
+    "s8_reciprocal_nn",         # mutual-kNN pairs over s6
+    "ev3_markov_transitions",   # journey transition matrix
+    "ev4_top_paths",            # top-10 3-event journey prefixes
+    "dq9_entropy_profile",      # histogram-derived column entropy
+    "dq10_numeric_corr",        # exact-moment Pearson correlations
+    "t23_dsir_importance",      # DSIR target/raw log-likelihood ratio
+    "v4_heaps_curve",           # vocabulary growth deciles
 ]
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 import dww_data_pipeline_spark.plans.dedup_plans  # noqa: F401  (s8 reads the s6 oracle from the registry)
 from dww_data_pipeline_spark.plans.registry import REGISTRY, register
-from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS, spark_tokens
+from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS, spark_tokens, sql_kgrams
 from dww_data_pipeline_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -506,3 +506,241 @@ def t23_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("importance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev4 — top user journey prefixes (path mining).
+#
+# ev3's transition matrix is memoryless; ev4 keeps the ordered
+# 3-event PREFIX per user and ranks the most common openings — the
+# funnel-path report product analytics reads next to the matrix.
+#
+# Scale shape: one user_id window shuffle (rank the first 3 events),
+# then a conditional-aggregation pivot per user (no collect_list
+# ordering hazards — each slot is a MAX over exactly one row), then
+# a path-cardinality-bounded count shuffle + TakeOrdered top-10.
+# ---------------------------------------------------------------------------
+
+_EV4_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id,
+         concat_ws('>',
+           MAX(CASE WHEN rn = 1 THEN event_type END),
+           MAX(CASE WHEN rn = 2 THEN event_type END),
+           MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
+"""
+
+
+@register(
+    "ev4_top_paths",
+    oracle=_EV4_ORACLE,
+    description="TOP JOURNEY PREFIXES: each user's ordered first-3 "
+    "event types as a '>'-joined path, ranked by user count "
+    "(deterministic count-desc/path tiebreak, top 10) — the funnel-"
+    "path report next to ev3's memoryless matrix. One user window "
+    "shuffle; the pivot uses per-slot conditional MAX (exactly one "
+    "row per slot, no collect_list order hazard); final count "
+    "shuffle bounded by path cardinality (event analytics)",
+)
+def ev4_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# v4 — Heaps-law vocabulary growth curve.
+#
+# How fast does the vocabulary grow as the corpus is ingested in
+# doc_id order? Each token contributes at its FIRST document; the
+# first-appearance positions are binned into corpus deciles and
+# cumulated. Sub-linear growth is the expected Heaps shape; a kink
+# signals a domain shift in the crawl — the corpus-level drift check
+# next to dq4's distributional one.
+#
+# Scale shape: one (gram -> min doc_id) partial-agg shuffle (gram-
+# vocabulary bounded), a 10-row bin histogram, and a 10x10 broadcast
+# triangular self-join for the running total — deliberately NOT a
+# partition-less window (engine-wide discipline). BIGRAMS, not
+# unigrams: the unigram vocabulary saturates inside the first decile
+# on any corpus over a bounded lexicon, while the 2-gram space keeps
+# growing — the standard Heaps measurement choice.
+# ---------------------------------------------------------------------------
+
+_V4_ORACLE = f"""
+WITH firsts AS (
+  SELECT tok, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({sql_kgrams(2)}) AS tok FROM documents)
+  GROUP BY tok
+), mx AS (
+  SELECT MAX(doc_id) + 1 AS m FROM documents
+), bins AS (
+  SELECT CAST(LEAST(9, (first_doc * 10) // m) AS INT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM firsts CROSS JOIN mx
+  GROUP BY 1
+)
+SELECT a.decile, a.new_tokens,
+       CAST(SUM(b.new_tokens) AS BIGINT) AS vocab_cum
+FROM bins a JOIN bins b ON b.decile <= a.decile
+GROUP BY a.decile, a.new_tokens
+"""
+
+
+@register(
+    "v4_heaps_curve",
+    oracle=_V4_ORACLE,
+    description="HEAPS-LAW VOCABULARY GROWTH: bin every BIGRAM's first-"
+    "appearance doc into corpus deciles and cumulate — the sub-linear "
+    "vocab growth curve whose kinks flag crawl domain shifts (corpus "
+    "stats). One gram-vocab-bounded min-agg shuffle; the cumulative "
+    "sum is a 10x10 broadcast triangular join, NOT a partition-less "
+    "window",
+)
+def v4_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    d = load_table(spark, sf_dir, "documents")
+    firsts = (
+        exploded_kgrams(d, "text", 2, carry=("doc_id",), out="tok")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    bins = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.expr("(first_doc * 10) DIV m")).cast("int").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    b = bins.select(F.col("decile").alias("b_decile"), F.col("new_tokens").alias("b_new"))
+    return (
+        bins.join(F.broadcast(b), F.col("b_decile") <= F.col("decile"))
+        .groupBy("decile", "new_tokens")
+        .agg(F.sum("b_new").alias("vocab_cum"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq10 — exact-moment Pearson correlation matrix.
+#
+# Correlation between numeric measure columns from EXACT integer
+# moments: values quantize to cents via a DECIMAL(18,2) cast (the
+# house money rule), all five moments (Σx, Σy, Σxy, Σx², Σy²)
+# accumulate as exact integers (associative — partition-order-proof),
+# and the classic formula evaluates once per column pair in double.
+# Spark's native corr() streams doubles and is partition-order
+# dependent; this shape is reproducible bit-for-bit at any
+# parallelism, which is what a data-quality GATE needs.
+#
+# Scale shape: one scan, one global partial-agg of 15 integer cells;
+# no shuffle wider than a single row.
+# ---------------------------------------------------------------------------
+
+_DQ10_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+
+def _dq10_duck() -> str:
+    def q(c: str) -> str:
+        return f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+    parts = []
+    for x, y in _DQ10_PAIRS:
+        parts.append(
+            f"""
+  SELECT '{x}' AS x_col, '{y}' AS y_col,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         round((CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q(x)} * {q(y)}) AS DOUBLE)
+                - CAST(SUM({q(x)}) AS DOUBLE) * CAST(SUM({q(y)}) AS DOUBLE))
+               / sqrt((CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q(x)} * {q(x)}) AS DOUBLE)
+                       - CAST(SUM({q(x)}) AS DOUBLE) * CAST(SUM({q(x)}) AS DOUBLE))
+                      * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q(y)} * {q(y)}) AS DOUBLE)
+                         - CAST(SUM({q(y)}) AS DOUBLE) * CAST(SUM({q(y)}) AS DOUBLE))), 6)
+           AS pearson_r
+  FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq10_numeric_corr",
+    oracle=_dq10_duck(),
+    description="EXACT-MOMENT PEARSON CORRELATION between lineitem "
+    "measures: cent-quantized integers (DECIMAL(18,2) cast — the "
+    "money rule) feed five exact integer moments per pair, so the "
+    "statistic is bit-reproducible at any parallelism (native corr() "
+    "is partition-order dependent); one scan, 15-cell global agg, "
+    "formula evaluates once per pair (data quality)",
+)
+def dq10_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def q(c: str):
+        return (F.col(c).cast("decimal(18,2)") * 100).cast("bigint")
+
+    outs = []
+    for x, y in _DQ10_PAIRS:
+        qx, qy = q(x), q(y)
+        m = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((qx * qy).cast("decimal(38,0)")).alias("sxy"),
+            F.sum(qx.cast("decimal(38,0)")).alias("sx"),
+            F.sum(qy.cast("decimal(38,0)")).alias("sy"),
+            F.sum((qx * qx).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((qy * qy).cast("decimal(38,0)")).alias("syy"),
+        )
+        nd = F.col("n").cast("double")
+        r = F.round(
+            (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.sqrt(
+                (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            6,
+        )
+        outs.append(
+            m.select(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.col("n"),
+                r.alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -119,6 +119,9 @@ _PRIORITY: list[str] = [
     "ev3_markov_transitions",
     "dq9_entropy_profile",
     "t23_dsir_importance",
+    "ev4_top_paths",
+    "v4_heaps_curve",
+    "dq10_numeric_corr",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -192,3 +192,66 @@ class TestDsirImportance:
         n_docs = load_table(spark, sf_dir, "documents").count()
         assert len(rows) == n_docs
         assert all(r["n_tokens"] >= 1 for r in rows)
+
+
+class TestTopPaths:
+    def test_paths_ordered_and_bounded(self, spark, sf_dir):
+        rows = REGISTRY["ev4_top_paths"].spark(spark, sf_dir).collect()
+        assert 1 <= len(rows) <= 10
+        counts = [r["n_users"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        for r in rows:
+            assert 1 <= len(r["path"].split(">")) <= 3
+
+    def test_top_path_uses_takeordered(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "ev4_top_paths")
+        assert "TakeOrdered" in plan
+
+
+class TestHeapsCurve:
+    def test_cumulative_monotone_and_total(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = sorted(
+            REGISTRY["v4_heaps_curve"].spark(spark, sf_dir).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert len(rows) >= 2  # a real curve, not a single saturated bin
+        cums = [r["vocab_cum"] for r in rows]
+        assert cums == sorted(cums)
+        # running total consistency
+        run = 0
+        for r in rows:
+            run += r["new_tokens"]
+            assert r["vocab_cum"] == run
+        d = load_table(spark, sf_dir, "documents")
+        vocab = (
+            exploded_kgrams(d, "text", 2, out="tok").select("tok").distinct().count()
+        )
+        assert cums[-1] == vocab
+
+
+class TestNumericCorr:
+    def test_r_in_range_and_deterministic(self, spark, sf_dir):
+        rows = REGISTRY["dq10_numeric_corr"].spark(spark, sf_dir).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert -1.0 <= r["pearson_r"] <= 1.0
+        # exact moments: a different partitioning yields identical bits
+        from dww_data_pipeline_spark.plans import mining_plans
+
+        orig = mining_plans.load_table
+
+        def shuffled(spark_, sf_dir_, name):
+            df = orig(spark_, sf_dir_, name)
+            return df.repartition(5) if name == "lineitem" else df
+
+        mining_plans.load_table = shuffled
+        try:
+            alt = REGISTRY["dq10_numeric_corr"].spark(spark, sf_dir).collect()
+        finally:
+            mining_plans.load_table = orig
+        assert {(r["x_col"], r["y_col"], r["pearson_r"]) for r in rows} == {
+            (r["x_col"], r["y_col"], r["pearson_r"]) for r in alt
+        }
