@@ -73,22 +73,22 @@ def pagerank(
         # empty graph → empty result, not a ZeroDivisionError at
         # plan-build time
         return flagged.select("node").withColumn("rank", F.lit(0.0))
-    # The iteration loop is FULLY LAZY: each round's dangling-mass
-    # scalar is a 1-row aggregate broadcast back into the plan, so the
-    # whole 5-round recurrence executes as ONE action. ranks_i is
-    # referenced twice per round (contrib join + dangling agg) — the
-    # plan tree doubles per iteration, but both references resolve to
-    # the same exchanges (ReusedExchange), so execution stays linear
-    # while the per-iteration checkpoint/broadcast JOBS (2 per round,
-    # each a full scheduler round-trip) disappear. Measured at sf0.1:
-    # 5.6 s (checkpoint-per-round) → 3.8 s. The tree doubles per
-    # round, so a checkpoint every 6 rounds bounds plan size (≤2^6
-    # leaf paths) for callers that ask for long iteration counts; the
-    # default 5 rounds never hits it.
+    # Each round stays lazy WITHIN itself (the dangling-mass scalar is
+    # a 1-row aggregate broadcast back into the same plan — no
+    # separate collect), but ranks' lineage is truncated EVERY round
+    # with a lazy localCheckpoint: ranks_i is referenced twice per
+    # round (contrib join + dangling agg), so an unbounded tree
+    # doubles per iteration and Catalyst re-optimizes all 2^i paths.
+    # Re-measured at sf0.1 (min of 3, full build+exec): full-lazy
+    # tree with a %6 cadence 5.4 s, truncate-every-round 4.0-4.5 s —
+    # plan-compilation cost of the doubled tree dominates the tiny
+    # per-round truncation of a node-count-sized table. eager=False
+    # materializes on first downstream use, so no standalone job is
+    # scheduled per round.
     ranks = flagged.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
-        if i > 0 and i % 6 == 0:
-            ranks = ranks.localCheckpoint()
+        if i > 0:
+            ranks = ranks.localCheckpoint(eager=False)
         dangling = ranks.agg(
             F.coalesce(
                 F.sum(F.when(~F.col("_has_out"), F.col("rank"))), F.lit(0.0)
