@@ -309,8 +309,11 @@ def connected_components(
                 (new_comp != F.col("component")).alias("_changed"),
             )
             # truncate lineage: without this each iteration replans the
-            # whole history and the loop goes superlinear in wall-clock
-            .localCheckpoint()
+            # whole history and the loop goes superlinear in wall-clock.
+            # eager=False: the next probe/propagation materializes it
+            # inside its own job, so no standalone checkpoint job runs
+            # per round (measured 3.4 -> 2.6 s on d6 at sf0.1)
+            .localCheckpoint(eager=False)
         )
         # convergence probe every 2nd round: the probe is its own Spark
         # job, and dup graphs converge in (diameter) rounds — probing
