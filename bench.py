@@ -94,6 +94,7 @@ EXTRA = [
     "ev4_top_paths",            # top-10 3-event journey prefixes
     "dq9_entropy_profile",      # histogram-derived column entropy
     "dq10_numeric_corr",        # exact-moment Pearson correlations
+    "dq11_approx_percentile_gate",  # quantile-sketch contract gate
     "t23_dsir_importance",      # DSIR target/raw log-likelihood ratio
     "v4_heaps_curve",           # vocabulary growth deciles
 ]

@@ -744,3 +744,54 @@ def dq10_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq11 — approx-percentile accuracy gate (the dq7 contract pattern
+# applied to quantile sketches).
+#
+# Per event type: the exact interpolated median of `value`, plus a
+# flag asserting each engine's OWN quantile sketch lands inside the
+# exact [p40, p60] band. Sketch internals differ per engine (Spark
+# KLL/GK vs DuckDB t-digest) so the CONTRACT is what is compared —
+# validating the estimator a 100 TB pipeline uses where an exact
+# per-group quantile is a sort it cannot afford. The exact side here
+# is the verification baseline (this gate runs on a bounded slice);
+# the production profile path is dq6's cardinality-bounded histogram.
+# ---------------------------------------------------------------------------
+
+_DQ11_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS exact_p50,
+       CASE WHEN approx_quantile(value, 0.5)
+                 BETWEEN quantile_cont(value, 0.4)
+                     AND quantile_cont(value, 0.6)
+            THEN 1 ELSE 0 END AS approx_in_band
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "dq11_approx_percentile_gate",
+    oracle=_DQ11_ORACLE,
+    description="APPROX-PERCENTILE ACCURACY GATE: per event type, the "
+    "exact interpolated median plus a flag asserting each engine's "
+    "own quantile sketch lands inside the exact [p40, p60] band — "
+    "sketch internals are engine-specific, so the CONTRACT is "
+    "compared (the dq7 pattern for quantiles). Exact values are the "
+    "verification baseline; the production profile path is dq6's "
+    "cardinality-bounded histogram (data quality)",
+)
+def dq11_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, 0.5D)")
+    lo = F.expr("percentile(value, 0.4D)")
+    hi = F.expr("percentile(value, 0.6D)")
+    approx = F.expr("approx_percentile(value, 0.5D, 10000)")
+    return ev.groupBy("event_type").agg(
+        F.round(exact, 6).alias("exact_p50"),
+        F.when((approx >= lo) & (approx <= hi), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("approx_in_band"),
+    )

@@ -232,6 +232,14 @@ class TestHeapsCurve:
         assert cums[-1] == vocab
 
 
+class TestApproxPercentileGate:
+    def test_sketch_within_band(self, spark, sf_dir):
+        rows = REGISTRY["dq11_approx_percentile_gate"].spark(spark, sf_dir).collect()
+        assert len(rows) == 5  # one per event type
+        # on this data the sketch must sit inside the exact p40-p60 band
+        assert all(r["approx_in_band"] == 1 for r in rows)
+
+
 class TestNumericCorr:
     def test_r_in_range_and_deterministic(self, spark, sf_dir):
         rows = REGISTRY["dq10_numeric_corr"].spark(spark, sf_dir).collect()
