@@ -96,6 +96,7 @@ EXTRA = [
     "dq10_numeric_corr",        # exact-moment Pearson correlations
     "dq11_approx_percentile_gate",  # quantile-sketch contract gate
     "t23_dsir_importance",      # DSIR target/raw log-likelihood ratio
+    "pr2_supplier_hits",        # fixed-point HITS hubs/authorities
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -116,3 +116,81 @@ def pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities, ``iters`` fixed rounds, EXACT integer
+    arithmetic (hash-checkable cross-engine, like the e7 k-means).
+
+    The classic formulation L2-normalizes each round — a float sum
+    whose accumulation order differs between engines. This variant
+    MAX-normalizes in fixed point instead: after each update the
+    score vector is rescaled to ``(x * scale) DIV max(x)`` so every
+    intermediate stays an exact integer in [0, scale] times the
+    incoming weight bound, the argmax structure (what HITS is used
+    for) is unchanged, and every engine that follows the recurrence
+    produces identical bits. Weights must be non-negative integers.
+
+    Scale shape per round: two edge⋈score joins + two partial-agg
+    shuffles keyed on node ids; the max normalizer is a 1-row
+    aggregate broadcast back inside the same plan (no driver
+    round-trip); score lineage is truncated every round (the measured
+    PageRank finding — plan-tree doubling costs more than the
+    truncation of a node-count-sized table). Returns
+    (node, authority, hub) BIGINT columns.
+    """
+    w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _rescaled(raw: DataFrame, key: str, col: str) -> DataFrame:
+        """(node, col) rescaled to (x*scale) DIV max(x); missing
+        nodes -> 0. All integer; max() is order-independent."""
+        m = raw.agg(F.max(col).alias("_m"))
+        scored = (
+            nodes.join(raw, nodes.node == raw[key], "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.when(
+                    F.col("_m").isNull() | (F.col("_m") == 0), F.lit(0).cast("long")
+                )
+                .otherwise(
+                    F.expr(f"CAST(({col} * CAST({scale} AS BIGINT)) DIV _m AS BIGINT)")
+                )
+                .alias(col),
+            )
+            .na.fill({col: 0})
+        )
+        return scored
+
+    hub = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e._s == hub.node)
+            .groupBy("_d")
+            .agg(F.sum(F.col("_w") * F.col("hub")).alias("authority"))
+        )
+        auth = _rescaled(a_raw, "_d", "authority").localCheckpoint(eager=False)
+        h_raw = (
+            e.join(auth, e._d == auth.node)
+            .groupBy("_s")
+            .agg(F.sum(F.col("_w") * F.col("authority")).alias("hub"))
+        )
+        hub = _rescaled(h_raw, "_s", "hub").localCheckpoint(eager=False)
+    return auth.join(hub, "node").select("node", "authority", "hub")

@@ -1086,21 +1086,10 @@ def _pr_oracle() -> str:
     return "\n".join(parts)
 
 
-@register(
-    "pr1_supplier_pagerank",
-    oracle=_pr_oracle(),
-    description="PAGERANK over the supplier-transition graph (the "
-    "talent-flow centrality of the reference domain, re-keyed to "
-    "which supplier a customer buys from next): weighted power "
-    "iteration with dangling-mass redistribution, FIXED 5 iterations "
-    "so the oracle unrolls the identical recurrence as CTEs — the "
-    "iterative-algorithm pattern (driver loop orchestrates, data "
-    "stays distributed, lineage truncated per round) made "
-    "hash-checkable cross-engine",
-)
-def pr1_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dww_data_pipeline_spark.operators.graph import pagerank
-
+def supplier_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier→supplier transition counts along each customer's
+    purchase timeline (the shared edge builder for pr1/pr2); returns
+    (src, dst, w) with w the BIGINT transition count."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_suppkey"
     )
@@ -1116,11 +1105,31 @@ def pr1_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_custkey", "o_orderdate", "o_orderkey", "l_linenumber", "l_suppkey"
     )
-    edges = (
+    return (
         timeline.withColumn("prev", F.lag("l_suppkey").over(w))
         .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("l_suppkey")))
         .groupBy(F.col("prev").alias("src"), F.col("l_suppkey").alias("dst"))
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register(
+    "pr1_supplier_pagerank",
+    oracle=_pr_oracle(),
+    description="PAGERANK over the supplier-transition graph (the "
+    "talent-flow centrality of the reference domain, re-keyed to "
+    "which supplier a customer buys from next): weighted power "
+    "iteration with dangling-mass redistribution, FIXED 5 iterations "
+    "so the oracle unrolls the identical recurrence as CTEs — the "
+    "iterative-algorithm pattern (driver loop orchestrates, data "
+    "stays distributed, lineage truncated per round) made "
+    "hash-checkable cross-engine",
+)
+def pr1_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.graph import pagerank
+
+    edges = supplier_transition_edges(spark, sf_dir).withColumn(
+        "w", F.col("w").cast("double")
     )
     ranks = pagerank(edges, "src", "dst", "w", iters=_PR_ITERS, damping=_PR_D)
     return ranks.select(

@@ -795,3 +795,95 @@ def dq11_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("approx_in_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pr2 — HITS hubs & authorities over the supplier-transition graph.
+#
+# The second iterative graph algorithm (PageRank's companion): a
+# supplier is a strong AUTHORITY if heavily bought-into from strong
+# hubs, a strong HUB if its customers move on to strong authorities.
+# Classic HITS L2-normalizes each round (float accumulation order —
+# not hash-checkable); this variant max-normalizes in FIXED POINT
+# ((x * 1e6) DIV max(x)), so the whole recurrence is exact integer
+# arithmetic and the oracle unrolls it as CTEs (the e7 discipline
+# applied to an iterative algorithm). Argmax structure is unchanged.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 2
+_HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    from dww_data_pipeline_spark.plans.curation_plans import _PR_EDGES_SQL
+
+    edges_sql = _PR_EDGES_SQL.replace(
+        "CAST(COUNT(*) AS DOUBLE)", "CAST(COUNT(*) AS BIGINT)"
+    )
+    s = _HITS_SCALE
+    parts = [
+        f"WITH edges AS ({edges_sql}),",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)),",
+        f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes),",
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"a{i}r AS (SELECT e.dst AS node, SUM(e.w * h.hub) AS x"
+            f" FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),"
+        )
+        parts.append(f"a{i}m AS (SELECT MAX(x) AS m FROM a{i}r),")
+        parts.append(
+            f"a{i} AS (SELECT n.node,"
+            f" CAST(COALESCE((r.x * {s}) // NULLIF(m.m, 0), 0) AS BIGINT)"
+            f" AS authority"
+            f" FROM nodes n LEFT JOIN a{i}r r ON n.node = r.node"
+            f" CROSS JOIN a{i}m m),"
+        )
+        parts.append(
+            f"h{i}r AS (SELECT e.src AS node, SUM(e.w * a.authority) AS x"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),"
+        )
+        parts.append(f"h{i}m AS (SELECT MAX(x) AS m FROM h{i}r),")
+        parts.append(
+            f"h{i} AS (SELECT n.node,"
+            f" CAST(COALESCE((r.x * {s}) // NULLIF(m.m, 0), 0) AS BIGINT)"
+            f" AS hub"
+            f" FROM nodes n LEFT JOIN h{i}r r ON n.node = r.node"
+            f" CROSS JOIN h{i}m m),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a.node AS supplier, a.authority, h.hub"
+        f" FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pr2_supplier_hits",
+    oracle=_hits_oracle(),
+    description="HITS HUBS & AUTHORITIES over the supplier-transition "
+    f"graph ({_HITS_ITERS} fixed rounds): max-normalized in fixed "
+    "point ((x*1e6) DIV max) so the whole recurrence is EXACT integer "
+    "arithmetic — the hash-checkable form of an algorithm whose "
+    "classic L2 normalization is float-order dependent. Per round two "
+    "edge-score joins + two node-keyed partial aggs; the max "
+    "normalizer is a 1-row in-plan broadcast; lineage truncated per "
+    "round (the PageRank finding). Companion centrality to pr1 "
+    "(iterative graph analytics)",
+)
+def pr2_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.graph import hits
+    from dww_data_pipeline_spark.plans.curation_plans import (
+        supplier_transition_edges,
+    )
+
+    edges = supplier_transition_edges(spark, sf_dir)
+    scores = hits(
+        edges, "src", "dst", "w", iters=_HITS_ITERS, scale=_HITS_SCALE
+    )
+    return scores.select(
+        F.col("node").alias("supplier"), "authority", "hub"
+    )

@@ -123,6 +123,7 @@ _PRIORITY: list[str] = [
     "v4_heaps_curve",
     "dq10_numeric_corr",
     "dq11_approx_percentile_gate",
+    "pr2_supplier_hits",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

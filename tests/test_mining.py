@@ -232,6 +232,40 @@ class TestHeapsCurve:
         assert cums[-1] == vocab
 
 
+class TestHits:
+    def test_scores_bounded_and_max_hits_scale(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.mining_plans import _HITS_SCALE
+
+        rows = REGISTRY["pr2_supplier_hits"].spark(spark, sf_dir).collect()
+        assert rows
+        auths = [r["authority"] for r in rows]
+        hubs = [r["hub"] for r in rows]
+        assert all(0 <= a <= _HITS_SCALE for a in auths)
+        assert all(0 <= h <= _HITS_SCALE for h in hubs)
+        # max-normalization: the top score in each vector IS the scale
+        assert max(auths) == _HITS_SCALE
+        assert max(hubs) == _HITS_SCALE
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        """Fixed-point integer recurrence: identical bits under a
+        different edge partitioning."""
+        from dww_data_pipeline_spark.operators.graph import hits
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            supplier_transition_edges,
+        )
+
+        edges = supplier_transition_edges(spark, sf_dir)
+        a = {
+            (r["node"], r["authority"], r["hub"])
+            for r in hits(edges, "src", "dst", "w").collect()
+        }
+        b = {
+            (r["node"], r["authority"], r["hub"])
+            for r in hits(edges.repartition(7), "src", "dst", "w").collect()
+        }
+        assert a == b
+
+
 class TestApproxPercentileGate:
     def test_sketch_within_band(self, spark, sf_dir):
         rows = REGISTRY["dq11_approx_percentile_gate"].spark(spark, sf_dir).collect()
