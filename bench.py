@@ -97,6 +97,7 @@ EXTRA = [
     "dq11_approx_percentile_gate",  # quantile-sketch contract gate
     "t23_dsir_importance",      # DSIR target/raw log-likelihood ratio
     "pr2_supplier_hits",        # fixed-point HITS hubs/authorities
+    "m5_image_ahash_dedup",     # perceptual-hash image dedup
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -405,3 +405,56 @@ def frame_features(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual AVERAGE-HASH per image via mapInPandas: decode the
+    payload with the pure-NumPy codec, gray each pixel as the integer
+    channel sum, set bit p iff n_pixels * gray_p > sum(gray) (the
+    strict-mean comparison kept in exact integers — no float mean, so
+    the hash is bit-stable across engines and platforms). Identical
+    pixel content ⇒ identical hash; near-identical content usually
+    collides too, which is the point of aHash bucketing. Undecodable
+    payloads yield decode_ok=False, ahash NULL — never a raised batch
+    (the extract_media_features contract)."""
+    from dww_data_pipeline_spark.operators.media_codec import decode_image
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, oks, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ok, hv = False, None
+                try:
+                    img = decode_image(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    img = None
+                if img is not None and img.size:
+                    gray = img.astype(np.int64).sum(axis=2).ravel()
+                    tot = int(gray.sum())
+                    n = int(gray.size)
+                    bits = n * gray > tot
+                    hv = int(
+                        sum(1 << p for p, b in enumerate(bits.tolist()) if b)
+                    )
+                    ok = True
+                ids.append(mid)
+                oks.append(ok)
+                hashes.append(hv)
+            yield pd.DataFrame(
+                {"media_id": ids, "decode_ok": oks, "ahash": hashes}
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -887,3 +887,89 @@ def pr2_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select(
         F.col("node").alias("supplier"), "authority", "hub"
     )
+
+
+# ---------------------------------------------------------------------------
+# m5 — perceptual-hash (aHash) image dedup with REAL pixels.
+#
+# The image leg of the dedup family: every image is decoded by the
+# pure-NumPy codec and reduced to an average-hash (bit p set iff
+# pixel p's gray exceeds the image mean — computed in EXACT integers:
+# n*gray_p > sum(gray), no float mean), then hash buckets become
+# duplicate groups with a canonical keeper. Seeding the synthesized
+# P3 images with doc_id % 97 plants true duplicate classes.
+#
+# The oracle recomputes the hash from the pixel-GENERATOR arithmetic
+# alone (the m1/m3/m4 discipline): drift anywhere in synthesis,
+# header parsing, pixel order, gray math, or the mean comparison
+# breaks the hash match — so the differential check covers the whole
+# decode path without DuckDB ever parsing an image.
+#
+# Scale shape: images cross into Python once (Arrow batches), 8-byte
+# hashes are all that shuffle; the dedup is one ahash-partitioned
+# window. At billions of images the same hash feeds d1-style exact
+# grouping or Hamming-ball LSH probing.
+# ---------------------------------------------------------------------------
+
+
+def _m5_ahash_sql() -> str:
+    """DuckDB integer arithmetic for the aHash of the 2x2 P3 image
+    generated from seed = doc_id % 97 (v_i = (seed*(3i+7)+i) % 256)."""
+    grays = []
+    for p in range(4):
+        chans = " + ".join(
+            f"(((doc_id % 97) * {3 * (3 * p + c) + 7} + {3 * p + c}) % 256)"
+            for c in range(3)
+        )
+        grays.append(f"({chans})")
+    tot = " + ".join(grays)
+    bits = " + ".join(
+        f"(CASE WHEN 4 * {grays[p]} > ({tot}) THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_M5_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id AS media_id, {_m5_ahash_sql()} AS ahash
+  FROM documents
+)
+SELECT media_id, ahash,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_size,
+       media_id = MIN(media_id) OVER (PARTITION BY ahash) AS keep
+FROM h
+"""
+
+
+@register(
+    "m5_image_ahash_dedup",
+    oracle=_M5_ORACLE,
+    description="PERCEPTUAL-HASH IMAGE DEDUP with REAL pixels, "
+    "ORACLE-CHECKED: P3 images (seeded doc_id % 97 so true duplicate "
+    "classes exist) are decoded by the pure-NumPy codec inside "
+    "Arrow-batched mapInPandas and reduced to an integer-exact "
+    "average-hash (bit p iff n*gray_p > sum(gray)); hash buckets "
+    "become dup groups with a canonical min-id keeper. The oracle "
+    "re-derives the hash from the pixel-generator arithmetic without "
+    "parsing images, so the differential covers synthesis, decode, "
+    "pixel order, gray math and the mean comparison end to end "
+    "(north-star multimodal dedup)",
+)
+def m5_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import image_ahash
+    from dww_data_pipeline_spark.plans.streaming_plans import _p3_image_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _p3_image_expr(F.pmod(F.col("doc_id"), F.lit(97))).alias("payload"),
+    )
+    h = image_ahash(media).select("media_id", "ahash")
+    w = Window.partitionBy("ahash")
+    return h.select(
+        "media_id",
+        "ahash",
+        F.count(F.lit(1)).over(w).alias("bucket_size"),
+        (F.col("media_id") == F.min("media_id").over(w)).alias("keep"),
+    )

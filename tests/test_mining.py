@@ -232,6 +232,42 @@ class TestHeapsCurve:
         assert cums[-1] == vocab
 
 
+class TestImageAhashDedup:
+    def test_seed_classes_collapse_and_keepers_unique(self, spark, sf_dir):
+        rows = REGISTRY["m5_image_ahash_dedup"].spark(spark, sf_dir).collect()
+        assert rows
+        # every bucket has exactly one keeper, and it's the min id
+        by_hash: dict[int, list] = {}
+        for r in rows:
+            by_hash.setdefault(r["ahash"], []).append(r)
+        for h, grp in by_hash.items():
+            keepers = [r for r in grp if r["keep"]]
+            assert len(keepers) == 1
+            assert keepers[0]["media_id"] == min(r["media_id"] for r in grp)
+            assert all(r["bucket_size"] == len(grp) for r in grp)
+        # same seed (doc_id % 97) => identical pixels => identical hash
+        seed_hash: dict[int, int] = {}
+        for r in rows:
+            s = r["media_id"] % 97
+            if s in seed_hash:
+                assert seed_hash[s] == r["ahash"]
+            else:
+                seed_hash[s] = r["ahash"]
+
+    def test_decode_failure_yields_null_hash_not_crash(self, spark, sf_dir):
+        import pandas as pd  # noqa: F401
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.operators.documents import image_ahash
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"NOTANIMAGE")), (2, None)],
+            "media_id long, payload binary",
+        ).select("media_id", F.col("payload"))
+        rows = {r["media_id"]: r for r in image_ahash(media).collect()}
+        assert rows[1]["decode_ok"] is False and rows[1]["ahash"] is None
+        assert rows[2]["decode_ok"] is False and rows[2]["ahash"] is None
+
+
 class TestHits:
     def test_scores_bounded_and_max_hits_scale(self, spark, sf_dir):
         from dww_data_pipeline_spark.plans.mining_plans import _HITS_SCALE
