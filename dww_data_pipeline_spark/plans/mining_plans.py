@@ -973,3 +973,62 @@ def m5_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("bucket_size"),
         (F.col("media_id") == F.min("media_id").over(w)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# u4 — BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL).
+#
+# u1-u3 cover set-semantics union/distinct/split; this completes the
+# family with multiset semantics, exercised through Spark's native
+# intersectAll/exceptAll physical operators (not an arithmetic
+# rewrite) against DuckDB's native INTERSECT ALL / EXCEPT ALL. The
+# multisets are supplier occurrences of returned vs fully-shipped
+# lineitems; the result is aggregated to (supplier, op, n) so the
+# compare surface is cardinality-bounded.
+#
+# Scale shape: both bag operators hash-partition on the value — the
+# same single-shuffle shape as a groupBy on the key; output counts
+# are supplier-bounded.
+# ---------------------------------------------------------------------------
+
+_U4_ORACLE = """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F'),
+     ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+     ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+SELECT l_suppkey, 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM ia GROUP BY l_suppkey
+UNION ALL
+SELECT l_suppkey, 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+FROM ea GROUP BY l_suppkey
+"""
+
+
+@register(
+    "u4_bag_ops",
+    oracle=_U4_ORACLE,
+    description="BAG-SEMANTICS SET OPS: INTERSECT ALL / EXCEPT ALL "
+    "over supplier occurrence multisets (returned vs fully-shipped "
+    "lineitems), via Spark's native intersectAll/exceptAll operators "
+    "against DuckDB's native bag operators, aggregated to (supplier, "
+    "op, n) so the compare surface is supplier-bounded — completes "
+    "the u-family beyond set semantics. Both operators hash-partition "
+    "on the value: one shuffle, same shape as a keyed groupBy",
+)
+def u4_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_suppkey")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("l_suppkey", F.lit("intersect_all").alias("op"), "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("l_suppkey", F.lit("except_all").alias("op"), "n")
+    )
+    return inter.unionAll(exc)

@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "dq11_approx_percentile_gate",
     "pr2_supplier_hits",
     "m5_image_ahash_dedup",
+    "u4_bag_ops",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
