@@ -98,6 +98,9 @@ EXTRA = [
     "t23_dsir_importance",      # DSIR target/raw log-likelihood ratio
     "pr2_supplier_hits",        # fixed-point HITS hubs/authorities
     "m5_image_ahash_dedup",     # perceptual-hash image dedup
+    "u4_bag_ops",               # INTERSECT ALL / EXCEPT ALL
+    "d17_softdedup_weights",    # dedup by down-weighting
+    "t25_tokenizer_fertility",  # chars-per-token report
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -146,6 +146,8 @@ def hits(
     truncation of a node-count-sized table). Returns
     (node, authority, hub) BIGINT columns.
     """
+    if iters < 1:
+        raise ValueError("hits() needs at least one iteration")
     w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     e = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")

@@ -1032,3 +1032,108 @@ def u4_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", F.lit("except_all").alias("op"), "n")
     )
     return inter.unionAll(exc)
+
+
+# ---------------------------------------------------------------------------
+# d17 — SoftDeDup down-weighting (dedup without deletion).
+#
+# Instead of dropping duplicates, give every document a sampling
+# weight 1/|dup group| (docs outside any group keep 1.0): the corpus
+# keeps its coverage, repeated content stops dominating the training
+# mixture, and the weights feed t16-style deterministic samplers.
+# Composes the d2→CC machinery; one label join + one size aggregate
+# on the (id, component) table — document text never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _d17_oracle() -> str:
+    from dww_data_pipeline_spark.plans.dedup_plans import _D6_ORACLE
+
+    return f"""
+WITH comp AS (
+  {_D6_ORACLE}
+), sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY component
+), lab AS (
+  SELECT c.id, s.group_size FROM comp c JOIN sizes s USING (component)
+)
+SELECT d.doc_id,
+       CAST(COALESCE(l.group_size, 1) AS BIGINT) AS group_size,
+       round(1.0 / CAST(COALESCE(l.group_size, 1) AS DOUBLE), 6)
+         AS sample_weight
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+"""
+
+
+@register(
+    "d17_softdedup_weights",
+    oracle=_d17_oracle(),
+    description="SOFT DEDUP: every document weighted 1/|dup group| "
+    "(1.0 outside any group) instead of deleted — repeated content "
+    "stops dominating the training mixture while corpus coverage "
+    "survives; the weights feed t16-style deterministic samplers. "
+    "Composes the d2 LSH -> connected-components labels; one size "
+    "aggregate + one label join over (id, component) pairs, document "
+    "text never shuffles (north-star dedup)",
+)
+def d17_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import connected_components
+    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+
+    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    lab = comp.join(sizes, "component").select(F.col("id"), "group_size")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    gs = F.coalesce(F.col("group_size"), F.lit(1)).cast("long")
+    return d.join(lab, d.doc_id == lab.id, "left").select(
+        "doc_id",
+        gs.alias("group_size"),
+        F.round(F.lit(1.0) / gs.cast("double"), 6).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t25 — tokenizer-fertility report.
+#
+# Chars-per-token by (source, lang): the compression-rate report a
+# tokenizer/corpus owner reads before committing a vocabulary —
+# fertility outliers flag scripts/domains the tokenizer serves badly
+# (and therefore over-bills in sequence length). Integer char and
+# token sums (exact, associative); one division per output row.
+# ---------------------------------------------------------------------------
+
+_T25_ORACLE = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS sum_tokens,
+       round(CAST(SUM(length(text)) AS DOUBLE)
+             / CAST(SUM(len({SQL_TOKS})) AS DOUBLE), 6) AS chars_per_token
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register(
+    "t25_tokenizer_fertility",
+    oracle=_T25_ORACLE,
+    description="TOKENIZER FERTILITY by (source, lang): docs, exact "
+    "char and token sums, chars-per-token — the compression-rate "
+    "report that flags scripts/domains a tokenizer serves badly "
+    "before the vocabulary is frozen. One partial-agg shuffle bounded "
+    "by |source|x|lang|; integer sums, one final division (north-star "
+    "text analysis)",
+)
+def t25_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.size(spark_tokens(F.col("text")))).alias("sum_tokens"),
+        F.round(
+            F.sum(F.length("text")).cast("double")
+            / F.sum(F.size(spark_tokens(F.col("text")))).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    )

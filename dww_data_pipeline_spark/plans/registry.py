@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "pr2_supplier_hits",
     "m5_image_ahash_dedup",
     "u4_bag_ops",
+    "d17_softdedup_weights",
+    "t25_tokenizer_fertility",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

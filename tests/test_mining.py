@@ -232,6 +232,44 @@ class TestHeapsCurve:
         assert cums[-1] == vocab
 
 
+class TestSoftDedupWeights:
+    def test_weights_partition_probability_mass(self, spark, sf_dir):
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["d17_softdedup_weights"].spark(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n_docs
+        for r in rows:
+            assert r["group_size"] >= 1
+            assert 0.0 < r["sample_weight"] <= 1.0
+        # sum of weights == number of distinct "effective" documents:
+        # each dup group contributes ~1.0 total, singletons exactly 1.0
+        groups = {}
+        for r in rows:
+            if r["group_size"] > 1:
+                groups.setdefault(r["group_size"], []).append(r["sample_weight"])
+        for gs, ws in groups.items():
+            assert all(abs(w - 1.0 / gs) < 1e-5 for w in ws)
+
+
+class TestTokenizerFertility:
+    def test_ratios_and_totals(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["t25_tokenizer_fertility"].spark(spark, sf_dir).collect()
+        assert rows
+        d = load_table(spark, sf_dir, "documents")
+        total_docs = d.count()
+        assert sum(r["n_docs"] for r in rows) == total_docs
+        total_chars = d.agg(F.sum(F.length("text"))).collect()[0][0]
+        assert sum(r["sum_chars"] for r in rows) == total_chars
+        for r in rows:
+            # whitespace tokenization: a token plus its separator
+            # averages > 1 char
+            assert r["chars_per_token"] > 1.0
+
+
 class TestImageAhashDedup:
     def test_seed_classes_collapse_and_keepers_unique(self, spark, sf_dir):
         rows = REGISTRY["m5_image_ahash_dedup"].spark(spark, sf_dir).collect()
