@@ -113,3 +113,98 @@ class TestIvfIndex:
             ivf_index_topk(
                 spark, index_dir, q, "vec_id", "embedding", k=3, nprobe=99
             )
+
+
+class TestStreamingAnnIngest:
+    def test_stream_delta_then_compact(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.streaming.ann_ingest import (
+            ann_ingest_batch,
+            _load_centroids,
+            compact_ann_delta,
+            read_indexed_vectors,
+            stream_ann_ingest,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") < 300)
+        incoming = emb.filter(F.col("vec_id") >= 300)
+        idx = str(tmp_path / "index")
+        build_ivf_index(base, "vec_id", "embedding", idx, n_lists=4, sample_size=200)
+
+        # two source files -> two micro-batches
+        src = str(tmp_path / "src")
+        incoming.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+            f"{src}/f0"
+        )
+        incoming.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{src}/f1"
+        )
+        sdf = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_ann_ingest(sdf, idx, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        total = emb.count()
+        view = read_indexed_vectors(spark, idx)
+        assert view.count() == total
+        # streamed vectors landed under the SAME list the batch
+        # assigner would pick (frozen quantizer)
+        cents = _load_centroids(spark, idx)
+        from dww_data_pipeline_spark.operators.similarity import (
+            _nearest_centroid_col,
+        )
+
+        expected = {
+            (r["vec_id"], r["j"])
+            for r in incoming.select(
+                "vec_id", _nearest_centroid_col("embedding", cents).alias("j")
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], int(r["list_id"]))
+            for r in view.filter(F.col("vec_id") >= 300)
+            .select("vec_id", "list_id")
+            .collect()
+        }
+        assert got == expected
+
+        # replaying a batch converges (idempotent overwrite)
+        replay = incoming.filter(F.col("vec_id") % 2 == 0)
+        ann_ingest_batch(replay, 0, idx, cents)
+        assert read_indexed_vectors(spark, idx).count() == total
+
+        # compaction folds deltas into the base lake and clears them
+        n = compact_ann_delta(spark, idx)
+        assert n >= 2
+        import os as _os
+
+        assert not _os.path.exists(_os.path.join(idx, "delta"))
+        lake = spark.read.parquet(_os.path.join(idx, "vectors"))
+        assert lake.count() == total
+        # compaction is a no-op when there is nothing to fold
+        assert compact_ann_delta(spark, idx) == 0
+
+        # the persisted-index query path serves the merged lake
+        qdf = (
+            emb.filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        rows = ivf_index_topk(
+            spark, idx, qdf, "vec_id", "embedding", k=3, nprobe=2
+        ).collect()
+        assert rows
+        # a post-ingest vector must be findable: query with its own
+        # embedding -> rank-1 hit on itself (cos = 1.0)
+        probe_id = 300
+        self_q = emb.filter(F.col("vec_id") == probe_id).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = ivf_index_topk(
+            spark, idx, self_q, "vec_id", "embedding", k=1, nprobe=1
+        ).collect()
+        assert top and top[0]["vec_id"] == probe_id
