@@ -101,6 +101,7 @@ EXTRA = [
     "u4_bag_ops",               # INTERSECT ALL / EXCEPT ALL
     "d17_softdedup_weights",    # dedup by down-weighting
     "t25_tokenizer_fertility",  # chars-per-token report
+    "ev5_anomaly_days",         # exact-moment daily z-scores
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -1137,3 +1137,68 @@ def t25_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev5 — daily-volume anomaly report (z-scores from exact moments).
+#
+# Daily event counts scored against the corpus of days: z(day) =
+# (n*D - S) / sqrt(D*Q - S^2), the algebraic form of (n - mean)/std
+# whose every input (n per day, D days, S = sum n, Q = sum n^2) is an
+# exact integer — so the double evaluates identically on every
+# engine, and the anomaly flag needs no tolerance. The volume alarm
+# a pipeline puts on its ingest before trusting a day's data.
+#
+# Scale shape: one day-bounded histogram shuffle; the 1-row moment
+# aggregate broadcasts back in-plan; one expression per day row.
+# ---------------------------------------------------------------------------
+
+_EV5_ORACLE = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS q
+  FROM daily
+)
+SELECT day, n,
+       round(CAST(n * m.d - m.s AS DOUBLE)
+             / sqrt(CAST(m.d * m.q - m.s * m.s AS DOUBLE)), 6) AS z,
+       abs(CAST(n * m.d - m.s AS DOUBLE)
+           / sqrt(CAST(m.d * m.q - m.s * m.s AS DOUBLE))) > 2.0 AS is_anomaly
+FROM daily CROSS JOIN m
+"""
+
+
+@register(
+    "ev5_anomaly_days",
+    oracle=_EV5_ORACLE,
+    description="DAILY-VOLUME ANOMALY REPORT: per-day event counts "
+    "z-scored against all days using the algebraic form "
+    "(n*D - S)/sqrt(D*Q - S^2) whose inputs are all exact integers — "
+    "identical doubles on every engine, tolerance-free anomaly flags. "
+    "The ingest-volume alarm ahead of dq4's distributional drift. One "
+    "day-bounded histogram shuffle + a 1-row in-plan moment broadcast "
+    "(event analytics / data quality)",
+)
+def ev5_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    z = (F.col("n") * F.col("d") - F.col("s")).cast("double") / F.sqrt(
+        (F.col("d") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    )
+    return daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )

@@ -340,6 +340,62 @@ class TestHits:
         assert a == b
 
 
+class TestAnomalyDays:
+    def test_zscores_center_and_flags(self, spark, sf_dir):
+        rows = REGISTRY["ev5_anomaly_days"].spark(spark, sf_dir).collect()
+        assert rows
+        # z-scores of the full population sum to ~0 by construction
+        assert abs(sum(r["z"] for r in rows)) < 1e-4 * len(rows)
+        for r in rows:
+            assert r["is_anomaly"] == (abs(r["z"]) > 2.0)
+
+
+class TestExactArithmeticProperties:
+    def test_hits_invariant_under_weight_scaling(self, spark, sf_dir):
+        """Max-normalization makes HITS exactly invariant to a global
+        integer weight rescale — the fixed-point recurrence preserves
+        this, bit for bit."""
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.operators.graph import hits
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            supplier_transition_edges,
+        )
+
+        edges = supplier_transition_edges(spark, sf_dir)
+        a = {
+            (r["node"], r["authority"], r["hub"])
+            for r in hits(edges, "src", "dst", "w").collect()
+        }
+        scaled = edges.withColumn("w", F.col("w") * 3)
+        b = {
+            (r["node"], r["authority"], r["hub"])
+            for r in hits(scaled, "src", "dst", "w").collect()
+        }
+        assert a == b
+
+    def test_ahash_invariant_under_brightness_scaling(self, spark):
+        """aHash compares each gray to the mean, so scaling every
+        channel by the same positive integer preserves the hash
+        exactly (no float mean anywhere)."""
+        import numpy as np
+        from dww_data_pipeline_spark.operators.documents import image_ahash
+        from dww_data_pipeline_spark.operators.media_codec import encode_ppm
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 85, size=(4, 4, 3)).astype(np.uint8)
+        bright = (base * 3).astype(np.uint8)  # values < 255, no clipping
+        media = spark.createDataFrame(
+            [
+                (1, bytearray(encode_ppm(base))),
+                (2, bytearray(encode_ppm(bright))),
+            ],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in image_ahash(media).collect()}
+        assert rows[1]["decode_ok"] and rows[2]["decode_ok"]
+        assert rows[1]["ahash"] == rows[2]["ahash"]
+
+
 class TestApproxPercentileGate:
     def test_sketch_within_band(self, spark, sf_dir):
         rows = REGISTRY["dq11_approx_percentile_gate"].spark(spark, sf_dir).collect()
