@@ -60,6 +60,25 @@ def _build_parser() -> argparse.ArgumentParser:
     sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     sql.add_argument("--show", type=int, default=20)
 
+    idx = sub.add_parser(
+        "index", help="build / query / compact the persisted IVF ANN index"
+    )
+    idx.add_argument(
+        "action", choices=["build", "query", "compact"], metavar="ACTION"
+    )
+    idx.add_argument("index_dir", metavar="DIR")
+    idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    idx.add_argument("--n-lists", type=int, default=16)
+    idx.add_argument("--k", type=int, default=5)
+    idx.add_argument("--nprobe", type=int, default=2)
+    idx.add_argument(
+        "--query-mod",
+        type=int,
+        default=100,
+        help="use embeddings with vec_id %% MOD == 0 as queries",
+    )
+    idx.add_argument("--show", type=int, default=20)
+
     return p
 
 
@@ -114,6 +133,46 @@ def main(argv: list[str] | None = None) -> int:
 
         register_all(spark, args.sf_dir)
         spark.sql(args.statement).show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "index":
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.sources.ann_index import (
+            build_ivf_index,
+            ivf_index_topk,
+        )
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        if args.action == "build":
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            n = build_ivf_index(
+                emb, "vec_id", "embedding", args.index_dir, n_lists=args.n_lists
+            )
+            print(f"built IVF index with {n} lists -> {args.index_dir}")
+            return 0
+        if args.action == "compact":
+            from dww_data_pipeline_spark.streaming.ann_ingest import (
+                compact_ann_delta,
+            )
+
+            n = compact_ann_delta(spark, args.index_dir)
+            print(f"folded {n} delta segments -> {args.index_dir}/vectors")
+            return 0
+        queries = (
+            load_table(spark, args.sf_dir, "embeddings")
+            .filter(F.col("vec_id") % args.query_mod == 0)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        ivf_index_topk(
+            spark,
+            args.index_dir,
+            queries,
+            "vec_id",
+            "embedding",
+            k=args.k,
+            nprobe=args.nprobe,
+        ).show(args.show, truncate=False)
         return 0
 
     for name in args.queries:

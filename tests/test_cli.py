@@ -58,3 +58,26 @@ class TestCli:
         )
         assert rc == 0
         assert "5" in capsys.readouterr().out
+
+
+class TestCliIndex:
+    def test_build_query_compact(self, spark, tmp_path, capsys):
+        idx = str(tmp_path / "ivf")
+        rc = main(
+            ["index", "build", idx, "--sf-dir", SF_DIR, "--n-lists", "4"]
+        )
+        assert rc == 0
+        assert "4 lists" in capsys.readouterr().out
+        rc = main(
+            [
+                "index", "query", idx,
+                "--sf-dir", SF_DIR,
+                "--k", "2", "--nprobe", "2", "--show", "5",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "query_id" in out and "rank" in out
+        rc = main(["index", "compact", idx])
+        assert rc == 0
+        assert "folded 0" in capsys.readouterr().out
