@@ -1202,3 +1202,49 @@ def ev5_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_zorder_key — Morton (z-order) interleave as an oracle-checked
+# projection.
+#
+# The data-skipping layout key behind Delta/Iceberg OPTIMIZE ZORDER:
+# interleave the bits of (customer, order-day) so contiguous key
+# ranges are small rectangles in both dimensions; files written in
+# z order carry tight min/max footer stats on BOTH columns (the
+# writer + footer-stat proof live in sources/layout.py + tests).
+# The interleave itself is pure +,*,div,mod integer arithmetic —
+# the SAME expression text runs on both engines, hash-exact.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from dww_data_pipeline_spark.sources.layout import z_value_sql
+
+    x = "(CAST(o_custkey AS BIGINT) % 65536)"
+    y = "(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536)"
+    return f"""
+SELECT o_orderkey, {z_value_sql(x, y)} AS zval
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+@register(
+    "ext_zorder_key",
+    oracle=_zorder_oracle(),
+    description="Z-ORDER (Morton) KEY: bit-interleave of (customer, "
+    "order-day) — the multi-dimensional data-skipping sort key behind "
+    "OPTIMIZE ZORDER; files written in z order carry tight min/max "
+    "footer stats on BOTH columns (writer + parquet-footer proof in "
+    "sources/layout.py). Pure integer +,*,div,mod arithmetic, "
+    "hash-exact across engines; zero shuffle in the projection",
+)
+def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.sources.layout import z_value_col
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    x = "(CAST(o_custkey AS BIGINT) % 65536)"
+    y = "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 65536)"
+    return o.select("o_orderkey", z_value_col(x, y).alias("zval"))

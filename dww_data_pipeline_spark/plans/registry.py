@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     "d17_softdedup_weights",
     "t25_tokenizer_fertility",
     "ev5_anomaly_days",
+    "ext_zorder_key",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
