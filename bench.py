@@ -102,6 +102,7 @@ EXTRA = [
     "d17_softdedup_weights",    # dedup by down-weighting
     "t25_tokenizer_fertility",  # chars-per-token report
     "ev5_anomaly_days",         # exact-moment daily z-scores
+    "ext_zorder_key",           # Morton data-skipping key
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 
