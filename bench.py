@@ -103,6 +103,7 @@ EXTRA = [
     "t25_tokenizer_fertility",  # chars-per-token report
     "ev5_anomaly_days",         # exact-moment daily z-scores
     "ext_zorder_key",           # Morton data-skipping key
+    "e8_feature_hashing",       # hashing-trick BoW embedding
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

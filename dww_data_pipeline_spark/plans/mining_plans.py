@@ -1248,3 +1248,78 @@ def ext_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = "(CAST(o_custkey AS BIGINT) % 65536)"
     y = "(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') % 65536)"
     return o.select("o_orderkey", z_value_col(x, y).alias("zval"))
+
+
+# ---------------------------------------------------------------------------
+# e8 — feature-hashed bag-of-words embedding (the hashing trick).
+#
+# The Vowpal-Wabbit / HashingVectorizer primitive: every token maps
+# to a dimension by hash (last md5 hex digit -> 16 dims) with a
+# hash-derived sign, and the document's embedding is the signed
+# count sum per dimension. No vocabulary table AT ALL — the
+# featurizer is stateless, so it parallelizes embarrassingly and
+# never needs a fit pass; sign-hashing keeps collisions unbiased
+# (Weinberger et al. 2009). Bridges the text and vector tiers: the
+# output is a dense integer vector per document, ready for e3-style
+# normalization or s-family search.
+#
+# Cross-engine exactness: dimension and sign derive from md5 hex
+# CHARACTERS via position-in-alphabet / string comparison (no
+# numeric hex parse), counts are integers, one doc-keyed shuffle of
+# 16 conditional sums.
+# ---------------------------------------------------------------------------
+
+_E8_DIMS = 16
+_E8_HEX = "0123456789abcdef"
+
+
+def _e8_oracle() -> str:
+    h = "md5('fh|' || tok)"
+    dim = f"strpos('{_E8_HEX}', substr({h}, 32, 1)) - 1"
+    sgn = f"CASE WHEN substr({h}, 31, 1) < '8' THEN 1 ELSE -1 END"
+    feats = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN dim = {d} THEN sgn ELSE 0 END) AS BIGINT) AS f{d}"
+        for d in range(_E8_DIMS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {dim} AS dim, {sgn} AS sgn FROM toks
+)
+SELECT doc_id, {feats}
+FROM hashed GROUP BY doc_id
+"""
+
+
+@register(
+    "e8_feature_hashing",
+    oracle=_e8_oracle(),
+    description="FEATURE-HASHED BoW EMBEDDING (the hashing trick, "
+    f"Weinberger et al. 2009): tokens map to {_E8_DIMS} dims by md5 "
+    "hex digit with hash-derived signs; a document's embedding is "
+    "the signed count sum — a STATELESS featurizer with no "
+    "vocabulary table or fit pass, so it parallelizes embarrassingly "
+    "at any corpus size. One doc-keyed shuffle of conditional "
+    "integer sums; bridges the text tier to the e/s vector ops "
+    "(north-star embedding ops)",
+)
+def e8_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(spark_tokens(F.col("text"))).alias("tok"))
+    h = F.md5(F.concat(F.lit("fh|"), F.col("tok")))
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"instr('{_E8_HEX}', substring(md5(concat('fh|', tok)), 32, 1)) - 1"
+        ).alias("dim"),
+        F.when(F.substring(h, 31, 1) < "8", F.lit(1)).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("dim") == d_, F.col("sgn")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"f{d_}")
+            for d_ in range(_E8_DIMS)
+        ]
+    )

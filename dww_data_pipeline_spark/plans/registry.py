@@ -130,6 +130,7 @@ _PRIORITY: list[str] = [
     "t25_tokenizer_fertility",
     "ev5_anomaly_days",
     "ext_zorder_key",
+    "e8_feature_hashing",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -340,6 +340,30 @@ class TestHits:
         assert a == b
 
 
+class TestFeatureHashing:
+    def test_embedding_shape_and_mass(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.plans.mining_plans import _E8_DIMS
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["e8_feature_hashing"].spark(spark, sf_dir).collect()
+        d = load_table(spark, sf_dir, "documents")
+        assert len(rows) == d.count()
+        # |sum of features| per doc <= token count (each token
+        # contributes exactly +-1 to exactly one dimension)
+        ntok = {
+            r["doc_id"]: r["n"]
+            for r in d.select(
+                "doc_id", F.size(spark_tokens(F.col("text"))).alias("n")
+            ).collect()
+        }
+        for r in rows:
+            feats = [r[f"f{i}"] for i in range(_E8_DIMS)]
+            assert sum(abs(v) for v in feats) <= ntok[r["doc_id"]]
+            assert sum(abs(v) for v in feats) > 0
+
+
 class TestAnomalyDays:
     def test_zscores_center_and_flags(self, spark, sf_dir):
         rows = REGISTRY["ev5_anomaly_days"].spark(spark, sf_dir).collect()
