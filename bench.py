@@ -104,6 +104,7 @@ EXTRA = [
     "ev5_anomaly_days",         # exact-moment daily z-scores
     "ext_zorder_key",           # Morton data-skipping key
     "e8_feature_hashing",       # hashing-trick BoW embedding
+    "dq12_bootstrap_ci",        # deterministic Poisson bootstrap
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

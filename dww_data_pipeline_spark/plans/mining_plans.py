@@ -1323,3 +1323,99 @@ def e8_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d_ in range(_E8_DIMS)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# dq12 — deterministic bootstrap replicas for corpus statistics.
+#
+# "The corpus mean is 612 chars" — plus or minus WHAT? The Poisson
+# bootstrap (Chamandy et al., Google 2012) answers at any scale:
+# each document gets an integer multiplicity per replica drawn from
+# ~Poisson(1), each replica's weighted mean is one bootstrap sample,
+# and the replica spread is the confidence interval. Here the
+# multiplicities are DETERMINISTIC — a seeded md5 hex digit maps to
+# {0,1,2,3} with Poisson-like mass (6/16, 6/16, 3/16, 1/16) — so
+# replicas are reproducible across runs AND engines, which makes a
+# resampling procedure oracle-checkable at all.
+#
+# Scale shape: documents explode x B replicas of (doc, multiplicity)
+# INTEGERS (never text), one replica-keyed partial-agg shuffle of B
+# rows out. Downstream reads the replica means and quotes
+# mean ± 2*sd.
+# ---------------------------------------------------------------------------
+
+_DQ12_B = 16
+
+
+def _dq12_w(hex_digit_sql: str) -> str:
+    return (
+        f"CASE WHEN {hex_digit_sql} < '6' THEN 1"
+        f" WHEN {hex_digit_sql} < 'c' THEN 0"
+        f" WHEN {hex_digit_sql} < 'f' THEN 2"
+        f" ELSE 3 END"
+    )
+
+
+_DQ12_ORACLE = f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, b,
+         {_dq12_w("substr(md5('boot|' || CAST(b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 1)")} AS w
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, {_DQ12_B - 1})) AS b)
+)
+SELECT b AS replica,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       round(CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+         AS mean_chars
+FROM reps GROUP BY b
+"""
+
+
+@register(
+    "dq12_bootstrap_ci",
+    oracle=_DQ12_ORACLE,
+    description="DETERMINISTIC POISSON BOOTSTRAP (Chamandy et al.): "
+    f"{_DQ12_B} reproducible replicas of the corpus mean-chars "
+    "statistic — multiplicities come from a seeded md5 digit with "
+    "Poisson(1)-like mass {0,1,2,3}, so the resampling is identical "
+    "across runs and engines and the replica spread quotes the "
+    "confidence interval no single pass can. Integer multiplicities "
+    "explode (doc, w) pairs, never text; one replica-keyed shuffle "
+    "of B rows (data quality / corpus stats)",
+)
+def dq12_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_DQ12_B - 1))).alias("b"),
+    )
+    digit = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("boot|"),
+                F.col("b").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    w = (
+        F.when(digit < "6", F.lit(1))
+        .when(digit < "c", F.lit(0))
+        .when(digit < "f", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        reps.withColumn("w", w)
+        .groupBy(F.col("b").alias("replica"))
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("mean_chars"),
+        )
+    )

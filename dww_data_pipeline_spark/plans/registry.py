@@ -131,6 +131,7 @@ _PRIORITY: list[str] = [
     "ev5_anomaly_days",
     "ext_zorder_key",
     "e8_feature_hashing",
+    "dq12_bootstrap_ci",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

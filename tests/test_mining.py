@@ -374,6 +374,28 @@ class TestAnomalyDays:
             assert r["is_anomaly"] == (abs(r["z"]) > 2.0)
 
 
+class TestBootstrapCi:
+    def test_replicas_cover_true_mean(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.plans.mining_plans import _DQ12_B
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["dq12_bootstrap_ci"].spark(spark, sf_dir).collect()
+        assert len(rows) == _DQ12_B
+        d = load_table(spark, sf_dir, "documents")
+        true_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+        means = [r["mean_chars"] for r in rows]
+        lo, hi = min(means), max(means)
+        # the replica envelope must bracket the point estimate
+        assert lo <= true_mean <= hi
+        # and be a genuine interval, not a point
+        assert hi > lo
+        # effective sizes hover near n (Poisson(1) resampling)
+        n = d.count()
+        for r in rows:
+            assert 0.8 * n < r["n_eff"] < 1.2 * n
+
+
 class TestExactArithmeticProperties:
     def test_hits_invariant_under_weight_scaling(self, spark, sf_dir):
         """Max-normalization makes HITS exactly invariant to a global
