@@ -105,6 +105,8 @@ EXTRA = [
     "ext_zorder_key",           # Morton data-skipping key
     "e8_feature_hashing",       # hashing-trick BoW embedding
     "dq12_bootstrap_ci",        # deterministic Poisson bootstrap
+    "ev6_last_touch_attribution",  # as-of funnel credit
+    "pr3_supplier_communities", # deterministic LPA communities
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

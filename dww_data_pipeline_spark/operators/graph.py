@@ -196,3 +196,63 @@ def hits(
         )
         hub = _rescaled(h_raw, "_s", "hub").localCheckpoint(eager=False)
     return auth.join(hub, "node").select("node", "authority", "hub")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """Community detection by semi-synchronous label propagation,
+    ``iters`` fixed rounds, fully deterministic (hash-checkable).
+
+    Each round every node adopts the label with the highest total
+    incident edge weight among its neighbours, ties to the SMALLEST
+    label — integer weights and a total tie order make the update a
+    pure function of the graph, unlike classic randomized LPA.
+    Fixed iteration count keeps it oracle-unrollable (the pr1/pr2/e7
+    discipline for iterative algorithms).
+
+    Scale shape per round: one edge⋈label join + one (node, label)
+    partial-agg shuffle + one node-partitioned argmax window; label
+    lineage truncates lazily per round (the measured rule). Edges are
+    symmetrized once up front. Returns (node, community).
+    """
+    if iters < 1:
+        raise ValueError("label_propagation needs at least one iteration")
+    w_col = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    directed = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b"), w_col.alias("_w")
+    )
+    und = (
+        directed.union(
+            directed.select(
+                F.col("_b").alias("_a"), F.col("_a").alias("_b"), "_w"
+            )
+        )
+        .groupBy("_a", "_b")
+        .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("_a").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    for i in range(iters):
+        if i > 0:
+            labels = labels.localCheckpoint(eager=False)
+        scores = (
+            und.join(labels, und._b == labels.node)
+            .groupBy(F.col("_a").alias("n"), F.col("community").alias("lab"))
+            .agg(F.sum("_w").alias("s"))
+        )
+        w_arg = Window.partitionBy("n").orderBy(F.desc("s"), F.asc("lab"))
+        labels = (
+            scores.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("node"), F.col("lab").alias("community"))
+        )
+    return labels

@@ -1419,3 +1419,154 @@ def dq12_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ev6 — last-touch attribution (as-of join + lookback window).
+#
+# Which click gets credit for each purchase? The classic marketing /
+# funnel shape: for every purchase, the user's MOST RECENT prior
+# click — but only if it happened within the 6h lookback window,
+# else 'unattributed'. The carry is the j12 as-of composition (one
+# union-sort-window pass per user key — never an inequality join);
+# the lookback is a plain filter on the carried gap. Oracle is
+# DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+_EV6_WINDOW_MS = 6 * 3600 * 1000
+
+_EV6_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS p_ms
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS c_ms
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       CASE WHEN c.c_ms IS NOT NULL
+                 AND p.p_ms - c.c_ms <= {_EV6_WINDOW_MS}
+            THEN c.click_id END AS attributed_click,
+       CASE WHEN c.c_ms IS NOT NULL
+                 AND p.p_ms - c.c_ms <= {_EV6_WINDOW_MS}
+            THEN p.p_ms - c.c_ms END AS gap_ms
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.c_ms <= p.p_ms
+"""
+
+
+@register(
+    "ev6_last_touch_attribution",
+    oracle=_EV6_ORACLE,
+    description="LAST-TOUCH ATTRIBUTION: every purchase credited to "
+    "the user's most recent prior click IFF it falls inside the 6h "
+    "lookback window, else unattributed — the funnel-credit shape "
+    "marketing analytics runs at event-stream scale. The as-of carry "
+    "is one union-sort-window pass per user key (j12 composition, "
+    "never an inequality join); the lookback is a filter on the "
+    "carried gap. Oracle: DuckDB native ASOF LEFT JOIN "
+    "(event analytics)",
+)
+def ev6_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.sequence import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", ms.alias("p_ms")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", ms.alias("c_ms")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ms",
+        right_ts="c_ms",
+        right_cols=["click_id", "c_ms"],
+    )
+    in_window = F.col("c_ms").isNotNull() & (
+        (F.col("p_ms") - F.col("c_ms")) <= _EV6_WINDOW_MS
+    )
+    return joined.select(
+        "purchase_id",
+        F.when(in_window, F.col("click_id")).alias("attributed_click"),
+        F.when(in_window, F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr3 — community detection by deterministic label propagation.
+#
+# CC (d6) finds connected components; LPA finds COMMUNITIES inside a
+# connected graph — the grouping a curation pipeline uses to
+# partition an entity/citation graph into processing cells. Classic
+# LPA is randomized (visit order breaks ties); this variant is
+# semi-synchronous and fully deterministic: every node adopts the
+# label with the highest total incident weight among its neighbours,
+# ties to the smallest label, fixed 2 rounds — integer weights and a
+# total tie order make it hash-checkable (the pr1/pr2/e7 discipline).
+# ---------------------------------------------------------------------------
+
+_PR3_ITERS = 2
+
+
+def _pr3_oracle() -> str:
+    from dww_data_pipeline_spark.plans.curation_plans import _PR_EDGES_SQL
+
+    edges_sql = _PR_EDGES_SQL.replace(
+        "CAST(COUNT(*) AS DOUBLE)", "CAST(COUNT(*) AS BIGINT)"
+    )
+    parts = [
+        f"WITH edges AS ({edges_sql}),",
+        "und AS (SELECT a, b, SUM(w) AS w FROM ("
+        "SELECT src AS a, dst AS b, w FROM edges"
+        " UNION ALL SELECT dst AS a, src AS b, w FROM edges"
+        ") GROUP BY a, b),",
+        "l0 AS (SELECT DISTINCT a AS node, a AS community FROM und),",
+    ]
+    for i in range(1, _PR3_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT e.a AS n, l.community AS lab, SUM(e.w) AS s"
+            f" FROM und e JOIN l{p} l ON e.b = l.node GROUP BY e.a, l.community),"
+        )
+        parts.append(
+            f"l{i} AS (SELECT n AS node, lab AS community FROM ("
+            f"SELECT n, lab, row_number() OVER"
+            f" (PARTITION BY n ORDER BY s DESC, lab) AS rn FROM s{i}"
+            f") WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS supplier, community FROM l{_PR3_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pr3_supplier_communities",
+    oracle=_pr3_oracle(),
+    description="COMMUNITY DETECTION by deterministic label "
+    f"propagation ({_PR3_ITERS} fixed semi-synchronous rounds): each "
+    "node adopts the label with the highest total incident weight "
+    "among its neighbours, ties to the smallest label — integer "
+    "weights + a total tie order make randomized LPA hash-checkable. "
+    "Complements d6 (components) and pr1/pr2 (centrality): the cell "
+    "partitioning a pipeline runs over entity graphs. Per round one "
+    "edge-label join, one (node,label) partial agg, one node-"
+    "partitioned argmax window (iterative graph analytics)",
+)
+def pr3_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.graph import label_propagation
+    from dww_data_pipeline_spark.plans.curation_plans import (
+        supplier_transition_edges,
+    )
+
+    edges = supplier_transition_edges(spark, sf_dir)
+    labels = label_propagation(edges, "src", "dst", "w", iters=_PR3_ITERS)
+    return labels.select(F.col("node").alias("supplier"), "community")

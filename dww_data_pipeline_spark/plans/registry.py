@@ -132,6 +132,8 @@ _PRIORITY: list[str] = [
     "ext_zorder_key",
     "e8_feature_hashing",
     "dq12_bootstrap_ci",
+    "ev6_last_touch_attribution",
+    "pr3_supplier_communities",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -374,6 +374,58 @@ class TestAnomalyDays:
             assert r["is_anomaly"] == (abs(r["z"]) > 2.0)
 
 
+class TestAttribution:
+    def test_every_purchase_decided_and_gaps_in_window(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from dww_data_pipeline_spark.plans.mining_plans import _EV6_WINDOW_MS
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["ev6_last_touch_attribution"].spark(spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+        assert len(rows) == n_purchases
+        attributed = [r for r in rows if r["attributed_click"] is not None]
+        assert attributed  # some purchases do follow a recent click
+        for r in attributed:
+            assert 0 <= r["gap_ms"] <= _EV6_WINDOW_MS
+        unattributed = [r for r in rows if r["attributed_click"] is None]
+        for r in unattributed:
+            assert r["gap_ms"] is None
+
+
+class TestLabelPropagation:
+    def test_communities_deterministic_and_valid(self, spark, sf_dir):
+        rows = REGISTRY["pr3_supplier_communities"].spark(spark, sf_dir).collect()
+        assert rows
+        nodes = {r["supplier"] for r in rows}
+        # labels are node ids from the graph
+        assert {r["community"] for r in rows} <= nodes
+        # rerun identical (deterministic tie-break)
+        rows2 = REGISTRY["pr3_supplier_communities"].spark(spark, sf_dir).collect()
+        assert {(r["supplier"], r["community"]) for r in rows} == {
+            (r["supplier"], r["community"]) for r in rows2
+        }
+
+    def test_partitioning_invariance(self, spark, sf_dir):
+        from dww_data_pipeline_spark.operators.graph import label_propagation
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            supplier_transition_edges,
+        )
+
+        edges = supplier_transition_edges(spark, sf_dir)
+        a = {
+            (r["node"], r["community"])
+            for r in label_propagation(edges, "src", "dst", "w").collect()
+        }
+        b = {
+            (r["node"], r["community"])
+            for r in label_propagation(
+                edges.repartition(7), "src", "dst", "w"
+            ).collect()
+        }
+        assert a == b
+
+
 class TestBootstrapCi:
     def test_replicas_cover_true_mean(self, spark, sf_dir):
         from pyspark.sql import functions as F
