@@ -107,6 +107,7 @@ EXTRA = [
     "dq12_bootstrap_ci",        # deterministic Poisson bootstrap
     "ev6_last_touch_attribution",  # as-of funnel credit
     "pr3_supplier_communities", # deterministic LPA communities
+    "s9_ann_recall_gate",       # recall@5 as a verified quantity
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -1570,3 +1570,70 @@ def pr3_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = supplier_transition_edges(spark, sf_dir)
     labels = label_propagation(edges, "src", "dst", "w", iters=_PR3_ITERS)
     return labels.select(F.col("node").alias("supplier"), "community")
+
+
+# ---------------------------------------------------------------------------
+# s9 — ANN recall gate: the LSH path graded against brute force,
+# oracle-checked.
+#
+# The self-evaluation every approximate index needs: per query,
+# recall@5 of the verified LSH path (s4) against the exact top-5
+# (s1). Both constituents are already deterministic on both engines
+# (md5-derived buckets, tie-broken rankings), so the recall NUMBERS
+# — not just a pass flag — hash-match cross-engine: the quality of
+# the approximation is itself a differentially-verified quantity.
+# In production the same query runs over a sampled query set as a
+# continuous index-health monitor.
+# ---------------------------------------------------------------------------
+
+
+def _s9_oracle() -> str:
+    bf = REGISTRY["s1_ann_brute_force_topk"].oracle
+    lsh = REGISTRY["s4_ann_lsh_topk"].oracle
+    return f"""
+WITH bf AS ({bf}),
+lsh AS ({lsh})
+SELECT bf.query_id,
+       CAST(COUNT(lsh.vec_id) AS BIGINT) AS n_hits,
+       round(CAST(COUNT(lsh.vec_id) AS DOUBLE) / 5, 6) AS recall_at_5
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.vec_id = lsh.vec_id
+GROUP BY bf.query_id
+"""
+
+
+@register(
+    "s9_ann_recall_gate",
+    oracle=_s9_oracle(),
+    description="ANN RECALL GATE: per-query recall@5 of the bucketed "
+    "LSH path (s4) against the exact brute-force top-5 (s1) — the "
+    "index-health monitor an approximate search system runs "
+    "continuously over a sampled query set. Both constituents are "
+    "deterministic on both engines, so the recall NUMBERS themselves "
+    "hash-match: approximation quality as a differentially-verified "
+    "quantity (north-star similarity search)",
+)
+def s9_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        s1_ann_brute_force_topk,
+        s4_ann_lsh_topk,
+    )
+
+    bf = s1_ann_brute_force_topk(spark, sf_dir).select("query_id", "vec_id")
+    lsh = s4_ann_lsh_topk(spark, sf_dir).select(
+        F.col("query_id").alias("l_qid"), F.col("vec_id").alias("l_vid")
+    )
+    return (
+        bf.join(
+            lsh,
+            (bf.query_id == lsh.l_qid) & (bf.vec_id == lsh.l_vid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_vid").alias("n_hits"),
+            F.round(F.count("l_vid").cast("double") / 5, 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

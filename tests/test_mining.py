@@ -374,6 +374,18 @@ class TestAnomalyDays:
             assert r["is_anomaly"] == (abs(r["z"]) > 2.0)
 
 
+class TestAnnRecallGate:
+    def test_recall_bounds_and_self_hit(self, spark, sf_dir):
+        rows = REGISTRY["s9_ann_recall_gate"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_hits"] <= 5
+            assert abs(r["recall_at_5"] - r["n_hits"] / 5) < 1e-9
+            # the query vector itself lives in the query's own bucket,
+            # so recall is never zero
+            assert r["n_hits"] >= 1
+
+
 class TestAttribution:
     def test_every_purchase_decided_and_gaps_in_window(self, spark, sf_dir):
         from pyspark.sql import functions as F
