@@ -108,6 +108,7 @@ EXTRA = [
     "ev6_last_touch_attribution",  # as-of funnel credit
     "pr3_supplier_communities", # deterministic LPA communities
     "s9_ann_recall_gate",       # recall@5 as a verified quantity
+    "m6_audio_vad",             # integer-energy silence trimming
     "v4_heaps_curve",           # vocabulary growth deciles
 ]
 

@@ -458,3 +458,66 @@ def image_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("n_active", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+        T.StructField("first_active", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_vad(media: DataFrame, window: int = 8, energy_threshold: int = 80000) -> DataFrame:
+    """Voice-activity segmentation over A16 audio via mapInPandas:
+    per window the INTEGER energy sum Σs² (exact in int64 — int16
+    samples, window-bounded), active iff energy > threshold, then
+    active runs become segments. The silence-trimming pass an audio
+    training pipeline runs before transcription/featurization.
+    Undecodable payloads yield decode_ok=False rows — the
+    extract_media_features fallback contract."""
+    from dww_data_pipeline_spark.operators.media_codec import decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ("media_id", "decode_ok", "n_windows", "n_active", "n_segments", "first_active")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ok = False
+                nw = na = ns = fa = None
+                try:
+                    decoded = decode_audio(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    decoded = None
+                if decoded is not None:
+                    _, samples = decoded
+                    s = samples.astype(np.int64)
+                    nfull = (len(s) // window) * window
+                    wins = s[:nfull].reshape(-1, window)
+                    energy = (wins * wins).sum(axis=1)
+                    active = energy > energy_threshold
+                    nw = int(len(active))
+                    na = int(active.sum())
+                    starts = np.flatnonzero(
+                        active & ~np.concatenate(([False], active[:-1]))
+                    )
+                    ns = int(len(starts))
+                    fa = int(starts[0]) if len(starts) else None
+                    ok = True
+                rows["media_id"].append(mid)
+                rows["decode_ok"].append(ok)
+                rows["n_windows"].append(nw)
+                rows["n_active"].append(na)
+                rows["n_segments"].append(ns)
+                rows["first_active"].append(fa)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=VAD_SCHEMA)

@@ -1637,3 +1637,88 @@ def s9_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m6 — audio voice-activity segmentation (the silence-trimming pass).
+#
+# Completes the audio leg: m4 extracts per-window features, m6 makes
+# the keep/drop DECISION — windows classified active by exact
+# INTEGER energy (Σ s² of int16 samples fits int64), active runs
+# merged into segments. Clips are synthesized with a per-window
+# amplitude gate derived from doc_id arithmetic so every clip has a
+# different speech/silence pattern; the oracle re-derives window
+# energies and segment runs from the generator arithmetic alone
+# (the m1/m3/m4 discipline), while the Spark side decodes REAL A16
+# bytes and segments with numpy — two independent implementations of
+# the same integer math, hash-compared.
+# ---------------------------------------------------------------------------
+
+_M6_N = 64
+_M6_WINDOW = 8
+_M6_THRESH = 80000
+
+
+def _m6_payload_expr(seed_col):
+    samples = []
+    for i in range(_M6_N):
+        base = F.pmod(seed_col * (5 * i + 11) + 3 * i, F.lit(2048)) - 1024
+        w = i // _M6_WINDOW
+        factor = F.pmod(F.pmod(seed_col * (w + 3), F.lit(5)), F.lit(2))
+        samples.append((base * factor).cast("string"))
+    body = F.concat_ws(" ", *samples)
+    return F.encode(
+        F.concat(F.lit(f"A16\n8000 {_M6_N}\n"), body, F.lit("\n")), "utf-8"
+    )
+
+
+_M6_ORACLE = f"""
+WITH idx AS (
+  SELECT doc_id, unnest(generate_series(0, {_M6_N - 1})) AS i FROM documents
+), samp AS (
+  SELECT doc_id, i // {_M6_WINDOW} AS w,
+         (((doc_id * (5 * i + 11) + 3 * i) % 2048) - 1024)
+           * (((doc_id * ((i // {_M6_WINDOW}) + 3)) % 5) % 2) AS s
+  FROM idx
+), win AS (
+  SELECT doc_id, w, SUM(s * s) AS energy FROM samp GROUP BY doc_id, w
+), flag AS (
+  SELECT doc_id, w,
+         CASE WHEN energy > {_M6_THRESH} THEN 1 ELSE 0 END AS active,
+         lag(CASE WHEN energy > {_M6_THRESH} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY w) AS prev
+  FROM win
+)
+SELECT doc_id AS media_id,
+       TRUE AS decode_ok,
+       CAST(COUNT(*) AS INT) AS n_windows,
+       CAST(SUM(active) AS INT) AS n_active,
+       CAST(SUM(CASE WHEN active = 1 AND COALESCE(prev, 0) = 0
+                     THEN 1 ELSE 0 END) AS INT) AS n_segments,
+       CAST(MIN(CASE WHEN active = 1 THEN w END) AS INT) AS first_active
+FROM flag GROUP BY doc_id
+"""
+
+
+@register(
+    "m6_audio_vad",
+    oracle=_M6_ORACLE,
+    description="AUDIO VOICE-ACTIVITY SEGMENTATION with REAL "
+    "waveforms: A16 clips (per-window amplitude gate from doc_id "
+    "arithmetic — every clip a different speech/silence pattern) are "
+    "decoded in Arrow-batched mapInPandas and segmented by exact "
+    "INTEGER window energy; the oracle re-derives energies and "
+    "segment runs from the generator arithmetic alone, so decode, "
+    "windowing, thresholding and run-merging are all differentially "
+    "verified. The silence-trimming decision pass before "
+    "transcription (north-star multimodal)",
+)
+def m6_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import audio_vad
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _m6_payload_expr(F.col("doc_id")).alias("payload"),
+    )
+    return audio_vad(media, window=_M6_WINDOW, energy_threshold=_M6_THRESH)

@@ -135,6 +135,7 @@ _PRIORITY: list[str] = [
     "ev6_last_touch_attribution",
     "pr3_supplier_communities",
     "s9_ann_recall_gate",
+    "m6_audio_vad",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

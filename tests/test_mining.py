@@ -374,6 +374,34 @@ class TestAnomalyDays:
             assert r["is_anomaly"] == (abs(r["z"]) > 2.0)
 
 
+class TestAudioVad:
+    def test_segments_consistent(self, spark, sf_dir):
+        rows = REGISTRY["m6_audio_vad"].spark(spark, sf_dir).collect()
+        assert rows and all(r["decode_ok"] for r in rows)
+        for r in rows:
+            assert r["n_windows"] == 8
+            assert 0 <= r["n_active"] <= r["n_windows"]
+            # runs of active windows: at least 1 segment if any active,
+            # never more segments than active windows or than
+            # ceil(windows/2)
+            if r["n_active"] == 0:
+                assert r["n_segments"] == 0 and r["first_active"] is None
+            else:
+                assert 1 <= r["n_segments"] <= min(r["n_active"], 4)
+                assert 0 <= r["first_active"] <= 7
+
+    def test_undecodable_payload_flagged(self, spark):
+        from dww_data_pipeline_spark.operators.documents import audio_vad
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"garbage")), (2, None)],
+            "media_id long, payload binary",
+        )
+        rows = {r["media_id"]: r for r in audio_vad(media).collect()}
+        assert rows[1]["decode_ok"] is False and rows[1]["n_segments"] is None
+        assert rows[2]["decode_ok"] is False
+
+
 class TestAnnRecallGate:
     def test_recall_bounds_and_self_hit(self, spark, sf_dir):
         rows = REGISTRY["s9_ann_recall_gate"].spark(spark, sf_dir).collect()
