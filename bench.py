@@ -110,6 +110,12 @@ EXTRA = [
     "s9_ann_recall_gate",       # recall@5 as a verified quantity
     "m6_audio_vad",             # integer-energy silence trimming
     "v4_heaps_curve",           # vocabulary growth deciles
+    # round-4c pipeline extensions
+    "ext_bloom_prune_join",     # Bloom runtime-filter join pruning
+    "v5_heavy_hitters",         # CMS frequency estimation + contract gate
+    "t24_weighted_sample",      # length-weighted deterministic Bernoulli
+    "pr4_triangle_count",       # degree-ordered triangle counting
+    "ext_delete_propagate",     # GDPR cascade delete accounting
 ]
 
 

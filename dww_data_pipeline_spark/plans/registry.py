@@ -136,6 +136,12 @@ _PRIORITY: list[str] = [
     "pr3_supplier_communities",
     "s9_ann_recall_gate",
     "m6_audio_vad",
+    # round-4c pipeline extensions (registered this session)
+    "ext_bloom_prune_join",
+    "v5_heavy_hitters",
+    "t24_weighted_sample",
+    "pr4_triangle_count",
+    "ext_delete_propagate",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
@@ -194,6 +200,7 @@ def _load_all() -> None:
         curation_plans,
         dedup_plans,
         mining_plans,
+        pipeline_ext,
         relational,
         relational2,
         sequence_plans,
