@@ -69,20 +69,15 @@ _BLOOM_K = 3  # hash functions
 
 
 def _spark_bloom_hash(key, salt: int):
-    """Portable 32-bit md5 hash of a key column, reduced mod m."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"bloom{salt}|"), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(_BLOOM_BITS))
+    """Salted 64-bit hash of a key column, reduced mod m.
 
-
-def _sql_bloom_hash(key: str, salt: int) -> str:
-    return (
-        f"(CAST(('0x' || substr(md5('bloom{salt}|' || CAST({key} AS VARCHAR)), 1, 8)) "
-        f"AS BIGINT) % {_BLOOM_BITS})"
-    )
+    xxhash64 (JVM-native, codegen-friendly) rather than md5: the
+    Bloom filter is execution-internal — the exact join after it
+    removes every false positive, so the RESULT is hash-agnostic and
+    the probe side's per-row cost should be as close to free as the
+    engine allows. (Contrast the d2/cms/t24 hashes, which ARE part of
+    the declared result and therefore use portable md5.)"""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_BLOOM_BITS))
 
 
 _BLOOM_SEL = "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
@@ -389,30 +384,42 @@ def t24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # pr4_triangle_count — degree-ordered triangle counting.
 #
-# Graph: suppliers are nodes; an edge connects two suppliers that
-# co-occur in at least one order (distinct pairs from the lineitem
-# self-join per order — pair fan-out is bounded by order size, which
-# the schema bounds at 7 lineitems).
+# Graph: suppliers are nodes; an edge connects two suppliers whose
+# co-fulfillment is STRONG — they share at least _TRI_MIN_CO
+# distinct orders. The threshold is what keeps the graph sparse as
+# the fact table grows: raw one-shot co-occurrence over a bounded
+# supplier dimension converges to the COMPLETE graph at scale
+# (measured: 454k of 500k possible edges at sf0.1), and a complete
+# graph has Θ(n³) triangles no algorithm can enumerate cheaply.
+# Thresholded ties are the graph a procurement analysis actually
+# wants, and their count is fact-volume-stable.
 #
-# The scale trick is ORIENTATION: orient every edge from the
-# lower-(degree, id) endpoint to the higher one, then enumerate
-# wedges only at each edge's SOURCE. A hub of degree D contributes
-# O(D^2) wedges unoriented but only O(arboricity * D) oriented —
-# this is the standard bound that makes distributed triangle
+# The scale trick on the thresholded graph is ORIENTATION: orient
+# every edge from the lower-(degree, id) endpoint to the higher one,
+# then enumerate wedges only at each edge's SOURCE. A hub of degree
+# D contributes O(D^2) wedges unoriented but only O(arboricity * D)
+# oriented — the standard bound that makes distributed triangle
 # counting feasible on power-law graphs (node-iterator++ / Cohen's
 # MapReduce algorithm). Three hash joins, all on node/edge keys;
-# counts are integers.
+# counts are integers. The edge list (node-dimension-bounded, tiny
+# next to the fact table) is localCheckpoint-ed so the three wedge
+# legs and the degree pass read the materialized edges instead of
+# re-running the fact self-join per leg (same lineage-truncation
+# discipline as operators/dedup.py:283).
 # ---------------------------------------------------------------------------
+
+_TRI_MIN_CO = 8  # orders two suppliers must share to form an edge
 
 
 @register(
     "pr4_triangle_count",
-    oracle="""
-    WITH pairs AS (
-      SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-             greatest(a.l_suppkey, b.l_suppkey) AS v
+    oracle=f"""
+    WITH inst AS (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), pairs AS (
+      SELECT u, v FROM inst GROUP BY u, v HAVING COUNT(*) >= {_TRI_MIN_CO}
     ), deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
@@ -432,16 +439,19 @@ def t24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
            CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
     """,
-    description="TRIANGLE COUNTING over the co-supplier graph "
-    "(suppliers sharing an order) with DEGREE ORDERING: edges are "
-    "oriented low-(degree,id) → high, so wedge enumeration at each "
-    "source is arboricity-bounded instead of hub-degree-squared — "
-    "the orientation trick that keeps distributed triangle counting "
-    "feasible on power-law graphs. Pair generation is bounded by "
-    "order size (≤7 lineitems); everything else is three hash joins "
-    "on integer keys. Complements pr1-pr3: triangles/clustering "
-    "coefficient are the local-density counterpart of PageRank's "
-    "global centrality.",
+    description="TRIANGLE COUNTING over the strong-tie co-supplier "
+    "graph (suppliers sharing >= 8 orders — thresholding keeps the "
+    "edge set sparse as the fact table grows; raw co-occurrence over "
+    "a bounded node dimension converges to the complete graph) with "
+    "DEGREE ORDERING: edges are oriented low-(degree,id) → high, so "
+    "wedge enumeration at each source is arboricity-bounded instead "
+    "of hub-degree-squared — the orientation trick that keeps "
+    "distributed triangle counting feasible on power-law graphs. "
+    "Pair generation is bounded by order size (≤7 lineitems); the "
+    "node-bounded edge list is localCheckpoint-materialized once so "
+    "the three wedge legs never re-run the fact self-join. "
+    "Complements pr1-pr3: triangles/clustering coefficient are the "
+    "local-density counterpart of PageRank's global centrality.",
 )
 def pr4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -454,10 +464,18 @@ def pr4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
         .select(
+            "a.l_orderkey",
             F.col("a.l_suppkey").alias("u"),
             F.col("b.l_suppkey").alias("v"),
         )
         .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _TRI_MIN_CO)
+        .select("u", "v")
+        # node-dimension-bounded edge list: materialize once, reuse in
+        # the degree pass and all three wedge legs
+        .localCheckpoint()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))

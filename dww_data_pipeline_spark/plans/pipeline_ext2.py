@@ -1,0 +1,369 @@
+"""Round-4d pipeline extensions — five operators rounding out the
+analytics, governance, and retrieval tiers:
+
+* ``ev7_market_basket`` — association-rule mining (support /
+  confidence / lift) over per-order brand baskets, pairs generated
+  IN PLACE from each basket's sorted distinct-brand array so the
+  shuffle carries pair counts, never row pairs;
+* ``dq13_k_anonymity`` — k-anonymity audit over quasi-identifier
+  groups (the privacy-governance complement of
+  ``ext_delete_propagate``);
+* ``ev8_ewma_daily`` — exponentially-weighted daily activity in
+  EXACT integer arithmetic (alpha = 1/2, 20-day horizon, power-of-two
+  weights summed as BIGINT — no float accumulation-order hazard);
+* ``t26_inverted_index`` — bounded posting-list construction for the
+  top-df tokens (window-capped postings so no reducer ever
+  materializes an unbounded list);
+* ``ext_salted_join`` — the skew-defeating salted fact⋈dim join
+  (operators/skew.py) proven bit-identical to the plain join.
+
+Cross-engine determinism: integer or DECIMAL accumulation
+everywhere; every double is a single correctly-rounded division of
+exact integers. House conventions per plans/registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS, spark_tokens
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# ev7_market_basket — association rules over order baskets.
+#
+# The scale shape: the only wide shuffle is distinct (order, brand) —
+# after that each basket is a sorted array of at most |brands| (25)
+# elements, pairs are generated INSIDE the row (flatten/transform, no
+# self-join of the fact side), and the second shuffle carries
+# (brand_a, brand_b) counts: at most 300 keys however large the fact
+# table. The oracle reproduces the same counts with the textbook
+# self-join formulation — different plan, identical relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev7_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets
+    ), singles AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM baskets GROUP BY 1
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) / sa.n_b, 6) AS confidence,
+           round(CAST(p.n_ab * n.n_orders AS DOUBLE) / (sa.n_b * sb.n_b), 6)
+             AS lift
+    FROM pairs p
+    CROSS JOIN n
+    JOIN singles sa ON p.brand_a = sa.p_brand
+    JOIN singles sb ON p.brand_b = sb.p_brand
+    """,
+    description="MARKET-BASKET ASSOCIATION RULES: support / confidence "
+    "/ lift for brand pairs co-purchased within an order. Scale shape: "
+    "ONE distinct (order, brand) shuffle, then pairs are generated "
+    "in-place from each basket's sorted array (bounded by the 25-brand "
+    "dimension, never a fact-side self-join) and the pair-count "
+    "exchange carries at most |brands|^2/2 integer keys regardless of "
+    "fact size. Confidence is reported for the a->b direction of each "
+    "a<b pair; lift is symmetric. All ratios are single divisions of "
+    "exact integers.",
+)
+def ev7_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    basket_arrays = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    # pairs (a, b) with a < b, generated from the sorted array in place
+    pairs = basket_arrays.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), y -> "
+                "struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
+    pair_counts = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+
+    singles = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    n_orders = basket_arrays.agg(F.count(F.lit(1)).alias("n_orders"))
+
+    out = (
+        pair_counts.crossJoin(F.broadcast(n_orders))
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                singles.select(
+                    F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_bb")
+                )
+            ),
+            "brand_b",
+        )
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "n_ab",
+        F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias("confidence"),
+        F.round(
+            (F.col("n_ab") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_bb")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq13_k_anonymity — privacy-governance audit.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 10  # groups smaller than this are re-identification risks
+
+
+@register(
+    "dq13_k_anonymity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           COUNT(*) >= {_K_ANON} AS anonymous
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    description="K-ANONYMITY AUDIT: group sizes over the "
+    "quasi-identifier pair (nation, market segment) with the k>=10 "
+    "gate per group — the re-identification-risk check a privacy "
+    "review runs before releasing a derived dataset, and the "
+    "measurement side of the GDPR tier next to ext_delete_propagate's "
+    "enforcement side. One partial-agg shuffle of QI keys; at 100 TB "
+    "the group count is bounded by the QI domain, not the row count.",
+)
+def dq13_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            (F.col("k") >= _K_ANON).alias("anonymous"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev8_ewma_daily — exact-integer exponentially-weighted daily activity.
+#
+# alpha = 1/2 makes every weight a power of two: the 20-day decayed
+# sum  W(d) = sum_{lag=0..20} count(d - lag) * 2^(20 - lag)  is pure
+# BIGINT arithmetic (no float accumulation order, no pow drift), and
+# the normalized EWMA is ONE correctly-rounded division by the
+# constant geometric total 2^21 - 1. The scale shape: raw events
+# collapse to (type, day) partials first — the decay join then runs
+# on the tiny aggregate (|types| x |days| rows), never on raw events.
+# ---------------------------------------------------------------------------
+
+_EWMA_HORIZON = 20  # days; weight 2^-(lag) truncated below 2^-20
+_EWMA_NORM = (1 << (_EWMA_HORIZON + 1)) - 1  # sum of 2^0 .. 2^20
+
+
+@register(
+    "ev8_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day, a.n,
+           CAST(SUM(b.n * (1::BIGINT << ({_EWMA_HORIZON}
+                - date_diff('day', b.day, a.day)))) AS BIGINT) AS ewma_fp,
+           round(CAST(SUM(b.n * (1::BIGINT << ({_EWMA_HORIZON}
+                - date_diff('day', b.day, a.day)))) AS DOUBLE)
+                / {_EWMA_NORM}, 6) AS ewma
+    FROM daily a
+    JOIN daily b
+      ON a.event_type = b.event_type
+     AND date_diff('day', b.day, a.day) BETWEEN 0 AND {_EWMA_HORIZON}
+    GROUP BY 1, 2, 3
+    """,
+    description="EXACT-INTEGER EWMA of daily event volume (alpha=1/2, "
+    "20-day horizon): power-of-two weights make the decayed sum pure "
+    "BIGINT — no float accumulation-order hazard, no pow() drift — "
+    "and the normalized EWMA is one division by the constant 2^21-1. "
+    "Scale shape: raw events reduce to (type, day) partials in one "
+    "map-side-combined shuffle; the decay self-join runs on that tiny "
+    "aggregate (|types| x |days| rows) with a broadcast, so the fact "
+    "table is scanned exactly once however large it grows. The "
+    "trend-vs-today signal anomaly monitors (ev5) threshold against.",
+)
+def ev8_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lag = F.datediff(F.col("a.day"), F.col("b.day"))
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (lag >= 0)
+        & (lag <= _EWMA_HORIZON),
+    ).withColumn("_lag", lag)
+    # shiftleft needs a literal bit count in the Python API — spell the
+    # column-dependent shift in SQL
+    w = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_HORIZON} - _lag)")
+    return (
+        joined.groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.date_format(F.col("a.day"), "yyyy-MM-dd").alias("day"),
+            F.col("a.n").alias("n"),
+        )
+        .agg(F.sum(F.col("b.n") * w).alias("ewma_fp"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "ewma_fp",
+            F.round(F.col("ewma_fp").cast("double") / _EWMA_NORM, 6).alias("ewma"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t26_inverted_index — bounded posting-list construction.
+# ---------------------------------------------------------------------------
+
+_IDX_TOPK = 20  # tokens ranked by document frequency
+_IDX_POSTINGS = 30  # posting-list cap per token
+
+
+@register(
+    "t26_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), top AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {_IDX_TOPK}
+    ), ranked AS (
+      SELECT t.tok, p.df, t.doc_id,
+             row_number() OVER (PARTITION BY t.tok ORDER BY t.doc_id) AS rn
+      FROM toks t JOIN top p USING (tok)
+    )
+    SELECT tok, df,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), '|')
+             AS postings
+    FROM ranked
+    WHERE rn <= {_IDX_POSTINGS}
+    GROUP BY tok, df
+    """,
+    description="INVERTED-INDEX CONSTRUCTION (bounded): posting lists "
+    "for the top-20 tokens by document frequency, capped at the first "
+    "30 doc_ids per token BY WINDOW RANK BEFORE COLLECTION — no "
+    "reducer ever materializes an unbounded list, which is what makes "
+    "posting-list building safe on stop-word-frequency tokens at "
+    "corpus scale (the full-index variant shards each token's "
+    "postings by this same rank). One distinct (doc, token) shuffle; "
+    "the df table is vocabulary-bounded; the top-k and cap joins are "
+    "broadcasts. Retrieval-side complement of t18's BM25 scoring.",
+)
+def t26_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(_IDX_TOPK)
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = (
+        toks.join(F.broadcast(top), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IDX_POSTINGS)
+    )
+    return ranked.groupBy("tok", "df").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+        ).alias("postings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_salted_join — skew-defeating join, result-identical to plain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS value_fp
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    description="SALTED SKEW JOIN proven result-identical to the plain "
+    "join: the fact side gets a deterministic 8-way salt (xxhash64 of "
+    "the whole row), the dim side is exploded across all salt values, "
+    "and the join key becomes (key, salt) — a hot fact key's rows "
+    "spread over 8 reduce tasks instead of one straggler "
+    "(operators/skew.py:salted_join_skewed_fact, the pattern for dims "
+    "too big to broadcast under a skewed fact; AQE skew-split handles "
+    "the sort-merge case, salting handles the hash-partitioned one). "
+    "The oracle runs the plain join — identical relation is the "
+    "correctness claim. Aggregation in fixed-point so no float "
+    "accumulation order leaks through.",
+)
+def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.skew import salted_join_skewed_fact
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join_skewed_fact(ev, dim, "user_id", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_fp"),
+    )

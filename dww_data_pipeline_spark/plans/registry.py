@@ -142,6 +142,12 @@ _PRIORITY: list[str] = [
     "t24_weighted_sample",
     "pr4_triangle_count",
     "ext_delete_propagate",
+    # round-4d pipeline extensions (registered this session)
+    "ev7_market_basket",
+    "dq13_k_anonymity",
+    "ev8_ewma_daily",
+    "t26_inverted_index",
+    "ext_salted_join",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",
@@ -201,6 +207,7 @@ def _load_all() -> None:
         dedup_plans,
         mining_plans,
         pipeline_ext,
+        pipeline_ext2,
         relational,
         relational2,
         sequence_plans,

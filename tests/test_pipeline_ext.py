@@ -173,6 +173,8 @@ class TestTriangleCount:
         """Driver-side brute force over the (small at sf0.001)
         co-supplier edge set must agree with the oriented-wedge
         count."""
+        from dww_data_pipeline_spark.plans.pipeline_ext import _TRI_MIN_CO
+
         row = REGISTRY["pr4_triangle_count"].spark(spark, sf_dir).collect()[0]
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey"
@@ -180,10 +182,11 @@ class TestTriangleCount:
         by_order: dict[int, set[int]] = {}
         for r in li.collect():
             by_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
-        edges: set[tuple[int, int]] = set()
+        co: dict[tuple[int, int], int] = {}
         for supps in by_order.values():
             for a, b in combinations(sorted(supps), 2):
-                edges.add((a, b))
+                co[(a, b)] = co.get((a, b), 0) + 1
+        edges = {e for e, n in co.items() if n >= _TRI_MIN_CO}
         nodes = {n for e in edges for n in e}
         adj: dict[int, set[int]] = {n: set() for n in nodes}
         for a, b in edges:
