@@ -116,6 +116,13 @@ EXTRA = [
     "t24_weighted_sample",      # length-weighted deterministic Bernoulli
     "pr4_triangle_count",       # degree-ordered triangle counting
     "ext_delete_propagate",     # GDPR cascade delete accounting
+    # round-4d pipeline extensions
+    "ev7_market_basket",        # in-place pair-gen association rules
+    "dq13_k_anonymity",         # QI group-size privacy audit
+    "ev8_ewma_daily",           # exact-integer EWMA trend
+    "t26_inverted_index",       # bounded posting-list construction
+    "ext_salted_join",          # skew salting == plain join
+    "s10_pq_ann_topk",          # product-quantization ADC top-k
 ]
 
 

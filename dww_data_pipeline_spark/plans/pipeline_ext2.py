@@ -367,3 +367,255 @@ def ext_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("value_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s10_pq_ann_topk — product-quantization ANN with asymmetric distance.
+#
+# PQ is the memory-side scale story the s-family was missing: IVF/LSH
+# (s2/s4/s5/s7) prune WHICH vectors are scored; PQ compresses HOW
+# each vector is stored — 64 dims collapse to M=8 one-byte codes, so
+# a 100 TB float corpus becomes a ~1.5 TB code table that fits hot
+# storage, and scoring is M table lookups per vector instead of a
+# 64-dim dot product (Jegou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — public method).
+#
+# Everything is the e7 exact-integer k-means discipline applied per
+# 8-dim subspace (quantize floor((x+2)*1e6); init = 16 lowest
+# vec_ids; one Lloyd iteration with round-half-up integer means;
+# argmin ties to the lowest code), so codebooks, codes, and the
+# asymmetric-distance top-k are bit-identical on both engines — a
+# fully ORACLE-CHECKED approximate index, like e7/s4.
+#
+# Scale shape per pass: codebook training is ONE partial-agg shuffle
+# of at most M*K*dim integer cells + one bounded driver collect
+# (1024 ints — the IVF-quantizer pattern); encoding + ADC scoring is
+# a single scan with codebooks and the per-query 8x16 lookup tables
+# folded to plan-time literals (zero joins, whole-stage-codegen
+# integer math); the only post-scan operator is the same per-query
+# top-k window s1 uses.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # codewords per subspace
+_PQ_TOPK = 5
+_PQ_QUERIES = (0, 1, 2)
+
+_PQ_VQ_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT))"
+)
+_PQ_VQ_SPARK = (
+    "transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2D) * 1000000D) AS BIGINT))"
+)
+
+
+def _pq_oracle() -> str:
+    """Unroll per-subspace integer k-means + PQ encode + ADC top-k."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    # this recurrence references each stage from 2+ consumers — inlined,
+    # the plan tree grows exponentially in M and never finishes
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {_PQ_VQ_DUCK} AS vq FROM embeddings)",
+        f"""init AS MATERIALIZED (
+  SELECT vq, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT {_PQ_K}))""",
+        "qv AS MATERIALIZED (SELECT vec_id AS query_id, vq FROM q "
+        f"WHERE vec_id IN {_PQ_QUERIES})",
+    ]
+    for m in range(_PQ_M):
+        off = m * _PQ_SUB
+        d2 = " + ".join(
+            f"(q.vq[{off + i + 1}] - c.cv[{i + 1}]) * "
+            f"(q.vq[{off + i + 1}] - c.cv[{i + 1}])"
+            for i in range(_PQ_SUB)
+        )
+        sums = ", ".join(
+            f"SUM(q.vq[{off + i + 1}]) AS s{i}" for i in range(_PQ_SUB)
+        )
+        upd = ", ".join(
+            f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(_PQ_SUB)
+        )
+        qd2 = " + ".join(
+            f"(qv.vq[{off + i + 1}] - c.cv[{i + 1}]) * "
+            f"(qv.vq[{off + i + 1}] - c.cv[{i + 1}])"
+            for i in range(_PQ_SUB)
+        )
+        parts += [
+            f"c0_{m} AS MATERIALIZED (SELECT j, list_slice(vq, {off + 1}, {off + _PQ_SUB}) "
+            "AS cv FROM init)",
+            f"""a_{m} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT q.vec_id, c.j AS code,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2}, c.j) AS rn
+    FROM q CROSS JOIN c0_{m} c
+  ) WHERE rn = 1)""",
+            f"""s_{m} AS MATERIALIZED (
+  SELECT a.code, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+  FROM a_{m} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.code)""",
+            f"""c1_{m} AS MATERIALIZED (
+  SELECT p.j, CASE WHEN s.code IS NULL THEN p.cv
+                   ELSE list_value({upd}) END AS cv
+  FROM c0_{m} p LEFT JOIN s_{m} s ON s.code = p.j)""",
+            f"""f_{m} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT q.vec_id, c.j AS code,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2.replace('c0_', 'c1_')}, c.j) AS rn
+    FROM q CROSS JOIN c1_{m} c
+  ) WHERE rn = 1)""",
+            f"""dt_{m} AS MATERIALIZED (
+  SELECT qv.query_id, c.j, CAST({qd2} AS BIGINT) AS d
+  FROM qv CROSS JOIN c1_{m} c)""",
+        ]
+    code_cols = ", ".join(f"f_{m}.code AS code{m}" for m in range(_PQ_M))
+    f_joins = " ".join(
+        f"JOIN f_{m} ON f_{m}.vec_id = f_0.vec_id" for m in range(1, _PQ_M)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{m} ON dt_{m}.j = f.code{m} "
+        f"AND dt_{m}.query_id = dt_0.query_id"
+        for m in range(1, _PQ_M)
+    )
+    dsum = " + ".join(f"dt_{m}.d" for m in range(_PQ_M))
+    parts += [
+        f"f_all AS MATERIALIZED (SELECT f_0.vec_id, {code_cols} FROM f_0 {f_joins})",
+        f"""appr AS MATERIALIZED (
+  SELECT dt_0.query_id, f.vec_id, CAST({dsum} AS BIGINT) AS approx_d2
+  FROM f_all f
+  JOIN dt_0 ON dt_0.j = f.code0
+  {dt_joins})""",
+    ]
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, vec_id, approx_d2, rank FROM (
+  SELECT query_id, vec_id, approx_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, vec_id) AS rank
+  FROM appr
+) WHERE rank <= {_PQ_TOPK}"""
+
+
+def _pq_code_expr(book: list[list[int]], off: int) -> str:
+    """Spark SQL: argmin codeword index for one subspace, codebook
+    folded to literals (one parsed expression — the e7 idiom)."""
+    structs = []
+    for j, cw in enumerate(book):
+        d2 = " + ".join(
+            f"(element_at(vq, {off + i + 1}) - {int(cw[i])}L) * "
+            f"(element_at(vq, {off + i + 1}) - {int(cw[i])}L)"
+            for i in range(_PQ_SUB)
+        )
+        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
+    return f"array_min(array({', '.join(structs)})).j"
+
+
+@register(
+    "s10_pq_ann_topk",
+    oracle=_pq_oracle(),
+    description="PRODUCT-QUANTIZATION ANN (Jegou et al. 2011): 64-dim "
+    "vectors compress to 8 one-byte codes via per-subspace "
+    "exact-integer k-means (the e7 discipline: floor-quantize, init = "
+    "16 lowest vec_ids, one Lloyd iteration with round-half-up "
+    "integer means, ties to lowest code), and queries rank the WHOLE "
+    "corpus by asymmetric distance — 8 literal-table lookups per "
+    "vector instead of a 64-dim dot product. The memory-side ANN "
+    "scale story (a 100 TB float corpus becomes a ~1.5 TB code "
+    "table) complementing the pruning-side s2/s4/s5/s7; codebook "
+    "training is one M*K*dim partial-agg shuffle + a 1024-int driver "
+    "collect, scoring is a single literal-folded scan + the s1 "
+    "per-query top-k window. Fully oracle-checked, like e7/s4.",
+)
+def s10_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
+    try:
+        init = vq.orderBy("vec_id").limit(_PQ_K).collect()
+        books = [
+            [list(r["vq"])[m * _PQ_SUB : (m + 1) * _PQ_SUB] for r in init]
+            for m in range(_PQ_M)
+        ]
+
+        # one Lloyd iteration per subspace — all subspaces share ONE
+        # assignment scan and ONE partial-agg shuffle
+        assigned = vq.select(
+            "vq",
+            *[
+                F.expr(_pq_code_expr(books[m], m * _PQ_SUB)).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        sums = (
+            assigned.select(
+                F.posexplode("vq").alias("pos", "val"),
+                *[F.col(f"c{m}") for m in range(_PQ_M)],
+            )
+            .withColumn("m", (F.col("pos") / _PQ_SUB).cast("int"))
+            .withColumn(
+                "code",
+                F.element_at(
+                    F.array(*[F.col(f"c{m}") for m in range(_PQ_M)]),
+                    F.col("m") + 1,
+                ),
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: M * K * sub = 1024 integer rows
+        )
+        for r in sums:
+            s, n = int(r["s"]), int(r["n"])
+            books[r["m"]][r["code"]][r["pos"] - r["m"] * _PQ_SUB] = (
+                2 * s + n
+            ) // (2 * n)
+
+        # asymmetric-distance tables per query, folded to literals
+        qrows = {
+            r["vec_id"]: list(r["vq"])
+            for r in vq.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        final = vq.select(
+            "vec_id",
+            *[
+                F.expr(_pq_code_expr(books[m], m * _PQ_SUB)).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        per_query = []
+        for qid in _PQ_QUERIES:
+            qv = qrows[qid]
+            dist = None
+            for m in range(_PQ_M):
+                table = [
+                    sum(
+                        (qv[m * _PQ_SUB + i] - cw[i]) ** 2
+                        for i in range(_PQ_SUB)
+                    )
+                    for cw in books[m]
+                ]
+                term = F.element_at(
+                    F.array(*[F.lit(int(d)) for d in table]),
+                    F.col(f"c{m}") + 1,
+                )
+                dist = term if dist is None else dist + term
+            per_query.append(
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    dist.cast("long").alias("approx_d2"),
+                )
+            )
+        stacked = final.select(
+            "vec_id", F.explode(F.array(*per_query)).alias("s")
+        ).select("s.query_id", "vec_id", "s.approx_d2")
+        w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+        return (
+            stacked.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "vec_id", "approx_d2", "rank")
+        )
+    finally:
+        vq.unpersist(blocking=False)

@@ -148,6 +148,7 @@ _PRIORITY: list[str] = [
     "ev8_ewma_daily",
     "t26_inverted_index",
     "ext_salted_join",
+    "s10_pq_ann_topk",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -182,3 +182,93 @@ class TestSaltedJoin:
         )
         n_salts = salted.select("_salt").distinct().count()
         assert n_salts > 1
+
+
+class TestPqAnn:
+    def test_codes_and_distances_match_driver_recompute(self, spark, sf_dir):
+        """Re-derive the PQ pipeline driver-side with plain Python
+        ints (quantize -> init -> 1 Lloyd iteration -> encode -> ADC)
+        and require identical top-k."""
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _PQ_K,
+            _PQ_M,
+            _PQ_QUERIES,
+            _PQ_SUB,
+            _PQ_TOPK,
+        )
+
+        import math
+
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        vecs = {}
+        for r in e.collect():
+            vecs[r["vec_id"]] = [
+                int(math.floor((float(x) + 2) * 1e6)) for x in r["embedding"]
+            ]
+        ids = sorted(vecs)
+        books = [
+            [vecs[i][m * _PQ_SUB : (m + 1) * _PQ_SUB] for i in ids[:_PQ_K]]
+            for m in range(_PQ_M)
+        ]
+
+        def code_of(v, book, off):
+            best = None
+            for j, cw in enumerate(book):
+                d = sum((v[off + i] - cw[i]) ** 2 for i in range(_PQ_SUB))
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            return best[1]
+
+        # one Lloyd iteration
+        sums = [
+            [[0] * _PQ_SUB for _ in range(_PQ_K)] for _ in range(_PQ_M)
+        ]
+        ns = [[0] * _PQ_K for _ in range(_PQ_M)]
+        for v in vecs.values():
+            for m in range(_PQ_M):
+                c = code_of(v, books[m], m * _PQ_SUB)
+                ns[m][c] += 1
+                for i in range(_PQ_SUB):
+                    sums[m][c][i] += v[m * _PQ_SUB + i]
+        for m in range(_PQ_M):
+            for c in range(_PQ_K):
+                if ns[m][c]:
+                    books[m][c] = [
+                        (2 * sums[m][c][i] + ns[m][c]) // (2 * ns[m][c])
+                        for i in range(_PQ_SUB)
+                    ]
+
+        want = []
+        for qid in _PQ_QUERIES:
+            qv = vecs[qid]
+            scored = []
+            for vid, v in vecs.items():
+                d = 0
+                for m in range(_PQ_M):
+                    c = code_of(v, books[m], m * _PQ_SUB)
+                    cw = books[m][c]
+                    d += sum(
+                        (qv[m * _PQ_SUB + i] - cw[i]) ** 2
+                        for i in range(_PQ_SUB)
+                    )
+                scored.append((d, vid))
+            scored.sort()
+            for rank, (d, vid) in enumerate(scored[:_PQ_TOPK], 1):
+                want.append((qid, vid, d, rank))
+
+        got = [
+            (r["query_id"], r["vec_id"], r["approx_d2"], r["rank"])
+            for r in REGISTRY["s10_pq_ann_topk"].spark(spark, sf_dir).collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+    def test_compression_recall_vs_exact(self, spark, sf_dir):
+        """PQ is lossy but must stay useful: each query's exact
+        nearest neighbour set (s1, cosine) and the PQ top-k overlap
+        in at least the self-match."""
+        pq = {}
+        for r in REGISTRY["s10_pq_ann_topk"].spark(spark, sf_dir).collect():
+            pq.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qid, ids in pq.items():
+            assert len(ids) == 5
+            assert qid in ids  # self reconstructs to the closest codes
