@@ -123,6 +123,8 @@ EXTRA = [
     "t26_inverted_index",       # bounded posting-list construction
     "ext_salted_join",          # skew salting == plain join
     "s10_pq_ann_topk",          # product-quantization ADC top-k
+    "pr5_local_clustering",     # per-node clustering coefficient
+    "m7_shot_boundaries",       # perceptual-hash shot cuts
 ]
 
 

@@ -410,11 +410,10 @@ def t24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_CO = 8  # orders two suppliers must share to form an edge
 
-
-@register(
-    "pr4_triangle_count",
-    oracle=f"""
-    WITH inst AS (
+# Shared CTE prefix: strong-tie co-supplier graph (pairs), degrees,
+# and the degree-ordered edge orientation — used by the pr4 (global
+# triangle census) and pr5 (local clustering) oracles.
+_STRONG_GRAPH_SQL = f"""inst AS (
       SELECT DISTINCT a.l_orderkey, a.l_suppkey AS u, b.l_suppkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
@@ -430,7 +429,62 @@ _TRI_MIN_CO = 8  # orders two suppliers must share to form an edge
       FROM pairs p
       JOIN deg du ON du.node = p.u
       JOIN deg dv ON dv.node = p.v
-    ), tri AS (
+    )"""
+
+
+def strong_tie_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pairs, deg, oriented) of the strong-tie co-supplier graph.
+
+    The edge list is localCheckpoint-materialized (node-dimension-
+    bounded — tiny next to the fact table) so every consumer of the
+    returned frames reads materialized edges instead of re-running
+    the lineitem self-join per reference."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            "a.l_orderkey",
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+        )
+        .distinct()
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _TRI_MIN_CO)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    p = pairs.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = p.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    return pairs, deg, oriented
+
+
+@register(
+    "pr4_triangle_count",
+    oracle=f"""
+    WITH {_STRONG_GRAPH_SQL}, tri AS (
       SELECT COUNT(*) AS n FROM oriented e1
       JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
       JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
@@ -454,47 +508,7 @@ _TRI_MIN_CO = 8  # orders two suppliers must share to form an edge
     "local-density counterpart of PageRank's global centrality.",
 )
 def pr4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            "a.l_orderkey",
-            F.col("a.l_suppkey").alias("u"),
-            F.col("b.l_suppkey").alias("v"),
-        )
-        .distinct()
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= _TRI_MIN_CO)
-        .select("u", "v")
-        # node-dimension-bounded edge list: materialize once, reuse in
-        # the degree pass and all three wedge legs
-        .localCheckpoint()
-    )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    p = (
-        pairs.join(
-            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
-        ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = p.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
+    pairs, deg, oriented = strong_tie_graph(spark, sf_dir)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")

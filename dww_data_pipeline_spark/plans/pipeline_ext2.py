@@ -619,3 +619,249 @@ def s10_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         vq.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# pr5_local_clustering — per-node clustering coefficient.
+#
+# Same strong-tie graph + degree-ordered wedge enumeration as pr4
+# (shared helper / shared SQL prefix), but each triangle credits all
+# THREE corners, and the coefficient lcc = 2*tri / (deg*(deg-1)) is
+# the node-local density a fraud/cohesion analysis thresholds on.
+# The only addition over the pr4 plan is a 3-way projection of the
+# (tiny) triangle list + one node-keyed count — the fact table is
+# still touched exactly once, inside the shared edge derivation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pr5_local_clustering",
+    oracle=None,  # assigned below — shares pipeline_ext._STRONG_GRAPH_SQL
+    description="LOCAL CLUSTERING COEFFICIENT per node over the "
+    "strong-tie co-supplier graph: triangles are enumerated once via "
+    "the pr4 degree-ordered wedge join, then credited to all three "
+    "corners; lcc = 2*tri/(deg*(deg-1)) with the division as the "
+    "single double op. Scale shape identical to pr4 (the fact table "
+    "is scanned once inside the shared localCheckpoint-ed edge "
+    "derivation; triangle credits shuffle 1 integer per corner). "
+    "The node-local density metric next to pr4's global census.",
+)
+def pr5_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+    pairs, deg, oriented = strong_tie_graph(spark, sf_dir)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    tris = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    credits = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(credits, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    (2 * F.coalesce("n_tri", F.lit(0))).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def _pr5_attach_oracle() -> None:
+    """pr5's oracle shares pr4's graph CTEs (single source of truth)."""
+    from dww_data_pipeline_spark.plans.pipeline_ext import _STRONG_GRAPH_SQL
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    q = REGISTRY["pr5_local_clustering"]
+    oracle = f"""
+    WITH {_STRONG_GRAPH_SQL}, tris AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ), credits AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg >= 2
+                THEN round(CAST(2 * COALESCE(c.n_tri, 0) AS DOUBLE)
+                           / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN credits c ON c.node = d.node
+    """
+    REGISTRY["pr5_local_clustering"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+_pr5_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# m7_shot_boundaries — video shot-boundary detection with REAL pixels.
+#
+# The temporal-segmentation leg of the multimodal tier: a training
+# pipeline samples ONE representative frame per shot rather than
+# every frame, and the shot cut decision is exactly this operator —
+# perceptual-hash distance between consecutive frames above a
+# threshold. Videos are synthesized with a planted shot structure
+# (frame seeds d, d, d+1, d+1, d+9: two cuts), frames are split and
+# decoded by the pure-NumPy codec, each frame reduces to the m5
+# integer aHash, and the cut test is bit_count(xor) >= 1 over a LAG
+# window per video.
+#
+# The oracle re-derives every frame's aHash from the pixel-generator
+# arithmetic alone (the m1/m3/m5 discipline — DuckDB never parses an
+# image), so the differential covers synthesis, the self-delimiting
+# frame split, decode, the aHash math, and the windowed cut logic.
+#
+# Scale shape: payload bytes cross into Python once (Arrow batches);
+# after that only (video, frame_idx, 8-byte hash) rows exist; the
+# boundary test is a per-video LAG — partitioned window, no global
+# sort. 4-bit hashes here (2x2 frames); production 8x8 frames give
+# the classic 64-bit aHash with identical plumbing.
+# ---------------------------------------------------------------------------
+
+_M7_OFFS = (0, 0, 1, 1, 9)  # frame seeds: shots {0,1} {2,3} {4}
+
+
+def _m7_ahash_sql(seed: str) -> str:
+    """DuckDB integer aHash of the 2x2 P3 image generated from
+    ``seed`` (pixel i = (seed*(3i+7)+i) % 256) — m5's generator
+    arithmetic parameterized over the seed expression."""
+    grays = []
+    for p in range(4):
+        chans = " + ".join(
+            f"((({seed}) * {3 * (3 * p + c) + 7} + {3 * p + c}) % 256)"
+            for c in range(3)
+        )
+        grays.append(f"({chans})")
+    tot = " + ".join(grays)
+    bits = " + ".join(
+        f"(CASE WHEN 4 * {grays[p]} > ({tot}) THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _m7_oracle() -> str:
+    frames = ", ".join(f"({i}, {off})" for i, off in enumerate(_M7_OFFS))
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS video_id, f.idx AS frame_index,
+             {_m7_ahash_sql('doc_id + f.off')} AS ahash
+      FROM documents CROSS JOIN (VALUES {frames}) AS f(idx, off)
+      WHERE doc_id < 300
+    )
+    SELECT video_id, frame_index, ahash,
+           CAST(COALESCE(bit_count(
+             xor(ahash, lag(ahash) OVER (PARTITION BY video_id
+                                         ORDER BY frame_index))
+           ), -1) AS BIGINT) AS ham_prev,
+           COALESCE(bit_count(
+             xor(ahash, lag(ahash) OVER (PARTITION BY video_id
+                                         ORDER BY frame_index))
+           ) >= 1, FALSE) AS is_cut
+    FROM h
+    """
+
+
+@register(
+    "m7_shot_boundaries",
+    oracle=_m7_oracle(),
+    description="VIDEO SHOT-BOUNDARY DETECTION with REAL pixels, "
+    "ORACLE-CHECKED: concatenated-PPM videos with a planted shot "
+    "structure (seeds d,d,d+1,d+1,d+9) are frame-split and decoded "
+    "by the pure-NumPy codec inside Arrow-batched mapInPandas, each "
+    "frame reduces to the m5 integer aHash, and a cut fires when "
+    "bit_count(xor(hash, lag(hash))) >= 1 over the per-video LAG "
+    "window. The oracle re-derives every hash from the pixel "
+    "generator without parsing images, covering synthesis, split "
+    "boundaries, decode, hash math and window logic end to end — "
+    "the decide-which-frames-to-keep pass a video training pipeline "
+    "runs before captioning (north-star multimodal)",
+)
+def m7_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.operators.documents import (
+        image_ahash,
+        sample_frames,
+    )
+    from dww_data_pipeline_spark.plans.streaming_plans import _p3_image_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    videos = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(
+            *[_p3_image_expr(F.col("doc_id") + off) for off in _M7_OFFS]
+        ).alias("payload"),
+        F.lit("video/x-ppm-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(len(_M7_OFFS) * 1000).cast("long").alias("duration_ms"),
+    )
+    frames = sample_frames(videos, every_ms=1000, max_frames=len(_M7_OFFS))
+    fr_media = frames.select(
+        F.col("media_id").alias("video_id"),
+        "frame_index",
+        F.col("media_id").alias("media_id"),
+        "payload",
+    )
+    hashed = image_ahash(
+        fr_media.select(
+            (F.col("video_id") * 1000 + F.col("frame_index")).alias("media_id"),
+            "payload",
+        )
+    ).select(
+        (F.col("media_id") / 1000).cast("long").alias("video_id"),
+        F.pmod(F.col("media_id"), F.lit(1000)).cast("long").alias("frame_index"),
+        "ahash",
+    )
+    w = Window.partitionBy("video_id").orderBy("frame_index")
+    ham = F.bit_count(
+        F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))
+    ).cast("long")
+    return hashed.select(
+        "video_id",
+        "frame_index",
+        "ahash",
+        F.coalesce(ham, F.lit(-1)).alias("ham_prev"),
+        F.coalesce(ham >= 1, F.lit(False)).alias("is_cut"),
+    )

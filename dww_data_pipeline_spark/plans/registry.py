@@ -149,6 +149,8 @@ _PRIORITY: list[str] = [
     "t26_inverted_index",
     "ext_salted_join",
     "s10_pq_ann_topk",
+    "pr5_local_clustering",
+    "m7_shot_boundaries",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

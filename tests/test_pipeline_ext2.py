@@ -272,3 +272,53 @@ class TestPqAnn:
         for qid, ids in pq.items():
             assert len(ids) == 5
             assert qid in ids  # self reconstructs to the closest codes
+
+
+class TestLocalClustering:
+    def test_credits_sum_to_three_per_triangle(self, spark, sf_dir):
+        """Every triangle has exactly 3 corners: sum(n_tri) over nodes
+        must equal 3 * pr4's global census."""
+        census = REGISTRY["pr4_triangle_count"].spark(spark, sf_dir).collect()[0]
+        rows = REGISTRY["pr5_local_clustering"].spark(spark, sf_dir).collect()
+        assert sum(r["n_tri"] for r in rows) == 3 * census["n_triangles"]
+        assert len(rows) == census["n_nodes"]
+
+    def test_lcc_definition(self, spark, sf_dir):
+        for r in REGISTRY["pr5_local_clustering"].spark(spark, sf_dir).collect():
+            if r["deg"] >= 2:
+                want = round(2 * r["n_tri"] / (r["deg"] * (r["deg"] - 1)), 6)
+            else:
+                want = 0.0
+            assert r["lcc"] == pytest.approx(want)
+            assert 0.0 <= r["lcc"] <= 1.0
+
+
+class TestShotBoundaries:
+    def test_planted_shot_structure(self, spark, sf_dir):
+        """Frames 1 and 3 repeat the previous frame's seed — their
+        hash distance must be 0 and no cut may fire there; first
+        frame carries the -1 sentinel and never cuts."""
+        rows = REGISTRY["m7_shot_boundaries"].spark(spark, sf_dir).collect()
+        by_video: dict[int, dict[int, tuple]] = {}
+        for r in rows:
+            by_video.setdefault(r["video_id"], {})[r["frame_index"]] = (
+                r["ham_prev"],
+                r["is_cut"],
+            )
+        assert by_video
+        for frames in by_video.values():
+            assert set(frames) == {0, 1, 2, 3, 4}
+            assert frames[0] == (-1, False)
+            assert frames[1] == (0, False)
+            assert frames[3] == (0, False)
+            for idx in (2, 4):
+                ham, cut = frames[idx]
+                assert ham >= 0
+                assert cut == (ham >= 1)
+
+    def test_some_cut_fires(self, spark, sf_dir):
+        """Across the corpus the planted seed changes must produce at
+        least one detected cut (4-bit hashes can collide per video,
+        but not everywhere)."""
+        rows = REGISTRY["m7_shot_boundaries"].spark(spark, sf_dir).collect()
+        assert any(r["is_cut"] for r in rows)
