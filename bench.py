@@ -125,6 +125,9 @@ EXTRA = [
     "s10_pq_ann_topk",          # product-quantization ADC top-k
     "pr5_local_clustering",     # per-node clustering coefficient
     "m7_shot_boundaries",       # perceptual-hash shot cuts
+    "st9_stream_cms_hitters",   # windowed streaming CMS sketch
+    "ev9_rfm_segments",         # fixed-band RFM segmentation
+    "ev10_gap_filled_daily",    # calendar densification
 ]
 
 

@@ -865,3 +865,169 @@ def m7_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ham, F.lit(-1)).alias("ham_prev"),
         F.coalesce(ham >= 1, F.lit(False)).alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev9_rfm_segments — recency / frequency / monetary segmentation.
+#
+# Scoring uses FIXED business bands, not in-corpus quantiles, on
+# purpose: band scoring is one scan + one customer-keyed partial agg
+# with zero global windows (corpus-quantile scoring needs a total
+# order — t17 / ext_percentiles cover that pattern), and fixed bands
+# are how production RFM stays comparable across refreshes. Monetary
+# is accumulated in integer cents so no float summation order leaks.
+# ---------------------------------------------------------------------------
+
+
+def _band_sql(col: str, bands: list[tuple[int, int]], default: int) -> str:
+    """CASE over descending (threshold, score) bands: >= thr -> score."""
+    cases = " ".join(f"WHEN {col} >= {t} THEN {s}" for t, s in bands)
+    return f"(CASE {cases} ELSE {default} END)"
+
+
+_RFM_R = [(731, 1), (366, 2), (181, 3), (61, 4)]  # recency: larger = worse
+_RFM_F = [(15, 5), (10, 4), (6, 3), (3, 2)]
+_RFM_M = [(400_000_000, 5), (250_000_000, 4), (150_000_000, 3), (50_000_000, 2)]
+
+
+@register(
+    "ev9_rfm_segments",
+    oracle=f"""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), mx.maxd) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_fp
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, mx.maxd
+    )
+    SELECT o_custkey,
+           recency_days, frequency, monetary_fp,
+           CAST({_band_sql('recency_days', _RFM_R, 5)} AS BIGINT) AS r_score,
+           CAST({_band_sql('frequency', _RFM_F, 1)} AS BIGINT) AS f_score,
+           CAST({_band_sql('monetary_fp', _RFM_M, 1)} AS BIGINT) AS m_score,
+           CAST({_band_sql('recency_days', _RFM_R, 5)} AS VARCHAR)
+             || CAST({_band_sql('frequency', _RFM_F, 1)} AS VARCHAR)
+             || CAST({_band_sql('monetary_fp', _RFM_M, 1)} AS VARCHAR)
+             AS segment
+    FROM base
+    """,
+    description="RFM CUSTOMER SEGMENTATION: per-customer recency (days "
+    "since last order vs corpus max date), frequency (order count) and "
+    "monetary (integer-cents total) scored into fixed 1-5 bands and a "
+    "3-digit segment label. Fixed bands, not in-corpus quantiles, BY "
+    "DESIGN: one scan + one customer-keyed partial agg, zero global "
+    "windows (the quantile flavor needs a total order — t17 / "
+    "ext_percentiles own that pattern), and band definitions stay "
+    "comparable across refreshes. The max-date anchor is a 1-row "
+    "in-plan broadcast.",
+)
+def ev9_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_fp"
+            ),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_fp",
+        )
+    )
+
+    # CASE evaluates top-down on the FIRST match; the SQL bands are
+    # listed highest-threshold-first, so build the WHEN chain from the
+    # lowest threshold outward to preserve that order
+    def band_expr(col: str, bands: list[tuple[int, int]], default: int):
+        out = F.lit(default)
+        for t, s in reversed(bands):
+            out = F.when(F.col(col) >= t, F.lit(s)).otherwise(out)
+        return out
+
+    r_s = band_expr("recency_days", _RFM_R, 5).cast("long")
+    f_s = band_expr("frequency", _RFM_F, 1).cast("long")
+    m_s = band_expr("monetary_fp", _RFM_M, 1).cast("long")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_fp",
+        r_s.alias("r_score"),
+        f_s.alias("f_score"),
+        m_s.alias("m_score"),
+        F.concat(
+            r_s.cast("string"), f_s.cast("string"), m_s.cast("string")
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev10_gap_filled_daily — calendar densification.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev10_gap_filled_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+    FROM cal c
+    CROSS JOIN types t
+    LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
+    """,
+    description="CALENDAR GAP-FILL: the (event_type x day) grid from "
+    "corpus min to max day with zero-filled missing days — the "
+    "densification every time-series consumer (ev5 z-scores, ev8 "
+    "EWMA, seasonality fits) needs before treating day offsets as "
+    "array indexes. Scale shape: raw events reduce to daily partials "
+    "first; the calendar is generated IN-PLAN from a 1-row bounds agg "
+    "(sequence + explode, no driver round-trip) and the fill join "
+    "runs on the tiny (types x days) grid, never on raw events.",
+)
+def ev10_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cal.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )

@@ -151,6 +151,9 @@ _PRIORITY: list[str] = [
     "s10_pq_ann_topk",
     "pr5_local_clustering",
     "m7_shot_boundaries",
+    "st9_stream_cms_hitters",
+    "ev9_rfm_segments",
+    "ev10_gap_filled_daily",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

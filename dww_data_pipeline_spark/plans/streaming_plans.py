@@ -556,3 +556,132 @@ def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# st9 — streaming count-min-sketch heavy hitters.
+#
+# The streaming form of v5: the d x w integer sketch is maintained
+# PER EVENT-TIME WINDOW by the engine's windowed-aggregation state
+# (windowed_cms_cells in streaming/events.py — watermarked, so each
+# window's sketch finalizes when the watermark passes; the real
+# readStream path is asserted equal to batch in
+# tests/test_streaming.py). The registered batch twin joins the
+# finalized cells against exact per-window top-3 users and emits the
+# CMS contract est ∈ [n, n + 3N/w] as a verified gate — the serving
+# pass a monitoring consumer runs on the sketch store.
+# ---------------------------------------------------------------------------
+
+
+def _st9_oracle() -> str:
+    from dww_data_pipeline_spark.streaming.events import CMS_D, CMS_W
+
+    def bucket(key: str, r: int) -> str:
+        return (
+            f"(CAST(('0x' || substr(md5('scms{r}|' || CAST({key} AS VARCHAR)), "
+            f"1, 8)) AS BIGINT) % {CMS_W})"
+        )
+
+    cells = " UNION ALL ".join(
+        f"SELECT window_start, {r} AS row_id, {bucket('user_id', r)} AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 3"
+        for r in range(CMS_D)
+    )
+    ests = ", ".join(
+        f"(SELECT c FROM cells WHERE window_start = t.window_start "
+        f"AND row_id = {r} AND bucket = {bucket('t.user_id', r)})"
+        for r in range(CMS_D)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start, user_id
+      FROM events
+    ), cells AS (
+      {cells}
+    ), exact AS (
+      SELECT window_start, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY window_start) AS BIGINT)
+               AS total
+      FROM ev GROUP BY 1, 2
+    ), top AS (
+      SELECT window_start, user_id, n, total FROM (
+        SELECT window_start, user_id, n, total,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, user_id) AS rn
+        FROM exact
+      ) WHERE rn <= 3
+    )
+    SELECT t.window_start, t.user_id, t.n,
+           least({ests}) AS cms_est,
+           (least({ests}) >= t.n
+            AND (least({ests}) - t.n) * {CMS_W} <= 3 * t.total)
+             AS within_bound
+    FROM top t
+    """
+
+
+@register(
+    "st9_stream_cms_hitters",
+    oracle=_st9_oracle(),
+    description="STREAMING COUNT-MIN HEAVY HITTERS: a d=2 x w=64 "
+    "integer sketch per 1-hour event-time window, maintained by "
+    "watermarked windowed aggregation (the streaming sketch pattern: "
+    "state is d*w counters per open window, raw events are never "
+    "buffered; real readStream path asserted equal to batch in "
+    "tests/test_streaming.py) — the batch twin joins finalized cells "
+    "against exact per-window top-3 users and verifies the CMS "
+    "contract est∈[n, n+3N/w] per window. v5's sketch-contract "
+    "pattern lifted to event time (north-star streaming).",
+)
+def st9_stream_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.streaming.events import (
+        CMS_D,
+        CMS_W,
+        _cms_bucket,
+        windowed_cms_cells,
+    )
+
+    ev = _events(spark, sf_dir)
+    cells = windowed_cms_cells(ev)
+
+    win = F.date_format(
+        F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+    )
+    exact = ev.select(win.alias("window_start"), "user_id").groupBy(
+        "window_start", "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = exact.groupBy("window_start").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("user_id"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .join(F.broadcast(totals), "window_start")
+    )
+
+    est = top
+    for r in range(CMS_D):
+        est = est.withColumn(f"_bk{r}", _cms_bucket(F.col("user_id"), r)).join(
+            F.broadcast(
+                cells.filter(F.col("row_id") == r).select(
+                    F.col("window_start"),
+                    F.col("bucket").alias(f"_bk{r}"),
+                    F.col("c").alias(f"_c{r}"),
+                )
+            ),
+            ["window_start", f"_bk{r}"],
+        )
+    cms = F.least(*[F.col(f"_c{r}") for r in range(CMS_D)])
+    return est.select(
+        "window_start",
+        "user_id",
+        "n",
+        cms.alias("cms_est"),
+        (
+            (cms >= F.col("n"))
+            & ((cms - F.col("n")) * CMS_W <= 3 * F.col("total"))
+        ).alias("within_bound"),
+    )

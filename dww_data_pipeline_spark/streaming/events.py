@@ -172,3 +172,66 @@ def stream_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+# --- streaming count-min sketch ------------------------------------------
+
+CMS_D = 2  # hash rows
+CMS_W = 64  # buckets per row
+
+
+def _cms_bucket(key, row: int):
+    """Portable md5-derived bucket (matches the DuckDB oracle's
+    arithmetic — the sketch cells ARE the declared result here,
+    unlike the execution-internal Bloom hashes)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"scms{row}|"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def windowed_cms_cells(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-hour count-min-sketch cells over user_id — the STREAMING
+    sketch: a d x w grid of integer counters per event-time window,
+    maintained incrementally by the engine's windowed aggregation
+    state. The exchange per trigger carries at most d*w cells per
+    window per task (map-side combined), never raw events; the
+    sketch for any window is complete once the watermark passes its
+    end. Runs identically on a batch frame (the oracle path)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    cells = src.select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        _cms_bucket(F.col("user_id"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    )
+    return (
+        cells.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("rb.row_id").alias("row_id"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "row_id",
+            "bucket",
+            "c",
+        )
+    )

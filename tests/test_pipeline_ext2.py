@@ -322,3 +322,58 @@ class TestShotBoundaries:
         but not everywhere)."""
         rows = REGISTRY["m7_shot_boundaries"].spark(spark, sf_dir).collect()
         assert any(r["is_cut"] for r in rows)
+
+
+class TestRfmSegments:
+    def test_scores_match_bands(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _RFM_F,
+            _RFM_M,
+            _RFM_R,
+        )
+
+        def score(v, bands, default):
+            for t, s in bands:
+                if v >= t:
+                    return s
+            return default
+
+        rows = REGISTRY["ev9_rfm_segments"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["r_score"] == score(r["recency_days"], _RFM_R, 5)
+            assert r["f_score"] == score(r["frequency"], _RFM_F, 1)
+            assert r["m_score"] == score(r["monetary_fp"], _RFM_M, 1)
+            assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+    def test_one_row_per_customer_with_orders(self, spark, sf_dir):
+        rows = REGISTRY["ev9_rfm_segments"].spark(spark, sf_dir).collect()
+        n_cust = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_custkey")
+            .distinct()
+            .count()
+        )
+        assert len(rows) == n_cust
+        assert len({r["o_custkey"] for r in rows}) == n_cust
+
+
+class TestGapFilledDaily:
+    def test_grid_is_dense_and_counts_preserved(self, spark, sf_dir):
+        rows = REGISTRY["ev10_gap_filled_daily"].spark(spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        n_days = (
+            ev.select(F.to_date("ts").alias("d")).distinct().count()
+        )
+        import datetime
+
+        days = sorted({r["day"] for r in rows})
+        types = {r["event_type"] for r in rows}
+        # dense grid: every (type, day) pair exactly once
+        assert len(rows) == len(days) * len(types)
+        d0 = datetime.date.fromisoformat(days[0])
+        d1 = datetime.date.fromisoformat(days[-1])
+        assert len(days) == (d1 - d0).days + 1
+        assert len(days) >= n_days
+        # counts preserved: sum over grid == total events
+        assert sum(r["n"] for r in rows) == ev.count()
