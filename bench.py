@@ -128,6 +128,7 @@ EXTRA = [
     "st9_stream_cms_hitters",   # windowed streaming CMS sketch
     "ev9_rfm_segments",         # fixed-band RFM segmentation
     "ev10_gap_filled_daily",    # calendar densification
+    "c1_curation_pipeline",     # one-call gate->dedup->shard flow
 ]
 
 

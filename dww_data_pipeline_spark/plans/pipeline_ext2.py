@@ -1031,3 +1031,117 @@ def ev10_gap_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c1_curation_pipeline — the one-call end-to-end curation flow.
+#
+# What a corpus owner actually runs: every document gets a final
+# disposition in ONE query — 'filtered' (failed the t13 quality/
+# repetition/rarity gate), 'duplicate' (passed, but another surviving
+# document with identical text has the lower id), or 'kept' (with
+# its deterministic training-shard assignment, t21 arithmetic). The
+# stages are the already-verified building blocks COMPOSED, and the
+# oracle composes the same blocks (t13's registered oracle embedded
+# as a CTE — the s8-over-s6 precedent), so the differential check
+# covers the composition, not just the parts.
+#
+# Scale shape: the gate is t13's (one token-model shuffle + one
+# scan); dedup among survivors shuffles 16-byte text fingerprints,
+# never text (d1 discipline); shard assignment is pure hash
+# arithmetic; the final disposition join is doc-keyed. Nothing here
+# exceeds the scale envelope of its verified components.
+# ---------------------------------------------------------------------------
+
+
+def _c1_attach_oracle() -> None:
+    # text_plans loads after this module in registry._load_all — import
+    # it explicitly so t13's oracle exists before we embed it
+    from dww_data_pipeline_spark.plans import text_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    t13 = REGISTRY["t13_corpus_filter_decision"].oracle
+    q = REGISTRY["c1_curation_pipeline"]
+    oracle = f"""
+    WITH gate AS MATERIALIZED ({t13}),
+    surv AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+      WHERE g.keep
+    ),
+    dedup AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+      FROM surv
+    )
+    SELECT d.doc_id,
+           CASE WHEN NOT g.keep THEN 'filtered'
+                WHEN NOT dd.is_keeper THEN 'duplicate'
+                ELSE 'kept' END AS status,
+           CAST(CASE WHEN g.keep AND dd.is_keeper
+                     THEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 16
+                     ELSE -1 END AS BIGINT) AS shard
+    FROM documents d
+    JOIN gate g ON g.doc_id = d.doc_id
+    LEFT JOIN dedup dd ON dd.doc_id = d.doc_id
+    """
+    REGISTRY["c1_curation_pipeline"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "c1_curation_pipeline",
+    oracle=None,  # attached below — embeds t13's registered oracle
+    description="END-TO-END CURATION in one call: every document gets "
+    "its final disposition — 'filtered' (t13 quality/repetition/"
+    "rarity gate), 'duplicate' (identical-text survivor with a lower "
+    "id exists; d1 fingerprint discipline, text never shuffles), or "
+    "'kept' with its deterministic t21 shard assignment. The stages "
+    "are the already-verified operators COMPOSED, and the oracle "
+    "embeds t13's registered SQL as a CTE, so the differential check "
+    "verifies the composition itself. This is the query a corpus "
+    "owner schedules; the audit trail (why a doc fell out) stays "
+    "queryable via t13's reasons column.",
+)
+def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.text_plans import (
+        t13_corpus_filter_decision,
+    )
+
+    gate = t13_corpus_filter_decision(spark, sf_dir).select("doc_id", "keep")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = d.join(gate, "doc_id")
+    surv = j.filter(F.col("keep")).select("doc_id", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    dedup = surv.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return (
+        j.join(dedup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("keep"), F.lit("filtered"))
+            .when(~F.col("is_keeper"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.when(
+                F.col("keep") & F.col("is_keeper"), shard
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+
+_c1_attach_oracle()

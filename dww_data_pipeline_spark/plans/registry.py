@@ -154,6 +154,7 @@ _PRIORITY: list[str] = [
     "st9_stream_cms_hitters",
     "ev9_rfm_segments",
     "ev10_gap_filled_daily",
+    "c1_curation_pipeline",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -377,3 +377,49 @@ class TestGapFilledDaily:
         assert len(days) >= n_days
         # counts preserved: sum over grid == total events
         assert sum(r["n"] for r in rows) == ev.count()
+
+
+class TestCurationPipeline:
+    def test_dispositions_compose_the_parts(self, spark, sf_dir):
+        """c1's statuses must re-derive from its verified components:
+        t13's keep gate, identical-text min-id dedup, t21 shard."""
+        rows = {
+            r["doc_id"]: (r["status"], r["shard"])
+            for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
+        }
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        keep = {
+            r["doc_id"]: r["keep"]
+            for r in REGISTRY["t13_corpus_filter_decision"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert set(rows) == set(docs)
+        # min-id keeper among surviving identical texts
+        by_text: dict[str, int] = {}
+        for did in sorted(docs):
+            if keep[did]:
+                by_text.setdefault(docs[did], did)
+        import hashlib
+
+        for did, (status, shard) in rows.items():
+            if not keep[did]:
+                assert status == "filtered" and shard == -1
+            elif by_text[docs[did]] != did:
+                assert status == "duplicate" and shard == -1
+            else:
+                assert status == "kept"
+                want = int(
+                    hashlib.md5(str(did).encode()).hexdigest()[:8], 16
+                ) % 16
+                assert shard == want
+
+    def test_every_status_present(self, spark, sf_dir):
+        statuses = {
+            r["status"]
+            for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
+        }
+        assert "kept" in statuses and "filtered" in statuses
