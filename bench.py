@@ -129,6 +129,7 @@ EXTRA = [
     "ev9_rfm_segments",         # fixed-band RFM segmentation
     "ev10_gap_filled_daily",    # calendar densification
     "c1_curation_pipeline",     # one-call gate->dedup->shard flow
+    "s11_ivfpq_topk",           # IVF+PQ (IVFADC) pruned+compressed ANN
 ]
 
 

@@ -1145,3 +1145,375 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _c1_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s11_ivfpq_topk — IVF + PQ (IVFADC): the canonical billion-scale ANN.
+#
+# The two scale levers COMPOSED (Jegou et al. 2011, the layout behind
+# faiss's IVFxx,PQyy indexes): a coarse quantizer prunes WHICH
+# vectors are scored (only the nprobe=2 nearest of 4 coarse cells
+# per query are visited — the s2/s4 pruning idea), and product
+# quantization on the RESIDUAL x - c compresses HOW they are scored
+# (8 one-byte codes + per-query lookup tables — the s10 idea;
+# residual PQ beats raw PQ because residuals concentrate near 0).
+#
+# Everything follows the e7 exact-integer discipline end to end:
+# coarse k-means (k=4, init = 4 lowest vec_ids, one Lloyd iteration,
+# round-half-up integer means) over int64-quantized vectors;
+# residuals shifted +4e6 onto the positive domain (the round-half-up
+# mean is only engine-portable there; PQ is translation-invariant);
+# per-subspace PQ k-means (k=16, init = residuals of the
+# 16 lowest vec_ids, one iteration); argmin ties to the lowest
+# index. Every stage is bit-identical on both engines, so the WHOLE
+# index — coarse cells, residual codebooks, codes, probed cells,
+# ADC top-k — is differentially verified.
+#
+# Scale shape: two training passes (each ONE partial-agg shuffle +
+# one bounded driver collect — 256 and 1024 integer cells), one
+# encode scan with centroids/codebooks folded to literals, and the
+# query pass touches only the probed cells' rows (cluster-pruned
+# scan) with 8 literal lookups per row. No join, no global sort; the
+# top-k is the s1 per-query window over the probed subset.
+# ---------------------------------------------------------------------------
+
+_IVF_K = 4  # coarse cells
+_IVF_NPROBE = 2
+_IVF_ITERS = 1
+
+
+def _ivfpq_coarse_d2_sql(vec: str, cv: str) -> str:
+    return " + ".join(
+        f"({vec}[{i + 1}] - {cv}[{i + 1}]) * ({vec}[{i + 1}] - {cv}[{i + 1}])"
+        for i in range(64)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    d2c = _ivfpq_coarse_d2_sql("q.vq", "c.cv")
+    csums = ", ".join(f"SUM(q.vq[{i + 1}]) AS s{i}" for i in range(64))
+    cupd = ", ".join(f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(64))
+    parts = [
+        f"q AS MATERIALIZED (SELECT vec_id, {_PQ_VQ_DUCK} AS vq FROM embeddings)",
+        f"""cinit AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+  FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT {_IVF_K}))""",
+        f"""ca0 AS MATERIALIZED (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT q.vec_id, c.j,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {d2c}, c.j) AS rn
+    FROM q CROSS JOIN cinit c
+  ) WHERE rn = 1)""",
+        f"""cs AS MATERIALIZED (
+  SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n, {csums}
+  FROM ca0 a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cluster)""",
+        f"""cc AS MATERIALIZED (
+  SELECT p.j, CASE WHEN s.cluster IS NULL THEN p.cv
+                   ELSE list_value({cupd}) END AS cv
+  FROM cinit p LEFT JOIN cs s ON s.cluster = p.j)""",
+        f"""caf AS MATERIALIZED (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT q.vec_id, c.j,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {d2c.replace('cinit', 'cc')}, c.j) AS rn
+    FROM q CROSS JOIN cc c
+  ) WHERE rn = 1)""",
+        """res AS MATERIALIZED (
+  SELECT q.vec_id, caf.cluster,
+         list_transform(list_zip(q.vq, cc.cv),
+                        p -> p[1] - p[2] + 4000000) AS rv
+  FROM q JOIN caf ON caf.vec_id = q.vec_id JOIN cc ON cc.j = caf.cluster)""",
+        f"""pinit AS MATERIALIZED (
+  SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {_PQ_K}))""",
+        f"qv AS MATERIALIZED (SELECT vec_id AS query_id, vq FROM q "
+        f"WHERE vec_id IN {_PQ_QUERIES})",
+        f"""qc AS MATERIALIZED (
+  SELECT query_id, j AS cluster FROM (
+    SELECT qv.query_id, c.j,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('qv.vq', 'c.cv')}, c.j)
+             AS rn
+    FROM qv CROSS JOIN cc c
+  ) WHERE rn <= {_IVF_NPROBE})""",
+        """qres AS MATERIALIZED (
+  SELECT p.query_id, p.cluster,
+         list_transform(list_zip(qv.vq, cc.cv),
+                        x -> x[1] - x[2] + 4000000) AS rv
+  FROM qc p JOIN qv ON qv.query_id = p.query_id
+  JOIN cc ON cc.j = p.cluster)""",
+    ]
+    for m in range(_PQ_M):
+        off = m * _PQ_SUB
+        d2 = " + ".join(
+            f"(r.rv[{off + i + 1}] - c.cv[{i + 1}]) * "
+            f"(r.rv[{off + i + 1}] - c.cv[{i + 1}])"
+            for i in range(_PQ_SUB)
+        )
+        sums = ", ".join(
+            f"SUM(r.rv[{off + i + 1}]) AS s{i}" for i in range(_PQ_SUB)
+        )
+        upd = ", ".join(
+            f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(_PQ_SUB)
+        )
+        qd2 = " + ".join(
+            f"(qr.rv[{off + i + 1}] - c.cv[{i + 1}]) * "
+            f"(qr.rv[{off + i + 1}] - c.cv[{i + 1}])"
+            for i in range(_PQ_SUB)
+        )
+        parts += [
+            f"p0_{m} AS MATERIALIZED (SELECT j, list_slice(rv, {off + 1}, "
+            f"{off + _PQ_SUB}) AS cv FROM pinit)",
+            f"""pa_{m} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT r.vec_id, c.j AS code,
+           row_number() OVER (PARTITION BY r.vec_id
+                              ORDER BY {d2.replace('p0_', 'p0_')}, c.j) AS rn
+    FROM res r CROSS JOIN p0_{m} c
+  ) WHERE rn = 1)""",
+            f"""ps_{m} AS MATERIALIZED (
+  SELECT a.code, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+  FROM pa_{m} a JOIN res r ON r.vec_id = a.vec_id GROUP BY a.code)""",
+            f"""pc_{m} AS MATERIALIZED (
+  SELECT p.j, CASE WHEN s.code IS NULL THEN p.cv
+                   ELSE list_value({upd}) END AS cv
+  FROM p0_{m} p LEFT JOIN ps_{m} s ON s.code = p.j)""",
+            f"""pf_{m} AS MATERIALIZED (
+  SELECT vec_id, code FROM (
+    SELECT r.vec_id, c.j AS code,
+           row_number() OVER (PARTITION BY r.vec_id
+                              ORDER BY {d2.replace('p0_', 'pc_').replace('pc_' + str(m), 'pc_' + str(m))}, c.j) AS rn
+    FROM res r CROSS JOIN pc_{m} c
+  ) WHERE rn = 1)""",
+            f"""dt_{m} AS MATERIALIZED (
+  SELECT qr.query_id, qr.cluster, c.j, CAST({qd2} AS BIGINT) AS d
+  FROM qres qr CROSS JOIN pc_{m} c)""",
+        ]
+    code_cols = ", ".join(f"pf_{m}.code AS code{m}" for m in range(_PQ_M))
+    f_joins = " ".join(
+        f"JOIN pf_{m} ON pf_{m}.vec_id = pf_0.vec_id" for m in range(1, _PQ_M)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{m} ON dt_{m}.j = f.code{m} "
+        f"AND dt_{m}.query_id = dt_0.query_id AND dt_{m}.cluster = r.cluster"
+        for m in range(1, _PQ_M)
+    )
+    dsum = " + ".join(f"dt_{m}.d" for m in range(_PQ_M))
+    parts += [
+        f"""f_all AS MATERIALIZED (
+  SELECT pf_0.vec_id, {code_cols} FROM pf_0 {f_joins})""",
+        f"""appr AS MATERIALIZED (
+  SELECT dt_0.query_id, r.vec_id, CAST({dsum} AS BIGINT) AS approx_d2
+  FROM res r
+  JOIN qc ON qc.cluster = r.cluster
+  JOIN f_all f ON f.vec_id = r.vec_id
+  JOIN dt_0 ON dt_0.query_id = qc.query_id AND dt_0.cluster = r.cluster
+       AND dt_0.j = f.code0
+  {dt_joins})""",
+    ]
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT query_id, vec_id, approx_d2, rank FROM (
+  SELECT query_id, vec_id, approx_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2, vec_id) AS rank
+  FROM appr
+) WHERE rank <= {_PQ_TOPK}"""
+
+
+def _ivfpq_coarse_expr(cents: list[list[int]]) -> str:
+    """Spark SQL argmin cluster over literal 64-dim coarse centroids."""
+    structs = []
+    for j, c in enumerate(cents):
+        d2 = " + ".join(
+            f"(element_at(vq, {i + 1}) - {int(c[i])}L) * "
+            f"(element_at(vq, {i + 1}) - {int(c[i])}L)"
+            for i in range(64)
+        )
+        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
+    return f"array_min(array({', '.join(structs)})).j"
+
+
+def _pq_code_expr_rv(book: list[list[int]], off: int) -> str:
+    """Like _pq_code_expr but over the residual column ``rv``."""
+    structs = []
+    for j, cw in enumerate(book):
+        d2 = " + ".join(
+            f"(element_at(rv, {off + i + 1}) - {int(cw[i])}L) * "
+            f"(element_at(rv, {off + i + 1}) - {int(cw[i])}L)"
+            for i in range(_PQ_SUB)
+        )
+        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
+    return f"array_min(array({', '.join(structs)})).j"
+
+
+@register(
+    "s11_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    description="IVF+PQ ANN (IVFADC, Jegou et al. 2011 — the faiss "
+    "billion-scale layout): an exact-integer coarse quantizer (k=4, "
+    "e7 discipline) prunes each query to its nprobe=2 nearest cells, "
+    "and product quantization of the RESIDUAL x-c (8 subspaces x 16 "
+    "codes, trained one Lloyd iteration on integer residuals) scores "
+    "only the probed cells' vectors via per-query lookup tables. "
+    "Composes the pruning lever (s2/s4) with the compression lever "
+    "(s10) exactly as a production index does; every stage is "
+    "bit-identical on both engines, so the ENTIRE index — cells, "
+    "residual codebooks, codes, probe set, ADC top-k — is "
+    "differentially verified. Training: two bounded partial-agg "
+    "shuffles (256 + 1024 integer cells); query: cluster-pruned scan "
+    "+ 8 literal lookups per row + the s1 top-k window.",
+)
+def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
+    try:
+        # ---- coarse quantizer: k=4, one exact-integer Lloyd iteration
+        cinit = vq.orderBy("vec_id").limit(_IVF_K).collect()
+        ccents = [list(r["vq"]) for r in cinit]
+        assigned = vq.select(
+            "vq", F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster")
+        )
+        csums = (
+            assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in ccents]
+        for r in csums:
+            s, n = int(r["s"]), int(r["n"])
+            new[r["cluster"]][r["pos"]] = (2 * s + n) // (2 * n)
+        ccents = new
+
+        # ---- residuals vs the final coarse assignment (in-plan)
+        cents_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(x)}L" for x in c) + ")"
+                for c in ccents
+            )
+            + ")"
+        )
+        res = vq.select(
+            "vec_id",
+            F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+            "vq",
+        ).select(
+            "vec_id",
+            "cluster",
+            # +4e6 keeps residuals on the POSITIVE domain: the
+            # round-half-up integer mean (2s+n)//(2n) is only
+            # engine-portable there (floor vs truncate divergence on
+            # negatives — the e7 rule); PQ assignment and ADC are
+            # translation-invariant, so the shift changes nothing else
+            F.expr(
+                f"transform(vq, (x, i) -> x - element_at("
+                f"element_at({cents_lit}, cluster + 1), i + 1) + 4000000L)"
+            ).alias("rv"),
+        ).persist()
+
+        # ---- PQ on residuals: init from the 16 lowest vec_ids
+        pinit = res.orderBy("vec_id").limit(_PQ_K).collect()
+        books = [
+            [list(r["rv"])[m * _PQ_SUB : (m + 1) * _PQ_SUB] for r in pinit]
+            for m in range(_PQ_M)
+        ]
+        passigned = res.select(
+            "rv",
+            *[
+                F.expr(_pq_code_expr_rv(books[m], m * _PQ_SUB)).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+        psums = (
+            passigned.select(
+                F.posexplode("rv").alias("pos", "val"),
+                *[F.col(f"c{m}") for m in range(_PQ_M)],
+            )
+            .withColumn("m", (F.col("pos") / _PQ_SUB).cast("int"))
+            .withColumn(
+                "code",
+                F.element_at(
+                    F.array(*[F.col(f"c{m}") for m in range(_PQ_M)]),
+                    F.col("m") + 1,
+                ),
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in psums:
+            s, n = int(r["s"]), int(r["n"])
+            books[r["m"]][r["code"]][r["pos"] - r["m"] * _PQ_SUB] = (
+                2 * s + n
+            ) // (2 * n)
+
+        # ---- final codes for every vector
+        final = res.select(
+            "vec_id",
+            "cluster",
+            *[
+                F.expr(_pq_code_expr_rv(books[m], m * _PQ_SUB)).alias(f"c{m}")
+                for m in range(_PQ_M)
+            ],
+        )
+
+        # ---- queries: probe nprobe coarse cells, ADC over residuals
+        qrows = {
+            r["vec_id"]: list(r["vq"])
+            for r in vq.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        # ONE pass over the encoded corpus: per query, a CASE over its
+        # probed cells selects the matching lookup-table sum (NULL =
+        # row not in this query's probe set), stacked via explode —
+        # no per-(query, cell) branch unions re-running the encode scan
+        per_query = []
+        for qid in _PQ_QUERIES:
+            qv = qrows[qid]
+            cd = sorted(
+                (sum((qv[i] - c[i]) ** 2 for i in range(64)), j)
+                for j, c in enumerate(ccents)
+            )
+            probed = [j for _, j in cd[:_IVF_NPROBE]]
+            dist = F.lit(None).cast("long")
+            for cl in probed:
+                qr = [qv[i] - ccents[cl][i] + 4_000_000 for i in range(64)]
+                d_cl = None
+                for m in range(_PQ_M):
+                    table = [
+                        sum(
+                            (qr[m * _PQ_SUB + i] - cw[i]) ** 2
+                            for i in range(_PQ_SUB)
+                        )
+                        for cw in books[m]
+                    ]
+                    term = F.element_at(
+                        F.array(*[F.lit(int(d)) for d in table]),
+                        F.col(f"c{m}") + 1,
+                    )
+                    d_cl = term if d_cl is None else d_cl + term
+                dist = F.when(F.col("cluster") == cl, d_cl).otherwise(dist)
+            per_query.append(
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    dist.cast("long").alias("approx_d2"),
+                )
+            )
+        stacked = (
+            final.select(
+                "vec_id", F.explode(F.array(*per_query)).alias("s")
+            )
+            .select("s.query_id", "vec_id", "s.approx_d2")
+            .filter(F.col("approx_d2").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+        return (
+            stacked.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _PQ_TOPK)
+            .select("query_id", "vec_id", "approx_d2", "rank")
+        )
+    finally:
+        vq.unpersist(blocking=False)

@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "ev9_rfm_segments",
     "ev10_gap_filled_daily",
     "c1_curation_pipeline",
+    "s11_ivfpq_topk",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -423,3 +423,134 @@ class TestCurationPipeline:
             for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
         }
         assert "kept" in statuses and "filtered" in statuses
+
+
+class TestIvfPq:
+    def test_full_recurrence_matches_driver_recompute(self, spark, sf_dir):
+        """Re-derive the whole IVFADC index driver-side in plain Python
+        ints (coarse k-means -> residuals(+offset) -> per-subspace PQ
+        -> probe -> ADC) and require the identical top-k."""
+        import math
+
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _IVF_K,
+            _IVF_NPROBE,
+            _PQ_K,
+            _PQ_M,
+            _PQ_QUERIES,
+            _PQ_SUB,
+            _PQ_TOPK,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        vecs = {
+            r["vec_id"]: [
+                int(math.floor((float(x) + 2) * 1e6)) for x in r["embedding"]
+            ]
+            for r in e.collect()
+        }
+        ids = sorted(vecs)
+
+        def argmin(v, cents, dim, off=0):
+            best = None
+            for j, c in enumerate(cents):
+                d = sum((v[off + i] - c[i]) ** 2 for i in range(dim))
+                if best is None or (d, j) < best:
+                    best = (d, j)
+            return best
+
+        # coarse: init + 1 Lloyd iteration
+        ccents = [vecs[i] for i in ids[:_IVF_K]]
+        sums = [[0] * 64 for _ in range(_IVF_K)]
+        ns = [0] * _IVF_K
+        for v in vecs.values():
+            cl = argmin(v, ccents, 64)[1]
+            ns[cl] += 1
+            for i in range(64):
+                sums[cl][i] += v[i]
+        ccents = [
+            [(2 * sums[j][i] + ns[j]) // (2 * ns[j]) for i in range(64)]
+            if ns[j]
+            else ccents[j]
+            for j in range(_IVF_K)
+        ]
+        cluster = {vid: argmin(v, ccents, 64)[1] for vid, v in vecs.items()}
+        rv = {
+            vid: [
+                v[i] - ccents[cluster[vid]][i] + 4_000_000 for i in range(64)
+            ]
+            for vid, v in vecs.items()
+        }
+
+        # PQ on residuals: init + 1 iteration
+        books = [
+            [rv[i][m * _PQ_SUB : (m + 1) * _PQ_SUB] for i in ids[:_PQ_K]]
+            for m in range(_PQ_M)
+        ]
+        psums = [[[0] * _PQ_SUB for _ in range(_PQ_K)] for _ in range(_PQ_M)]
+        pns = [[0] * _PQ_K for _ in range(_PQ_M)]
+        for v in rv.values():
+            for m in range(_PQ_M):
+                c = argmin(v, books[m], _PQ_SUB, m * _PQ_SUB)[1]
+                pns[m][c] += 1
+                for i in range(_PQ_SUB):
+                    psums[m][c][i] += v[m * _PQ_SUB + i]
+        for m in range(_PQ_M):
+            for c in range(_PQ_K):
+                if pns[m][c]:
+                    books[m][c] = [
+                        (2 * psums[m][c][i] + pns[m][c]) // (2 * pns[m][c])
+                        for i in range(_PQ_SUB)
+                    ]
+        codes = {
+            vid: [
+                argmin(v, books[m], _PQ_SUB, m * _PQ_SUB)[1]
+                for m in range(_PQ_M)
+            ]
+            for vid, v in rv.items()
+        }
+
+        want = []
+        for qid in _PQ_QUERIES:
+            qv = vecs[qid]
+            cd = sorted(
+                (sum((qv[i] - c[i]) ** 2 for i in range(64)), j)
+                for j, c in enumerate(ccents)
+            )
+            probed = {j for _, j in cd[:_IVF_NPROBE]}
+            scored = []
+            for vid in vecs:
+                if cluster[vid] not in probed:
+                    continue
+                qr = [
+                    qv[i] - ccents[cluster[vid]][i] + 4_000_000
+                    for i in range(64)
+                ]
+                d = 0
+                for m in range(_PQ_M):
+                    cw = books[m][codes[vid][m]]
+                    d += sum(
+                        (qr[m * _PQ_SUB + i] - cw[i]) ** 2
+                        for i in range(_PQ_SUB)
+                    )
+                scored.append((d, vid))
+            scored.sort()
+            for rank, (d, vid) in enumerate(scored[:_PQ_TOPK], 1):
+                want.append((qid, vid, d, rank))
+
+        got = [
+            (r["query_id"], r["vec_id"], r["approx_d2"], r["rank"])
+            for r in REGISTRY["s11_ivfpq_topk"].spark(spark, sf_dir).collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+    def test_prunes_to_probed_cells(self, spark, sf_dir):
+        """IVF property: 5 results per query, ranks 1..5, and the
+        query vector itself (whose own cell is always probed) appears."""
+        rows = REGISTRY["s11_ivfpq_topk"].spark(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rs in by_q.items():
+            assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
+            assert qid in {x["vec_id"] for x in rs}
