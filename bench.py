@@ -130,6 +130,8 @@ EXTRA = [
     "ev10_gap_filled_daily",    # calendar densification
     "c1_curation_pipeline",     # one-call gate->dedup->shard flow
     "s11_ivfpq_topk",           # IVF+PQ (IVFADC) pruned+compressed ANN
+    "t28_langid_confusion",     # lang-id prediction vs label matrix
+    "j14_spatial_grid_join",    # grid-bucketed <=200km distance join
 ]
 
 

@@ -1517,3 +1517,189 @@ def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         vq.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# t28_langid_confusion — prediction-vs-label evaluation.
+# ---------------------------------------------------------------------------
+
+
+def _t28_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import text_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    t3 = REGISTRY["t3_lang_id"].oracle
+    q = REGISTRY["t28_langid_confusion"]
+    oracle = f"""
+    WITH pred AS MATERIALIZED ({t3})
+    SELECT d.lang, p.lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY d.lang), 6) AS share
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_guess
+    """
+    REGISTRY["t28_langid_confusion"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "t28_langid_confusion",
+    oracle=None,  # attached below — embeds t3's registered oracle
+    description="LANG-ID CONFUSION MATRIX: the t3 marker-vote "
+    "predictions cross-tabulated against the corpus's labeled lang "
+    "column, with per-label shares — the evaluation loop that turns "
+    "a heuristic classifier into a monitored one (label drift or a "
+    "marker-lexicon regression shows up as a share shift). One "
+    "label-keyed partial-agg shuffle over (label, guess) pairs; the "
+    "matrix is language-domain bounded. Oracle embeds t3's "
+    "registered SQL, so the composition itself is verified.",
+)
+def t28_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.functions import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "lang", tx.lang_id(F.col("text")).alias("lang_guess")
+    )
+    counts = pairs.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+_t28_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# j14_spatial_grid_join — grid-bucketed distance join.
+#
+# The geo analog of LSH bucketing: points land in 2-degree grid
+# cells, candidate pairs come from a bounded NEIGHBOR-CELL join
+# (never the cross product), and the exact haversine check keeps
+# only true <= 200 km pairs — so false candidates cost a predicate,
+# never a shuffle of the cross product. Neighbor cover is PROVEN for
+# the operator's contract (|lat| < 60): a 2-degree lat cell is
+# ~222 km > 200 (±1 lat suffices); at |lat| <= 60 a 2-degree lon
+# cell is >= 111 km (cos 60 = 0.5), so ±2 lon cells cover 200 km;
+# lon cells wrap at the antimeridian via modular arithmetic.
+# Coordinates are synthesized from keys (f16's convention — the
+# test tables carry no geo columns); the oracle is the brute-force
+# cross join + the same exact check: different plan, identical
+# relation, which is precisely the bucketing correctness claim.
+# ---------------------------------------------------------------------------
+
+_GEO_MAX_KM = 200.0
+
+
+def _geo_sql(key: str, a: int, b: int) -> tuple[str, str]:
+    return (
+        f"CAST(({key} * {a}) % 120 - 60 AS DOUBLE)",
+        f"CAST(({key} * {b}) % 360 - 180 AS DOUBLE)",
+    )
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    h = (
+        f"sin(radians(({lat2}) - ({lat1}))/2) * sin(radians(({lat2}) - ({lat1}))/2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1}))/2) * sin(radians(({lon2}) - ({lon1}))/2)"
+    )
+    return f"(2 * 6371.0 * atan2(sqrt({h}), sqrt(1 - ({h}))))"
+
+
+def _j14_oracle() -> str:
+    clat, clon = _geo_sql("c_custkey", 7, 11)
+    slat, slon = _geo_sql("s_suppkey", 13, 17)
+    d = _hav_sql("c.lat", "c.lon", "s.lat", "s.lon")
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, {clat} AS lat, {clon} AS lon FROM customer
+    ), s AS (
+      SELECT s_suppkey, {slat} AS lat, {slon} AS lon FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(floor({d}) AS BIGINT) AS dist_km_floor
+    FROM c CROSS JOIN s
+    WHERE {d} <= {_GEO_MAX_KM}
+    """
+
+
+@register(
+    "j14_spatial_grid_join",
+    oracle=_j14_oracle(),
+    description="SPATIAL GRID-BUCKETED DISTANCE JOIN (<= 200 km "
+    "customer-supplier pairs): 2-degree grid cells + a PROVEN "
+    "neighbor cover (±1 lat, ±2 lon with antimeridian wrap, valid "
+    "for the |lat| < 60 contract) generate candidates from a "
+    "cell-keyed equi-join — the geo analog of LSH bucketing; the "
+    "exact haversine predicate then keeps only true pairs, so the "
+    "result is identical to the cross-join oracle while the shuffle "
+    "stays cell-bounded (Σ cell-pair products, never |C|x|S|). "
+    "Coordinates synthesized from keys per f16's convention; "
+    "distances reported as floor-km BIGINT (the f16 trig-parity "
+    "rule).",
+)
+def j14_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.functions.geo import haversine_km
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 120 - 60).cast("double").alias("lat"),
+        ((F.col("c_custkey") * 11) % 360 - 180).cast("double").alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 120 - 60).cast("double").alias("lat"),
+        ((F.col("s_suppkey") * 17) % 360 - 180).cast("double").alias("lon"),
+    )
+
+    def cells(df, explode_neighbors: bool):
+        latc = F.floor(F.col("lat") / 2).cast("int")
+        lonc = F.floor(F.col("lon") / 2).cast("int")
+        if not explode_neighbors:
+            return df.withColumn("latc", latc).withColumn("lonc", lonc)
+        # ±1 lat x ±2 lon neighbor cover, lon wrapped mod 180 cells
+        offs = [
+            F.struct(
+                (latc + dy).alias("latc"),
+                (F.pmod(lonc + 90 + dx, F.lit(180)) - 90).alias("lonc"),
+            )
+            for dy in (-1, 0, 1)
+            for dx in (-2, -1, 0, 1, 2)
+        ]
+        return df.withColumn("cell", F.explode(F.array(*offs))).select(
+            df["*"], F.col("cell.latc").alias("latc"), F.col("cell.lonc").alias("lonc")
+        )
+
+    c_cells = cells(cust, explode_neighbors=True)
+    s_cells = cells(supp, explode_neighbors=False).select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        "latc",
+        "lonc",
+    )
+    dist = haversine_km(
+        F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    return (
+        c_cells.join(s_cells, ["latc", "lonc"])
+        .filter(dist <= _GEO_MAX_KM)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.floor(dist).cast("long").alias("dist_km_floor"),
+        )
+    )

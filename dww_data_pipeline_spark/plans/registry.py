@@ -156,6 +156,8 @@ _PRIORITY: list[str] = [
     "ev10_gap_filled_daily",
     "c1_curation_pipeline",
     "s11_ivfpq_topk",
+    "t28_langid_confusion",
+    "j14_spatial_grid_join",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -554,3 +554,68 @@ class TestIvfPq:
         for qid, rs in by_q.items():
             assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
             assert qid in {x["vec_id"] for x in rs}
+
+
+class TestLangidConfusion:
+    def test_shares_sum_to_one_and_counts_match(self, spark, sf_dir):
+        rows = REGISTRY["t28_langid_confusion"].spark(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r["n"] for r in rows) == n_docs
+        by_lang: dict[str, float] = {}
+        for r in rows:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["share"]
+        for lang, tot in by_lang.items():
+            assert tot == pytest.approx(1.0, abs=1e-4)
+
+
+class TestSpatialGridJoin:
+    def test_no_misses_vs_brute_force(self, spark, sf_dir):
+        """The bucketing correctness claim: the neighbor-cell cover
+        must find EXACTLY the cross-join's <= 200 km pairs."""
+        import math
+
+        cust = [
+            (r["c_custkey"], (r["c_custkey"] * 7) % 120 - 60.0,
+             (r["c_custkey"] * 11) % 360 - 180.0)
+            for r in load_table(spark, sf_dir, "customer").collect()
+        ]
+        supp = [
+            (r["s_suppkey"], (r["s_suppkey"] * 13) % 120 - 60.0,
+             (r["s_suppkey"] * 17) % 360 - 180.0)
+            for r in load_table(spark, sf_dir, "supplier").collect()
+        ]
+
+        def hav(lat1, lon1, lat2, lon2):
+            h = (
+                math.sin(math.radians(lat2 - lat1) / 2) ** 2
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(math.radians(lon2 - lon1) / 2) ** 2
+            )
+            return 2 * 6371.0 * math.atan2(math.sqrt(h), math.sqrt(1 - h))
+
+        want = {
+            (ck, sk)
+            for ck, clat, clon in cust
+            for sk, slat, slon in supp
+            if hav(clat, clon, slat, slon) <= 200.0
+        }
+        got = {
+            (r["c_custkey"], r["s_suppkey"])
+            for r in REGISTRY["j14_spatial_grid_join"].spark(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert want  # the synthetic layout must produce at least one pair
+
+    def test_candidates_are_cell_bounded(self, spark, sf_dir):
+        """Scale claim: the physical plan joins on cell keys (hash or
+        sort-merge equi-join), never a nested-loop cross product."""
+        plan = (
+            REGISTRY["j14_spatial_grid_join"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
