@@ -132,6 +132,7 @@ EXTRA = [
     "s11_ivfpq_topk",           # IVF+PQ (IVFADC) pruned+compressed ANN
     "t28_langid_confusion",     # lang-id prediction vs label matrix
     "j14_spatial_grid_join",    # grid-bucketed <=200km distance join
+    "e9_power_iteration_pc1",   # oracle-checked top PC (power iter)
 ]
 
 

@@ -619,3 +619,82 @@ class TestSpatialGridJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPowerIteration:
+    def test_converges_to_numpy_top_eigenvector(self, spark, sf_dir):
+        """The integer recurrence must land (directionally) on the
+        true dominant eigenvector of the float Gram matrix."""
+        import numpy as np
+
+        e = load_table(spark, sf_dir, "embeddings")
+        X = np.array(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+        )
+        G = X.T @ X
+        evals, evecs = np.linalg.eigh(G)
+        top = evecs[:, -1]
+
+        from dww_data_pipeline_spark.operators.similarity import gram_fixed_point
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _PI_ITERS,
+            _PI_SCALE,
+        )
+
+        gram = {
+            (r["pos"] // 64, r["pos"] % 64): int(r["s_fp"])
+            for r in gram_fixed_point(e, "embedding", dim=64).collect()
+        }
+        v = [_PI_SCALE] * 64
+        for _ in range(_PI_ITERS):
+            w = [
+                sum(gram.get((i, j), 0) * v[j] for j in range(64))
+                for i in range(64)
+            ]
+            m = max(abs(x) for x in w)
+            v = [
+                (1 if x >= 0 else -1) * ((abs(x) * _PI_SCALE) // m)
+                for x in w
+            ]
+        vi = np.array(v, dtype=np.float64)
+        cos = abs(vi @ top) / (np.linalg.norm(vi) * np.linalg.norm(top))
+        assert cos >= 0.99
+
+    def test_projection_matches_driver_recompute(self, spark, sf_dir):
+        import math
+
+        import numpy as np  # noqa: F401
+
+        from dww_data_pipeline_spark.operators.similarity import gram_fixed_point
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _PI_ITERS,
+            _PI_SCALE,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        gram = {
+            (r["pos"] // 64, r["pos"] % 64): int(r["s_fp"])
+            for r in gram_fixed_point(e, "embedding", dim=64).collect()
+        }
+        v = [_PI_SCALE] * 64
+        for _ in range(_PI_ITERS):
+            w = [
+                sum(gram.get((i, j), 0) * v[j] for j in range(64))
+                for i in range(64)
+            ]
+            m = max(abs(x) for x in w)
+            v = [
+                (1 if x >= 0 else -1) * ((abs(x) * _PI_SCALE) // m)
+                for x in w
+            ]
+        want = {}
+        for r in e.collect():
+            vq = [
+                int(math.floor((float(x) + 2) * 1e6)) for x in r["embedding"]
+            ]
+            want[r["vec_id"]] = sum(vq[i] * v[i] for i in range(64))
+        got = {
+            r["vec_id"]: r["pc1_fp"]
+            for r in REGISTRY["e9_power_iteration_pc1"].spark(spark, sf_dir).collect()
+        }
+        assert got == want
