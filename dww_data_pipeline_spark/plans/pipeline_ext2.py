@@ -499,18 +499,31 @@ SELECT query_id, vec_id, approx_d2, rank FROM (
 ) WHERE rank <= {_PQ_TOPK}"""
 
 
-def _pq_code_expr(book: list[list[int]], off: int) -> str:
-    """Spark SQL: argmin codeword index for one subspace, codebook
-    folded to literals (one parsed expression — the e7 idiom)."""
-    structs = []
-    for j, cw in enumerate(book):
-        d2 = " + ".join(
-            f"(element_at(vq, {off + i + 1}) - {int(cw[i])}L) * "
-            f"(element_at(vq, {off + i + 1}) - {int(cw[i])}L)"
-            for i in range(_PQ_SUB)
+def _code_expr(book: list[list[int]], off: int, n: int, vec: str) -> str:
+    """Spark SQL: argmin codeword index over ``vec[off:off+n]`` with
+    the codebook folded to an array-of-arrays literal and the
+    distance computed by aggregate(zip_with(...)) LOOPS rather than
+    an unrolled sum. Measured: the unrolled form exceeds the
+    whole-stage-codegen method limit (compile fails, interpreted
+    fallback) and runs 4x slower — 2.25 s vs 0.53 s for the 8-way
+    encode at sf0.1; results are identical."""
+    cb = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(c)}L" for c in cw) + ")" for cw in book
         )
-        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
-    return f"array_min(array({', '.join(structs)})).j"
+        + ")"
+    )
+    return (
+        f"array_min(transform({cb}, (cw, j) -> named_struct("
+        f"'d', aggregate(zip_with(slice({vec}, {off + 1}, {n}), cw, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+        f"'j', j))).j"
+    )
+
+
+def _pq_code_expr(book: list[list[int]], off: int) -> str:
+    return _code_expr(book, off, _PQ_SUB, "vq")
 
 
 @register(
@@ -1322,29 +1335,14 @@ SELECT query_id, vec_id, approx_d2, rank FROM (
 
 
 def _ivfpq_coarse_expr(cents: list[list[int]]) -> str:
-    """Spark SQL argmin cluster over literal 64-dim coarse centroids."""
-    structs = []
-    for j, c in enumerate(cents):
-        d2 = " + ".join(
-            f"(element_at(vq, {i + 1}) - {int(c[i])}L) * "
-            f"(element_at(vq, {i + 1}) - {int(c[i])}L)"
-            for i in range(64)
-        )
-        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
-    return f"array_min(array({', '.join(structs)})).j"
+    """Spark SQL argmin cluster over literal 64-dim coarse centroids
+    (loop form — see _code_expr)."""
+    return _code_expr(cents, 0, 64, "vq")
 
 
 def _pq_code_expr_rv(book: list[list[int]], off: int) -> str:
     """Like _pq_code_expr but over the residual column ``rv``."""
-    structs = []
-    for j, cw in enumerate(book):
-        d2 = " + ".join(
-            f"(element_at(rv, {off + i + 1}) - {int(cw[i])}L) * "
-            f"(element_at(rv, {off + i + 1}) - {int(cw[i])}L)"
-            for i in range(_PQ_SUB)
-        )
-        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
-    return f"array_min(array({', '.join(structs)})).j"
+    return _code_expr(book, off, _PQ_SUB, "rv")
 
 
 @register(
