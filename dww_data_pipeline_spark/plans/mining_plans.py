@@ -127,15 +127,22 @@ SELECT vec_id, CAST(cluster AS INT) AS cluster, d2 FROM afin"""
 def _km_assign_expr(cents: list[list[int]]) -> str:
     """Spark SQL text: struct(min distance, cluster) over literal
     centroids — one parsed expression, no Py4J lambda round-trips
-    (the e5/e6 driver-time finding)."""
-    structs = []
-    for j, c in enumerate(cents):
-        d2 = " + ".join(
-            f"(element_at(vq, {i + 1}) - {int(c[i])}L) * (element_at(vq, {i + 1}) - {int(c[i])}L)"
-            for i in range(_KM_DIM)
+    (the e5/e6 driver-time finding). Loop form (codebook as an
+    array-of-arrays literal, distance via aggregate(zip_with)): the
+    unrolled k*dim sum exceeds the whole-stage-codegen method limit
+    and falls back to interpretation (the s10/s11 finding)."""
+    cb = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{int(x)}L" for x in c) + ")" for c in cents
         )
-        structs.append(f"named_struct('d', CAST({d2} AS BIGINT), 'j', {j})")
-    return f"array_min(array({', '.join(structs)}))"
+        + ")"
+    )
+    return (
+        f"array_min(transform({cb}, (cv, j) -> named_struct("
+        f"'d', aggregate(zip_with(vq, cv, (a, b) -> (a - b) * (a - b)), "
+        f"0L, (acc, x) -> acc + x), 'j', j)))"
+    )
 
 
 @register(
