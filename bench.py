@@ -133,6 +133,7 @@ EXTRA = [
     "t28_langid_confusion",     # lang-id prediction vs label matrix
     "j14_spatial_grid_join",    # grid-bucketed <=200km distance join
     "e9_power_iteration_pc1",   # oracle-checked top PC (power iter)
+    "dq14_reconciliation",      # header-vs-detail integer-cent audit
 ]
 
 

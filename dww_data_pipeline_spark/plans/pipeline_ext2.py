@@ -1810,3 +1810,69 @@ def e9_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _e9_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dq14_reconciliation — cross-table financial reconciliation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq14_reconciliation",
+    oracle="""
+    WITH r AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS header_fp,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * (1 + l.l_tax) * 100) AS BIGINT))
+                  AS BIGINT) AS detail_fp
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(detail_fp - header_fp) <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(MAX(abs(detail_fp - header_fp)) AS BIGINT)
+             AS max_abs_diff_fp,
+           CAST(SUM(abs(detail_fp - header_fp)) AS BIGINT)
+             AS sum_abs_diff_fp
+    FROM r
+    """,
+    description="CROSS-TABLE RECONCILIATION: order-header totals vs "
+    "the detail-line reconstruction sum(extendedprice*(1-disc)*"
+    "(1+tax)), reported as integer-cent diffs (floor-to-cents per "
+    "line, identical multiply order both engines, so the report is "
+    "hash-exact). The classic warehouse integrity check next to "
+    "dq3's FK orphans — and an honest finding here: the synthetic "
+    "corpus generates o_totalprice independently of its lineitems, "
+    "which is exactly what this operator exists to catch. One "
+    "order-keyed partial-agg shuffle; the report is a single row.",
+)
+def dq14_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("header_fp"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+            * 100
+        )
+        .cast("long")
+        .alias("line_fp"),
+    )
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "header_fp")
+        .agg(F.sum("line_fp").alias("detail_fp"))
+    )
+    diff = F.abs(F.col("detail_fp") - F.col("header_fp"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(diff <= 1, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.max(diff).alias("max_abs_diff_fp"),
+        F.sum(diff).alias("sum_abs_diff_fp"),
+    )

@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "t28_langid_confusion",
     "j14_spatial_grid_join",
     "e9_power_iteration_pc1",
+    "dq14_reconciliation",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

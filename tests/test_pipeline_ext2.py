@@ -698,3 +698,32 @@ class TestPowerIteration:
             for r in REGISTRY["e9_power_iteration_pc1"].spark(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestReconciliation:
+    def test_report_matches_driver_recompute(self, spark, sf_dir):
+        import math
+
+        orders = {
+            r["o_orderkey"]: int(math.floor(r["o_totalprice"] * 100))
+            for r in load_table(spark, sf_dir, "orders").collect()
+        }
+        detail: dict[int, int] = {}
+        for r in load_table(spark, sf_dir, "lineitem").collect():
+            fp = int(
+                math.floor(
+                    r["l_extendedprice"]
+                    * (1 - r["l_discount"])
+                    * (1 + r["l_tax"])
+                    * 100
+                )
+            )
+            detail[r["l_orderkey"]] = detail.get(r["l_orderkey"], 0) + fp
+        diffs = [
+            abs(detail[k] - orders[k]) for k in detail if k in orders
+        ]
+        row = REGISTRY["dq14_reconciliation"].spark(spark, sf_dir).collect()[0]
+        assert row["n_orders"] == len(diffs)
+        assert row["n_matched"] == sum(1 for d in diffs if d <= 1)
+        assert row["max_abs_diff_fp"] == max(diffs)
+        assert row["sum_abs_diff_fp"] == sum(diffs)
