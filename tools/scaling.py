@@ -90,6 +90,12 @@ QUERIES = [
     "d2_minhash_lsh_pairs", # expression-heavy map + tiny shuffle
     "t2_quality_scores",    # pure per-row text expressions
     "e5_embedding_gram",    # Arrow partial-agg reduction
+    # round-4d scale paths
+    "ev7_market_basket",    # in-place pair-gen + bounded pair counts
+    "pr4_triangle_count",   # thresholded graph census (checkpointed)
+    "c1_curation_pipeline", # composed gate -> dedup -> shard flow
+    "s10_pq_ann_topk",      # PQ train + encode + ADC scan
+    "j14_spatial_grid_join",  # cell-bucketed spatial candidates
 ]
 
 
