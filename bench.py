@@ -134,6 +134,8 @@ EXTRA = [
     "j14_spatial_grid_join",    # grid-bucketed <=200km distance join
     "e9_power_iteration_pc1",   # oracle-checked top PC (power iter)
     "dq14_reconciliation",      # header-vs-detail integer-cent audit
+    "st10_session_paths",       # streaming-capable session journeys
+    "pr6_kcore",                # k-core peeling cohesion screen
 ]
 
 

@@ -1876,3 +1876,117 @@ def dq14_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(diff).alias("max_abs_diff_fp"),
         F.sum(diff).alias("sum_abs_diff_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pr6_kcore — k-core peeling over the strong-tie graph.
+#
+# The density-tier completion next to pr4/pr5: iteratively remove
+# nodes of degree < k until (bounded) convergence — the subgraph
+# that survives is the k-core, the standard cohesion screen (spam
+# rings, collusive clusters, "only count mutually-dense ties").
+# Semantics are the DEFINED 8-round recurrence (not loop-to-
+# convergence, which is not SQL-unrollable): after 8 peels the
+# survivor set and its internal degrees are reported; at the test
+# SFs 8 rounds reach the fixpoint (asserted in pytest).
+#
+# Scale shape: the edge list is node-dimension-bounded (the pr4
+# threshold discipline); each round is one degree partial-agg + two
+# broadcast semi-joins of the keep set; lineage is truncated by the
+# shared strong_tie_graph checkpoint up front and lazy checkpoints
+# per round (the d6/pr1 iterative rule).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _pr6_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.pipeline_ext import _STRONG_GRAPH_SQL
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    parts = [f"{_STRONG_GRAPH_SQL}", "e0 AS MATERIALIZED (SELECT u, v FROM pairs)"]
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts += [
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node)""",
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} "
+            f"WHERE deg >= {_KCORE_K})",
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{r} a ON a.node = e.u JOIN k{r} b ON b.node = e.v)""",
+        ]
+        prev = f"e{r}"
+    body = ",\n".join(parts)
+    oracle = f"""WITH {body},
+    fin AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg AS deg0,
+           CAST(COALESCE(f.core_deg, 0) AS BIGINT) AS core_deg,
+           f.node IS NOT NULL AS in_core
+    FROM deg d LEFT JOIN fin f ON f.node = d.node"""
+    q = REGISTRY["pr6_kcore"]
+    REGISTRY["pr6_kcore"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "pr6_kcore",
+    oracle=None,  # attached below — shares pipeline_ext._STRONG_GRAPH_SQL
+    description="K-CORE PEELING (k=3, 8 defined rounds — fixpoint at "
+    "test SFs, asserted): iteratively drop nodes with fewer than 3 "
+    "strong ties; report each node's original degree, surviving "
+    "in-core degree, and membership — the cohesion screen next to "
+    "pr4's census and pr5's local density. Per round: one degree "
+    "partial-agg + two broadcast semi-joins of the node-bounded keep "
+    "set over the checkpointed strong-tie edge list; the fact table "
+    "is touched exactly once (shared pr4 derivation).",
+)
+def pr6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+    pairs, deg0, _ = strong_tie_graph(spark, sf_dir)
+    edges = pairs
+    for _ in range(_KCORE_ROUNDS):
+        deg_r = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg_r.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "u")), "u", "leftsemi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "v")), "v", "leftsemi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    fin = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return (
+        deg0.withColumnRenamed("deg", "deg0")
+        .join(fin, "node", "left")
+        .select(
+            "node",
+            "deg0",
+            F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
+            F.col("core_deg").isNotNull().alias("in_core"),
+        )
+    )
+
+
+_pr6_attach_oracle()

@@ -160,6 +160,8 @@ _PRIORITY: list[str] = [
     "j14_spatial_grid_join",
     "e9_power_iteration_pc1",
     "dq14_reconciliation",
+    "st10_session_paths",
+    "pr6_kcore",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -685,3 +685,54 @@ def st9_stream_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((cms - F.col("n")) * CMS_W <= 3 * F.col("total"))
         ).alias("within_bound"),
     )
+
+
+@register(
+    "st10_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_ms(ts) - epoch_ms(prev_ts) > 10 * 60 * 1000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+        FROM events
+      )
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ), paths AS (
+      SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             user_id,
+             string_agg(CASE WHEN rn <= 5 THEN event_type END, '>'
+                        ORDER BY ts, event_id) AS path,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ranked
+      GROUP BY user_id, session_id
+    )
+    SELECT session_start, user_id, path, n_events FROM paths
+    """,
+    description="SESSION JOURNEY PATHS: per user-session the "
+    "'>'-joined first-5 event-type path (deterministic in-row sort by "
+    "ts, event_id) + session length — the sessionized composition of "
+    "st3's session windows and ev4's journey paths, and STREAMING-"
+    "CAPABLE: the same function runs under readStream + watermark "
+    "(session_window aggregation state is bounded per open session; "
+    "parity asserted in tests/test_streaming.py). One session-window "
+    "shuffle; paths are projections of the bounded in-session "
+    "collect.",
+)
+def st10_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.events import session_paths_agg
+
+    return session_paths_agg(_events(spark, sf_dir))

@@ -235,3 +235,32 @@ def windowed_cms_cells(events: DataFrame, watermark: str = "2 hours") -> DataFra
             "c",
         )
     )
+
+
+def session_paths_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-session event-type PATH (first 5 events in time order,
+    '>'-joined) — the journey string a funnel/paths consumer counts.
+    Works identically on a batch frame and a watermarked stream: the
+    session_window aggregation collects (ts, event_id, event_type)
+    structs (bounded by the session), sorts them IN the row
+    (deterministic: struct order = ts, event_id tiebreak), and the
+    path is a pure projection. Raw events never shuffle twice."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", "30 minutes")
+    sess = src.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    return sess.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "user_id",
+        F.concat_ws(
+            ">",
+            F.transform(F.slice("evs", 1, 5), lambda e: e["event_type"]),
+        ).alias("path"),
+        F.size("evs").alias("n_events"),
+    )

@@ -727,3 +727,57 @@ class TestReconciliation:
         assert row["n_matched"] == sum(1 for d in diffs if d <= 1)
         assert row["max_abs_diff_fp"] == max(diffs)
         assert row["sum_abs_diff_fp"] == sum(diffs)
+
+
+class TestKCore:
+    def _peel(self, edges, k, rounds):
+        edges = set(edges)
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for u, v in edges:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        return edges
+
+    def test_matches_driver_peel_and_is_fixpoint(self, spark, sf_dir):
+        from itertools import combinations
+
+        from dww_data_pipeline_spark.plans.pipeline_ext import _TRI_MIN_CO
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _KCORE_K,
+            _KCORE_ROUNDS,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        by_order: dict[int, set[int]] = {}
+        for r in li.collect():
+            by_order.setdefault(r["l_orderkey"], set()).add(r["l_suppkey"])
+        co: dict[tuple[int, int], int] = {}
+        for supps in by_order.values():
+            for a, b in combinations(sorted(supps), 2):
+                co[(a, b)] = co.get((a, b), 0) + 1
+        edges = {e for e, n in co.items() if n >= _TRI_MIN_CO}
+
+        final = self._peel(edges, _KCORE_K, _KCORE_ROUNDS)
+        # fixpoint at test SF: one more round changes nothing
+        assert self._peel(final, _KCORE_K, 1) == final
+
+        deg0: dict[int, int] = {}
+        for u, v in edges:
+            deg0[u] = deg0.get(u, 0) + 1
+            deg0[v] = deg0.get(v, 0) + 1
+        core_deg: dict[int, int] = {}
+        for u, v in final:
+            core_deg[u] = core_deg.get(u, 0) + 1
+            core_deg[v] = core_deg.get(v, 0) + 1
+
+        rows = REGISTRY["pr6_kcore"].spark(spark, sf_dir).collect()
+        assert {r["node"] for r in rows} == set(deg0)
+        for r in rows:
+            assert r["deg0"] == deg0[r["node"]]
+            assert r["core_deg"] == core_deg.get(r["node"], 0)
+            assert r["in_core"] == (r["node"] in core_deg)

@@ -625,3 +625,36 @@ class TestStreamingCms:
         # sf0.01)
         rate = sum(1 for r in rows if r["within_bound"]) / len(rows)
         assert rate >= 0.9
+
+
+class TestSessionPaths:
+    def test_paths_stream_equals_batch(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.events import session_paths_agg
+
+        stream = read_events_stream(spark, sf_dir)
+        assert stream.isStreaming
+        q = _run_stream_to_memory(session_paths_agg(stream), "spaths_t")
+        try:
+            got = {
+                (str(r["session_start"]), r["user_id"]): (r["path"], r["n_events"])
+                for r in spark.sql("SELECT * FROM spaths_t").collect()
+            }
+            want = {
+                (str(r["session_start"]), r["user_id"]): (r["path"], r["n_events"])
+                for r in session_paths_agg(
+                    load_table(spark, sf_dir, "events")
+                ).collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+
+    def test_path_is_time_ordered_prefix(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.events import session_paths_agg
+
+        rows = session_paths_agg(load_table(spark, sf_dir, "events")).collect()
+        assert rows
+        for r in rows:
+            steps = r["path"].split(">")
+            assert 1 <= len(steps) <= 5
+            assert len(steps) == min(r["n_events"], 5)
