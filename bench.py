@@ -136,6 +136,8 @@ EXTRA = [
     "dq14_reconciliation",      # header-vs-detail integer-cent audit
     "st10_session_paths",       # streaming-capable session journeys
     "pr6_kcore",                # k-core peeling cohesion screen
+    "ev11_cohort_ltv",          # cohort revenue matrix (integer cents)
+    "dq15_benford",             # first-digit forensic screen
 ]
 
 

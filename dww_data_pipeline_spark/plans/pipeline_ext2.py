@@ -1990,3 +1990,137 @@ def pr6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _pr6_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ev11_cohort_ltv — cohort revenue (lifetime-value) matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev11_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             strftime(date_trunc('month', MIN(o_orderdate)), '%Y-%m')
+               AS cohort
+      FROM orders GROUP BY 1
+    ), monthly AS (
+      SELECT f.cohort,
+             strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_fp
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cohort, month, n_active, revenue_fp FROM monthly
+    """,
+    description="COHORT LIFETIME-VALUE MATRIX: customers grouped by "
+    "first-order month, then per (cohort, activity month) the active "
+    "count and integer-cent revenue — the revenue companion of ev2's "
+    "user-count retention triangle. Scale shape: the cohort map is "
+    "one customer-keyed partial agg (broadcastable — customer-"
+    "dimension bounded), the matrix one (cohort, month) agg; months "
+    "bound the output, not the fact volume.",
+)
+def ev11_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort")
+    )
+    return (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_fp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq15_benford — first-digit forensic screen.
+#
+# Benford's law: in many natural monetary distributions the leading
+# digit d appears with probability log10(1 + 1/d). The chi-square
+# distance of the observed first-digit histogram from that curve is
+# the classic fraud/synthetic-data screen. Expected probabilities are
+# PLAN-TIME LITERALS (computed once in Python, identical text in the
+# oracle), so the only cross-engine float ops are the same
+# multiply/divide sequence on integer counts — hash-exact.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = [0.0] + [
+    __import__("math").log10(1 + 1 / d) for d in range(1, 10)
+]
+
+
+def _benford_cases(expr: str) -> str:
+    return " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+
+
+@register(
+    "dq15_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), hist AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
+    SELECT h.d, h.n,
+           round(CAST(h.n AS DOUBLE) / t.total, 6) AS observed,
+           round(CASE h.d {_benford_cases("h.d")} END, 6) AS expected,
+           round(
+             (CAST(h.n AS DOUBLE) - (CASE h.d {_benford_cases("h.d")} END)
+                                    * t.total)
+             * (CAST(h.n AS DOUBLE) - (CASE h.d {_benford_cases("h.d")} END)
+                                      * t.total)
+             / ((CASE h.d {_benford_cases("h.d")} END) * t.total), 6)
+             AS chi2_term
+    FROM hist h CROSS JOIN tot t
+    """,
+    description="BENFORD FIRST-DIGIT SCREEN over order totals: "
+    "observed vs log10(1+1/d) expected shares and per-digit "
+    "chi-square terms — the forensic test for fabricated or "
+    "synthetic monetary data (here an honest screen over the "
+    "generator's uniform-ish totals, which SHOULD flag — the test "
+    "pins the deviation). Expected probabilities are plan-time "
+    "literals; one digit-keyed partial agg bounded at 9 groups.",
+)
+def dq15_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    hist = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hist.agg(F.sum("n").alias("total"))
+    exp = F.lit(None).cast("double")
+    for dd in range(9, 0, -1):
+        exp = F.when(F.col("d") == dd, F.lit(_BENFORD_P[dd])).otherwise(exp)
+    obs = F.col("n").cast("double")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(obs / F.col("total"), 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (obs - exp * F.col("total"))
+                * (obs - exp * F.col("total"))
+                / (exp * F.col("total")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

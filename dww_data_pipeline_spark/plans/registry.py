@@ -162,6 +162,8 @@ _PRIORITY: list[str] = [
     "dq14_reconciliation",
     "st10_session_paths",
     "pr6_kcore",
+    "ev11_cohort_ltv",
+    "dq15_benford",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

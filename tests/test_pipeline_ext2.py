@@ -781,3 +781,36 @@ class TestKCore:
             assert r["deg0"] == deg0[r["node"]]
             assert r["core_deg"] == core_deg.get(r["node"], 0)
             assert r["in_core"] == (r["node"] in core_deg)
+
+
+class TestCohortLtv:
+    def test_matrix_consistency(self, spark, sf_dir):
+        rows = REGISTRY["ev11_cohort_ltv"].spark(spark, sf_dir).collect()
+        o = load_table(spark, sf_dir, "orders")
+        import math
+
+        total_rev = sum(
+            int(math.floor(r["o_totalprice"] * 100)) for r in o.collect()
+        )
+        assert sum(r["revenue_fp"] for r in rows) == total_rev
+        for r in rows:
+            assert r["month"] >= r["cohort"]  # no activity before cohort
+            assert r["n_active"] >= 1
+
+
+class TestBenford:
+    def test_terms_and_shares(self, spark, sf_dir):
+        import math
+
+        rows = {
+            r["d"]: r
+            for r in REGISTRY["dq15_benford"].spark(spark, sf_dir).collect()
+        }
+        assert set(rows) == set(range(1, 10))
+        n_total = sum(r["n"] for r in rows.values())
+        for d, r in rows.items():
+            assert r["expected"] == pytest.approx(
+                round(math.log10(1 + 1 / d), 6)
+            )
+            assert r["observed"] == pytest.approx(round(r["n"] / n_total, 6))
+            assert r["chi2_term"] >= 0
