@@ -138,6 +138,7 @@ EXTRA = [
     "pr6_kcore",                # k-core peeling cohesion screen
     "ev11_cohort_ltv",          # cohort revenue matrix (integer cents)
     "dq15_benford",             # first-digit forensic screen
+    "j15_edit_distance_join",   # FastSS deletion-neighborhood join
 ]
 
 

@@ -2124,3 +2124,69 @@ def dq15_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j15_edit_distance_join — FastSS deletion-neighborhood fuzzy join.
+#
+# Finding all name pairs within Levenshtein distance 1 WITHOUT the
+# quadratic compare: every string emits its deletion neighborhood
+# (itself + each single-character deletion, length+1 keys); two
+# strings within distance 1 necessarily SHARE a key (substitution →
+# same deletion at the edit position; insert/delete → one string IS
+# a deletion of the other), so candidates come from a key-grouped
+# equi-join and the exact levenshtein predicate only prunes the
+# collision false positives (shared-deletion pairs at distance 2).
+# This is the FastSS / SymSpell blocking scheme — the edit-distance
+# analog of d2's LSH bands and j14's grid cells: candidate volume is
+# Σ bucket², bounded by digit fan-out here, never |names|².
+# Levenshtein is an integer on both engines — hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j15_edit_distance_join",
+    oracle="""
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    description="EDIT-DISTANCE SELF-JOIN (Levenshtein <= 1) via FastSS "
+    "deletion neighborhoods: each name emits itself + every "
+    "single-char deletion as join keys; distance-1 pairs provably "
+    "share a key, so candidates come from a key-grouped equi-join "
+    "(Σ bucket², digit-fan-out bounded) and exact levenshtein prunes "
+    "the distance-2 shared-deletion collisions — never the |names|² "
+    "cross the oracle runs. The string analog of d2's LSH bands / "
+    "j14's grid cells, and the blocking scheme spell-correction and "
+    "entity-resolution services ship (SymSpell). Integer distances: "
+    "hash-exact on both engines.",
+)
+def j15_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_name")
+    variants = c.select(
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("key"),
+    ).distinct()
+    a = variants.select(F.col("c_name").alias("name_a"), "key")
+    b = variants.select(F.col("c_name").alias("name_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= 1).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )

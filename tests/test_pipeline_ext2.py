@@ -814,3 +814,54 @@ class TestBenford:
             )
             assert r["observed"] == pytest.approx(round(r["n"] / n_total, 6))
             assert r["chi2_term"] >= 0
+
+
+class TestEditDistanceJoin:
+    def test_no_misses_vs_brute_force(self, spark, sf_dir):
+        """The FastSS blocking claim: key-grouped candidates + exact
+        verify must equal the brute-force distance-1 pair set."""
+
+        def lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > 1:
+                return 2
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        names = sorted(
+            r["c_name"]
+            for r in load_table(spark, sf_dir, "customer").collect()
+        )
+        want = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev(a, b) <= 1
+        }
+        got = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in REGISTRY["j15_edit_distance_join"].spark(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert want  # templated names guarantee distance-1 pairs
+
+    def test_no_cross_product_in_plan(self, spark, sf_dir):
+        plan = (
+            REGISTRY["j15_edit_distance_join"]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
