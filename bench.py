@@ -139,6 +139,7 @@ EXTRA = [
     "ev11_cohort_ltv",          # cohort revenue matrix (integer cents)
     "dq15_benford",             # first-digit forensic screen
     "j15_edit_distance_join",   # FastSS deletion-neighborhood join
+    "d18_lsh_recall_gate",      # LSH recall/precision vs exact truth
 ]
 
 

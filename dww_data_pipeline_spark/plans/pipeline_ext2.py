@@ -2190,3 +2190,136 @@ def j15_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 1).select(
         "name_a", "name_b", dist.cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# d18_lsh_recall_gate — MinHash LSH quality as a verified quantity.
+#
+# The s9 pattern (approximation quality is itself differentially
+# verified) applied to TEXT dedup: d2's banded-LSH candidate pairs
+# are compared against the EXACT Jaccard >= 0.5 ground truth over
+# the same 3-word shingles (0.5 = d2's S-curve midpoint for 4 bands
+# x 2 rows), and recall/precision land in the hash-checked result.
+# The ground truth is the verification-tier cost (shingle-sharing
+# pair join — the thing LSH exists to avoid); the integer identity
+# jaccard >= 1/2 ⇔ 3*|A∩B| >= |A|+|B| keeps the truth set exact.
+# This is the continuous index-health monitor a dedup service runs
+# on a sampled corpus slice.
+# ---------------------------------------------------------------------------
+
+
+def _d18_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import dedup_plans
+    from dww_data_pipeline_spark.plans.dedup_plans import _SQL_SHINGLES
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    d2 = REGISTRY["d2_minhash_lsh_pairs"].oracle
+    q = REGISTRY["d18_lsh_recall_gate"]
+    oracle = f"""
+    WITH cand AS MATERIALIZED ({d2}),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE 3 * i.ni >= sa.n + sb.n
+    ),
+    hit AS (
+      SELECT t.id_a FROM truth t JOIN cand c
+        ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall,
+           round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM cand), 6) AS precision
+    """
+    REGISTRY["d18_lsh_recall_gate"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "d18_lsh_recall_gate",
+    oracle=None,  # attached below — embeds d2's registered oracle
+    description="MINHASH-LSH RECALL GATE: d2's banded candidates vs "
+    "the EXACT Jaccard >= 0.5 truth set over the same 3-word "
+    "shingles (the S-curve midpoint of d2's 4x2 banding), with "
+    "recall and precision in the hash-checked result — the s9 "
+    "index-health pattern applied to text dedup. Truth-set cost is "
+    "the verification tier (shingle-sharing pair join, run on a "
+    "sampled slice in production); the integer identity "
+    "3|A∩B| >= |A|+|B| keeps it exact. Oracle embeds d2's SQL, so "
+    "the gate verifies the composition.",
+)
+def d18_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d2_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+
+    sh = (
+        exploded_kgrams(d.select("doc_id", "text"), "text", 3,
+                        carry=("doc_id",), out="s")
+        .select("doc_id", "s")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                     F.col("n").alias("na"))), "id_a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                     F.col("n").alias("nb"))), "id_b"
+        )
+        .filter(3 * F.col("ni") >= F.col("na") + F.col("nb"))
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_cand"), 6
+            ).alias("precision"),
+        )
+    )
+
+
+_d18_attach_oracle()

@@ -165,6 +165,7 @@ _PRIORITY: list[str] = [
     "ev11_cohort_ltv",
     "dq15_benford",
     "j15_edit_distance_join",
+    "d18_lsh_recall_gate",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

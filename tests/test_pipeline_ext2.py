@@ -865,3 +865,18 @@ class TestEditDistanceJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLshRecallGate:
+    def test_gate_math_and_known_corpus(self, spark, sf_dir):
+        r = REGISTRY["d18_lsh_recall_gate"].spark(spark, sf_dir).collect()[0]
+        assert r["n_hit"] <= min(r["n_true"], r["n_cand"])
+        assert r["recall"] == pytest.approx(
+            round(r["n_hit"] / r["n_true"], 6)
+        )
+        assert r["precision"] == pytest.approx(
+            round(r["n_hit"] / r["n_cand"], 6)
+        )
+        # the planted duplicate classes make high recall a property of
+        # the corpus + banding, not luck — pin the floor
+        assert r["recall"] >= 0.9
