@@ -140,6 +140,7 @@ EXTRA = [
     "dq15_benford",             # first-digit forensic screen
     "j15_edit_distance_join",   # FastSS deletion-neighborhood join
     "d18_lsh_recall_gate",      # LSH recall/precision vs exact truth
+    "s12_hybrid_rrf",           # BM25 + vector reciprocal-rank fusion
 ]
 
 

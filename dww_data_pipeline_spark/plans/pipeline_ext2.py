@@ -2323,3 +2323,116 @@ def d18_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _d18_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s12_hybrid_rrf — hybrid retrieval via reciprocal-rank fusion.
+#
+# THE production retrieval pattern (every hybrid-search engine:
+# lexical BM25 + vector ANN, fused by RRF score Σ 1/(k + rank),
+# k=60 per the original Cormack/Clarke formulation): rank lists are
+# integers, each fused score is the sum of at most TWO exact
+# divisions (IEEE addition of two terms is order-independent), so
+# the fusion hash-checks. Embeddings are per-document (vec_id ≡
+# doc_id in the corpus), queries pair a query vector with a query
+# term. Oracle embeds t18's and s1's registered SQL — the
+# composition itself is the verified thing.
+#
+# Scale shape: both rank lists are top-k tables (tiny); fusion is a
+# union + per-query agg + the s1 top-k window. The expensive parts
+# (BM25 postings, ANN scoring) keep their own verified scale paths.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_QUERIES = ((0, "spark"), (1, "window"), (2, "hash"))
+
+
+def _s12_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import curation_plans, dedup_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    t18 = REGISTRY["t18_bm25_retrieval"].oracle
+    s1 = REGISTRY["s1_ann_brute_force_topk"].oracle
+    q = REGISTRY["s12_hybrid_rrf"]
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in _RRF_QUERIES)
+    oracle = f"""
+    WITH lex AS MATERIALIZED ({t18}),
+    vec AS MATERIALIZED ({s1}),
+    qmap(query_id, term) AS (VALUES {qvals}),
+    contrib AS (
+      SELECT q.query_id, l.doc_id, 1.0 / ({_RRF_K} + l.rank) AS c
+      FROM qmap q JOIN lex l ON l.term = q.term
+      UNION ALL
+      SELECT v.query_id, v.vec_id AS doc_id, 1.0 / ({_RRF_K} + v.rank)
+      FROM vec v
+    ),
+    fused AS (
+      SELECT query_id, doc_id, round(SUM(c), 6) AS rrf,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf, n_systems, rank FROM (
+      SELECT query_id, doc_id, rrf, n_systems,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """
+    REGISTRY["s12_hybrid_rrf"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "s12_hybrid_rrf",
+    oracle=None,  # attached below — embeds t18's and s1's oracles
+    description="HYBRID RETRIEVAL (BM25 + vector) fused by reciprocal "
+    "rank: rrf = sum 1/(60 + rank) over both systems' top-5 lists "
+    "(Cormack/Clarke RRF — what production hybrid search ships), "
+    "re-ranked per query with docs found by BOTH systems surfacing "
+    "first. Rank lists are integers and each score sums at most two "
+    "exact divisions, so the fusion hash-checks; the oracle embeds "
+    "t18's and s1's registered SQL, verifying the composition. "
+    "Fusion cost is top-k-bounded — the heavy lifting stays in the "
+    "components' own verified scale paths (s4/s10/s11 swap in for "
+    "s1 at scale).",
+)
+def s12_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.curation_plans import t18_bm25_retrieval
+    from dww_data_pipeline_spark.plans.dedup_plans import s1_ann_brute_force_topk
+
+    lex = t18_bm25_retrieval(spark, sf_dir)
+    vec = s1_ann_brute_force_topk(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(_RRF_QUERIES), "query_id long, term string"
+    )
+    contrib = (
+        qmap.join(lex, "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (_RRF_K + F.col("rank"))).alias("c"),
+        )
+        .unionByName(
+            vec.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.col("vec_id").alias("doc_id"),
+                (F.lit(1.0) / (_RRF_K + F.col("rank"))).alias("c"),
+            )
+        )
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rrf", "n_systems", "rank")
+    )
+
+
+_s12_attach_oracle()

@@ -880,3 +880,52 @@ class TestLshRecallGate:
         # the planted duplicate classes make high recall a property of
         # the corpus + banding, not luck — pin the floor
         assert r["recall"] >= 0.9
+
+
+class TestHybridRrf:
+    def test_fusion_math(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            t18_bm25_retrieval,
+        )
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            s1_ann_brute_force_topk,
+        )
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _RRF_K,
+            _RRF_QUERIES,
+        )
+
+        lex = {
+            (r["term"], r["doc_id"]): r["rank"]
+            for r in t18_bm25_retrieval(spark, sf_dir).collect()
+        }
+        vec = {
+            (r["query_id"], r["vec_id"]): r["rank"]
+            for r in s1_ann_brute_force_topk(spark, sf_dir).collect()
+        }
+        want: dict[tuple[int, int], tuple[float, int]] = {}
+        for qid, term in _RRF_QUERIES:
+            docs = {d for t, d in lex if t == term} | {
+                d for q, d in vec if q == qid
+            }
+            for d in docs:
+                c = 0.0
+                n = 0
+                if (term, d) in lex:
+                    c += 1.0 / (_RRF_K + lex[(term, d)])
+                    n += 1
+                if (qid, d) in vec:
+                    c += 1.0 / (_RRF_K + vec[(qid, d)])
+                    n += 1
+                want[(qid, d)] = (round(c, 6), n)
+        rows = REGISTRY["s12_hybrid_rrf"].spark(spark, sf_dir).collect()
+        for r in rows:
+            w = want[(r["query_id"], r["doc_id"])]
+            assert r["rrf"] == pytest.approx(w[0])
+            assert r["n_systems"] == w[1]
+        # both-system hits (if any) must outrank single-system docs
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rs in by_q.values():
+            assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
