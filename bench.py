@@ -141,6 +141,7 @@ EXTRA = [
     "j15_edit_distance_join",   # FastSS deletion-neighborhood join
     "d18_lsh_recall_gate",      # LSH recall/precision vs exact truth
     "s12_hybrid_rrf",           # BM25 + vector reciprocal-rank fusion
+    "m8_keyframes",             # per-shot representative frames
 ]
 
 

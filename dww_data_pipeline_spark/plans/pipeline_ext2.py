@@ -2436,3 +2436,65 @@ def s12_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _s12_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# m8_keyframes — shot-representative frame selection.
+# ---------------------------------------------------------------------------
+
+
+def _m8_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    m7 = REGISTRY["m7_shot_boundaries"].oracle
+    q = REGISTRY["m8_keyframes"]
+    oracle = f"""
+    WITH cuts AS MATERIALIZED ({m7})
+    SELECT video_id,
+           CAST(COUNT(*) FILTER (WHERE frame_index = 0 OR is_cut) AS BIGINT)
+             AS n_shots,
+           array_to_string(
+             list(CAST(frame_index AS VARCHAR) ORDER BY frame_index)
+               FILTER (WHERE frame_index = 0 OR is_cut), '|') AS keyframes,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM cuts
+    GROUP BY video_id
+    """
+    REGISTRY["m8_keyframes"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "m8_keyframes",
+    oracle=None,  # attached below — embeds m7's registered oracle
+    description="KEYFRAME SELECTION: one representative frame per "
+    "detected shot (frame 0 + every m7 cut) with the per-video shot "
+    "count — the decide-what-to-caption sampling pass that turns the "
+    "multimodal chain (synthesize → split → decode → aHash → cut) "
+    "into a training-data decision. Oracle embeds m7's generator-"
+    "arithmetic SQL, so the whole chain re-verifies through the "
+    "selection. Per-video agg over the tiny frame table; payload "
+    "bytes crossed into Python exactly once, back in m7.",
+)
+def m8_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import m7_shot_boundaries
+
+    cuts = m7_shot_boundaries(spark, sf_dir)
+    key = (F.col("frame_index") == 0) | F.col("is_cut")
+    return cuts.groupBy("video_id").agg(
+        F.sum(key.cast("long")).alias("n_shots"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(key, F.col("frame_index")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("keyframes"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+
+
+_m8_attach_oracle()

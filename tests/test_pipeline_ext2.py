@@ -929,3 +929,20 @@ class TestHybridRrf:
             by_q.setdefault(r["query_id"], []).append(r)
         for rs in by_q.values():
             assert sorted(x["rank"] for x in rs) == [1, 2, 3, 4, 5]
+
+
+class TestKeyframes:
+    def test_one_keyframe_per_shot(self, spark, sf_dir):
+        cuts = {
+            (r["video_id"], r["frame_index"]): r["is_cut"]
+            for r in REGISTRY["m7_shot_boundaries"].spark(spark, sf_dir).collect()
+        }
+        rows = REGISTRY["m8_keyframes"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            kf = [int(x) for x in r["keyframes"].split("|")]
+            assert kf[0] == 0  # frame 0 always opens shot 1
+            assert len(kf) == r["n_shots"]
+            assert r["n_frames"] == 5
+            for f in kf[1:]:
+                assert cuts[(r["video_id"], f)]
