@@ -142,6 +142,7 @@ EXTRA = [
     "d18_lsh_recall_gate",      # LSH recall/precision vs exact truth
     "s12_hybrid_rrf",           # BM25 + vector reciprocal-rank fusion
     "m8_keyframes",             # per-shot representative frames
+    "dq16_schema_inventory",    # schema-contract snapshot
 ]
 
 

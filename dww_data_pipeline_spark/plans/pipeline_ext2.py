@@ -2498,3 +2498,38 @@ def m8_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _m8_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dq16_schema_inventory — schema-contract snapshot.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@register(
+    "dq16_schema_inventory",
+    oracle=f"""
+    SELECT table_name AS tbl, column_name AS col,
+           CAST(ordinal_position AS BIGINT) AS pos
+    FROM information_schema.columns
+    WHERE table_name IN ({", ".join(f"'{t}'" for t in _SCHEMA_TABLES)})
+    """,
+    description="SCHEMA INVENTORY: every (table, column, position) of "
+    "the catalog as DATA — the contract snapshot a pipeline diffs "
+    "between runs to catch upstream schema drift BEFORE a renamed or "
+    "reordered column silently corrupts a join (the schema-level "
+    "companion of d13's row-level snapshot diff). Spark reads parquet "
+    "footers only (no data scan); the oracle reads DuckDB's "
+    "information_schema over the same files — agreement IS the "
+    "cross-engine schema contract.",
+)
+def dq16_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in _SCHEMA_TABLES:
+        for i, c in enumerate(load_table(spark, sf_dir, t).columns, 1):
+            rows.append((t, c, i))
+    return spark.createDataFrame(rows, "tbl string, col string, pos long")

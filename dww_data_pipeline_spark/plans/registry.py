@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     "d18_lsh_recall_gate",
     "s12_hybrid_rrf",
     "m8_keyframes",
+    "dq16_schema_inventory",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -946,3 +946,15 @@ class TestKeyframes:
             assert r["n_frames"] == 5
             for f in kf[1:]:
                 assert cuts[(r["video_id"], f)]
+
+
+class TestSchemaInventory:
+    def test_covers_all_catalog_tables(self, spark, sf_dir):
+        rows = REGISTRY["dq16_schema_inventory"].spark(spark, sf_dir).collect()
+        by_tbl: dict[str, list] = {}
+        for r in rows:
+            by_tbl.setdefault(r["tbl"], []).append((r["pos"], r["col"]))
+        assert len(by_tbl) == 10
+        for t, cols in by_tbl.items():
+            want = load_table(spark, sf_dir, t).columns
+            assert [c for _, c in sorted(cols)] == want
