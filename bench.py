@@ -143,6 +143,7 @@ EXTRA = [
     "s12_hybrid_rrf",           # BM25 + vector reciprocal-rank fusion
     "m8_keyframes",             # per-shot representative frames
     "dq16_schema_inventory",    # schema-contract snapshot
+    "d6b_components_star",      # O(log n) star CC, d6's oracle verbatim
 ]
 
 

@@ -2533,3 +2533,50 @@ def dq16_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, c in enumerate(load_table(spark, sf_dir, t).columns, 1):
             rows.append((t, c, i))
     return spark.createDataFrame(rows, "tbl string, col string, pos long")
+
+
+# ---------------------------------------------------------------------------
+# d6b_components_star — the O(log n) CC algorithm, same relation.
+# ---------------------------------------------------------------------------
+
+
+def _d6b_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import dedup_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    q = REGISTRY["d6b_components_star"]
+    REGISTRY["d6b_components_star"] = Query(
+        name=q.name,
+        spark=q.spark,
+        # the algorithm-independence claim: the STAR variant must
+        # produce d6's exact relation, so it verifies against d6's
+        # recursive-CTE reachability oracle verbatim
+        oracle=REGISTRY["d6_dup_components"].oracle,
+        description=q.description,
+    )
+
+
+@register(
+    "d6b_components_star",
+    oracle=None,  # attached below — d6's oracle verbatim
+    description="CONNECTED COMPONENTS via alternating large-star / "
+    "small-star (Kiveris et al. SoCC 2014) over the same MinHash-LSH "
+    "pair graph as d6 — O(log n) rounds instead of O(diameter), the "
+    "variant that wins on deep or hub-heavy graphs at 100 TB. "
+    "Verified against d6's recursive-CTE reachability oracle "
+    "VERBATIM: two different distributed algorithms, one relation — "
+    "the algorithm-independence claim made differentially checkable "
+    "(the ext_salted_join pattern applied to iterative graph "
+    "connectivity).",
+)
+def d6b_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+
+    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components_star(pairs)
+
+
+_d6b_attach_oracle()

@@ -169,6 +169,7 @@ _PRIORITY: list[str] = [
     "s12_hybrid_rrf",
     "m8_keyframes",
     "dq16_schema_inventory",
+    "d6b_components_star",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

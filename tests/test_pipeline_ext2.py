@@ -958,3 +958,15 @@ class TestSchemaInventory:
         for t, cols in by_tbl.items():
             want = load_table(spark, sf_dir, t).columns
             assert [c for _, c in sorted(cols)] == want
+
+
+class TestStarComponents:
+    def test_identical_relation_to_label_prop(self, spark, sf_dir):
+        """Two different distributed CC algorithms, one relation."""
+        a = sorted(
+            tuple(r) for r in REGISTRY["d6_dup_components"].spark(spark, sf_dir).collect()
+        )
+        b = sorted(
+            tuple(r) for r in REGISTRY["d6b_components_star"].spark(spark, sf_dir).collect()
+        )
+        assert a == b and a
