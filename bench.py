@@ -144,6 +144,7 @@ EXTRA = [
     "m8_keyframes",             # per-shot representative frames
     "dq16_schema_inventory",    # schema-contract snapshot
     "d6b_components_star",      # O(log n) star CC, d6's oracle verbatim
+    "t30_bpe_merge_step",       # tokenizer-training pair counts
 ]
 
 

@@ -2580,3 +2580,86 @@ def d6b_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _d6b_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# t30_bpe_merge_step — the byte-pair-encoding training step.
+#
+# BPE tokenizer training is: count adjacent symbol pairs across the
+# corpus (weighted by word frequency), merge the most frequent pair,
+# repeat. The COUNT-AND-RANK step is the distributed unit — this
+# operator computes the top-20 merge candidates exactly: word
+# frequencies first (vocabulary-bounded shuffle — the corpus
+# collapses to its word histogram before any character work), then
+# each distinct word explodes to its adjacent character pairs IN
+# PLACE and pair counts aggregate weighted by word frequency.
+# Integer counts end to end. The production loop re-runs this step
+# after each merge on the re-segmented vocabulary (word histogram,
+# not corpus, so iterations cost vocabulary-size, the reason BPE
+# training is feasible at all — same two-phase shape here).
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+@register(
+    "t30_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ), pairs AS (
+      SELECT substr(w.tok, p.i, 2) AS pair, CAST(SUM(w.n) AS BIGINT) AS n
+      FROM words w
+      CROSS JOIN LATERAL unnest(generate_series(1, len(w.tok) - 1)) AS p(i)
+      WHERE len(w.tok) >= 2
+      GROUP BY 1
+    )
+    SELECT pair, n, rank FROM (
+      SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM pairs
+    ) WHERE rank <= {_BPE_TOPK}
+    """,
+    description="BPE MERGE STEP (the distributed unit of tokenizer "
+    "training): exact corpus-weighted adjacent character-pair counts "
+    "with the top-20 merge candidates ranked — computed the way BPE "
+    "training stays feasible: the corpus collapses to its word "
+    "HISTOGRAM first (vocabulary-bounded shuffle), then pairs explode "
+    "from distinct words in place and counts weight by word "
+    "frequency. Integer counts end to end; the production loop "
+    "re-runs this step per merge on the re-segmented vocabulary. "
+    "Completes the tokenizer tier next to t25's fertility report.",
+)
+def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        words.filter(F.length("tok") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+    )
+    # TakeOrdered top-k first (distributed per-partition top-k +
+    # merge), THEN rank the 20 survivors — the global row_number
+    # window only ever sees the k-row result, not the pair table
+    top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "pair", "n", "rank"
+    )

@@ -970,3 +970,29 @@ class TestStarComponents:
             tuple(r) for r in REGISTRY["d6b_components_star"].spark(spark, sf_dir).collect()
         )
         assert a == b and a
+
+
+class TestBpeMergeStep:
+    def test_counts_match_driver_recompute(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(spark_tokens(F.col("text"))).alias("t"))
+            .collect()
+        )
+        counts: dict[str, int] = {}
+        for r in toks:
+            w = r["t"]
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r["pair"], r["n"])
+            for r in sorted(
+                REGISTRY["t30_bpe_merge_step"].spark(spark, sf_dir).collect(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == want
