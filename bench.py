@@ -145,6 +145,7 @@ EXTRA = [
     "dq16_schema_inventory",    # schema-contract snapshot
     "d6b_components_star",      # O(log n) star CC, d6's oracle verbatim
     "t30_bpe_merge_step",       # tokenizer-training pair counts
+    "ev12_ab_test",             # exact-moment Welch A/B gate
 ]
 
 

@@ -2663,3 +2663,108 @@ def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "pair", "n", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# ev12_ab_test — experiment analysis from exact integer moments.
+#
+# The experimentation primitive: users hash deterministically into
+# two arms (the t9/t24 coin — reproducible, no assignment table),
+# and the per-arm metric moments (n, Σx, Σx²) accumulate as exact
+# integers (micro-units; squares in DECIMAL(38,0), the dq10 rule),
+# so means, variances, and the Welch t statistic are bit-identical
+# at any parallelism — a gate a launch review can trust. One scan,
+# one 2-group agg; the statistic evaluates once per run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev12_ab_test",
+    oracle="""
+    WITH armed AS (
+      SELECT CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+      FROM events
+    ), m AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS ss
+      FROM armed GROUP BY arm
+    ), w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / a.n / 1e6 AS mean_a,
+             CAST(b.s AS DOUBLE) / b.n / 1e6 AS mean_b,
+             (CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE)
+              - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))
+               / (CAST(a.n AS DOUBLE) * (a.n - 1)) AS var_a,
+             (CAST(b.n AS DOUBLE) * CAST(b.ss AS DOUBLE)
+              - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))
+               / (CAST(b.n AS DOUBLE) * (b.n - 1)) AS var_b
+      FROM (SELECT * FROM m WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM m WHERE arm = 1) b
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a,
+           round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / 1e12 / n_a + var_b / 1e12 / n_b), 6)
+             AS welch_t
+    FROM w
+    """,
+    description="A/B EXPERIMENT ANALYSIS: deterministic md5 arm "
+    "assignment (reproducible, no assignment table — the t9/t24 "
+    "coin), per-arm metric moments as exact integers (micro-units; "
+    "squares in DECIMAL(38,0), the dq10 rule), and the Welch t "
+    "statistic from those moments — bit-identical at any "
+    "parallelism, which is what a launch-review gate requires. One "
+    "scan + one 2-group partial agg; the statistic evaluates once.",
+)
+def ev12_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = F.floor(F.col("value") * 1e6).cast("long")
+    m = (
+        ev.select(arm.alias("arm"), v.alias("v"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
+        )
+    )
+    a = m.filter(F.col("arm") == 0).alias("a")
+    b = m.filter(F.col("arm") == 1).alias("b")
+
+    def var(side: str):
+        n = F.col(f"{side}.n").cast("double")
+        s = F.col(f"{side}.s").cast("double")
+        ss = F.col(f"{side}.ss").cast("double")
+        return (n * ss - s * s) / (n * (F.col(f"{side}.n") - 1))
+
+    mean_a = F.col("a.s").cast("double") / F.col("a.n") / 1e6
+    mean_b = F.col("b.s").cast("double") / F.col("b.n") / 1e6
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(
+                var("a") / 1e12 / F.col("a.n") + var("b") / 1e12 / F.col("b.n")
+            ),
+            6,
+        ).alias("welch_t"),
+    )

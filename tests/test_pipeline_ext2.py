@@ -996,3 +996,34 @@ class TestBpeMergeStep:
             )
         ]
         assert got == want
+
+
+class TestAbTest:
+    def test_matches_driver_recompute(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        arms: dict[int, list[int]] = {0: [], 1: []}
+        for r in load_table(spark, sf_dir, "events").collect():
+            a = int(
+                hashlib.md5(f"ab|{r['user_id']}".encode()).hexdigest()[:8], 16
+            ) % 2
+            arms[a].append(int(math.floor(r["value"] * 1e6)))
+        row = REGISTRY["ev12_ab_test"].spark(spark, sf_dir).collect()[0]
+        assert row["n_a"] == len(arms[0]) and row["n_b"] == len(arms[1])
+        stats = {}
+        for a, vs in arms.items():
+            n = len(vs)
+            s = sum(vs)
+            ss = sum(x * x for x in vs)
+            mean = s / n / 1e6
+            var = (n * ss - s * s) / (n * (n - 1))
+            stats[a] = (n, mean, var)
+        assert row["mean_a"] == pytest.approx(round(stats[0][1], 6))
+        assert row["mean_b"] == pytest.approx(round(stats[1][1], 6))
+        t = (stats[0][1] - stats[1][1]) / math.sqrt(
+            stats[0][2] / 1e12 / stats[0][0] + stats[1][2] / 1e12 / stats[1][0]
+        )
+        assert row["welch_t"] == pytest.approx(round(t, 6), abs=1e-5)
+        # uniform generator: arms must not differ wildly
+        assert abs(row["welch_t"]) < 10
