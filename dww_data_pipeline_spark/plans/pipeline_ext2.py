@@ -2656,12 +2656,18 @@ def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
     )
     # TakeOrdered top-k first (distributed per-partition top-k +
-    # merge), THEN rank the 20 survivors — the global row_number
-    # window only ever sees the k-row result, not the pair table
+    # merge); rank the k survivors WITHOUT a global window (house
+    # window discipline) via the v4 tiny triangular broadcast join:
+    # rank = 1 + how many of the k rows sort strictly before
     top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(_BPE_TOPK)
-    w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "pair", "n", "rank"
+    b = top.select(F.col("n").alias("b_n"), F.col("pair").alias("b_pair"))
+    before = (F.col("b_n") > F.col("n")) | (
+        (F.col("b_n") == F.col("n")) & (F.col("b_pair") < F.col("pair"))
+    )
+    return (
+        top.join(F.broadcast(b), before, "left")
+        .groupBy("pair", "n")
+        .agg((F.count("b_pair") + 1).cast("long").alias("rank"))
     )
 
 
