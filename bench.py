@@ -146,6 +146,7 @@ EXTRA = [
     "d6b_components_star",      # O(log n) star CC, d6's oracle verbatim
     "t30_bpe_merge_step",       # tokenizer-training pair counts
     "ev12_ab_test",             # exact-moment Welch A/B gate
+    "st11_stream_ab_moments",   # streaming windowed experiment moments
 ]
 
 

@@ -172,6 +172,7 @@ _PRIORITY: list[str] = [
     "d6b_components_star",
     "t30_bpe_merge_step",
     "ev12_ab_test",
+    "st11_stream_ab_moments",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -736,3 +736,37 @@ def st10_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.streaming.events import session_paths_agg
 
     return session_paths_agg(_events(spark, sf_dir))
+
+
+@register(
+    "st11_stream_ab_moments",
+    oracle="""
+    WITH armed AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 2 AS arm,
+             CAST(floor(value * 1e6) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT window_start, arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS s,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS VARCHAR) AS ss
+    FROM armed GROUP BY 1, 2
+    """,
+    description="STREAMING A/B MONITORING: ev12's deterministic arm "
+    "assignment with per-hour, per-arm exact integer moments "
+    "(n, Σx, Σx² — associative, so late-window merges are exact) "
+    "maintained by watermarked windowed aggregation: state is 3 "
+    "counters per arm per open window, raw events never buffer, and "
+    "the real readStream path is asserted equal to batch in "
+    "tests/test_streaming.py. A monitor derives the running Welch t "
+    "per window from the finalized moments — live experiment health "
+    "without re-scanning history (north-star streaming). Σx² rides "
+    "as a DECIMAL-exact string so the 128-bit value hash-checks.",
+)
+def st11_stream_ab_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.events import windowed_ab_moments
+
+    return windowed_ab_moments(_events(spark, sf_dir))

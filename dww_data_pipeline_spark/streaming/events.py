@@ -264,3 +264,48 @@ def session_paths_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
         ).alias("path"),
         F.size("evs").alias("n_events"),
     )
+
+
+def windowed_ab_moments(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-hour, per-arm experiment moments — the STREAMING side of
+    ev12's A/B gate: the same deterministic md5 arm assignment, with
+    (n, Σx, Σx²) accumulating as exact integers inside watermarked
+    windowed-aggregation state (3 counters per arm per open window,
+    raw events never buffered). A monitoring consumer derives means,
+    variances, and the running Welch t from the finalized windows —
+    the moments are associative, so late-window merges are exact.
+    Runs identically on a batch frame (the oracle path)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    v = F.floor(F.col("value") * 1e6).cast("long")
+    return (
+        src.select("ts", arm.alias("arm"), v.alias("v"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "arm",
+            "n",
+            "s",
+            F.col("ss").cast("decimal(38,0)").cast("string").alias("ss"),
+        )
+    )

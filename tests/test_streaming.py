@@ -658,3 +658,41 @@ class TestSessionPaths:
             steps = r["path"].split(">")
             assert 1 <= len(steps) <= 5
             assert len(steps) == min(r["n_events"], 5)
+
+
+class TestStreamingAbMoments:
+    def test_moments_stream_equals_batch(self, spark, sf_dir):
+        from dww_data_pipeline_spark.streaming.events import windowed_ab_moments
+
+        stream = read_events_stream(spark, sf_dir)
+        assert stream.isStreaming
+        q = _run_stream_to_memory(windowed_ab_moments(stream), "ab_mom_t")
+        try:
+            got = {
+                (str(r["window_start"]), r["arm"]): (r["n"], r["s"], r["ss"])
+                for r in spark.sql("SELECT * FROM ab_mom_t").collect()
+            }
+            want = {
+                (str(r["window_start"]), r["arm"]): (r["n"], r["s"], r["ss"])
+                for r in windowed_ab_moments(
+                    load_table(spark, sf_dir, "events")
+                ).collect()
+            }
+            assert got == want
+        finally:
+            q.stop()
+
+    def test_moments_reconstruct_ev12_totals(self, spark, sf_dir):
+        """Associativity: summing the windowed moments must reproduce
+        ev12's corpus-level arm counts and sums exactly."""
+        from dww_data_pipeline_spark.plans.registry import all_queries
+
+        rows = all_queries()["st11_stream_ab_moments"](spark, sf_dir).collect()
+        by_arm: dict[int, tuple[int, int]] = {}
+        for r in rows:
+            n, s = by_arm.get(r["arm"], (0, 0))
+            by_arm[r["arm"]] = (n + r["n"], s + r["s"])
+        ab = all_queries()["ev12_ab_test"](spark, sf_dir).collect()[0]
+        assert by_arm[0][0] == ab["n_a"] and by_arm[1][0] == ab["n_b"]
+        assert round(by_arm[0][1] / by_arm[0][0] / 1e6, 6) == ab["mean_a"]
+        assert round(by_arm[1][1] / by_arm[1][0] / 1e6, 6) == ab["mean_b"]
