@@ -147,6 +147,7 @@ EXTRA = [
     "t30_bpe_merge_step",       # tokenizer-training pair counts
     "ev12_ab_test",             # exact-moment Welch A/B gate
     "st11_stream_ab_moments",   # streaming windowed experiment moments
+    "dq17_pk_uniqueness",       # catalog-wide PK integrity audit
 ]
 
 

@@ -2774,3 +2774,65 @@ def ev12_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq17_pk_uniqueness — primary-key integrity audit.
+# ---------------------------------------------------------------------------
+
+_PK_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    # composite (orderkey, linenumber) encoded injectively:
+    # linenumber <= 7, so *10 + linenumber is collision-free
+    "lineitem": "l_orderkey * 10 + l_linenumber",
+}
+
+
+@register(
+    "dq17_pk_uniqueness",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{t}' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_keys,
+           COUNT(*) = COUNT(DISTINCT {k}) AS pk_ok
+    FROM {t}"""
+        for t, k in sorted(_PK_KEYS.items())
+    ),
+    description="PRIMARY-KEY UNIQUENESS AUDIT across the whole "
+    "catalog: per table row count vs distinct key count and the "
+    "pass/fail gate (lineitem's composite key encoded injectively) — "
+    "the integrity check next to dq3's FK orphans and dq16's schema "
+    "contract; a duplicate-key regression upstream is the classic "
+    "silent join-fanout bug. And an honest finding here (the dq14 "
+    "pattern): the generator assigns l_linenumber randomly, so "
+    "lineitem's (orderkey, linenumber) is NOT a key in this corpus — "
+    "pk_ok=false, pinned in pytest. One count-distinct partial agg "
+    "per table, each a single scan.",
+)
+def dq17_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for t, k in sorted(_PK_KEYS.items()):
+        df = load_table(spark, sf_dir, t)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(F.expr(k)).alias("n_keys"),
+            ).select(
+                F.lit(t).alias("tbl"),
+                "n_rows",
+                "n_keys",
+                (F.col("n_rows") == F.col("n_keys")).alias("pk_ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1027,3 +1027,32 @@ class TestAbTest:
         assert row["welch_t"] == pytest.approx(round(t, 6), abs=1e-5)
         # uniform generator: arms must not differ wildly
         assert abs(row["welch_t"]) < 10
+
+
+class TestPkUniqueness:
+    def test_id_keys_pass_and_lineitem_finding_pinned(self, spark, sf_dir):
+        rows = {
+            r["tbl"]: r
+            for r in REGISTRY["dq17_pk_uniqueness"].spark(spark, sf_dir).collect()
+        }
+        assert len(rows) == 10
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "events", "documents", "embeddings"):
+            assert rows[t]["pk_ok"], t
+            assert rows[t]["n_rows"] == rows[t]["n_keys"]
+        # honest finding (the dq14 pattern): the generator assigns
+        # l_linenumber randomly, so (orderkey, linenumber) is NOT a
+        # key in this corpus — the audit exists to catch exactly this
+        assert not rows["lineitem"]["pk_ok"]
+        assert rows["lineitem"]["n_keys"] < rows["lineitem"]["n_rows"]
+
+    def test_detects_planted_duplicate(self, spark, sf_dir):
+        """The gate must actually fire: duplicating one customer row
+        flips pk_ok for that synthetic frame."""
+        c = load_table(spark, sf_dir, "customer")
+        dup = c.unionByName(c.limit(1))
+        agg = dup.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        ).collect()[0]
+        assert agg["n_rows"] == agg["n_keys"] + 1
