@@ -221,6 +221,25 @@ def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d2's candidate-pair set, localCheckpoint-materialized ONCE per
+    (application, sf_dir) — the shared intermediate every dedup
+    consumer (d6/d6b/d8/d12/d15/d16/d17/d18) reads. Materialized-view
+    semantics, same rule as pipeline_ext.strong_tie_graph: deriving
+    the pairs costs the full shingle->minhash->band pipeline, the
+    handle is a few hundred 2-int rows. d2 itself stays the pure
+    lazy registered query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LSH_PAIRS_MEMO.get(key)
+    if df is None:
+        df = d2_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+        _LSH_PAIRS_MEMO[key] = df
+    return df
+
+
 @register(
     "d3_ngram_jaccard",
     oracle=f"""
@@ -316,7 +335,7 @@ _D16_STRONG = 0.9
 )
 def d16_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     sh = d.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
         "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
     )
@@ -384,7 +403,7 @@ SELECT id, MIN(r) AS component FROM walk GROUP BY id
 def d6_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import connected_components
 
-    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     return connected_components(pairs)
 
 
@@ -441,7 +460,7 @@ def d8_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    cand = d2_minhash_lsh_pairs(spark, sf_dir)
+    cand = lsh_pairs_cached(spark, sf_dir)
     sh = d.filter(F.size(_spark_tokens(F.col("text"))) >= 3).select(
         "doc_id", F.array_distinct(_spark_shingles(F.col("text"))).alias("sh")
     )
@@ -815,7 +834,7 @@ def d9_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    comp = connected_components(lsh_pairs_cached(spark, sf_dir))
     scored = d.join(comp, d.doc_id == comp.id, "left").select(
         "doc_id",
         F.coalesce("component", F.col("doc_id")).alias("component"),
@@ -1443,7 +1462,7 @@ def s6_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d12_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import connected_components
 
-    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    comp = connected_components(lsh_pairs_cached(spark, sf_dir))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1086,9 +1086,9 @@ FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
 )
 def d17_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import connected_components
-    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+    from dww_data_pipeline_spark.plans.dedup_plans import lsh_pairs_cached
 
-    comp = connected_components(d2_minhash_lsh_pairs(spark, sf_dir))
+    comp = connected_components(lsh_pairs_cached(spark, sf_dir))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
     lab = comp.join(sizes, "component").select(F.col("id"), "group_size")
     d = load_table(spark, sf_dir, "documents").select("doc_id")

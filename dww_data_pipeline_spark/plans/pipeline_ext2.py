@@ -2267,11 +2267,11 @@ def _d18_attach_oracle() -> None:
     "the gate verifies the composition.",
 )
 def d18_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+    from dww_data_pipeline_spark.plans.dedup_plans import lsh_pairs_cached
     from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
 
     d = load_table(spark, sf_dir, "documents")
-    cand = d2_minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    cand = lsh_pairs_cached(spark, sf_dir)
 
     sh = (
         exploded_kgrams(d.select("doc_id", "text"), "text", 3,
@@ -2573,9 +2573,9 @@ def d6b_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.dedup import (
         connected_components_star,
     )
-    from dww_data_pipeline_spark.plans.dedup_plans import d2_minhash_lsh_pairs
+    from dww_data_pipeline_spark.plans.dedup_plans import lsh_pairs_cached
 
-    pairs = d2_minhash_lsh_pairs(spark, sf_dir)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     return connected_components_star(pairs)
 
 
