@@ -148,6 +148,7 @@ EXTRA = [
     "ev12_ab_test",             # exact-moment Welch A/B gate
     "st11_stream_ab_moments",   # streaming windowed experiment moments
     "dq17_pk_uniqueness",       # catalog-wide PK integrity audit
+    "c2_data_card",             # one-row corpus release summary
 ]
 
 

@@ -2836,3 +2836,102 @@ def dq17_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# c2_data_card — the dataset documentation artifact.
+#
+# One row summarizing what a corpus consumer needs to know before
+# training: volume (docs, tokens), curation outcome (kept /
+# duplicate / filtered via the verified c1 dispositions), language
+# spread, and quality pressure — all as INTEGER-SAFE aggregates
+# (counts and one ratio; a float AVG over doubles would be
+# partition-order dependent, so "mean quality" is reported as the
+# count above the t13 gate threshold instead). The machine-readable
+# core of a Datasheets/Data-Card release artifact, regenerated per
+# corpus version and diffable across versions.
+# ---------------------------------------------------------------------------
+
+
+def _c2_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+    from dww_data_pipeline_spark.plans.text_plans import _QUALITY_SQL
+
+    c1 = REGISTRY["c1_curation_pipeline"].oracle
+    q = REGISTRY["c2_data_card"]
+    oracle = f"""
+    WITH disp AS MATERIALIZED ({c1}),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN ({_QUALITY_SQL}) >= 0.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_high_quality
+      FROM documents
+    ),
+    d AS (
+      SELECT CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN status = 'duplicate' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_duplicate,
+             CAST(SUM(CASE WHEN status = 'filtered' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_filtered
+      FROM disp
+    )
+    SELECT s.n_docs, s.n_tokens, s.n_langs, s.n_high_quality,
+           d.n_kept, d.n_duplicate, d.n_filtered,
+           round(CAST(d.n_kept AS DOUBLE) / s.n_docs, 6) AS kept_share
+    FROM stats s CROSS JOIN d
+    """
+    REGISTRY["c2_data_card"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "c2_data_card",
+    oracle=None,  # attached below — embeds c1's registered oracle
+    description="DATA CARD: the one-row machine-readable corpus "
+    "summary a dataset release ships (Datasheets for Datasets made "
+    "queryable) — volume (docs, exact token count), curation outcome "
+    "via the verified c1 dispositions (kept / duplicate / filtered + "
+    "kept share), language spread, and quality pressure as the count "
+    "above the t13 gate threshold (counts, not float means: a double "
+    "AVG is partition-order dependent, a threshold count is exact). "
+    "Diffable across corpus versions; oracle embeds c1's SQL so the "
+    "whole curation chain re-verifies through the summary.",
+)
+def c2_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import c1_curation_pipeline
+    from dww_data_pipeline_spark.plans.text_plans import _quality_col
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(spark_tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum((_quality_col() >= 0.5).cast("long")).alias("n_high_quality"),
+    )
+    disp = c1_curation_pipeline(spark, sf_dir)
+    counts = disp.agg(
+        F.sum((F.col("status") == "kept").cast("long")).alias("n_kept"),
+        F.sum((F.col("status") == "duplicate").cast("long")).alias(
+            "n_duplicate"
+        ),
+        F.sum((F.col("status") == "filtered").cast("long")).alias("n_filtered"),
+    )
+    return stats.crossJoin(counts).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_high_quality",
+        "n_kept",
+        "n_duplicate",
+        "n_filtered",
+        F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
+            "kept_share"
+        ),
+    )
+
+
+_c2_attach_oracle()

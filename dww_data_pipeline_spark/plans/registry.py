@@ -174,6 +174,7 @@ _PRIORITY: list[str] = [
     "ev12_ab_test",
     "st11_stream_ab_moments",
     "dq17_pk_uniqueness",
+    "c2_data_card",
     # rows-only (no oracle by design — the driver records the weaker
     # rows-only check; listed so even that lands at least once)
     "d7_embedding_lsh_near_dups",

@@ -1056,3 +1056,26 @@ class TestPkUniqueness:
             F.countDistinct("c_custkey").alias("n_keys"),
         ).collect()[0]
         assert agg["n_rows"] == agg["n_keys"] + 1
+
+
+class TestDataCard:
+    def test_card_reconciles_with_components(self, spark, sf_dir):
+        card = REGISTRY["c2_data_card"].spark(spark, sf_dir).collect()[0]
+        d = load_table(spark, sf_dir, "documents")
+        assert card["n_docs"] == d.count()
+        statuses = [
+            r["status"]
+            for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
+        ]
+        assert card["n_kept"] == statuses.count("kept")
+        assert card["n_duplicate"] == statuses.count("duplicate")
+        assert card["n_filtered"] == statuses.count("filtered")
+        assert (
+            card["n_kept"] + card["n_duplicate"] + card["n_filtered"]
+            == card["n_docs"]
+        )
+        assert card["kept_share"] == pytest.approx(
+            round(card["n_kept"] / card["n_docs"], 6)
+        )
+        assert 1 <= card["n_langs"] <= 20
+        assert 0 < card["n_tokens"]
