@@ -65,63 +65,14 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # ------- round-4 prefix: the 38 queries without a driver row yet
-    # (rounds 1-3 accumulated green rows for the other 112) — the
-    # driver's ~50-query prefix covers all of them this round.
-    # round-3-late scale paths
-    "d11_incremental_dedup",
-    "d12_dedup_report",
-    "d13_snapshot_diff",
-    "t11_token_rarity_score",
-    "t12_winnowing_fingerprints",
-    "t13_corpus_filter_decision",
-    "t14_sequence_packing",
-    "t15_topic_buckets",
-    "t16_mixture_sample",
-    "t17_curriculum_deciles",
-    "e4_embedding_random_projection",
-    "e5_embedding_gram",
-    "s5_ann_multiprobe_topk",
-    "s6_knn_graph",
-    "m3_video_frame_features",
-    "dq4_distribution_drift",
-    "dq5_skew_profile",
-    # TPC-H stragglers (registered r3, never prefixed)
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "ext_grouping_sets",
-    "j10_full_outer",
-    # round-4 additions
-    "d14_chunk_dedup",
-    "d15_semantic_dedup",
-    "t18_bm25_retrieval",
-    "t19_bigram_lm_score",
-    "t20_contamination_share",
-    "j11_range_join_binned",
-    "ext_scd2_history",
-    "ext_merge_upsert",
-    "dq6_numeric_profile",
-    "dq7_approx_distinct",
-    "dq8_fd_profile",
-    "m4_audio_features",
-    "st8_stream_static_enrich",
-    "j12_pit_join",
-    "pr1_supplier_pagerank",
-    "ext_json_props",
-    "s7_ann_multitable_topk",
-    "t21_corpus_shard",
-    "t22_ngram_novelty",
-    "d16_containment",
-    "j13_interval_overlap_join",
-    # round-4b mining tier (registered this session, no driver row yet)
-    "e7_kmeans_clusters",
-    "s8_reciprocal_nn",
-    "ev3_markov_transitions",
-    "dq9_entropy_profile",
-    "t23_dsir_importance",
-    "ev4_top_paths",
-    "v4_heaps_curve",
-    "dq10_numeric_corr",
+    # ------- round-5 prefix: the 55 queries without a driver row yet.
+    # Rounds 1-4 accumulated green rows for the other 162 (r1∪r2∪r3∪r4
+    # CORRECTNESS key union); the driver's 50-query prefix this round is
+    # spent entirely on never-driver-verified queries.  The 51
+    # oracle-checked ones occupy positions 0-50; the rows-only-by-design
+    # ones follow (their twins ARE oracle-checked: d7→d7b, e6→e9,
+    # m2→m5, s2→s11).
+    # round-4b mining tier
     "dq11_approx_percentile_gate",
     "pr2_supplier_hits",
     "m5_image_ahash_dedup",
@@ -136,13 +87,13 @@ _PRIORITY: list[str] = [
     "pr3_supplier_communities",
     "s9_ann_recall_gate",
     "m6_audio_vad",
-    # round-4c pipeline extensions (registered this session)
+    # round-4c pipeline extensions
     "ext_bloom_prune_join",
     "v5_heavy_hitters",
     "t24_weighted_sample",
     "pr4_triangle_count",
     "ext_delete_propagate",
-    # round-4d pipeline extensions (registered this session)
+    # round-4d pipeline extensions
     "ev7_market_basket",
     "dq13_k_anonymity",
     "ev8_ewma_daily",
@@ -169,14 +120,17 @@ _PRIORITY: list[str] = [
     "s12_hybrid_rrf",
     "m8_keyframes",
     "dq16_schema_inventory",
-    "d6b_components_star",
     "t30_bpe_merge_step",
     "ev12_ab_test",
     "st11_stream_ab_moments",
     "dq17_pk_uniqueness",
     "c2_data_card",
+    # position 50 — first to miss a 50-query prefix; the judge already
+    # re-verified this one by hand in round 4 (equivalence vs d6's
+    # oracle), so it is the safest to defer to round 6.
+    "d6b_components_star",
     # rows-only (no oracle by design — the driver records the weaker
-    # rows-only check; listed so even that lands at least once)
+    # rows-only check; each is shadowed by an oracle-checked twin)
     "d7_embedding_lsh_near_dups",
     "e6_pca_project",
     "m2_video_frame_dedup",
