@@ -5,6 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": <sf>}
 
+followed by one COMPACT line (headline value only, no per-query dict)
+so harnesses that keep only the tail of stdout still capture a
+parseable headline.
+
 Each query executes fully via the noop sink (no driver collect cost,
 no result materialization skew) after a warm-up of the session.
 """
@@ -195,6 +199,21 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # The driver records only the LAST ~2000 chars of bench output, and
+    # the full per-query line above has outgrown that window (117+
+    # entries) — BENCH_r04.json captured a mid-dict tail and parsed as
+    # null.  Emit a compact, self-contained headline line LAST so the
+    # tail capture always contains one parseable JSON object.
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_headline": len(HEADLINE),
+        "n_benched": len(timings),
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
