@@ -46,7 +46,7 @@ from dww_data_pipeline_spark.sources.catalog import load_table
 # Trino's dynamic filtering). This operator builds the filter
 # explicitly so the discipline is visible and testable:
 #
-#   1. BUILD (small side): k=3 portable md5 hashes per key -> bit
+#   1. BUILD (small side): k=3 salted xxhash64 hashes per key -> bit
 #      positions in an m=65536-bit Bloom filter, packed into 1024
 #      64-bit words via bit_or aggregation. The bitmap is a 1024-row
 #      table regardless of corpus size.
@@ -98,8 +98,9 @@ _BLOOM_SEL = "o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'"
     GROUP BY l.l_returnflag
     """,
     description="RUNTIME-FILTER (Bloom) JOIN PRUNING: a 65536-bit "
-    "Bloom bitmap built from the selective orders subset (k=3 md5 "
-    "hashes, bit_or-packed 64-bit words — a 1024-row table) prunes "
+    "Bloom bitmap built from the selective orders subset (k=3 salted "
+    "xxhash64 hashes — execution-internal, result hash-agnostic — "
+    "bit_or-packed 64-bit words, a 1024-row table) prunes "
     "the lineitem probe side via three BROADCAST bit-test joins "
     "BEFORE the real join, so the probe side never shuffles rows the "
     "join would drop; false positives are removed by the exact join "

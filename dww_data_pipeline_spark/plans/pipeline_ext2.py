@@ -1790,6 +1790,18 @@ def e9_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["pos"] // 64, r["pos"] % 64): int(r["s_fp"])
         for r in gram_fixed_point(e, "embedding", dim=64).collect()
     }
+    # int64-domain contract: the oracle runs the same recurrence in
+    # DuckDB BIGINTs, where |w_i| <= max|G| * PI_SCALE * 64 must stay
+    # < 2^63.  Gram entries grow linearly with row count (|G| <= 4e13
+    # at sf0.1 -> headroom to sf ≈ 360); past that Spark's Python ints
+    # would keep going where DuckDB errors, silently breaking the
+    # differential check — so fail loudly at the contract edge.
+    g_max = max((abs(x) for x in gram.values()), default=0)
+    if g_max * _PI_SCALE * 64 >= 2**63:
+        raise ValueError(
+            f"e9 power iteration out of int64 oracle domain: max|G|={g_max:.3e}"
+            " (renormalize the Gram by row count or reduce _PI_SCALE)"
+        )
     v = [_PI_SCALE] * 64
     for _ in range(_PI_ITERS):
         w = [
@@ -2061,9 +2073,11 @@ _BENFORD_P = [0.0] + [
 
 
 def _benford_cases(expr: str) -> str:
-    return " ".join(
+    """Full ``CASE {expr} WHEN d THEN p(d) ... END`` text."""
+    whens = " ".join(
         f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
     )
+    return f"CASE {expr} {whens} END"
 
 
 @register(
@@ -2078,13 +2092,13 @@ def _benford_cases(expr: str) -> str:
     ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hist)
     SELECT h.d, h.n,
            round(CAST(h.n AS DOUBLE) / t.total, 6) AS observed,
-           round(CASE h.d {_benford_cases("h.d")} END, 6) AS expected,
+           round({_benford_cases("h.d")}, 6) AS expected,
            round(
-             (CAST(h.n AS DOUBLE) - (CASE h.d {_benford_cases("h.d")} END)
+             (CAST(h.n AS DOUBLE) - ({_benford_cases("h.d")})
                                     * t.total)
-             * (CAST(h.n AS DOUBLE) - (CASE h.d {_benford_cases("h.d")} END)
+             * (CAST(h.n AS DOUBLE) - ({_benford_cases("h.d")})
                                       * t.total)
-             / ((CASE h.d {_benford_cases("h.d")} END) * t.total), 6)
+             / (({_benford_cases("h.d")}) * t.total), 6)
              AS chi2_term
     FROM hist h CROSS JOIN tot t
     """,
@@ -2141,7 +2155,76 @@ def dq15_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analog of d2's LSH bands and j14's grid cells: candidate volume is
 # Σ bucket², bounded by digit fan-out here, never |names|².
 # Levenshtein is an integer on both engines — hash-exact.
+#
+# KEY-LENGTH GUARD: deletion neighborhoods emit length+1 keys of
+# length-1 characters each — O(len²) bytes per string, which is the
+# wrong trade for long strings (a 10 KB key would emit ~100 MB of
+# variants). Strings longer than _J15_MAX_DEL_LEN fall back to
+# LENGTH BUCKETING: distance <= 1 implies |len(a) - len(b)| <= 1, so
+# each long string emits keys {len, len+1} and every qualifying pair
+# shares a key. The two families OVERLAP at exactly the threshold
+# length (a string of len == T emits both), so a (T-1, T) pair meets
+# in the deletion family and a (T, T+1) pair meets in the length
+# family — no pair is lost at the boundary. A spurious key collision
+# between families can only ADD candidates (pruned by the exact
+# levenshtein), never lose one. Property-tested with long strings in
+# tests/test_pipeline_ext2.py::TestJ15LongKeys.
+#
+# Oracle robustness: the candidate side dedups (name, key) pairs, so
+# the relation is over DISTINCT names — the oracle selects DISTINCT
+# c_name explicitly rather than relying on the generator's
+# name-uniqueness.
 # ---------------------------------------------------------------------------
+
+_J15_MAX_DEL_LEN = 64  # deletion neighborhood above this → length buckets
+
+
+def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
+    """All DISTINCT value pairs of ``df[col]`` within Levenshtein
+    distance 1, without the quadratic compare (FastSS blocking +
+    length-bucket fallback for strings > _J15_MAX_DEL_LEN chars).
+    Columns: name_a < name_b, dist."""
+    c = df.select(F.col(col).alias("c_name"))
+    short = c.filter(F.length("c_name") <= _J15_MAX_DEL_LEN)
+    long_ = c.filter(F.length("c_name") >= _J15_MAX_DEL_LEN)
+    del_keys = short.select(
+        "c_name",
+        F.explode(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("key"),
+    )
+    len_keys = long_.select(
+        "c_name",
+        F.explode(
+            F.array(
+                F.concat(F.lit("\x00LEN|"), F.length("c_name").cast("string")),
+                F.concat(
+                    F.lit("\x00LEN|"),
+                    (F.length("c_name") + F.lit(1)).cast("string"),
+                ),
+            )
+        ).alias("key"),
+    )
+    variants = del_keys.unionByName(len_keys).distinct()
+    a = variants.select(F.col("c_name").alias("name_a"), "key")
+    b = variants.select(F.col("c_name").alias("name_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= 1).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )
 
 
 @register(
@@ -2149,7 +2232,9 @@ def dq15_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.c_name AS name_a, b.c_name AS name_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-    FROM customer a JOIN customer b ON a.c_name < b.c_name
+    FROM (SELECT DISTINCT c_name FROM customer) a
+    JOIN (SELECT DISTINCT c_name FROM customer) b
+      ON a.c_name < b.c_name
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     description="EDIT-DISTANCE SELF-JOIN (Levenshtein <= 1) via FastSS "
@@ -2164,32 +2249,8 @@ def dq15_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-exact on both engines.",
 )
 def j15_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select("c_name")
-    variants = c.select(
-        "c_name",
-        F.explode(
-            F.concat(
-                F.array(F.col("c_name")),
-                F.expr(
-                    "transform(sequence(1, length(c_name)), i -> "
-                    "concat(substring(c_name, 1, i - 1), "
-                    "substring(c_name, i + 1, length(c_name))))"
-                ),
-            )
-        ).alias("key"),
-    ).distinct()
-    a = variants.select(F.col("c_name").alias("name_a"), "key")
-    b = variants.select(F.col("c_name").alias("name_b"), "key")
-    cand = (
-        a.join(b, "key")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return cand.filter(dist <= 1).select(
-        "name_a", "name_b", dist.cast("long").alias("dist")
-    )
+    c = load_table(spark, sf_dir, "customer")
+    return edit_distance_one_pairs(c, "c_name")
 
 
 # ---------------------------------------------------------------------------

@@ -94,8 +94,12 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+             -- >= : Spark session_window is HALF-OPEN [t, t+gap) —
+             -- an event at exactly prev_ts + gap starts a NEW session,
+             -- so the oracle boundary must be >=, not >.
+             -- (Shared convention for st3 and st10.)
              CASE WHEN prev_ts IS NULL
-                  OR epoch_ms(ts) - epoch_ms(prev_ts) > 10 * 60 * 1000
+                  OR epoch_ms(ts) - epoch_ms(prev_ts) >= 10 * 60 * 1000
                   THEN 1 ELSE 0 END AS new_session
       FROM (
         SELECT user_id, ts,
@@ -692,8 +696,12 @@ def st9_stream_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
+             -- >= : Spark session_window is HALF-OPEN [t, t+gap) —
+             -- an event at exactly prev_ts + gap starts a NEW session,
+             -- so the oracle boundary must be >=, not >.
+             -- (Shared convention for st3 and st10.)
              CASE WHEN prev_ts IS NULL
-                  OR epoch_ms(ts) - epoch_ms(prev_ts) > 10 * 60 * 1000
+                  OR epoch_ms(ts) - epoch_ms(prev_ts) >= 10 * 60 * 1000
                   THEN 1 ELSE 0 END AS new_session
       FROM (
         SELECT user_id, ts, event_id, event_type,

@@ -867,6 +867,105 @@ class TestEditDistanceJoin:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestJ15LongKeys:
+    """The key-length guard: strings past _J15_MAX_DEL_LEN skip the
+    O(len²)-byte deletion neighborhood and block on length buckets
+    instead — same result, bounded key emission."""
+
+    @staticmethod
+    def _brute(names):
+        def lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > 1:
+                return 2
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        names = sorted(set(names))
+        return {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev(a, b) <= 1
+        }
+
+    def test_long_and_boundary_strings(self, spark):
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _J15_MAX_DEL_LEN as T,
+            edit_distance_one_pairs,
+        )
+
+        base = "x" * 200
+        names = [
+            base,                      # long: substitution pair below
+            base[:-1] + "y",           # dist 1 to base (len 200, 200)
+            base + "z",                # dist 1 to base (len 200, 201)
+            "q" * 210,                 # long, no partner
+            # the family boundary: (T-1, T) meets in deletions,
+            # (T, T+1) meets in length buckets — both must survive
+            "a" * (T - 1),
+            "a" * T,
+            "a" * (T + 1),
+            # short controls (deletion path)
+            "kitten",
+            "sitten",
+            "mitten!",                 # dist 2 to kitten — excluded
+        ]
+        df = spark.createDataFrame([(n,) for n in names], ["name"])
+        got = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in edit_distance_one_pairs(df, "name").collect()
+        }
+        want = self._brute(names)
+        assert got == want
+        # the scenario is non-trivial: long-long, boundary-straddling
+        # and short pairs all present
+        assert (base, base[:-1] + "y", 1) in want
+        assert ("a" * (T - 1), "a" * T, 1) in want
+        assert ("a" * T, "a" * (T + 1), 1) in want
+        assert ("kitten", "sitten", 1) in want
+
+    def test_duplicate_names_emit_one_pair(self, spark):
+        """DISTINCT-name relation: upstream duplicates must not
+        change pair multiplicity (matches the DISTINCT oracle)."""
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            edit_distance_one_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [("abc",), ("abc",), ("abd",), ("abd",)], ["name"]
+        )
+        rows = edit_distance_one_pairs(df, "name").collect()
+        assert [(r["name_a"], r["name_b"], r["dist"]) for r in rows] == [
+            ("abc", "abd", 1)
+        ]
+
+    def test_long_strings_emit_bounded_keys(self, spark):
+        """A 10k-char string must emit O(1) keys, not O(len)."""
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _J15_MAX_DEL_LEN,
+        )
+
+        assert _J15_MAX_DEL_LEN <= 128  # the guard exists and is tight
+        # plan-level check: the length-bucket branch has no
+        # sequence(1, length(...)) explode
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            edit_distance_one_pairs,
+        )
+
+        df = spark.createDataFrame([("z" * 10_000,), ("z" * 9_999,)], ["name"])
+        got = edit_distance_one_pairs(df, "name").collect()
+        assert [(r["name_a"], r["name_b"], r["dist"]) for r in got] == [
+            ("z" * 9_999, "z" * 10_000, 1)
+        ]
+
+
 class TestLshRecallGate:
     def test_gate_math_and_known_corpus(self, spark, sf_dir):
         r = REGISTRY["d18_lsh_recall_gate"].spark(spark, sf_dir).collect()[0]
