@@ -269,3 +269,103 @@ class TestPcaProjection:
         assert all(
             second_moments[i] >= second_moments[i + 1] - 1e-9 for i in range(3)
         ), second_moments
+
+
+class TestLshHubKeyGuard:
+    """VERDICT r4 item 8 — make the SCALE.md claim a test: even with a
+    deliberately adversarial hub SHINGLE (90% of the corpus sharing
+    one 3-gram), banded-MinHash candidate volume stays Σ C(bucket,2)
+    and far below corpus². The structural reason: sharing a shingle
+    is not sharing a BUCKET — a band collides only when both minhash
+    chunks agree, which tracks pairwise Jaccard (~1/35 here), so the
+    hub key cannot collapse the corpus into one bucket the way a
+    naive shared-shingle blocking scheme would."""
+
+    N = 15_000          # sf0.1-documents scale
+    HUB_SHARE = 0.9
+    N_PLANTED = 20      # identical-text pairs the funnel must find
+
+    @pytest.fixture(scope="class")
+    def hub_docs(self, spark):
+        import random
+
+        rng = random.Random(0xD2D8)
+        vocab = [f"w{j:04d}" for j in range(5_000)]
+        rows = []
+        for i in range(self.N):
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(20)]
+            if i < self.N * self.HUB_SHARE:
+                p = rng.randrange(len(words) - 2)
+                words[p : p + 3] = ["hub", "hub", "hub"]
+            rows.append((i, " ".join(words)))
+        # planted exact duplicates: doc N+k clones doc k
+        for k in range(self.N_PLANTED):
+            rows.append((self.N + k, rows[k][1]))
+        return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+
+    def test_candidates_stay_sum_bucket_sq(self, spark, hub_docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _banded_signatures,
+        )
+
+        banded = _banded_signatures(hub_docs).localCheckpoint()
+        sizes = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        stats = sizes.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"),
+            F.max("n").alias("max_bucket"),
+        ).collect()[0]
+        sum_bucket_pairs = int(stats["pairs"] or 0)
+        corpus_pairs = (self.N + self.N_PLANTED) * (self.N + self.N_PLANTED - 1) // 2
+        # the guard: candidate work is a small fraction of corpus²
+        assert sum_bucket_pairs < 0.01 * corpus_pairs, (
+            sum_bucket_pairs,
+            corpus_pairs,
+        )
+        # and no degenerate hub bucket (0.9N docs sharing the shingle
+        # must NOT share a bucket)
+        assert stats["max_bucket"] < 0.01 * self.N
+
+        # distinct candidate pairs are bounded by Σ C(bucket,2) — the
+        # exact quantity the per-bucket expansion emits pre-distinct
+        ids = F.sort_array(F.collect_list("doc_id"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        cand = (
+            banded.groupBy("band", "bucket")
+            .agg(ids.alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+        )
+        emitted = cand.count()
+        assert emitted == sum_bucket_pairs
+        distinct_cand = cand.distinct().localCheckpoint()
+        assert distinct_cand.count() <= sum_bucket_pairs
+
+        # funnel end: verify + components still find every planted
+        # identical pair (identical text ⇒ identical signature ⇒
+        # shared bucket in every band)
+        planted = {
+            (k, self.N + k) for k in range(self.N_PLANTED)
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in distinct_cand.join(
+                spark.createDataFrame(
+                    sorted(planted), ["id_a", "id_b"]
+                ),
+                ["id_a", "id_b"],
+            ).collect()
+        }
+        assert got == planted
