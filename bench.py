@@ -153,6 +153,9 @@ EXTRA = [
     "st11_stream_ab_moments",   # streaming windowed experiment moments
     "dq17_pk_uniqueness",       # catalog-wide PK integrity audit
     "c2_data_card",             # one-row corpus release summary
+    # round 5
+    "s2_ann_ivf_topk",          # IVF-Flat: pruned cells, exact scoring
+    "m2_video_frame_dedup",     # video split -> decode -> aHash dedup
 ]
 
 

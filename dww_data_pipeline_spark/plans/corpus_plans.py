@@ -394,9 +394,11 @@ def e5_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e6_pca_project",
     oracle=None,
-    description="PCA PROJECTION (rows-only: the eigendecomposition is "
-    "not SQL-expressible; determinism + math properties are pytest-"
-    "verified instead): embeddings projected onto the top-8 principal "
+    description="PCA PROJECTION (rows-only BY DESIGN: the "
+    "eigendecomposition is not SQL-expressible; e9_power_iteration_pc1 "
+    "is the oracle-checked twin for the dominant component, and "
+    "determinism + math properties are pytest-verified here): "
+    "embeddings projected onto the top-8 principal "
     "directions of the corpus. Two-phase scale shape — the distributed "
     "pass reduces the corpus to the 64x64 FIXED-POINT Gram matrix "
     "(deterministic across runs/partitionings, map-side partial agg), "

@@ -921,20 +921,11 @@ def pr2_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m5_ahash_sql() -> str:
     """DuckDB integer arithmetic for the aHash of the 2x2 P3 image
-    generated from seed = doc_id % 97 (v_i = (seed*(3i+7)+i) % 256)."""
-    grays = []
-    for p in range(4):
-        chans = " + ".join(
-            f"(((doc_id % 97) * {3 * (3 * p + c) + 7} + {3 * p + c}) % 256)"
-            for c in range(3)
-        )
-        grays.append(f"({chans})")
-    tot = " + ".join(grays)
-    bits = " + ".join(
-        f"(CASE WHEN 4 * {grays[p]} > ({tot}) THEN {1 << p} ELSE 0 END)"
-        for p in range(4)
-    )
-    return f"CAST({bits} AS BIGINT)"
+    generated from seed = doc_id % 97 (v_i = (seed*(3i+7)+i) % 256);
+    delegates to the seed-parameterized helper m2 shares."""
+    from dww_data_pipeline_spark.plans.streaming_plans import _p3_ahash_sql
+
+    return _p3_ahash_sql("doc_id % 97")
 
 
 _M5_ORACLE = f"""

@@ -1202,11 +1202,16 @@ def _ivfpq_coarse_d2_sql(vec: str, cv: str) -> str:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivf_coarse_parts() -> list[str]:
+    """The coarse-quantizer CTE prefix SHARED by s11 (IVF+PQ) and s2
+    (IVF-Flat): quantized vectors (q), k-means init from the lowest
+    vec_ids (cinit), one exact-integer Lloyd iteration (ca0/cs/cc),
+    final cell assignment (caf), query vectors (qv), and each query's
+    nprobe nearest cells (qc)."""
     d2c = _ivfpq_coarse_d2_sql("q.vq", "c.cv")
     csums = ", ".join(f"SUM(q.vq[{i + 1}]) AS s{i}" for i in range(64))
     cupd = ", ".join(f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(64))
-    parts = [
+    return [
         f"q AS MATERIALIZED (SELECT vec_id, {_PQ_VQ_DUCK} AS vq FROM embeddings)",
         f"""cinit AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
@@ -1231,14 +1236,6 @@ def _ivfpq_oracle() -> str:
                               ORDER BY {d2c.replace('cinit', 'cc')}, c.j) AS rn
     FROM q CROSS JOIN cc c
   ) WHERE rn = 1)""",
-        """res AS MATERIALIZED (
-  SELECT q.vec_id, caf.cluster,
-         list_transform(list_zip(q.vq, cc.cv),
-                        p -> p[1] - p[2] + 4000000) AS rv
-  FROM q JOIN caf ON caf.vec_id = q.vec_id JOIN cc ON cc.j = caf.cluster)""",
-        f"""pinit AS MATERIALIZED (
-  SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS j
-  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {_PQ_K}))""",
         f"qv AS MATERIALIZED (SELECT vec_id AS query_id, vq FROM q "
         f"WHERE vec_id IN {_PQ_QUERIES})",
         f"""qc AS MATERIALIZED (
@@ -1249,6 +1246,19 @@ def _ivfpq_oracle() -> str:
              AS rn
     FROM qv CROSS JOIN cc c
   ) WHERE rn <= {_IVF_NPROBE})""",
+    ]
+
+
+def _ivfpq_oracle() -> str:
+    parts = _ivf_coarse_parts() + [
+        """res AS MATERIALIZED (
+  SELECT q.vec_id, caf.cluster,
+         list_transform(list_zip(q.vq, cc.cv),
+                        p -> p[1] - p[2] + 4000000) AS rv
+  FROM q JOIN caf ON caf.vec_id = q.vec_id JOIN cc ON cc.j = caf.cluster)""",
+        f"""pinit AS MATERIALIZED (
+  SELECT rv, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT {_PQ_K}))""",
         """qres AS MATERIALIZED (
   SELECT p.query_id, p.cluster,
          list_transform(list_zip(qv.vq, cc.cv),
@@ -1345,6 +1355,30 @@ def _pq_code_expr_rv(book: list[list[int]], off: int) -> str:
     return _code_expr(book, off, _PQ_SUB, "rv")
 
 
+def _train_coarse(vq: DataFrame) -> list[list[int]]:
+    """Exact-integer coarse quantizer shared by s11 (IVF+PQ) and s2
+    (IVF-Flat): k=_IVF_K, init = the k lowest vec_ids, ONE Lloyd
+    iteration with round-half-up integer means ((2s+n)//(2n)) — every
+    step bit-identical to the oracle's unrolled CTE recurrence. One
+    partial-agg shuffle + a bounded (k x 64 integer) driver collect."""
+    cinit = vq.orderBy("vec_id").limit(_IVF_K).collect()
+    ccents = [list(r["vq"]) for r in cinit]
+    assigned = vq.select(
+        "vq", F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster")
+    )
+    csums = (
+        assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    new = [list(c) for c in ccents]
+    for r in csums:
+        s, n = int(r["s"]), int(r["n"])
+        new[r["cluster"]][r["pos"]] = (2 * s + n) // (2 * n)
+    return new
+
+
 @register(
     "s11_ivfpq_topk",
     oracle=_ivfpq_oracle(),
@@ -1369,22 +1403,7 @@ def s11_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
     try:
         # ---- coarse quantizer: k=4, one exact-integer Lloyd iteration
-        cinit = vq.orderBy("vec_id").limit(_IVF_K).collect()
-        ccents = [list(r["vq"]) for r in cinit]
-        assigned = vq.select(
-            "vq", F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster")
-        )
-        csums = (
-            assigned.select("cluster", F.posexplode("vq").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = [list(c) for c in ccents]
-        for r in csums:
-            s, n = int(r["s"]), int(r["n"])
-            new[r["cluster"]][r["pos"]] = (2 * s + n) // (2 * n)
-        ccents = new
+        ccents = _train_coarse(vq)
 
         # ---- residuals vs the final coarse assignment (in-plan)
         cents_lit = (

@@ -129,12 +129,17 @@ _PRIORITY: list[str] = [
     # re-verified this one by hand in round 4 (equivalence vs d6's
     # oracle), so it is the safest to defer to round 6.
     "d6b_components_star",
-    # rows-only (no oracle by design — the driver records the weaker
-    # rows-only check; each is shadowed by an oracle-checked twin)
-    "d7_embedding_lsh_near_dups",
-    "e6_pca_project",
+    # converted to ORACLE-CHECKED in round 5 (m2: integer aHash with a
+    # generator-arithmetic oracle; s2: exact-integer IVF-Flat sharing
+    # s11's coarse-quantizer CTEs) — first in line for round 6's prefix
     "m2_video_frame_dedup",
     "s2_ann_ivf_topk",
+    # rows-only by design, each with an oracle-checked twin:
+    # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
+    # and retained as the recall gate; e6's eigh top-8 PCA is not
+    # SQL-expressible — e9 (power-iteration PC1) is its checked twin
+    "d7_embedding_lsh_near_dups",
+    "e6_pca_project",
     # ------- rotation: signature reference ops re-verified after the
     # round-4 execution-shape changes (d7b/s6/e5 rewrites share
     # operators with these)

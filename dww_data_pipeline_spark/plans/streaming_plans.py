@@ -261,30 +261,135 @@ def interval_join_clicks_purchases(
 
 @register(
     "s2_ann_ivf_topk",
-    oracle=None,
-    description="Similarity search IVF scale path: driver-trained coarse "
-    "quantizer (bounded sample), JVM-side list assignment, per-list scan "
-    "(nprobe=1). Approximate by design — recall vs the oracle-checked "
-    "brute-force twin (s1) asserted in tests; rows-only here.",
+    oracle=None,  # attached below — shares s11's coarse-quantizer CTEs
+    description="IVF-FLAT ANN, ORACLE-CHECKED: s11's exact-integer "
+    "coarse quantizer (k=4, init = lowest vec_ids, one Lloyd "
+    "iteration, round-half-up integer means) prunes each query to its "
+    "nprobe=2 nearest cells, then the probed cells' vectors are "
+    "scored EXACTLY (integer squared-L2 on the quantized vectors, "
+    "loop-form aggregate/zip_with inside whole-stage codegen) — the "
+    "faiss IVFx,Flat layout: pruning without compression, sitting "
+    "between s1 (brute force) and s11 (IVF+PQ). Training is one "
+    "bounded partial-agg shuffle; the query pass scans only probed "
+    "cells; centroids and query vectors fold to plan-time literals. "
+    "Every stage is bit-identical on both engines, so cells, probe "
+    "set, and exact top-k are all differentially verified. "
+    "(The float sample-trained variant lives on as "
+    "operators/similarity.ivf_topk, recall-tested in TestIVF.)",
 )
 def s2_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dww_data_pipeline_spark.operators.similarity import ivf_topk
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+        _PQ_VQ_SPARK,
+        _ivfpq_coarse_expr,
+        _train_coarse,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
+    vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
+    try:
+        ccents = _train_coarse(vq)
+        assigned = vq.select(
+            "vec_id", "vq", F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster")
+        )
+        qrows = {
+            int(r["vec_id"]): list(r["vq"])
+            for r in vq.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        per_q = []
+        for qid in _PQ_QUERIES:
+            qvec = qrows[qid]
+            # probe set: driver-side argmin over the bounded centroids
+            # (same (d2, j) tiebreak as the oracle's qc CTE)
+            probe = sorted(
+                range(_IVF_K),
+                key=lambda j: (
+                    sum((qvec[i] - ccents[j][i]) ** 2 for i in range(64)),
+                    j,
+                ),
+            )[:_IVF_NPROBE]
+            qlit = "array(" + ", ".join(f"{int(x)}L" for x in qvec) + ")"
+            d2 = F.expr(
+                f"aggregate(zip_with(vq, {qlit}, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            )
+            per_q.append(
+                assigned.filter(
+                    F.col("cluster").isin([int(j) for j in probe])
+                ).select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    "vec_id",
+                    d2.alias("d2"),
+                )
+            )
+        u = reduce(lambda a, b: a.unionByName(b), per_q)
+        w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+        return (
+            u.select(
+                "query_id", "vec_id", "d2", F.row_number().over(w).alias("rank")
+            )
+            .filter(F.col("rank") <= _PQ_TOPK)
+        )
+    finally:
+        vq.unpersist(blocking=False)
+
+
+def _s2_attach_oracle() -> None:
+    """s2's oracle reuses s11's coarse CTE prefix verbatim (the
+    attach-after-registration pattern: pipeline_ext2 must be loaded
+    for the shared text, so import it here, not at module top)."""
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _PQ_TOPK,
+        _ivf_coarse_parts,
+        _ivfpq_coarse_d2_sql,
     )
-    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_lists=8, sample_size=500)
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    exact_d2 = _ivfpq_coarse_d2_sql("v.vq", "qv.vq")
+    body = ",\n".join(
+        _ivf_coarse_parts()
+        + [
+            f"""exact AS MATERIALIZED (
+  SELECT qc.query_id, r.vec_id, CAST({exact_d2} AS BIGINT) AS d2
+  FROM caf r
+  JOIN q v ON v.vec_id = r.vec_id
+  JOIN qc ON qc.cluster = r.cluster
+  JOIN qv ON qv.query_id = qc.query_id)"""
+        ]
+    )
+    oracle = f"""WITH {body}
+SELECT query_id, vec_id, d2, rank FROM (
+  SELECT query_id, vec_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rank
+  FROM exact
+) WHERE rank <= {_PQ_TOPK}"""
+    q = REGISTRY["s2_ann_ivf_topk"]
+    REGISTRY["s2_ann_ivf_topk"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+_s2_attach_oracle()
 
 
 @register(
     "d7_embedding_lsh_near_dups",
     oracle=None,
-    description="Embedding near-dup SCALE path: random-hyperplane LSH "
-    "buckets prune the pair space before the cosine threshold (the "
-    "brute-force twin d5 is the oracle-checked baseline; bucketing makes "
-    "results a recall-bounded subset — rows-only by design, recall "
-    "asserted in tests)",
+    description="Embedding near-dup SCALE path: random-hyperplane "
+    "(Gaussian-plane) LSH buckets prune the pair space before the "
+    "cosine threshold. Rows-only BY DESIGN: this is the RECALL GATE "
+    "for the family — d7b (deterministic sign-LSH) is its "
+    "hash-checked twin and d5 the oracle-checked brute baseline; "
+    "d7's value is measuring what random planes lose, asserted in "
+    "tests.",
 )
 def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.similarity import _hyperplanes, lsh_bucket_col
@@ -372,23 +477,64 @@ def m1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _p3_ahash_sql(seed: str) -> str:
+    """DuckDB integer aHash of the 2x2 P3 image generated from
+    ``seed`` (pixel value i = (seed*(3i+7)+i) % 256): gray_p = channel
+    sum, bit p iff 4*gray_p > sum(gray) — the m5 generator-arithmetic
+    discipline, parameterized by the seed expression so video frames
+    (seeds d, d+1, d, d+7) can reuse it."""
+    grays = []
+    for p in range(4):
+        chans = " + ".join(
+            f"((({seed}) * {3 * (3 * p + c) + 7} + {3 * p + c}) % 256)"
+            for c in range(3)
+        )
+        grays.append(f"({chans})")
+    tot = " + ".join(grays)
+    bits = " + ".join(
+        f"(CASE WHEN 4 * {grays[p]} > ({tot}) THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_M2_ORACLE = f"""
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+f AS (
+  SELECT doc_id, 0 AS idx, {_p3_ahash_sql('doc_id')} AS ahash FROM v
+  UNION ALL SELECT doc_id, 1, {_p3_ahash_sql('doc_id + 1')} FROM v
+  UNION ALL SELECT doc_id, 2, {_p3_ahash_sql('doc_id')} FROM v
+  UNION ALL SELECT doc_id, 3, {_p3_ahash_sql('doc_id + 7')} FROM v
+)
+SELECT CAST(a.doc_id AS BIGINT) AS video_id,
+       CAST(a.doc_id * 1000 + a.idx AS BIGINT) AS frame_a,
+       CAST(b.doc_id * 1000 + b.idx AS BIGINT) AS frame_b,
+       a.ahash
+FROM f a JOIN f b
+  ON a.doc_id = b.doc_id AND a.idx < b.idx AND a.ahash = b.ahash
+"""
+
+
 @register(
     "m2_video_frame_dedup",
-    oracle=None,
-    description="END-TO-END multimodal pipeline with REAL pixels: "
-    "concatenated-PPM video column → self-delimiting frame split "
-    "(mapInPandas flatMap, bounded fan-out) → per-frame REAL decode + "
-    "feature extraction (pure-NumPy codec) → near-duplicate frames "
-    "within each video by feature cosine — the frame-dedup flow a "
-    "video training pipeline runs before captioning. Rows-only by "
-    "design (Python decode stage).",
+    oracle=_M2_ORACLE,
+    description="END-TO-END multimodal pipeline with REAL pixels, "
+    "ORACLE-CHECKED: concatenated-PPM video column → self-delimiting "
+    "frame split (mapInPandas flatMap, bounded fan-out) → per-frame "
+    "REAL decode (pure-NumPy codec) → integer-exact perceptual aHash "
+    "(m5's bit math) → near-duplicate frames within each video by "
+    "hash equality — the frame-dedup flow a video training pipeline "
+    "runs before captioning. The oracle re-derives every frame's hash "
+    "from the pixel-generator arithmetic (seeds d, d+1, d, d+7 — "
+    "frames 0/2 share a seed, planting a true dup pair per video), so "
+    "the differential covers synthesis, the frame SPLIT boundaries, "
+    "decode, and the hash math end to end.",
 )
 def m2_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.documents import (
-        extract_media_features,
+        image_ahash,
         sample_frames,
     )
-    from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     # REAL video: concatenated-PPM stream (4 frames; frames 0 and 2
@@ -415,30 +561,35 @@ def m2_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # composite id: (video, frame) — collision-free since
         # frame_index < max_frames << 1000
         (F.col("media_id") * 1000 + F.col("frame_index")).alias("media_id"),
-        F.lit("image").alias("kind"),
         "payload",
-        F.lit("image/fake").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
     )
-    feats = extract_media_features(frame_media, dim=8).filter(F.col("decode_ok"))
-    fa = feats.select(
-        (F.col("media_id") / 1000).cast("long").alias("video_a"),
+    h = (
+        image_ahash(frame_media)
+        .filter(F.col("decode_ok"))
+        .select("media_id", "ahash")
+    )
+    fa = h.select(
+        F.floor(F.col("media_id") / 1000).cast("long").alias("video_a"),
         F.col("media_id").alias("frame_a"),
-        F.col("feature").alias("va"),
+        F.col("ahash").alias("ha"),
     )
-    fb = feats.select(
-        (F.col("media_id") / 1000).cast("long").alias("video_b"),
+    fb = h.select(
+        F.floor(F.col("media_id") / 1000).cast("long").alias("video_b"),
         F.col("media_id").alias("frame_b"),
-        F.col("feature").alias("vb"),
+        F.col("ahash").alias("hb"),
     )
     return (
-        fa.join(fb, (fa.video_a == fb.video_b) & (fa.frame_a < fb.frame_b))
-        .withColumn("cos", F.round(_spark_cos(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.5)
+        fa.join(
+            fb,
+            (fa.video_a == fb.video_b)
+            & (fa.frame_a < fb.frame_b)
+            & (F.col("ha") == F.col("hb")),
+        )
         .select(
-            F.col("video_a").alias("video_id"), "frame_a", "frame_b", "cos"
+            F.col("video_a").alias("video_id"),
+            "frame_a",
+            "frame_b",
+            F.col("ha").alias("ahash"),
         )
     )
 

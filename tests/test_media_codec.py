@@ -219,13 +219,12 @@ class TestSparkRealPixels:
         q = all_queries()["m2_video_frame_dedup"]
         pairs = q(spark, sf_dir).collect()
         assert pairs, "every video embeds a duplicate frame pair"
-        # frames 0 and 2 of each video are identical -> cosine 1.0 pairs
-        # frame ids: media_id*1000 + frame_index
+        # frames 0 and 2 of each video are identical -> equal aHash
+        # pairs; frame ids: media_id*1000 + frame_index
         exact = {
             (r["video_id"])
             for r in pairs
             if r["frame_a"] % 1000 == 0 and r["frame_b"] % 1000 == 2
-            and r["cos"] == pytest.approx(1.0)
         }
         assert len(exact) > 50
 

@@ -443,11 +443,11 @@ class TestVideoFrameDedup:
         q = REGISTRY["m2_video_frame_dedup"].spark
         a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
         b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
-        assert a == b  # stub decode is deterministic end-to-end
+        assert a == b  # real decode is deterministic end-to-end
         assert len(a) > 0
-        for video_id, fa, fb, cos in a:
+        for video_id, fa, fb, ahash in a:
             assert fa < fb and fa // 1000 == fb // 1000 == video_id
-            assert 0.5 <= cos <= 1.0
+            assert 0 <= ahash < 16  # 2x2 image -> 4-bit hash
 
 
 class TestStarComponents:
