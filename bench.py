@@ -156,6 +156,8 @@ EXTRA = [
     # round 5
     "s2_ann_ivf_topk",          # IVF-Flat: pruned cells, exact scoring
     "m2_video_frame_dedup",     # video split -> decode -> aHash dedup
+    "d19_url_dedup",            # URL canonicalization + canonical dedup
+    "ext_compaction_plan",      # small-file compaction bin-packing
 ]
 
 

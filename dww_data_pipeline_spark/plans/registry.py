@@ -134,6 +134,10 @@ _PRIORITY: list[str] = [
     # s11's coarse-quantizer CTEs) — first in line for round 6's prefix
     "m2_video_frame_dedup",
     "s2_ann_ivf_topk",
+    # NEW in round 5 (never driver-sampled): queue behind the round-5
+    # prefix so they fill round 6's sample right after m2/s2
+    "d19_url_dedup",
+    "ext_compaction_plan",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not
@@ -200,6 +204,7 @@ def _load_all() -> None:
         streaming_plans,
         text_plans,
         tpch2,
+        web_plans,
     )
 
     _LOADED = True

@@ -619,3 +619,56 @@ class TestMultiTableLsh:
         # table-1 candidates are a subset of the two-table union, so
         # recall vs brute force cannot decrease
         assert len(multi & brute) >= len(single & brute)
+
+
+class TestUrlDedup:
+    def test_canonical_invariants(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["d19_url_dedup"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            u = r["canonical_url"]
+            # canonical form: lowercase scheme/host, no default port, no
+            # fragment, no tracking params, no trailing slash
+            assert u == u.lower() or "?" in u  # query values keep case
+            assert ":80" not in u and ":443" not in u
+            assert "#" not in u and "utm_" not in u
+            assert not u.endswith("/")
+        # planted collapse: doc 0 (clean variant) and doc 91 (case +
+        # port + trailing slash variant) share h=0, p=0 -> one group
+        g = [r for r in rows if r["canonical_url"] == "http://www.site0.com/articles/0"]
+        assert len(g) == 1 and g[0]["n_urls"] >= 2 and g[0]["kept_doc"] == 0
+
+    def test_variant_classes_partition(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        rows = REGISTRY["d19_url_dedup"].spark(spark, sf_dir).collect()
+        # v0/v1/v2 collapse to the query-less form; v3 (http) and v4
+        # (https) keep ?a=1&b=2 — so every canonical either has no query
+        # or exactly the sorted surviving params
+        for r in rows:
+            u = r["canonical_url"]
+            if "?" in u:
+                assert u.endswith("?a=1&b=2")
+
+
+class TestCompactionPlan:
+    def test_bins_partition_the_manifest(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["ext_compaction_plan"].spark(spark, sf_dir).collect()
+        assert rows
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for src, bins in by_src.items():
+            bins.sort(key=lambda r: r["bin"])
+            # bins start at 0, never empty, file ranges don't overlap
+            assert bins[0]["bin"] == 0
+            for r in bins:
+                assert r["n_files"] >= 1 and r["bin_bytes"] > 0
+            for a, b in zip(bins, bins[1:]):
+                assert a["last_file"] < b["first_file"]
