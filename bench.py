@@ -158,6 +158,7 @@ EXTRA = [
     "m2_video_frame_dedup",     # video split -> decode -> aHash dedup
     "d19_url_dedup",            # URL canonicalization + canonical dedup
     "ext_compaction_plan",      # small-file compaction bin-packing
+    "m9_audio_fingerprint",     # peak-pair audio fingerprint matching
 ]
 
 

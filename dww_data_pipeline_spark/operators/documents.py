@@ -521,3 +521,52 @@ def audio_vad(media: DataFrame, window: int = 8, energy_threshold: int = 80000) 
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=VAD_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("energies", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def audio_frame_energies(media: DataFrame, frame: int = 4) -> DataFrame:
+    """Decode A16 audio and reduce each clip to its per-frame INTEGER
+    energy envelope (Σ s² over ``frame`` samples — exact in int64 for
+    int16 samples at any realistic frame width). The decode stays in
+    this one Arrow-batched stage; everything downstream (peak picking,
+    fingerprint pairing) is JVM-side Column math over the bounded
+    energies array. Undecodable payloads yield decode_ok=False — the
+    extract_media_features fallback contract."""
+    from dww_data_pipeline_spark.operators.media_codec import decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {"media_id": [], "decode_ok": [], "energies": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ok, env = False, None
+                try:
+                    decoded = decode_audio(
+                        bytes(payload) if payload is not None else None
+                    )
+                except ValueError:
+                    decoded = None
+                if decoded is not None:
+                    _, samples = decoded
+                    s = samples.astype(np.int64)
+                    nfull = (len(s) // frame) * frame
+                    env = [
+                        int(e)
+                        for e in (s[:nfull].reshape(-1, frame) ** 2).sum(axis=1)
+                    ]
+                    ok = True
+                rows["media_id"].append(mid)
+                rows["decode_ok"].append(ok)
+                rows["energies"].append(env)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=ENERGY_SCHEMA)

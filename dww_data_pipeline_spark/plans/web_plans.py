@@ -225,3 +225,144 @@ def ext_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m9 — audio fingerprint matching (Shazam-shape peak-pair hashing).
+#
+# Completes the audio leg's DEDUP story (m4 features, m6 VAD): each
+# clip is reduced to a constellation of energy-envelope PEAKS, peaks
+# are paired within a fan-out window into integer fingerprints
+# (anchor-bucket, target-bucket, dt), and clips sharing >= 3 distinct
+# fingerprints are reported as matches — the audio twin of the image
+# aHash dedup (m5) and the LSH text funnel (d2): candidate pairs are
+# generated PER FINGERPRINT BUCKET (Σ bucket², never clips²).
+#
+# Execution split (house discipline): the ONLY Python stage is the
+# A16 decode reducing each clip to its bounded integer energy
+# envelope (operators/documents.audio_frame_energies); peak picking
+# and pair hashing are JVM-side higher-order Column functions over
+# that array, and the match join is a plain fp-equality shuffle.
+# Clips are synthesized with seed = doc_id % 29, planting identical
+# waveforms across docs; the oracle re-derives everything from the
+# generator arithmetic (the m4/m6 discipline), so decode, framing,
+# peak rule, hash packing, and the bucketed pair join are all
+# differentially verified. Every quantity is an exact integer.
+# ---------------------------------------------------------------------------
+
+_M9_N = 64        # samples per clip
+_M9_FRAME = 4     # samples per energy frame -> 16 frames
+_M9_FANOUT = 6    # max peak-pair distance (frames)
+_M9_MIN_SHARED = 3
+
+
+def _m9_payload_expr(seed_col):
+    """A16 clip, s_i = ((seed*(5i+11)+3i) % 2048) - 1024 — the m4
+    generator arithmetic at 64 samples (curation_plans m4 uses 16)."""
+    samples = [
+        (F.pmod(seed_col * (5 * i + 11) + 3 * i, F.lit(2048)) - 1024).cast(
+            "string"
+        )
+        for i in range(_M9_N)
+    ]
+    return F.encode(
+        F.concat(F.lit(f"A16\n8000 {_M9_N}\n"), F.concat_ws(" ", *samples)),
+        "utf-8",
+    )
+
+
+_M9_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id, doc_id % 29 AS seed FROM documents WHERE doc_id < 150
+), idx AS (
+  SELECT doc_id, seed, unnest(generate_series(0, {_M9_N - 1})) AS i FROM v
+), samp AS (
+  SELECT doc_id, i // {_M9_FRAME} AS w,
+         ((seed * (5 * i + 11) + 3 * i) % 2048) - 1024 AS s
+  FROM idx
+), win AS (
+  SELECT doc_id, w, CAST(SUM(s * s) AS BIGINT) AS e
+  FROM samp GROUP BY doc_id, w
+), peaks AS (
+  SELECT a.doc_id, a.w, a.e FROM win a
+  JOIN win l ON l.doc_id = a.doc_id AND l.w = a.w - 1
+  JOIN win r ON r.doc_id = a.doc_id AND r.w = a.w + 1
+  WHERE l.e < a.e AND a.e >= r.e
+), fps AS (
+  SELECT DISTINCT p1.doc_id,
+         (least(p1.e // 65536, 63) * 64 + least(p2.e // 65536, 63))
+           * 8 + (p2.w - p1.w) AS fp
+  FROM peaks p1
+  JOIN peaks p2 ON p2.doc_id = p1.doc_id AND p2.w > p1.w
+               AND p2.w - p1.w <= {_M9_FANOUT}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS clip_a,
+       CAST(b.doc_id AS BIGINT) AS clip_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_M9_MIN_SHARED}
+"""
+
+
+@register(
+    "m9_audio_fingerprint",
+    oracle=_M9_ORACLE,
+    description="AUDIO FINGERPRINT MATCHING with REAL waveforms "
+    "(Shazam-shape): A16 clips decode to integer energy envelopes in "
+    "one Arrow stage, then JVM-side higher-order functions pick "
+    "strict local-maximum peaks and pack peak pairs (anchor bucket, "
+    "target bucket, dt) into integer fingerprints; clips sharing >= 3 "
+    "distinct fingerprints match. Pairs are generated per fingerprint "
+    "bucket (Σ bucket², the d2/m5 funnel discipline — never clips²). "
+    "Identical waveforms are planted via seed = doc_id % 29 and the "
+    "oracle re-derives decode, framing, peak rule, hash packing and "
+    "the bucketed join from generator arithmetic alone — all "
+    "exact-integer, end-to-end differential",
+)
+def m9_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import audio_frame_energies
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _m9_payload_expr(F.col("doc_id") % 29).alias("payload"),
+    )
+    env = audio_frame_energies(media, frame=_M9_FRAME).filter(
+        F.col("decode_ok")
+    )
+    # peak frames (0-based w, strict-left / >=-right rule; element_at
+    # is 1-based so frame w is element_at(energies, w+1))
+    peaks = F.expr(
+        "filter(sequence(1, size(energies) - 2), "
+        "w -> element_at(energies, w) < element_at(energies, w + 1) "
+        "AND element_at(energies, w + 1) >= element_at(energies, w + 2))"
+    )
+    bucket = "least(element_at(energies, {idx} + 1) div 65536, 63L)"
+    fp_pairs = (
+        "flatten(transform(peaks, w1 -> "
+        f"transform(filter(peaks, w2 -> w2 > w1 AND w2 - w1 <= {_M9_FANOUT}), "
+        f"w2 -> ({bucket.format(idx='w1')} * 64 + {bucket.format(idx='w2')}) "
+        "* 8 + (w2 - w1))))"
+    )
+    fps = (
+        env.withColumn("peaks", peaks)
+        .select(
+            "media_id",
+            F.explode(F.expr(f"array_distinct({fp_pairs})")).alias("fp"),
+        )
+    )
+    a = fps.select(F.col("media_id").alias("clip_a"), "fp")
+    b = fps.select(
+        F.col("media_id").alias("clip_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("clip_a") < F.col("clip_b")),
+        )
+        .groupBy("clip_a", "clip_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _M9_MIN_SHARED)
+    )

@@ -672,3 +672,19 @@ class TestCompactionPlan:
                 assert r["n_files"] >= 1 and r["bin_bytes"] > 0
             for a, b in zip(bins, bins[1:]):
                 assert a["last_file"] < b["first_file"]
+
+
+class TestAudioFingerprint:
+    def test_planted_identical_clips_match(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["m9_audio_fingerprint"].spark(spark, sf_dir).collect()
+        assert rows
+        matched = {(r["clip_a"], r["clip_b"]) for r in rows}
+        # seed = doc_id % 29 -> docs 0 and 29 carry IDENTICAL waveforms;
+        # identical fingerprint sets must match (if 0 has >= 3 fps)
+        same_seed = {(a, a + 29) for a in range(0, 121)} & matched
+        assert same_seed, "no identical-waveform pair matched"
+        for r in rows:
+            assert r["clip_a"] < r["clip_b"] and r["n_shared"] >= 3
