@@ -159,6 +159,7 @@ EXTRA = [
     "d19_url_dedup",            # URL canonicalization + canonical dedup
     "ext_compaction_plan",      # small-file compaction bin-packing
     "m9_audio_fingerprint",     # peak-pair audio fingerprint matching
+    "s13_bitext_margin",        # ratio-margin bitext mining
 ]
 
 

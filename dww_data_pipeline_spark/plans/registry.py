@@ -139,6 +139,7 @@ _PRIORITY: list[str] = [
     "d19_url_dedup",
     "ext_compaction_plan",
     "m9_audio_fingerprint",
+    "s13_bitext_margin",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

@@ -366,3 +366,192 @@ def m9_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _M9_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — margin-based bitext mining (Artetxe & Schwenk ratio margin).
+#
+# The parallel-corpus mining op (LASER/CCMatrix shape): candidate
+# translation pairs between two language pools are scored not by raw
+# similarity but by the RATIO MARGIN — similarity normalized by the
+# average similarity of each side's k nearest neighbors — which
+# suppresses hub vectors that are "close to everything" and is the
+# standard acceptance rule for mined bitext.
+#
+# Exact-integer port of the criterion (the e9/s11 discipline): vectors
+# are affine-quantized (the shared _PQ_VQ fixed-point map), similarity
+# is the integer dot product, and the acceptance test
+#     margin = dot / ((S_x + S_y) / 2k) >= 21/20
+# is cross-multiplied to 160*dot >= 21*(S_x + S_y) — no division, no
+# floats, bit-identical on both engines.  Sides are the vec_id parity
+# classes (stand-ins for the two languages).
+#
+# Scale shape: the forward pass scans pool B once per query (the s1
+# bounded-query discipline); the backward pass runs ONLY on the
+# forward candidates (<= queries x k vectors), never pool x pool —
+# exactly how production mining re-scores ANN candidates.  Query and
+# candidate vectors fold to plan-time literals (bounded collects,
+# <= (queries + candidates) x 64 ints); scoring stays loop-form
+# inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_S13_QUERIES = (0, 2, 4)  # pool-A query vec_ids
+_S13_K = 4                # neighborhood width for the margin
+
+
+def _s13_dot_duck(va: str, vb: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({va}, {vb}), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+
+
+def _s13_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_DUCK
+
+    dot_q = _s13_dot_duck("qv.vq", "b.vq")
+    dot_z = _s13_dot_duck("cv.vq", "a.vq")
+    qin = ", ".join(str(q) for q in _S13_QUERIES)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, {_PQ_VQ_DUCK} AS vq FROM embeddings
+), a AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+b AS (SELECT * FROM q WHERE vec_id % 2 = 1),
+qv AS (SELECT vec_id AS query_id, vq FROM a WHERE vec_id IN ({qin})),
+fwd AS MATERIALIZED (
+  SELECT query_id, cand_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, cand_id) AS rn
+  FROM (SELECT qv.query_id, b.vec_id AS cand_id, {dot_q} AS dot
+        FROM qv CROSS JOIN b)
+), topf AS (SELECT * FROM fwd WHERE rn <= {_S13_K}),
+fsum AS (
+  SELECT query_id, CAST(SUM(dot) AS BIGINT) AS fwd_sum
+  FROM topf GROUP BY query_id
+), bwd AS MATERIALIZED (
+  SELECT cand_id, dotz,
+         row_number() OVER (PARTITION BY cand_id
+                            ORDER BY dotz DESC, z) AS rn
+  FROM (SELECT cv.vec_id AS cand_id, a.vec_id AS z, {dot_z} AS dotz
+        FROM (SELECT DISTINCT vq, vec_id FROM b
+              WHERE vec_id IN (SELECT cand_id FROM topf)) cv
+        CROSS JOIN a)
+), bsum AS (
+  SELECT cand_id, CAST(SUM(dotz) AS BIGINT) AS bwd_sum
+  FROM bwd WHERE rn <= {_S13_K} GROUP BY cand_id
+)
+SELECT t.query_id, t.cand_id, t.dot, f.fwd_sum, s.bwd_sum,
+       CASE WHEN 160 * t.dot >= 21 * (f.fwd_sum + s.bwd_sum)
+            THEN 1 ELSE 0 END AS accepted,
+       CAST(t.rn AS BIGINT) AS rank
+FROM topf t
+JOIN fsum f ON f.query_id = t.query_id
+JOIN bsum s ON s.cand_id = t.cand_id
+"""
+
+
+@register(
+    "s13_bitext_margin",
+    oracle=_s13_oracle(),
+    description="MARGIN-BASED BITEXT MINING (LASER/CCMatrix ratio "
+    "margin): candidate pairs between two pools (vec_id parity = the "
+    "two languages) are accepted by similarity NORMALIZED by both "
+    "sides' k-NN neighborhood averages — the hub-suppressing rule "
+    "production mining uses — cross-multiplied into the exact-integer "
+    "test 160*dot >= 21*(S_x + S_y) on affine-quantized vectors (no "
+    "division, no floats). Forward pass = bounded-query scan of pool "
+    "B; backward pass runs ONLY on forward candidates (never pool x "
+    "pool); query/candidate vectors fold to plan-time literals and "
+    "scoring stays loop-form inside whole-stage codegen",
+)
+def s13_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_SPARK
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq"))
+    a = vq.filter(F.col("vec_id") % 2 == 0)
+    b = vq.filter(F.col("vec_id") % 2 == 1)
+
+    def lit_vec(v: list[int]) -> str:
+        return "array(" + ", ".join(f"{int(x)}L" for x in v) + ")"
+
+    def dot_lit(v: list[int]):
+        return F.expr(
+            f"aggregate(zip_with(vq, {lit_vec(v)}, (x, y) -> x * y), "
+            "0L, (acc, v) -> acc + v)"
+        )
+
+    # bounded collects: query vectors now, candidate vectors after the
+    # forward pass — (|queries| + |queries|*k) x 64 ints total
+    qrows = {
+        int(r["vec_id"]): list(r["vq"])
+        for r in a.filter(F.col("vec_id").isin(*_S13_QUERIES)).collect()
+    }
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id")
+    )
+    fwd = reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            b.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("cand_id"),
+                dot_lit(qrows[qid]).alias("dot"),
+            )
+            for qid in _S13_QUERIES
+        ],
+    ).withColumn("rn", F.row_number().over(wq))
+    topf = fwd.filter(F.col("rn") <= _S13_K).persist()
+    try:
+        cand_vecs = {
+            int(r["vec_id"]): list(r["vq"])
+            for r in b.join(
+                topf.select(F.col("cand_id").alias("vec_id")).distinct(),
+                "vec_id",
+            ).collect()
+        }
+        fsum = topf.groupBy("query_id").agg(F.sum("dot").alias("fwd_sum"))
+        wz = Window.partitionBy("cand_id").orderBy(
+            F.col("dotz").desc(), F.col("z")
+        )
+        bwd = reduce(
+            lambda x, y: x.unionByName(y),
+            [
+                a.select(
+                    F.lit(cid).cast("long").alias("cand_id"),
+                    F.col("vec_id").alias("z"),
+                    dot_lit(v).alias("dotz"),
+                )
+                for cid, v in sorted(cand_vecs.items())
+            ],
+        ).withColumn("rn", F.row_number().over(wz))
+        bsum = (
+            bwd.filter(F.col("rn") <= _S13_K)
+            .groupBy("cand_id")
+            .agg(F.sum("dotz").alias("bwd_sum"))
+        )
+        return (
+            topf.join(fsum, "query_id")
+            .join(bsum, "cand_id")
+            .select(
+                "query_id",
+                "cand_id",
+                "dot",
+                "fwd_sum",
+                "bwd_sum",
+                F.when(
+                    F.lit(160) * F.col("dot")
+                    >= F.lit(21) * (F.col("fwd_sum") + F.col("bwd_sum")),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("accepted"),
+                F.col("rn").cast("long").alias("rank"),
+            )
+        )
+    finally:
+        topf.unpersist(blocking=False)

@@ -688,3 +688,27 @@ class TestAudioFingerprint:
         assert same_seed, "no identical-waveform pair matched"
         for r in rows:
             assert r["clip_a"] < r["clip_b"] and r["n_shared"] >= 3
+
+
+class TestBitextMargin:
+    def test_margin_invariants(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["s13_bitext_margin"].spark(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            assert r["cand_id"] % 2 == 1 and r["query_id"] % 2 == 0
+            # acceptance rule is exactly the cross-multiplied margin
+            assert r["accepted"] == int(
+                160 * r["dot"] >= 21 * (r["fwd_sum"] + r["bwd_sum"])
+            )
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 2, 4}
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == [1, 2, 3, 4]
+            # ranks ordered by dot desc; fwd_sum is the top-k dot total
+            dots = [r["dot"] for r in rs]
+            assert dots == sorted(dots, reverse=True)
+            assert rs[0]["fwd_sum"] == sum(dots)
