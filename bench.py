@@ -160,6 +160,8 @@ EXTRA = [
     "ext_compaction_plan",      # small-file compaction bin-packing
     "m9_audio_fingerprint",     # peak-pair audio fingerprint matching
     "s13_bitext_margin",        # ratio-margin bitext mining
+    "ev13_funnel_steps",        # ordered funnel conversion
+    "ev14_retention_matrix",    # day-N retention cohorts
 ]
 
 

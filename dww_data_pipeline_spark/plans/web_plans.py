@@ -1,10 +1,13 @@
-"""Round-5 pipeline extensions: crawl/web hygiene + storage ops.
+"""Round-5 pipeline extensions: crawl/web hygiene, storage ops,
+audio fingerprinting, bitext mining, product analytics.
 
 The LLM-pipeline families already cover text/embedding/media dedup;
 this module adds the WEB-CRAWL hygiene tier (URL canonicalization +
 canonical-URL dedup — the step every Common-Crawl-derived corpus runs
-before any content dedup) and the table-maintenance tier (small-file
-compaction planning).  Same house discipline as every other plan
+before any content dedup), the table-maintenance tier (small-file
+compaction planning), the audio-dedup leg (m9), margin-based bitext
+mining (s13), and the funnel/retention event-analytics pair
+(ev13/ev14).  Same house discipline as every other plan
 module: JVM-side Column expressions only, exact-integer /
 exact-string outputs, one DuckDB oracle per query, and
 dialect-parameterized helper builders so the Spark and DuckDB
@@ -555,3 +558,155 @@ def s13_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         topf.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# ev13 — ordered funnel conversion (view → click → purchase).
+#
+# The product-analytics staple missing from the ev family (ev4 mines
+# free paths, ev6 attributes credit): a STRICT ordered funnel with a
+# per-step conversion window, greedy earliest-event semantics — the
+# deterministic convention funnel products use: the user's FIRST
+# view anchors the funnel, the first click within 60 min of it
+# completes step 2, the first purchase within 60 min of that click
+# completes step 3.  Timestamps compare at exact microseconds, so
+# the step sets are engine-identical.
+#
+# Scale shape: each step is (filtered fact) ⋈ (one-row-per-user
+# step-anchor aggregate) on user_id — partial-agg before every join,
+# per-user state never exceeds one timestamp, no windows over
+# unbounded partitions.
+# ---------------------------------------------------------------------------
+
+_EV13_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 60 MINUTE
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+@register(
+    "ev13_funnel_steps",
+    oracle=_EV13_ORACLE,
+    description="ORDERED FUNNEL (view → click → purchase, 60-min "
+    "per-step window, greedy earliest-event semantics): the user's "
+    "first view anchors the funnel, the first qualifying click then "
+    "the first qualifying purchase complete it. Each step joins the "
+    "filtered fact against a one-row-per-user anchor aggregate on "
+    "user_id (partial-agg before every join, one timestamp of state "
+    "per user); exact-microsecond comparisons make the step sets "
+    "engine-identical",
+)
+def ev13_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 60 MINUTES")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click"))
+        .unionByName(step(p, "3_purchase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev14 — day-N retention matrix.
+#
+# The activity twin of ev11's cohort-revenue matrix: users cohorted
+# by the DATE of their first event, and for each offset day 0..7 the
+# count of cohort users active that day.  All date math is exact
+# integer day arithmetic; dates render as strings (house temporal
+# rule) so the hash compare is representation-stable.
+#
+# Scale shape: per-user first-date is one partial-agg; the activity
+# relation is DISTINCT (user, date) — both shuffles carry fixed-width
+# rows; the cohort join is per-user (aggregated) ⋈ (distinct
+# activity), never event x event.
+# ---------------------------------------------------------------------------
+
+_EV14_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d FROM events
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(f.cohort_d AS VARCHAR) AS cohort_date,
+       CAST(date_diff('day', f.cohort_d, a.d) AS BIGINT) AS day_n,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM first_day f
+JOIN activity a ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_d, a.d) BETWEEN 0 AND 7
+GROUP BY f.cohort_d, day_n
+"""
+
+
+@register(
+    "ev14_retention_matrix",
+    oracle=_EV14_ORACLE,
+    description="DAY-N RETENTION MATRIX (activity twin of ev11's "
+    "cohort revenue): users cohorted by first-event date, counting "
+    "cohort users active on each of days 0..7. Exact integer day "
+    "arithmetic, dates rendered as strings; per-user first-date "
+    "partial-agg joined to the DISTINCT (user, date) activity "
+    "relation — fixed-width shuffle rows, never event x event",
+)
+def ev14_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_d")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = first_day.join(activity, "user_id").withColumn(
+        "day_n", F.datediff("d", "cohort_d").cast("long")
+    )
+    return (
+        j.filter((F.col("day_n") >= 0) & (F.col("day_n") <= 7))
+        .groupBy(
+            F.col("cohort_d").cast("string").alias("cohort_date"), "day_n"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

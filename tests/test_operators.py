@@ -712,3 +712,33 @@ class TestBitextMargin:
             dots = [r["dot"] for r in rs]
             assert dots == sorted(dots, reverse=True)
             assert rs[0]["fwd_sum"] == sum(dots)
+
+
+class TestFunnelRetention:
+    def test_funnel_monotone(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = {
+            r["step"]: r["n_users"]
+            for r in REGISTRY["ev13_funnel_steps"].spark(spark, sf_dir).collect()
+        }
+        assert set(rows) == {"1_view", "2_click", "3_purchase"}
+        # funnels only narrow
+        assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+        assert rows["1_view"] > 0
+
+    def test_retention_day0_equals_cohort_size(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        rows = REGISTRY["ev14_retention_matrix"].spark(spark, sf_dir).collect()
+        assert rows
+        by_cohort = {}
+        for r in rows:
+            assert 0 <= r["day_n"] <= 7 and r["n_active"] > 0
+            by_cohort.setdefault(r["cohort_date"], {})[r["day_n"]] = r["n_active"]
+        for d, days in by_cohort.items():
+            # every cohort user is active on their own first day
+            assert 0 in days
+            # day-0 activity is the cohort ceiling for every later day
+            assert all(v <= days[0] for v in days.values())
