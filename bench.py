@@ -162,6 +162,7 @@ EXTRA = [
     "s13_bitext_margin",        # ratio-margin bitext mining
     "ev13_funnel_steps",        # ordered funnel conversion
     "ev14_retention_matrix",    # day-N retention cohorts
+    "ext_skipping_report",      # zone-map skipping effectiveness
 ]
 
 

@@ -710,3 +710,103 @@ def ev14_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_skipping_report — zone-map data-skipping effectiveness.
+#
+# The read-side twin of ext_compaction_plan / ext_zorder_key: given
+# per-file column min/max stats (the parquet footer zone maps a
+# lakehouse keeps in its manifest), classify every file for a
+# predicate as SKIPPED (max below the cut — footer-only, never read),
+# FULL (min above the cut — every row matches) or PARTIAL, and report
+# per table-partition how many rows the predicate scan actually
+# touches vs the table total.  This is the quantity that justifies
+# clustering/z-ordering at 100 TB: the report IS the measurement a
+# data platform runs to decide whether to re-cluster.
+#
+# Scale shape: stats aggregate once per file (partial-agg shuffle on
+# the file key), the classification is per-manifest-row arithmetic,
+# and the report is a second bounded agg — the fact table is read
+# once, the manifest never exceeds file count.
+# ---------------------------------------------------------------------------
+
+_SKIP_CUT = 300  # predicate: n_chars > 300
+
+_EXT_SKIPPING_ORACLE = f"""
+WITH files AS (
+  SELECT source, doc_id % 8 AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(n_chars) AS BIGINT) AS stat_min,
+         CAST(MAX(n_chars) AS BIGINT) AS stat_max,
+         CAST(SUM(CASE WHEN n_chars > {_SKIP_CUT} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match
+  FROM documents GROUP BY source, doc_id % 8
+), classed AS (
+  SELECT *,
+         CASE WHEN stat_max <= {_SKIP_CUT} THEN 'skipped'
+              WHEN stat_min > {_SKIP_CUT} THEN 'full'
+              ELSE 'partial' END AS class
+  FROM files
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN class = 'skipped' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skipped,
+       CAST(SUM(CASE WHEN class = 'full' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full,
+       CAST(SUM(CASE WHEN class = 'partial' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_partial,
+       CAST(SUM(CASE WHEN class = 'skipped' THEN 0 ELSE n_rows END)
+            AS BIGINT) AS rows_scanned,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched
+FROM classed
+GROUP BY source
+"""
+
+
+@register(
+    "ext_skipping_report",
+    oracle=_EXT_SKIPPING_ORACLE,
+    description="ZONE-MAP DATA-SKIPPING REPORT (read-side twin of "
+    "compaction/z-order): per-file min/max column stats classify each "
+    "file for a predicate as skipped (footer-only), full, or partial, "
+    "reporting rows scanned vs matched per table partition — the "
+    "measurement that justifies re-clustering at 100 TB. One "
+    "partial-agg pass builds the manifest; everything after is "
+    "manifest-sized. Integer-exact",
+)
+def ext_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy("source", (F.col("doc_id") % 8).alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("stat_min"),
+        F.max("n_chars").alias("stat_max"),
+        F.sum(
+            F.when(F.col("n_chars") > _SKIP_CUT, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_match"),
+    )
+    classed = files.withColumn(
+        "class",
+        F.when(F.col("stat_max") <= _SKIP_CUT, F.lit("skipped"))
+        .when(F.col("stat_min") > _SKIP_CUT, F.lit("full"))
+        .otherwise(F.lit("partial")),
+    )
+    return classed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            F.when(F.col("class") == "skipped", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_skipped"),
+        F.sum(
+            F.when(F.col("class") == "full", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_full"),
+        F.sum(
+            F.when(F.col("class") == "partial", F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_partial"),
+        F.sum(
+            F.when(F.col("class") == "skipped", F.lit(0)).otherwise(
+                F.col("n_rows")
+            )
+        ).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matched"),
+    )

@@ -742,3 +742,16 @@ class TestFunnelRetention:
             assert 0 in days
             # day-0 activity is the cohort ceiling for every later day
             assert all(v <= days[0] for v in days.values())
+
+
+class TestSkippingReport:
+    def test_classes_partition_and_counts_reconcile(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["ext_skipping_report"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_skipped"] + r["n_full"] + r["n_partial"] == r["n_files"]
+            # matched rows only live in scanned files
+            assert r["rows_matched"] <= r["rows_scanned"]
