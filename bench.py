@@ -163,6 +163,7 @@ EXTRA = [
     "ev13_funnel_steps",        # ordered funnel conversion
     "ev14_retention_matrix",    # day-N retention cohorts
     "ext_skipping_report",      # zone-map skipping effectiveness
+    "t31_classifier_filter",    # trained linear quality classifier
 ]
 
 

@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "ev13_funnel_steps",
     "ev14_retention_matrix",
     "ext_skipping_report",
+    "t31_classifier_filter",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

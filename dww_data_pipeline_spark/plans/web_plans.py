@@ -810,3 +810,121 @@ def ext_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rows_scanned"),
         F.sum("n_match").alias("rows_matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t31 — trained linear quality classifier (FineWeb-Edu filter shape).
+#
+# The model-based document filter tier: unlike the RULE-based gate
+# (t13) or the heuristic lang-id (t28), this TRAINS a discriminative
+# linear model on the corpus itself and then runs broadcast
+# inference with it — the fasttext-classifier pattern behind
+# FineWeb-Edu / phi-style quality filtering, reduced to its
+# integer-exact core.  Weights are per-token class-count
+# differences, w(tok) = 2*c_pos(tok) - c_tot(tok) (positive iff the
+# token skews toward the positive class — the unsmoothed
+# difference-of-counts linear discriminant), and a document's score
+# is the weight sum over its token OCCURRENCES.
+#
+# Scale shape: the weight table is vocabulary-bounded (one count
+# shuffle over tokens, the t11/t19 model discipline) and broadcasts
+# to the score join; the score side carries distinct (doc, tok,
+# count) rows, so document text shuffles exactly once at
+# tokenization.  Training AND inference are both inside the
+# differential — every weight and every score is an exact integer.
+# ---------------------------------------------------------------------------
+
+_T31_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos, unnest({{SQL_TOKS}}) AS tok
+  FROM documents
+), w AS (
+  SELECT tok,
+         CAST(2 * SUM(CASE WHEN pos THEN 1 ELSE 0 END) - COUNT(*) AS BIGINT)
+           AS wt
+  FROM toks GROUP BY tok
+), dtok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY doc_id, tok
+)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt * w.wt) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(d.cnt * w.wt) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS pred_pos,
+       CAST(CASE WHEN MIN(doc.lang) = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         AS is_pos
+FROM dtok d
+JOIN w ON w.tok = d.tok
+JOIN documents doc ON doc.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "t31_classifier_filter",
+    oracle=None,  # attached below (needs SQL_TOKS formatting)
+    description="TRAINED LINEAR QUALITY CLASSIFIER (FineWeb-Edu / "
+    "fasttext filter shape, integer-exact core): per-token "
+    "difference-of-counts weights w = 2*c_pos - c_tot are TRAINED on "
+    "the corpus (positive class = lang 'en'), then broadcast to score "
+    "every document by its occurrence-weighted sum — model-based "
+    "filtering, the tier above the rule-based gate (t13). Weight "
+    "table is vocab-bounded; the score join carries distinct "
+    "(doc, tok, count) rows; training and inference are both inside "
+    "the differential, all integers",
+)
+def t31_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.explode(spark_tokens(F.col("text"))).alias("tok"),
+    )
+    w = toks.groupBy("tok").agg(
+        (
+            2 * F.sum(F.when(F.col("pos"), F.lit(1)).otherwise(F.lit(0)))
+            - F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("wt")
+    )
+    dtok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        dtok.join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("wt")).alias("score"))
+    )
+    return scored.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pred_pos"),
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_pos"),
+    )
+
+
+def _t31_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+    from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS
+
+    q = REGISTRY["t31_classifier_filter"]
+    REGISTRY["t31_classifier_filter"] = Query(
+        name=q.name,
+        spark=q.spark,
+        oracle=_T31_ORACLE.format(SQL_TOKS=SQL_TOKS),
+        description=q.description,
+    )
+
+
+_t31_attach_oracle()

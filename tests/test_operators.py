@@ -755,3 +755,21 @@ class TestSkippingReport:
             assert r["n_skipped"] + r["n_full"] + r["n_partial"] == r["n_files"]
             # matched rows only live in scanned files
             assert r["rows_matched"] <= r["rows_scanned"]
+
+
+class TestClassifierFilter:
+    def test_weights_discriminate_and_cover_corpus(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["t31_classifier_filter"].spark(spark, sf_dir).collect()
+        # every doc with at least one token is scored
+        assert len(rows) >= 490
+        for r in rows:
+            assert r["pred_pos"] == int(r["score"] > 0)
+            assert r["is_pos"] in (0, 1)
+        # shared vocabulary + minority positive class (lang 'en') means
+        # c_pos < c_tot/2 for common tokens: scores spread but skew
+        # negative — training didn't collapse to a constant
+        scores = [r["score"] for r in rows]
+        assert min(scores) < 0 and len(set(scores)) > 100
