@@ -164,6 +164,7 @@ EXTRA = [
     "ev14_retention_matrix",    # day-N retention cohorts
     "ext_skipping_report",      # zone-map skipping effectiveness
     "t31_classifier_filter",    # trained linear quality classifier
+    "st12_stream_funnel",       # stateful streaming funnel advances
 ]
 
 

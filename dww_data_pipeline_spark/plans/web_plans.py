@@ -928,3 +928,58 @@ def _t31_attach_oracle() -> None:
 
 
 _t31_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# st12 — streaming funnel advances (real-time twin of ev13).
+#
+# Emits (user_id, stage, ts_ms) the moment a user advances a funnel
+# stage.  Streaming mode is applyInPandasWithState with three
+# timestamps of per-user state (streaming/funnel.py); batch mode —
+# what registers here — is the equivalent relational step chain, and
+# the oracle re-derives the same advances in SQL, so the emission
+# rule is differentially verified while the pytest parity test runs
+# the REAL readStream path against this batch answer.
+# ---------------------------------------------------------------------------
+
+_ST12_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000 AS ts_ms FROM events
+), v AS (
+  SELECT user_id, MIN(ts_ms) AS t FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts_ms > v.t AND e.ts_ms <= v.t + 3600000
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts_ms) AS t
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts_ms > c.t AND e.ts_ms <= c.t + 3600000
+  GROUP BY e.user_id
+)
+SELECT user_id, 1 AS stage, CAST(t AS BIGINT) AS ts_ms FROM v
+UNION ALL SELECT user_id, 2, CAST(t AS BIGINT) FROM c
+UNION ALL SELECT user_id, 3, CAST(t AS BIGINT) FROM p
+"""
+
+
+@register(
+    "st12_stream_funnel",
+    oracle=_ST12_ORACLE,
+    description="STREAMING FUNNEL ADVANCES (real-time twin of ev13): "
+    "each (user, stage, ts) row emits the moment a user advances the "
+    "view→click→purchase funnel — applyInPandasWithState with three "
+    "timestamps of per-user state on streams (append-safe: every "
+    "advance emits exactly once; idle keys expire by event-time "
+    "timeout), the equivalent relational step chain in batch. The "
+    "oracle verifies the emission rule; the readStream parity test "
+    "verifies the stateful path produces the same advances",
+)
+def st12_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.funnel import streaming_funnel
+
+    return streaming_funnel(load_table(spark, sf_dir, "events"))

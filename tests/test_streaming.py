@@ -696,3 +696,34 @@ class TestStreamingAbMoments:
         assert by_arm[0][0] == ab["n_a"] and by_arm[1][0] == ab["n_b"]
         assert round(by_arm[0][1] / by_arm[0][0] / 1e6, 6) == ab["mean_a"]
         assert round(by_arm[1][1] / by_arm[1][0] / 1e6, 6) == ab["mean_b"]
+
+
+class TestStreamingFunnel:
+    def test_stream_advances_match_batch(self, spark, sf_dir):
+        """The stateful streaming funnel (applyInPandasWithState, real
+        readStream) must emit exactly the stage advances the batch
+        relational chain computes — the st5 parity discipline for the
+        funnel operator."""
+        from dww_data_pipeline_spark.streaming.funnel import streaming_funnel
+
+        stream = read_events_stream(spark, str(sf_dir))
+        q = (
+            streaming_funnel(stream)
+            .writeStream.format("memory")
+            .queryName("funnel_advances")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["stage"], r["ts_ms"])
+            for r in spark.sql("select * from funnel_advances").collect()
+        }
+        want = {
+            (r["user_id"], r["stage"], r["ts_ms"])
+            for r in streaming_funnel(
+                load_table(spark, str(sf_dir), "events")
+            ).collect()
+        }
+        assert got == want and len(want) > 0
