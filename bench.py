@@ -165,6 +165,7 @@ EXTRA = [
     "ext_skipping_report",      # zone-map skipping effectiveness
     "t31_classifier_filter",    # trained linear quality classifier
     "st12_stream_funnel",       # stateful streaming funnel advances
+    "dq18_completeness_blocks", # CDC gap detection by block
 ]
 
 

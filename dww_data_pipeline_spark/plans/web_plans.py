@@ -983,3 +983,65 @@ def st12_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.streaming.funnel import streaming_funnel
 
     return streaming_funnel(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# dq18 — sequence-completeness audit (CDC gap detection by block).
+#
+# The ingestion-completeness check every CDC/event pipeline runs: are
+# there holes in the event_id sequence?  The naive form (lead() over
+# a GLOBAL ordering) serializes on one partition; the scale-correct
+# form blocks the id space (block = id // B) and audits each block
+# independently with pure partial aggregates — count vs span tells a
+# block exactly how many ids are missing, min/max tell WHERE, and
+# block boundaries need no cross-block window because the expected
+# span of an interior block is the block width itself.  Gaps are
+# PLANTED deterministically (ids with id % 97 == 13 are withheld,
+# modeling dropped CDC records), so every engine sees the same holes.
+# ---------------------------------------------------------------------------
+
+_DQ18_BLOCK = 500
+
+_DQ18_ORACLE = f"""
+WITH survived AS (
+  SELECT event_id FROM events WHERE event_id % 97 <> 13
+), blocks AS (
+  SELECT event_id // {_DQ18_BLOCK} AS block,
+         CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(MIN(event_id) AS BIGINT) AS first_id,
+         CAST(MAX(event_id) AS BIGINT) AS last_id
+  FROM survived GROUP BY 1
+)
+SELECT CAST(block AS BIGINT) AS block, n_present, first_id, last_id,
+       CAST(last_id - first_id + 1 - n_present AS BIGINT) AS n_missing_interior
+FROM blocks
+WHERE last_id - first_id + 1 - n_present > 0
+"""
+
+
+@register(
+    "dq18_completeness_blocks",
+    oracle=_DQ18_ORACLE,
+    description="SEQUENCE-COMPLETENESS AUDIT (CDC gap detection): "
+    "blocks of the id space audited independently — count vs span "
+    "per block counts the interior holes, min/max locate them — all "
+    "partial aggregates, NO global-order window (the naive lead() "
+    "form serializes on one partition at scale). Gaps planted "
+    "deterministically (id % 97 == 13 withheld) so the holes are "
+    "engine-identical",
+)
+def dq18_completeness_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 != 13
+    )
+    blocks = ev.groupBy(
+        F.expr(f"event_id DIV {_DQ18_BLOCK}").alias("block")
+    ).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+    return blocks.withColumn(
+        "n_missing_interior",
+        F.col("last_id") - F.col("first_id") + 1 - F.col("n_present"),
+    ).filter(F.col("n_missing_interior") > 0)

@@ -773,3 +773,22 @@ class TestClassifierFilter:
         # negative — training didn't collapse to a constant
         scores = [r["score"] for r in rows]
         assert min(scores) < 0 and len(set(scores)) > 100
+
+
+class TestCompletenessBlocks:
+    def test_planted_gaps_are_found_exactly(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["dq18_completeness_blocks"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # interior hole count reconciles with the span arithmetic
+            assert (
+                r["last_id"] - r["first_id"] + 1 - r["n_present"]
+                == r["n_missing_interior"]
+                > 0
+            )
+            # every planted hole is id % 97 == 13: a 500-wide block
+            # contains at most ceil(500/97) + 1 of them
+            assert r["n_missing_interior"] <= 7
