@@ -1,0 +1,171 @@
+"""Property tests for the round-5 extension tier (plans/web_plans.py).
+
+The registered queries are differentially verified against DuckDB on
+the generator manifest; these tests push the OPERATORS beyond the
+generator's five URL variants / planted waveforms: canonicalization
+must be a fixpoint and engine-identical on adversarial URLs, flat
+audio must fingerprint to nothing, and the compaction packing must
+equal an independent reimplementation.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.web_plans import (
+    _COMPACT_TARGET,
+    _canon_sql,
+)
+
+ADVERSARIAL_URLS = [
+    "HTTPS://API.Example.COM:443/v1/Users/",
+    "http://example.com:8080/keep/port",          # non-default port survives
+    "http://example.com/a/b/c///",                # run of trailing slashes
+    "http://example.com/p?utm_source=x&utm_medium=y",  # query dies entirely
+    "http://example.com/p?z=1&a=2&m=3",           # full sort
+    "http://example.com/p?a=2#frag?fake=query",   # fragment hides a fake query
+    "http://EXAMPLE.com",                          # empty path
+    "https://example.com:443/",                    # default port + bare slash
+    "http://example.com/CaseSensitive/Path",      # path case preserved
+    "http://example.com/p?utm_x=1&b=2&utm_y=3",   # interleaved tracking params
+]
+
+
+class TestCanonicalizerProperties:
+    @pytest.fixture(scope="class")
+    def canon(self, spark):
+        df = spark.createDataFrame([(u,) for u in ADVERSARIAL_URLS], ["url"])
+        rows = df.select(
+            "url", F.expr(_canon_sql("spark", "url")).alias("c")
+        ).collect()
+        return {r["url"]: r["c"] for r in rows}
+
+    def test_idempotent_fixpoint(self, spark, canon):
+        """canon(canon(u)) == canon(u): a canonical URL contains no
+        messiness left for a second pass to remove."""
+        df = spark.createDataFrame([(c,) for c in canon.values()], ["url"])
+        again = {
+            r["url"]: r["c"]
+            for r in df.select(
+                "url", F.expr(_canon_sql("spark", "url")).alias("c")
+            ).collect()
+        }
+        for c in canon.values():
+            assert again[c] == c
+
+    def test_engines_agree_beyond_the_generator(self, canon):
+        """The DuckDB template must produce the identical canonical
+        form on URLs the registered query's generator never emits."""
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE u(url VARCHAR); INSERT INTO u VALUES "
+            + ", ".join(f"('{x}')" for x in ADVERSARIAL_URLS)
+        )
+        duck = dict(
+            con.execute(
+                f"SELECT url, {_canon_sql('duckdb', 'url')} FROM u"
+            ).fetchall()
+        )
+        assert duck == canon
+
+    def test_specific_forms(self, canon):
+        assert (
+            canon["HTTPS://API.Example.COM:443/v1/Users/"]
+            == "https://api.example.com/v1/Users"
+        )
+        assert (
+            canon["http://example.com:8080/keep/port"]
+            == "http://example.com:8080/keep/port"
+        )
+        assert canon["http://example.com/a/b/c///"] == "http://example.com/a/b/c"
+        assert (
+            canon["http://example.com/p?utm_source=x&utm_medium=y"]
+            == "http://example.com/p"
+        )
+        assert (
+            canon["http://example.com/p?z=1&a=2&m=3"]
+            == "http://example.com/p?a=2&m=3&z=1"
+        )
+        # everything after '#' is fragment, including a fake '?'
+        assert (
+            canon["http://example.com/p?a=2#frag?fake=query"]
+            == "http://example.com/p?a=2"
+        )
+        assert canon["http://EXAMPLE.com"] == "http://example.com"
+        assert canon["https://example.com:443/"] == "https://example.com"
+        assert (
+            canon["http://example.com/CaseSensitive/Path"]
+            == "http://example.com/CaseSensitive/Path"
+        )
+        assert (
+            canon["http://example.com/p?utm_x=1&b=2&utm_y=3"]
+            == "http://example.com/p?b=2"
+        )
+
+
+class TestAudioFingerprintEdges:
+    def test_flat_audio_has_no_fingerprints(self, spark):
+        """A constant-amplitude clip has no strict local maxima in its
+        energy envelope — silent/flat audio must match NOTHING (the
+        guard against a degenerate bucket that would pair every flat
+        clip with every other)."""
+        from dww_data_pipeline_spark.operators.documents import (
+            audio_frame_energies,
+        )
+
+        flat = "A16\n8000 64\n" + " ".join(["500"] * 64)
+        media = spark.createDataFrame(
+            [(1, bytearray(flat.encode()))], "media_id long, payload binary"
+        )
+        env = audio_frame_energies(media, frame=4)
+        rows = env.collect()
+        assert rows[0]["decode_ok"]
+        energies = rows[0]["energies"]
+        assert len(set(energies)) == 1  # truly flat
+        peaks = env.select(
+            F.expr(
+                "filter(sequence(1, size(energies) - 2), "
+                "w -> element_at(energies, w) < element_at(energies, w + 1) "
+                "AND element_at(energies, w + 1) >= element_at(energies, w + 2))"
+            ).alias("p")
+        ).collect()
+        assert peaks[0]["p"] == []
+
+
+class TestCompactionRepack:
+    def test_query_equals_independent_packing(self, spark, sf_dir):
+        """Re-pack the manifest with a plain Python loop and compare
+        bin-by-bin — the window-prefix-sum formulation must equal the
+        sequential first-fit-in-order semantics it claims."""
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        manifest = (
+            d.groupBy("source", (F.col("doc_id") % 8).alias("file_id"))
+            .agg(F.sum("n_chars").alias("bytes"))
+            .collect()
+        )
+        by_src: dict[str, list] = {}
+        for r in manifest:
+            by_src.setdefault(r["source"], []).append((r["file_id"], r["bytes"]))
+        want: dict[tuple, list] = {}
+        for src, files in by_src.items():
+            prefix = 0
+            for fid, b in sorted(files):
+                want.setdefault((src, prefix // _COMPACT_TARGET), []).append(
+                    (fid, b)
+                )
+                prefix += b
+        got = REGISTRY["ext_compaction_plan"].spark(spark, sf_dir).collect()
+        assert len(got) == len(want)
+        for r in got:
+            fs = want[(r["source"], r["bin"])]
+            assert r["n_files"] == len(fs)
+            assert r["bin_bytes"] == sum(b for _, b in fs)
+            assert r["first_file"] == min(f for f, _ in fs)
+            assert r["last_file"] == max(f for f, _ in fs)
