@@ -166,6 +166,8 @@ EXTRA = [
     "t31_classifier_filter",    # trained linear quality classifier
     "st12_stream_funnel",       # stateful streaming funnel advances
     "dq18_completeness_blocks", # CDC gap detection by block
+    "v6_zipf_slope",            # rank-frequency corpus diagnostic
+    "e10_jl_distortion_gate",   # JL projection accuracy contract
 ]
 
 

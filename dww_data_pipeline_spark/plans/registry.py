@@ -146,6 +146,8 @@ _PRIORITY: list[str] = [
     "t31_classifier_filter",
     "st12_stream_funnel",
     "dq18_completeness_blocks",
+    "v6_zipf_slope",
+    "e10_jl_distortion_gate",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

@@ -1045,3 +1045,261 @@ def dq18_completeness_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_missing_interior",
         F.col("last_id") - F.col("first_id") + 1 - F.col("n_present"),
     ).filter(F.col("n_missing_interior") > 0)
+
+
+# ---------------------------------------------------------------------------
+# v6 — Zipf rank-frequency slope (corpus-health diagnostic).
+#
+# Natural corpora follow freq ∝ rank^(-s) with s ≈ 1; a slope far
+# from -1 over the head vocabulary flags synthetic/templated text —
+# the corpus-level sanity check next to v4 (Heaps) and v5 (heavy
+# hitters).  The regression is made ENGINE-EXACT the house way:
+# each ln() term quantizes to integer micro-units BEFORE summation
+# (integer sums are order-independent; float sums are not), and the
+# closed-form least-squares slope divides two exact integers once at
+# the end.  Ranks come from a triangular join over the bounded
+# top-100 head (the t30 house window discipline: no global window
+# even on bounded relations), and top-100 itself is a distributed
+# TakeOrdered, not a full sort.
+# ---------------------------------------------------------------------------
+
+_V6_HEAD = 100
+
+
+def _v6_oracle() -> str:
+    from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS
+
+    return f"""
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), head AS (
+  SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {_V6_HEAD}
+), ranked AS (
+  SELECT a.tok, a.cnt,
+         1 + COUNT(b.tok) AS rnk
+  FROM head a LEFT JOIN head b
+    ON (b.cnt > a.cnt) OR (b.cnt = a.cnt AND b.tok < a.tok)
+  GROUP BY a.tok, a.cnt
+), q AS (
+  SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x6,
+         CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y6
+  FROM ranked
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+         CAST(SUM(x6 * x6) AS BIGINT) AS sxx,
+         CAST(SUM(x6 * y6) AS BIGINT) AS sxy
+  FROM q
+)
+SELECT n AS n_ranks,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM s
+"""
+
+
+@register(
+    "v6_zipf_slope",
+    oracle=_v6_oracle(),
+    description="ZIPF RANK-FREQUENCY SLOPE over the top-100 head "
+    "vocabulary (corpus-health diagnostic: natural text gives "
+    "s ≈ -1; far-off slopes flag templated/synthetic corpora). "
+    "Engine-exact regression: every ln() term quantizes to integer "
+    "micro-units BEFORE summation (order-independent integer sums), "
+    "the closed-form slope divides two exact integers once. Head "
+    "selection is a distributed TakeOrdered; ranks come from a "
+    "bounded triangular join (t30 house window discipline)",
+)
+def v6_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = counts.orderBy(F.col("cnt").desc(), "tok").limit(_V6_HEAD)
+    a = head.select(F.col("tok").alias("atok"), F.col("cnt").alias("acnt"))
+    b = head.select(F.col("tok").alias("btok"), F.col("cnt").alias("bcnt"))
+    ranked = (
+        a.join(
+            b,
+            (F.col("bcnt") > F.col("acnt"))
+            | ((F.col("bcnt") == F.col("acnt")) & (F.col("btok") < F.col("atok"))),
+            "left",
+        )
+        .groupBy("atok", "acnt")
+        .agg((1 + F.count("btok")).alias("rnk"))
+    )
+    q = ranked.select(
+        F.round(F.log("rnk") * 1000000).cast("long").alias("x6"),
+        F.round(F.log("acnt") * 1000000).cast("long").alias("y6"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e10 — JL projection distortion gate (e4's accuracy contract).
+#
+# The s9/dq7 pattern — make the estimator's ACCURACY the verified
+# quantity — applied to random projection: for every pair in a
+# bounded sample, the squared distance under a k=16 Rademacher
+# projection has expectation k·d² (rows of ±1 signs), so
+# ratio = 1e6·d_proj² / (k·d_orig²) should concentrate near 1e6.
+# On the affine-quantized integer vectors every projection, distance
+# and ratio is an EXACT integer (the sign matrix folds to literals,
+# the e4 discipline), so min/max/coverage are hash-comparable — a
+# floating JL gate could never be.
+# ---------------------------------------------------------------------------
+
+_E10_SAMPLE = 20  # 190 pairs
+_E10_K = 16
+# coarser quantizer than _PQ_VQ (1e3, not 1e6): the micro-ratio
+# numerator is 1e6 * dp2 and dp2 grows with the SQUARE of the scale —
+# at 1e6 scaling it overflows int64 (|proj| <= 64*2e6 -> dp2 ~ 2.6e17,
+# *1e6 ~ 2.6e23); at 1e3, dp2 <= 16*(64*2e3)^2 ~ 2.6e11 and every
+# intermediate stays under 2^63 with 10^4 headroom
+_E10_VQ_SPARK = (
+    "transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2D) * 1000D) AS BIGINT))"
+)
+_E10_VQ_DUCK = (
+    "list_transform(embedding, x -> "
+    "CAST(floor((CAST(x AS DOUBLE) + 2) * 1000) AS BIGINT))"
+)
+
+
+def _e10_proj_cols_spark() -> list[str]:
+    from dww_data_pipeline_spark.plans.dedup_plans import _rademacher_signs
+
+    cols = []
+    for p in range(_E10_K):
+        signs = ", ".join(
+            f"{int(s)}L" for s in _rademacher_signs(500 + p)
+        )
+        cols.append(
+            f"aggregate(zip_with(vq, array({signs}), (x, s) -> x * s), "
+            f"0L, (a, x) -> a + x) AS p{p}"
+        )
+    return cols
+
+
+def _e10_oracle() -> str:
+    from dww_data_pipeline_spark.plans.dedup_plans import _rademacher_signs
+
+    projs = []
+    for p in range(_E10_K):
+        signs = ", ".join(f"{int(s)}" for s in _rademacher_signs(500 + p))
+        projs.append(
+            f"list_sum(list_transform(list_zip(vq, [{signs}]), "
+            f"t -> t[1] * t[2])) AS p{p}"
+        )
+    dp2 = " + ".join(
+        f"(a.p{p} - b.p{p}) * (a.p{p} - b.p{p})" for p in range(_E10_K)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_E10_VQ_DUCK} AS vq FROM embeddings
+  WHERE vec_id < {_E10_SAMPLE}
+), proj AS (
+  SELECT vec_id, vq, {", ".join(projs)} FROM q
+), pairs AS (
+  SELECT CAST({dp2} AS BIGINT) AS dp2,
+         CAST(list_sum(list_transform(list_zip(a.vq, b.vq),
+              t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT) AS do2
+  FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(1000000 * dp2 // ({_E10_K} * do2)) AS BIGINT) AS min_ratio_micro,
+       CAST(MAX(1000000 * dp2 // ({_E10_K} * do2)) AS BIGINT) AS max_ratio_micro,
+       CAST(SUM(CASE WHEN 1000000 * dp2 >= 500000 * {_E10_K} * do2
+                      AND 1000000 * dp2 <= 1500000 * {_E10_K} * do2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50pct
+FROM pairs
+"""
+
+
+@register(
+    "e10_jl_distortion_gate",
+    oracle=_e10_oracle(),
+    description="JL PROJECTION DISTORTION GATE (e4's accuracy "
+    "contract, the s9/dq7 make-accuracy-the-output pattern): for "
+    "every pair in a bounded sample, the ratio of k=16 "
+    "Rademacher-projected squared distance to k·d_orig² — expectation "
+    "1 — reported as exact-integer micro-ratios with a ±50% coverage "
+    "count. Integer projections on quantized vectors with "
+    "literal-folded signs make a JL gate hash-comparable; a floating "
+    "one never would be",
+)
+def e10_jl_distortion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _E10_SAMPLE
+    )
+    proj = e.select(
+        "vec_id",
+        F.expr(_E10_VQ_SPARK).alias("vq"),
+    ).select("vec_id", "vq", *[F.expr(c) for c in _e10_proj_cols_spark()])
+    a = proj.select(
+        F.col("vec_id").alias("aid"),
+        F.col("vq").alias("avq"),
+        *[F.col(f"p{p}").alias(f"ap{p}") for p in range(_E10_K)],
+    )
+    b = proj.select(
+        F.col("vec_id").alias("bid"),
+        F.col("vq").alias("bvq"),
+        *[F.col(f"p{p}").alias(f"bp{p}") for p in range(_E10_K)],
+    )
+    dp2 = None
+    for p in range(_E10_K):
+        term = (F.col(f"ap{p}") - F.col(f"bp{p}")) * (
+            F.col(f"ap{p}") - F.col(f"bp{p}")
+        )
+        dp2 = term if dp2 is None else dp2 + term
+    pairs = (
+        a.join(b, F.col("aid") < F.col("bid"))
+        .select(
+            dp2.alias("dp2"),
+            F.expr(
+                "aggregate(zip_with(avq, bvq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (a, x) -> a + x)"
+            ).alias("do2"),
+        )
+    )
+    k = _E10_K
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.expr(f"1000000 * dp2 DIV ({k} * do2)")).alias(
+            "min_ratio_micro"
+        ),
+        F.max(F.expr(f"1000000 * dp2 DIV ({k} * do2)")).alias(
+            "max_ratio_micro"
+        ),
+        F.sum(
+            F.when(
+                (1000000 * F.col("dp2") >= 500000 * k * F.col("do2"))
+                & (1000000 * F.col("dp2") <= 1500000 * k * F.col("do2")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_within_50pct"),
+    )

@@ -169,3 +169,28 @@ class TestCompactionRepack:
             assert r["bin_bytes"] == sum(b for _, b in fs)
             assert r["first_file"] == min(f for f, _ in fs)
             assert r["last_file"] == max(f for f, _ in fs)
+
+
+class TestZipfAndJlGates:
+    def test_zipf_slope_negative_and_sane(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        [r] = REGISTRY["v6_zipf_slope"].spark(spark, sf_dir).collect()
+        # the synthetic corpus draws from a ~31-word vocabulary, so the
+        # "top-100 head" is the whole vocab
+        assert 30 <= r["n_ranks"] <= 100
+        # frequencies are non-increasing in rank, so the fit must fall;
+        # the near-uniform synthetic corpus is far shallower than
+        # natural text's -1 — exactly what this diagnostic flags
+        assert -1.5 < r["slope"] < 0
+
+    def test_jl_ratios_bracket_one(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        [r] = REGISTRY["e10_jl_distortion_gate"].spark(spark, sf_dir).collect()
+        assert r["n_pairs"] == 190
+        # E[ratio] = 1: the observed spread must bracket 1e6 and most
+        # pairs must land within +-50%
+        assert r["min_ratio_micro"] < 1_000_000 < r["max_ratio_micro"]
+        assert r["n_within_50pct"] > 100
