@@ -448,3 +448,39 @@ class TestLatestRound4Plans:
         plan = _plan(spark, sf_dir, "dq6_numeric_profile")
         assert "percentile" not in plan.lower()
         assert "FlatMapGroupsInPandas" in plan
+
+
+class TestRound5PlanDiscipline:
+    def test_d19_is_pure_expression_pipeline(self, spark, sf_dir):
+        """Canonicalization must stay JVM-side: no Python stage, and
+        only the final canonical-key aggregation shuffles."""
+        plan = _plan(spark, sf_dir, "d19_url_dedup")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_m9_python_is_decode_only(self, spark, sf_dir):
+        """m9's only Python is the Arrow decode stage (one per join
+        side in the self-join plan); peak/fingerprint math must be
+        JVM expressions and the match join key-partitioned."""
+        plan = _plan(spark, sf_dir, "m9_audio_fingerprint")
+        assert "BatchEvalPython" not in plan
+        assert 1 <= plan.count("MapInPandas") <= 2
+        assert "CartesianProduct" not in plan
+
+    def test_funnel_chain_no_cartesian_no_global_window(self, spark, sf_dir):
+        for name in ("ev13_funnel_steps", "st12_stream_funnel",
+                     "ev14_retention_matrix"):
+            plan = _plan(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, name
+            # no unpartitioned window on the event fact
+            assert "Window [" not in plan or "partitionBy" in plan, name
+
+    def test_t31_model_broadcasts(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "t31_classifier_filter")
+        assert "BroadcastHashJoin" in plan  # vocab model is the small side
+        assert "BatchEvalPython" not in plan
+
+    def test_dq18_is_pure_partial_agg(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dq18_completeness_blocks")
+        assert "Window" not in plan  # the whole point vs the lead() form
+        assert "BatchEvalPython" not in plan
