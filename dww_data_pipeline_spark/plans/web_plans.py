@@ -1303,3 +1303,258 @@ def e10_jl_distortion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("n_within_50pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — FILTERED vector search (metadata predicate + ANN).
+#
+# The op modern vector stores are judged on: top-k nearest neighbors
+# AMONG vectors satisfying a metadata predicate.  Strategy here is
+# PRE-FILTER + IVF: the coarse quantizer prunes to nprobe cells
+# (s2/s11's exact-integer quantizer, shared verbatim), and only
+# vectors passing the predicate (label % 2 = 1 — ~half the corpus)
+# are scored — exact integer squared-L2, so cells, filter, and top-k
+# are all differentially verified.  Pre-filtering keeps recall exact
+# for the filtered set (post-filtering an unfiltered ANN result
+# loses recall when matches are sparse — the documented trade-off
+# this query's shape avoids).
+#
+# Scale: the filter pushes into the cell scan (predicate on the
+# probed partition), so selective filters REDUCE work; nothing new
+# shuffles beyond s2's plan.
+# ---------------------------------------------------------------------------
+
+
+def _s14_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _PQ_TOPK,
+        _ivf_coarse_parts,
+        _ivfpq_coarse_d2_sql,
+    )
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    exact_d2 = _ivfpq_coarse_d2_sql("v.vq", "qv.vq")
+    body = ",\n".join(
+        _ivf_coarse_parts()
+        + [
+            f"""exact AS MATERIALIZED (
+  SELECT qc.query_id, r.vec_id, CAST({exact_d2} AS BIGINT) AS d2
+  FROM caf r
+  JOIN q v ON v.vec_id = r.vec_id
+  JOIN embeddings emb ON emb.vec_id = r.vec_id AND emb.label % 2 = 1
+  JOIN qc ON qc.cluster = r.cluster
+  JOIN qv ON qv.query_id = qc.query_id)"""
+        ]
+    )
+    oracle = f"""WITH {body}
+SELECT query_id, vec_id, d2, rank FROM (
+  SELECT query_id, vec_id, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rank
+  FROM exact
+) WHERE rank <= {_PQ_TOPK}"""
+    q = REGISTRY["s14_filtered_ann"]
+    REGISTRY["s14_filtered_ann"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "s14_filtered_ann",
+    oracle=None,  # attached below (shares s11's coarse CTE prefix)
+    description="FILTERED VECTOR SEARCH (pre-filter + IVF): top-k "
+    "nearest neighbors AMONG vectors passing a metadata predicate "
+    "(label % 2 = 1), scored exactly inside the nprobe probed cells "
+    "of s2/s11's shared exact-integer coarse quantizer. Pre-filter "
+    "keeps recall exact for the filtered set (post-filtering an ANN "
+    "result loses recall when matches are sparse); the predicate "
+    "pushes into the cell scan so selective filters REDUCE work. "
+    "Cells, filter, and top-k all differentially verified",
+)
+def s14_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+        _PQ_VQ_SPARK,
+        _ivfpq_coarse_expr,
+        _train_coarse,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", "label", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
+    try:
+        ccents = _train_coarse(vq.select("vec_id", "vq"))
+        assigned = vq.select(
+            "vec_id",
+            "label",
+            "vq",
+            F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+        ).filter(F.col("label") % 2 == 1)
+        qrows = {
+            int(r["vec_id"]): list(r["vq"])
+            for r in vq.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        per_q = []
+        for qid in _PQ_QUERIES:
+            qvec = qrows[qid]
+            probe = sorted(
+                range(_IVF_K),
+                key=lambda j: (
+                    sum((qvec[i] - ccents[j][i]) ** 2 for i in range(64)),
+                    j,
+                ),
+            )[:_IVF_NPROBE]
+            qlit = "array(" + ", ".join(f"{int(x)}L" for x in qvec) + ")"
+            d2 = F.expr(
+                f"aggregate(zip_with(vq, {qlit}, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            )
+            per_q.append(
+                assigned.filter(
+                    F.col("cluster").isin([int(j) for j in probe])
+                ).select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    "vec_id",
+                    d2.alias("d2"),
+                )
+            )
+        u = reduce(lambda a, b: a.unionByName(b), per_q)
+        w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+        return (
+            u.select(
+                "query_id", "vec_id", "d2", F.row_number().over(w).alias("rank")
+            )
+            .filter(F.col("rank") <= _PQ_TOPK)
+        )
+    finally:
+        vq.unpersist(blocking=False)
+
+
+_s14_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_wap_audit — write-audit-publish gate.
+#
+# The lakehouse publish discipline: an incoming batch lands in
+# staging, a battery of audit gates runs against it, and the swap to
+# the published table happens ONLY if every gate passes (the
+# Iceberg/Netflix WAP pattern; sources/maintenance.py holds the
+# atomic-swap mechanics — this query is the AUDIT battery as a
+# verifiable relation).  Batch = orders with o_orderkey % 10 = 0
+# (the d11 incoming-snapshot convention); gates: PK uniqueness,
+# FK integrity against customer, null-key rate, and a non-empty
+# sanity floor.  One row per gate plus the composed publish verdict,
+# every count exact.
+#
+# Scale: each gate is one aggregate over the batch (the FK gate is a
+# broadcast-dim anti-join count); the battery composes WITHOUT
+# rescanning — a single pass per gate over batch-sized input.
+# ---------------------------------------------------------------------------
+
+_EXT_WAP_ORACLE = """
+WITH batch AS (
+  SELECT * FROM orders WHERE o_orderkey % 10 = 0
+), g1 AS (
+  SELECT 'pk_unique' AS gate,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM batch
+), g2 AS (
+  SELECT 'fk_customer' AS gate, CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM batch b WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+), g3 AS (
+  SELECT 'null_keys' AS gate,
+         CAST(SUM(CASE WHEN o_custkey IS NULL OR o_orderdate IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM batch
+), g4 AS (
+  SELECT 'non_empty' AS gate,
+         CAST(CASE WHEN COUNT(*) > 0 THEN 0 ELSE 1 END AS BIGINT)
+           AS n_violations
+  FROM batch
+), gates AS (
+  SELECT * FROM g1 UNION ALL SELECT * FROM g2
+  UNION ALL SELECT * FROM g3 UNION ALL SELECT * FROM g4
+)
+SELECT gate, n_violations,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM gates
+UNION ALL
+SELECT 'PUBLISH', CAST(SUM(n_violations) AS BIGINT),
+       CAST(CASE WHEN SUM(n_violations) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM gates
+"""
+
+
+@register(
+    "ext_wap_audit",
+    oracle=_EXT_WAP_ORACLE,
+    description="WRITE-AUDIT-PUBLISH GATE (Iceberg WAP pattern): the "
+    "incoming batch (o_orderkey % 10 = 0, the d11 snapshot "
+    "convention) runs a gate battery — PK uniqueness, FK integrity "
+    "vs customer (broadcast anti-join count), null-key rate, "
+    "non-empty floor — emitting one exact-count row per gate plus "
+    "the composed PUBLISH verdict that the atomic swap "
+    "(sources/maintenance.py) would act on. Each gate is one "
+    "aggregate over batch-sized input",
+)
+def ext_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    g1 = o.agg(
+        F.lit("pk_unique").alias("gate"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    )
+    g2 = (
+        o.join(
+            F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti"
+        ).agg(
+            F.lit("fk_customer").alias("gate"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    g3 = o.agg(
+        F.lit("null_keys").alias("gate"),
+        F.sum(
+            F.when(
+                F.col("o_custkey").isNull() | F.col("o_orderdate").isNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_violations"),
+    )
+    g4 = o.agg(
+        F.lit("non_empty").alias("gate"),
+        F.when(F.count(F.lit(1)) > 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    gates = g1.unionByName(g2).unionByName(g3).unionByName(g4)
+    per_gate = gates.select(
+        "gate",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passed"),
+    )
+    verdict = gates.agg(
+        F.lit("PUBLISH").alias("gate"),
+        F.sum("n_violations").alias("n_violations"),
+        F.when(F.sum("n_violations") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("passed"),
+    )
+    return per_gate.unionByName(verdict)

@@ -194,3 +194,45 @@ class TestZipfAndJlGates:
         # pairs must land within +-50%
         assert r["min_ratio_micro"] < 1_000_000 < r["max_ratio_micro"]
         assert r["n_within_50pct"] > 100
+
+
+class TestFilteredAnnAndWap:
+    def test_filtered_ann_respects_predicate_and_subsets_s2(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        odd = {
+            r["vec_id"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label") % 2 == 1)
+            .select("vec_id")
+            .collect()
+        }
+        got = REGISTRY["s14_filtered_ann"].spark(spark, sf_dir).collect()
+        assert len(got) == 15  # 3 queries x top-5
+        for r in got:
+            assert r["vec_id"] in odd  # predicate is never violated
+        # pre-filter property: within the same probed cells, the
+        # filtered top-k distances can only be >= the unfiltered ones
+        s2 = {
+            (r["query_id"], r["rank"]): r["d2"]
+            for r in REGISTRY["s2_ann_ivf_topk"].spark(spark, sf_dir).collect()
+        }
+        for r in got:
+            # rank-wise dominance: the filtered candidate set is a
+            # subset of the unfiltered one, so its k-th best distance
+            # can never beat the unfiltered k-th best
+            assert r["d2"] >= s2[(r["query_id"], r["rank"])]
+
+    def test_wap_verdict_composes_gates(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        rows = {r["gate"]: r for r in
+                REGISTRY["ext_wap_audit"].spark(spark, sf_dir).collect()}
+        assert set(rows) == {"pk_unique", "fk_customer", "null_keys",
+                             "non_empty", "PUBLISH"}
+        total = sum(rows[g]["n_violations"] for g in rows if g != "PUBLISH")
+        assert rows["PUBLISH"]["n_violations"] == total
+        assert rows["PUBLISH"]["passed"] == int(total == 0)

@@ -96,9 +96,9 @@ QUERIES = [
     "c1_curation_pipeline", # composed gate -> dedup -> shard flow
     "s10_pq_ann_topk",      # PQ train + encode + ADC scan
     "j14_spatial_grid_join",  # cell-bucketed spatial candidates
-    # round-5 scale paths
+    # round-5 scale paths (m9 excluded: its clip set is bounded by
+    # design — doc_id < 150 — so replica size never changes its work)
     "d19_url_dedup",        # per-row canonicalization + key groupBy
-    "m9_audio_fingerprint", # Arrow decode + bucketed fp match
     "t31_classifier_filter",  # vocab model train + broadcast score
     "ev14_retention_matrix",  # per-user anchors + distinct activity
 ]
