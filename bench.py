@@ -168,6 +168,8 @@ EXTRA = [
     "dq18_completeness_blocks", # CDC gap detection by block
     "v6_zipf_slope",            # rank-frequency corpus diagnostic
     "e10_jl_distortion_gate",   # JL projection accuracy contract
+    "s14_filtered_ann",         # metadata-filtered vector search
+    "ext_wap_audit",            # write-audit-publish gate battery
 ]
 
 
