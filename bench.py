@@ -170,6 +170,7 @@ EXTRA = [
     "e10_jl_distortion_gate",   # JL projection accuracy contract
     "s14_filtered_ann",         # metadata-filtered vector search
     "ext_wap_audit",            # write-audit-publish gate battery
+    "ext_scd2_asof",            # point-in-time read over SCD2 history
 ]
 
 

@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "e10_jl_distortion_gate",
     "s14_filtered_ann",
     "ext_wap_audit",
+    "ext_scd2_asof",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

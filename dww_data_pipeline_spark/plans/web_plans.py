@@ -1558,3 +1558,55 @@ def ext_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("passed"),
     )
     return per_gate.unionByName(verdict)
+
+
+# ---------------------------------------------------------------------------
+# ext_scd2_asof — point-in-time (time-travel) read over SCD2 history.
+#
+# The consumption side of ext_scd2_history: "what did the dimension
+# look like AS OF T?"  Selects each key's version whose
+# [valid_from, valid_to) interval covers T — the read that SCD2
+# compaction exists to make possible (and the batch analogue of a
+# lakehouse time-travel query).  The validity strings are sortable
+# (yyyy-MM-dd HH:mm:ss), so the interval test is a pure string
+# comparison, identical on both engines; exactly one version per key
+# can match because intervals partition each key's timeline.
+#
+# Scale: one window pass builds the history (ext_scd2's shuffle); the
+# as-of filter is per-row — no join, no second shuffle.
+# ---------------------------------------------------------------------------
+
+_ASOF_T = "2024-01-08 00:00:00"
+
+
+def _ext_scd2_asof_oracle() -> str:
+    from dww_data_pipeline_spark.plans.curation_plans import _SCD2_ORACLE
+
+    return f"""
+WITH hist AS ({_SCD2_ORACLE})
+SELECT user_id, version, attr, attr_value
+FROM hist
+WHERE valid_from <= '{_ASOF_T}' AND valid_to > '{_ASOF_T}'
+"""
+
+
+@register(
+    "ext_scd2_asof",
+    oracle=_ext_scd2_asof_oracle(),
+    description="POINT-IN-TIME (time-travel) READ over the SCD2 "
+    "history: each key's version whose [valid_from, valid_to) covers "
+    "the as-of instant — the read SCD2 compaction exists to serve, "
+    "and the batch analogue of lakehouse time travel. Sortable "
+    "validity strings make the interval test a pure string compare; "
+    "interval partitioning guarantees exactly one version per "
+    "existing key. One window shuffle (the history), then a per-row "
+    "filter — no join",
+)
+def ext_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.curation_plans import ext_scd2_history
+
+    hist = ext_scd2_history(spark, sf_dir)
+    t = F.lit(_ASOF_T)
+    return hist.filter(
+        (F.col("valid_from") <= t) & (F.col("valid_to") > t)
+    ).select("user_id", "version", "attr", "attr_value")

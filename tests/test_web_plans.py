@@ -236,3 +236,24 @@ class TestFilteredAnnAndWap:
         total = sum(rows[g]["n_violations"] for g in rows if g != "PUBLISH")
         assert rows["PUBLISH"]["n_violations"] == total
         assert rows["PUBLISH"]["passed"] == int(total == 0)
+
+
+class TestScd2Asof:
+    def test_exactly_one_version_per_existing_user(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["ext_scd2_asof"].spark(spark, sf_dir).collect()
+        users = [r["user_id"] for r in rows]
+        # interval partitioning: at most one covering version per key
+        assert len(users) == len(set(users)) > 0
+        # consistency with the full history: re-deriving "current at T"
+        # by max version with valid_from <= T gives the same versions
+        hist = REGISTRY["ext_scd2_history"].spark(spark, sf_dir).collect()
+        want = {}
+        for h in hist:
+            if h["valid_from"] <= "2024-01-08 00:00:00":
+                if h["user_id"] not in want or h["version"] > want[h["user_id"]]:
+                    want[h["user_id"]] = h["version"]
+        got = {r["user_id"]: r["version"] for r in rows}
+        assert got == want
