@@ -171,6 +171,8 @@ EXTRA = [
     "s14_filtered_ann",         # metadata-filtered vector search
     "ext_wap_audit",            # write-audit-publish gate battery
     "ext_scd2_asof",            # point-in-time read over SCD2 history
+    "j16_nearest_event_join",   # bidirectional as-of within tolerance
+    "ev16_stickiness",          # DAU/MAU engagement ratio
 ]
 
 

@@ -1610,3 +1610,164 @@ def ext_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.filter(
         (F.col("valid_from") <= t) & (F.col("valid_to") > t)
     ).select("user_id", "version", "attr", "attr_value")
+
+
+# ---------------------------------------------------------------------------
+# j16 — nearest-event join (bidirectional as-of, j11/j12's missing leg).
+#
+# j12 carries the LAST state at-or-before (backward as-of); sensor
+# fusion and attribution often want the NEAREST event in EITHER
+# direction within a tolerance.  Keyless time joins are banned at
+# scale, so candidates come from the j11 discipline: both sides bin
+# to tolerance-width buckets and each probe joins only its own and
+# adjacent buckets — candidate volume is Σ bucket×bucket over
+# adjacent bins, never fact².  The winner per probe is the exact
+# integer minimum of (|Δms|, candidate ts, candidate id) — a total
+# order, so the match is unique and engine-identical.
+# ---------------------------------------------------------------------------
+
+_J16_TOL_MS = 30 * 60 * 1000  # 30-minute tolerance
+
+_J16_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) // 1000 AS c_ms
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) // 1000 AS v_ms
+  FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT c.click_id, v.view_id, abs(c.c_ms - v.v_ms) AS dms, v.v_ms
+  FROM clicks c JOIN views v
+    ON v.user_id = c.user_id
+   AND abs(c.c_ms - v.v_ms) <= {_J16_TOL_MS}
+), ranked AS (
+  SELECT click_id, view_id, dms,
+         row_number() OVER (PARTITION BY click_id
+                            ORDER BY dms, v_ms, view_id) AS rn
+  FROM cand
+)
+SELECT click_id, view_id AS nearest_view, CAST(dms AS BIGINT) AS delta_ms
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "j16_nearest_event_join",
+    oracle=_J16_ORACLE,
+    description="NEAREST-EVENT JOIN (bidirectional as-of within a "
+    "30-min tolerance — the sensor-fusion leg j12's backward-only "
+    "carry can't express): candidates come from tolerance-width time "
+    "bins joined to adjacent bins only (the j11 keyless-range "
+    "discipline — Σ adjacent-bucket products, never fact²), and the "
+    "winner per probe is the exact integer minimum under the total "
+    "order (|Δms|, ts, id), so the match is unique and "
+    "engine-identical",
+)
+def j16_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), ms.alias("c_ms")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        ms.alias("v_ms"),
+    )
+    tol = _J16_TOL_MS
+    # bin both sides to tolerance width; a nearest candidate within
+    # tol can only live in the probe's own or adjacent bin
+    c = clicks.withColumn("bin", F.expr(f"c_ms DIV {tol}"))
+    v = views.withColumn("vbin", F.expr(f"v_ms DIV {tol}"))
+    cand = (
+        c.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("vbin") >= F.col("bin") - 1)
+            & (F.col("vbin") <= F.col("bin") + 1),
+        )
+        .withColumn("dms", F.abs(F.col("c_ms") - F.col("v_ms")))
+        .filter(F.col("dms") <= tol)
+    )
+    w = Window.partitionBy("click_id").orderBy("dms", "v_ms", "view_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "click_id",
+            F.col("view_id").alias("nearest_view"),
+            F.col("dms").cast("long").alias("delta_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev16 — DAU/MAU stickiness (the engagement ratio, exact integers).
+#
+# Per calendar month: monthly active users, the sum of daily distinct
+# actives, and stickiness = avg-DAU / MAU as an integer micro-ratio
+# (1e6·Σdau // (n_days·mau)) — division-free until the final exact
+# integer floor.  Both aggregates reduce DISTINCT (user, day) rows,
+# so the shuffle carries fixed-width pairs regardless of event
+# volume.
+# ---------------------------------------------------------------------------
+
+_EV16_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+         strftime(CAST(ts AS DATE), '%Y-%m') AS month
+  FROM events
+), daily AS (
+  SELECT month, d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY month, d
+), monthly AS (
+  SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM ud GROUP BY month
+)
+SELECT m.month, m.mau,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.dau) AS BIGINT) AS sum_dau,
+       CAST(1000000 * SUM(d.dau) // (COUNT(*) * m.mau) AS BIGINT)
+         AS stickiness_micro
+FROM monthly m JOIN daily d ON d.month = m.month
+GROUP BY m.month, m.mau
+"""
+
+
+@register(
+    "ev16_stickiness",
+    oracle=_EV16_ORACLE,
+    description="DAU/MAU STICKINESS per calendar month: monthly "
+    "actives, summed daily actives, and the engagement ratio as an "
+    "exact integer micro-ratio (1e6·Σdau // (n_days·mau)). Both "
+    "aggregates reduce DISTINCT (user, day) pairs — fixed-width "
+    "shuffle rows at any event volume",
+)
+def ev16_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+    ).distinct()
+    daily = ud.groupBy("month", "d").agg(F.count(F.lit(1)).alias("dau"))
+    monthly = ud.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        monthly.join(daily, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").alias("sum_dau"),
+        )
+        .select(
+            "month",
+            "mau",
+            "n_days",
+            "sum_dau",
+            F.expr("1000000 * sum_dau DIV (n_days * mau)").alias(
+                "stickiness_micro"
+            ),
+        )
+    )

@@ -257,3 +257,59 @@ class TestScd2Asof:
                     want[h["user_id"]] = h["version"]
         got = {r["user_id"]: r["version"] for r in rows}
         assert got == want
+
+
+class TestNearestJoinAndStickiness:
+    def test_nearest_is_truly_nearest(self, spark, sf_dir):
+        """Brute-force re-derivation: for every matched click the
+        reported view must minimize |Δ| (with the (dms, ts, id)
+        tiebreak) over ALL same-user views within tolerance."""
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type",
+            F.expr("unix_micros(ts) div 1000").alias("ms"),
+        ).collect()
+        views_by_user: dict[int, list] = {}
+        clicks = []
+        for r in ev:
+            if r["event_type"] == "view":
+                views_by_user.setdefault(r["user_id"], []).append(
+                    (r["ms"], r["event_id"])
+                )
+            elif r["event_type"] == "click":
+                clicks.append(r)
+        got = {
+            r["click_id"]: (r["nearest_view"], r["delta_ms"])
+            for r in REGISTRY["j16_nearest_event_join"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        tol = 30 * 60 * 1000
+        n_checked = 0
+        for cr in clicks:
+            cands = [
+                (abs(cr["ms"] - vms), vms, vid)
+                for vms, vid in views_by_user.get(cr["user_id"], [])
+                if abs(cr["ms"] - vms) <= tol
+            ]
+            if cands:
+                best = min(cands)
+                assert got[cr["event_id"]] == (best[2], best[0])
+                n_checked += 1
+            else:
+                assert cr["event_id"] not in got
+        assert n_checked == len(got) > 0
+
+    def test_stickiness_bounds(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        rows = REGISTRY["ev16_stickiness"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            # avg DAU can never exceed MAU -> ratio in (0, 1e6]
+            assert 0 < r["stickiness_micro"] <= 1_000_000
+            assert r["sum_dau"] <= r["n_days"] * r["mau"]
