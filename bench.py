@@ -173,6 +173,7 @@ EXTRA = [
     "ext_scd2_asof",            # point-in-time read over SCD2 history
     "j16_nearest_event_join",   # bidirectional as-of within tolerance
     "ev16_stickiness",          # DAU/MAU engagement ratio
+    "m10_decode_audit",         # decode fallback contract audit
 ]
 
 

@@ -1771,3 +1771,75 @@ def ev16_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m10 — media decode audit (the fallback path as a VERIFIED quantity).
+#
+# Every multimodal query relies on the codec's decode_ok contract
+# (malformed payloads yield a flagged row, never a raised batch —
+# operators/documents.py).  This query makes that contract itself
+# differentially verified: payloads are synthesized VALID (real P3
+# image) or CORRUPT (doc_id % 13 == 0 → a non-image byte string) and
+# the per-source decode success/failure counts must match the
+# generator arithmetic exactly.  A decoder that silently "succeeds"
+# on garbage, or crashes instead of flagging, breaks the hash match
+# — the audit a production media pipeline runs on every ingest
+# batch.
+# ---------------------------------------------------------------------------
+
+_M10_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ok,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_failed
+FROM documents
+GROUP BY source
+"""
+
+
+@register(
+    "m10_decode_audit",
+    oracle=_M10_ORACLE,
+    description="MEDIA DECODE AUDIT — the decode_ok fallback contract "
+    "as a verified quantity: valid P3 images and planted corrupt "
+    "payloads (doc_id % 13 == 0) run through the REAL codec, and "
+    "per-source success/failure counts must equal the generator "
+    "arithmetic. A decoder that accepts garbage or raises instead of "
+    "flagging breaks the hash match — the per-ingest-batch audit of "
+    "a production media pipeline",
+)
+def m10_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.documents import image_ahash
+    from dww_data_pipeline_spark.plans.streaming_plans import _p3_image_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.when(
+            F.col("doc_id") % 13 != 0, _p3_image_expr(F.col("doc_id"))
+        )
+        .otherwise(
+            F.encode(
+                F.concat(F.lit("NOTANIMAGE:"), F.col("doc_id").cast("string")),
+                "utf-8",
+            )
+        )
+        .alias("payload"),
+    )
+    h = image_ahash(media.select("media_id", "payload"))
+    return (
+        media.select("media_id", "source")
+        .join(h.select("media_id", "decode_ok"), "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.when(F.col("decode_ok"), F.lit(1)).otherwise(F.lit(0)))
+            .alias("n_ok"),
+            F.sum(F.when(F.col("decode_ok"), F.lit(0)).otherwise(F.lit(1)))
+            .alias("n_failed"),
+        )
+    )

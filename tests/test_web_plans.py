@@ -313,3 +313,19 @@ class TestNearestJoinAndStickiness:
             # avg DAU can never exceed MAU -> ratio in (0, 1e6]
             assert 0 < r["stickiness_micro"] <= 1_000_000
             assert r["sum_dau"] <= r["n_days"] * r["mau"]
+
+
+class TestDecodeAudit:
+    def test_fallback_counts_match_plant(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["m10_decode_audit"].spark(spark, sf_dir).collect()
+        assert rows
+        total_failed = sum(r["n_failed"] for r in rows)
+        total = sum(r["n_media"] for r in rows)
+        # exactly the planted corrupt share fails — decoder neither
+        # accepts garbage nor drops valid images
+        assert 0 < total_failed < total
+        for r in rows:
+            assert r["n_ok"] + r["n_failed"] == r["n_media"]
