@@ -174,6 +174,7 @@ EXTRA = [
     "j16_nearest_event_join",   # bidirectional as-of within tolerance
     "ev16_stickiness",          # DAU/MAU engagement ratio
     "m10_decode_audit",         # decode fallback contract audit
+    "d21_pair_similarity_hist", # dedup threshold-tuning curve
 ]
 
 

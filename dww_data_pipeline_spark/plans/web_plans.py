@@ -1843,3 +1843,86 @@ def m10_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_failed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d21 — candidate-pair similarity histogram (the threshold-tuning
+# curve for the dedup funnel).
+#
+# Production dedup picks its Jaccard cutoff by LOOKING at the
+# candidate similarity distribution; this query makes that curve a
+# verified output: every d2 LSH candidate pair's exact shingle
+# Jaccard lands in an integer decile (bucket = 10·|A∩B| // |A∪B| —
+# no float division), and the histogram is counts per decile.  Runs
+# on the shared candidate-pair materialized view (Σ bucket²
+# candidates, never corpus²), verify-stage cost only.
+# ---------------------------------------------------------------------------
+
+
+def _d21_oracle() -> str:
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+        _sql_band_union,
+        _sql_minhash_cols,
+    )
+
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE len({_SQL_TOKS}) >= 3
+), scored AS (
+  SELECT (10 * (len(sa.sh) + len(sb.sh)
+                - len(list_distinct(list_concat(sa.sh, sb.sh)))))
+         // len(list_distinct(list_concat(sa.sh, sb.sh))) AS decile
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY decile
+"""
+
+
+@register(
+    "d21_pair_similarity_hist",
+    oracle=_d21_oracle(),
+    description="CANDIDATE-PAIR SIMILARITY HISTOGRAM — the dedup "
+    "threshold-tuning curve as a verified output: every d2 LSH "
+    "candidate pair's exact shingle Jaccard in integer deciles "
+    "(10·|A∩B| // |A∪B|, division-free), counted per decile. Runs on "
+    "the shared candidate-pair materialized view (Σ bucket², never "
+    "corpus²) at verify-stage cost — how production picks its cutoff",
+)
+def d21_pair_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        _shingle_sets,
+        lsh_pairs_cached,
+    )
+
+    pairs = lsh_pairs_cached(spark, sf_dir)
+    sh = _shingle_sets(load_table(spark, sf_dir, "documents"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.expr(
+                "CAST(10 * size(array_intersect(sa, sb)) AS BIGINT) DIV "
+                "size(array_union(sa, sb))"
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

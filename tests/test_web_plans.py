@@ -329,3 +329,15 @@ class TestDecodeAudit:
         assert 0 < total_failed < total
         for r in rows:
             assert r["n_ok"] + r["n_failed"] == r["n_media"]
+
+
+class TestPairSimilarityHist:
+    def test_histogram_totals_match_candidates(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        hist = REGISTRY["d21_pair_similarity_hist"].spark(spark, sf_dir).collect()
+        n_cand = REGISTRY["d2_minhash_lsh_pairs"].spark(spark, sf_dir).count()
+        assert sum(r["n_pairs"] for r in hist) == n_cand > 0
+        for r in hist:
+            assert 0 <= r["decile"] <= 10  # 10 = exact-duplicate bucket
