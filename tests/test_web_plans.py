@@ -341,3 +341,57 @@ class TestPairSimilarityHist:
         assert sum(r["n_pairs"] for r in hist) == n_cand > 0
         for r in hist:
             assert 0 <= r["decile"] <= 10  # 10 = exact-duplicate bucket
+
+
+class TestCanonicalizerRandomized:
+    def test_300_seeded_random_urls_agree_and_fix(self, spark):
+        """Deterministic fuzz: 300 structurally-random URLs (every
+        combination dimension drawn from a seeded RNG) must (a)
+        canonicalize identically on both engines and (b) be a
+        fixpoint on the second pass."""
+        import random
+
+        rng = random.Random(20260814)
+        schemes = ["http", "https", "HTTP", "HtTpS"]
+        hosts = ["Example.COM", "sub.Example.org", "X.io", "WWW.Site7.com"]
+        ports = ["", ":80", ":443", ":8080", ":9"]
+        paths = ["", "/", "/a", "/A/b/C", "/x/y/", "/x//", "/p.html"]
+        params = ["a=1", "B=2", "utm_source=x", "z=Z", "utm_y=3", "m=0"]
+        frags = ["", "#f", "#sec?fake=1"]
+        urls = []
+        for _ in range(300):
+            q = "&".join(
+                rng.sample(params, rng.randint(0, 4))
+            )
+            urls.append(
+                rng.choice(schemes) + "://" + rng.choice(hosts)
+                + rng.choice(ports) + rng.choice(paths)
+                + (("?" + q) if q else "") + rng.choice(frags)
+            )
+        df = spark.createDataFrame([(u,) for u in urls], ["url"])
+        got = {
+            r["url"]: r["c"]
+            for r in df.select(
+                "url", F.expr(_canon_sql("spark", "url")).alias("c")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE u(url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+        duck = dict(
+            con.execute(
+                f"SELECT url, {_canon_sql('duckdb', 'url')} FROM u"
+            ).fetchall()
+        )
+        assert duck == got
+        cdf = spark.createDataFrame(
+            [(c,) for c in set(got.values())], ["url"]
+        )
+        again = {
+            r["url"]: r["c"]
+            for r in cdf.select(
+                "url", F.expr(_canon_sql("spark", "url")).alias("c")
+            ).collect()
+        }
+        for c in set(got.values()):
+            assert again[c] == c
