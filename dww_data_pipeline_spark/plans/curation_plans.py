@@ -831,7 +831,14 @@ def t19_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MERGE_ORACLE = """
 WITH upd AS (
-  SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS new_price
+  -- DECIMAL end-to-end (the registry money rule): the double form
+  -- round(x * 1.1, 2) diverged between engines on one sf0.1 row
+  -- whose binary product sits on a .xx5 boundary; the decimal
+  -- product is exact (<= 3 decimal digits), so HALF_UP rounding is
+  -- engine-identical
+  SELECT o_orderkey,
+         round(CAST(o_totalprice AS DECIMAL(18,2))
+               * CAST(1.1 AS DECIMAL(3,1)), 2) AS new_price
   FROM orders WHERE o_orderkey % 10 = 3
 ), del AS (
   SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 5
@@ -865,7 +872,13 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     snap = o.select("o_orderkey", "o_totalprice")
     upd = snap.filter(F.col("o_orderkey") % 10 == 3).select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price")
+        "o_orderkey",
+        # decimal multiply + decimal HALF_UP round — exact on both
+        # engines (the double form diverged on a .xx5-boundary row)
+        F.expr(
+            "round(CAST(o_totalprice AS DECIMAL(18,2)) "
+            "* CAST(1.1 AS DECIMAL(3,1)), 2)"
+        ).alias("new_price"),
     )
     dels = snap.filter(F.col("o_orderkey") % 10 == 5).select(
         "o_orderkey", F.lit(True).alias("_del")
