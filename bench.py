@@ -175,6 +175,7 @@ EXTRA = [
     "ev16_stickiness",          # DAU/MAU engagement ratio
     "m10_decode_audit",         # decode fallback contract audit
     "d21_pair_similarity_hist", # dedup threshold-tuning curve
+    "pr7_khop_reachability",    # frontier BFS watchlist expansion
 ]
 
 

@@ -1926,3 +1926,98 @@ def d21_pair_similarity_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# pr7 — k-hop reachability (frontier BFS, the graph family's missing
+# traversal leg).
+#
+# CC/PageRank/HITS/LPA/k-core/triangles cover global iteration; the
+# daily operational question is LOCAL: "which suppliers are within 3
+# hops of this watchlist?" (risk propagation, recall expansion).
+# Frontier BFS does it with per-round semi-join discipline: the new
+# frontier is DISTINCT neighbors of the previous frontier anti-joined
+# against the visited set — per-round cost scales with frontier
+# edges, not graph size, and k bounds the rounds.  Runs on the
+# shared strong-tie co-supplier graph (the pr4/pr5/pr6 materialized
+# view).  Seeds = graph nodes with key % 40 == 1; output is each
+# reached node with its exact hop distance (the BFS layer), fixed
+# k = 3.
+# ---------------------------------------------------------------------------
+
+_PR7_K = 3
+
+
+def _pr7_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext import _STRONG_GRAPH_SQL
+
+    return f"""
+WITH {_STRONG_GRAPH_SQL},
+sym AS (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM sym),
+h0 AS (SELECT node FROM nodes WHERE node % 40 = 1),
+h1 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h0 ON h0.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM h0)
+),
+h2 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h1 ON h1.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM h0)
+    AND s.b NOT IN (SELECT node FROM h1)
+),
+h3 AS (
+  SELECT DISTINCT s.b AS node FROM sym s JOIN h2 ON h2.node = s.a
+  WHERE s.b NOT IN (SELECT node FROM h0)
+    AND s.b NOT IN (SELECT node FROM h1)
+    AND s.b NOT IN (SELECT node FROM h2)
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop FROM h0
+UNION ALL SELECT CAST(node AS BIGINT), 1 FROM h1
+UNION ALL SELECT CAST(node AS BIGINT), 2 FROM h2
+UNION ALL SELECT CAST(node AS BIGINT), 3 FROM h3
+"""
+
+
+@register(
+    "pr7_khop_reachability",
+    oracle=_pr7_oracle(),
+    description="K-HOP REACHABILITY (frontier BFS, k=3) from a "
+    "watchlist seed set over the shared strong-tie co-supplier graph "
+    "— the local-traversal leg the global-iteration pr family "
+    "(CC/PageRank/k-core/LPA) doesn't cover. Per round the new "
+    "frontier is DISTINCT neighbors anti-joined against the visited "
+    "set: cost scales with frontier edges, never graph size; k "
+    "bounds the rounds. Output = (node, exact BFS layer)",
+)
+def pr7_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+    pairs, _, _ = strong_tie_graph(spark, sf_dir)
+    sym = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    frontier = nodes.filter(F.col("node") % 40 == 1)
+    visited = frontier
+    layers = [frontier.select("node", F.lit(0).cast("long").alias("hop"))]
+    for hop in range(1, _PR7_K + 1):
+        frontier = (
+            sym.join(
+                frontier.select(F.col("node").alias("a")), "a"
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            # bounded node set: truncate lineage so round k+1 doesn't
+            # recompile round k's plan (the pr1/d6 discipline)
+            .localCheckpoint()
+        )
+        layers.append(
+            frontier.select("node", F.lit(hop).cast("long").alias("hop"))
+        )
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return reduce(lambda x, y: x.unionByName(y), layers).select(
+        F.col("node").cast("long").alias("node"), "hop"
+    )

@@ -395,3 +395,34 @@ class TestCanonicalizerRandomized:
         }
         for c in set(got.values()):
             assert again[c] == c
+
+
+class TestKhopReachability:
+    def test_layers_are_true_bfs_layers(self, spark, sf_dir):
+        """Brute-force BFS in Python over the same edge list must give
+        identical (node, hop) layers."""
+        from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        pairs, _, _ = strong_tie_graph(spark, sf_dir)
+        adj: dict[int, set] = {}
+        for r in pairs.collect():
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+        seeds = {n for n in adj if n % 40 == 1}
+        want = {n: 0 for n in seeds}
+        frontier = seeds
+        for hop in (1, 2, 3):
+            frontier = {
+                b for a in frontier for b in adj.get(a, ()) if b not in want
+            }
+            for n in frontier:
+                want[n] = hop
+        got = {
+            r["node"]: r["hop"]
+            for r in REGISTRY["pr7_khop_reachability"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == want and len(want) > len(seeds)
