@@ -176,6 +176,7 @@ EXTRA = [
     "m10_decode_audit",         # decode fallback contract audit
     "d21_pair_similarity_hist", # dedup threshold-tuning curve
     "pr7_khop_reachability",    # frontier BFS watchlist expansion
+    "dq19_l_diversity",         # homogeneity-attack privacy gate
 ]
 
 

@@ -2021,3 +2021,61 @@ def pr7_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda x, y: x.unionByName(y), layers).select(
         F.col("node").cast("long").alias("node"), "hop"
     )
+
+
+# ---------------------------------------------------------------------------
+# dq19 — l-diversity audit (the privacy tier's second standard gate).
+#
+# k-anonymity (dq13) bounds GROUP SIZE; a group can still leak if
+# everyone in it shares the same sensitive value (the homogeneity
+# attack).  l-diversity requires every quasi-identifier group to
+# contain at least l DISTINCT sensitive values.  Same QI pair as
+# dq13 (nation, market segment); sensitive attribute = the
+# customer's order priority mix — a group where everyone orders at
+# the same priority reveals that priority for any member identified
+# to the group.  One (QI, sensitive) distinct reduction, then a
+# group aggregate: fixed-width shuffle rows at any scale.
+# ---------------------------------------------------------------------------
+
+_DQ19_L = 3
+
+_DQ19_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       COUNT(*) >= {_DQ19_L} AS diverse
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dq19_l_diversity",
+    oracle=_DQ19_ORACLE,
+    description="L-DIVERSITY AUDIT (the homogeneity-attack gate "
+    "k-anonymity misses): every quasi-identifier group (nation, "
+    "market segment — dq13's QI pair) must contain >= 3 distinct "
+    "sensitive values (order priority). One DISTINCT (QI, sensitive) "
+    "reduction then a group count — fixed-width shuffle rows at any "
+    "scale; completes the privacy tier next to dq13 and "
+    "ext_delete_propagate",
+)
+def dq19_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    pairs = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .distinct()
+    )
+    return pairs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        (F.count(F.lit(1)) >= _DQ19_L).alias("diverse"),
+    )

@@ -426,3 +426,16 @@ class TestKhopReachability:
             .collect()
         }
         assert got == want and len(want) > len(seeds)
+
+
+class TestLDiversity:
+    def test_diverse_flag_matches_count(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["dq19_l_diversity"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["diverse"] == (r["l_distinct"] >= 3)
+            # priorities are bounded: 5 distinct values exist in TPC-H
+            assert 1 <= r["l_distinct"] <= 5
