@@ -177,6 +177,7 @@ EXTRA = [
     "d21_pair_similarity_hist", # dedup threshold-tuning curve
     "pr7_khop_reachability",    # frontier BFS watchlist expansion
     "dq19_l_diversity",         # homogeneity-attack privacy gate
+    "t32_token_budget_plan",    # mixture epochs / budget planning
 ]
 
 

@@ -157,6 +157,7 @@ _PRIORITY: list[str] = [
     "d21_pair_similarity_hist",
     "pr7_khop_reachability",
     "dq19_l_diversity",
+    "t32_token_budget_plan",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

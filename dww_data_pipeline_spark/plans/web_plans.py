@@ -2079,3 +2079,92 @@ def dq19_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("l_distinct"),
         (F.count(F.lit(1)) >= _DQ19_L).alias("diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t32 — training-token budget plan (epochs per source).
+#
+# The planning step between mixture design (t15/t16) and sharding
+# (t21): a mixture assigns each source a WEIGHT (doc-count share
+# here — the uniform-per-document mixture), the budget (2× corpus
+# tokens) allocates tokens by that weight, and epochs = allocation /
+# own token mass tells each source how many times it repeats.
+# Sources with shorter-than-average documents get >1 epoch under a
+# per-document mixture — exactly the up-sampling signal a
+# data-mixing review reads, with the >4-epoch over-repetition flag
+# scaling-law practice watches.  All quantities are exact integers:
+# shares, allocations and epochs are floor micro-ratios with the
+# integer product taken BEFORE division.
+#
+# Scale: one token+doc-count aggregate per source (t1's shuffle), a
+# 1-row total broadcast — planning math never touches text again.
+# ---------------------------------------------------------------------------
+
+_T32_BUDGET_X = 2  # train-token budget as a multiple of corpus tokens
+
+
+def _t32_oracle() -> str:
+    from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS
+
+    return f"""
+WITH src AS (
+  SELECT source, CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS toks,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(toks) AS BIGINT) AS corpus_toks,
+         CAST(SUM(n_docs) AS BIGINT) AS corpus_docs
+  FROM src
+)
+SELECT source, toks, n_docs,
+       CAST(1000000 * n_docs // corpus_docs AS BIGINT) AS share_micro,
+       CAST(({_T32_BUDGET_X} * corpus_toks * n_docs) // corpus_docs AS BIGINT)
+         AS planned_toks,
+       CAST((1000000 * (({_T32_BUDGET_X} * corpus_toks * n_docs)
+                        // corpus_docs)) // toks AS BIGINT) AS epochs_micro,
+       (1000000 * (({_T32_BUDGET_X} * corpus_toks * n_docs) // corpus_docs))
+         // toks > 4000000 AS over_repeated
+FROM src CROSS JOIN tot
+"""
+
+
+@register(
+    "t32_token_budget_plan",
+    oracle=_t32_oracle(),
+    description="TRAINING-TOKEN BUDGET PLAN (the step between "
+    "mixture design t15/t16 and sharding t21): per-source token "
+    "mass, per-document mixture share, allocated tokens under a "
+    "2×-corpus budget, and the implied EPOCH count as an exact "
+    "integer micro-ratio — shorter-document sources repeat >1 epoch, "
+    "with the >4-epoch over-repetition flag scaling-law practice "
+    "watches. One token+doc-count aggregate + a 1-row total "
+    "broadcast; planning math never touches text again",
+)
+def t32_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(spark_tokens(F.col("text")))).cast("long").alias("toks"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = src.agg(
+        F.sum("toks").alias("corpus_toks"),
+        F.sum("n_docs").alias("corpus_docs"),
+    )
+    bx = _T32_BUDGET_X
+    planned = f"({bx} * corpus_toks * n_docs) DIV corpus_docs"
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "toks",
+            "n_docs",
+            F.expr("1000000 * n_docs DIV corpus_docs").alias("share_micro"),
+            F.expr(planned).alias("planned_toks"),
+            F.expr(f"(1000000 * ({planned})) DIV toks").alias("epochs_micro"),
+            F.expr(f"(1000000 * ({planned})) DIV toks > 4000000").alias(
+                "over_repeated"
+            ),
+        )
+    )

@@ -439,3 +439,27 @@ class TestLDiversity:
             assert r["diverse"] == (r["l_distinct"] >= 3)
             # priorities are bounded: 5 distinct values exist in TPC-H
             assert 1 <= r["l_distinct"] <= 5
+
+
+class TestTokenBudgetPlan:
+    def test_allocations_and_epochs_reconcile(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        rows = REGISTRY["t32_token_budget_plan"].spark(spark, sf_dir).collect()
+        assert rows
+        corpus_toks = sum(r["toks"] for r in rows)
+        corpus_docs = sum(r["n_docs"] for r in rows)
+        budget = 2 * corpus_toks
+        # floor allocations never exceed the budget
+        assert sum(r["planned_toks"] for r in rows) <= budget
+        for r in rows:
+            assert (
+                r["planned_toks"]
+                == (budget * r["n_docs"]) // corpus_docs
+            )
+            assert r["epochs_micro"] == (1_000_000 * r["planned_toks"]) // r["toks"]
+            assert r["over_repeated"] == (r["epochs_micro"] > 4_000_000)
+        # the per-document mixture must actually vary epochs across
+        # sources (shorter-doc sources repeat more)
+        assert len({r["epochs_micro"] for r in rows}) > 1
