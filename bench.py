@@ -178,6 +178,8 @@ EXTRA = [
     "pr7_khop_reachability",    # frontier BFS watchlist expansion
     "dq19_l_diversity",         # homogeneity-attack privacy gate
     "t32_token_budget_plan",    # mixture epochs / budget planning
+    "ext_ivm_merge",            # incremental view maintenance merge
+    "d22_minhash_calibration",  # minhash estimator calibration matrix
 ]
 
 

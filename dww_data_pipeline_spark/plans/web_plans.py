@@ -2168,3 +2168,211 @@ def t32_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_ivm_merge — incremental view maintenance (algebraic merge).
+#
+# The reason 100 TB pipelines don't recompute aggregates: a
+# distributive aggregate view (per-customer order count + spend)
+# maintained by MERGING the delta batch's partial aggregate into the
+# base view — new = base ⊕ delta, touching only delta keys.  The
+# differential PROVES the algebra: the Spark side computes
+# base-aggregate (older 90% of orders) ⊕ delta-aggregate (the
+# %10==0 batch), the oracle recomputes the view from ALL rows in one
+# pass — any error in the merge (lost keys, double counts, wrong
+# null handling for keys new in the delta) breaks the hash match.
+#
+# Scale: the base view is maintained state (read, not recomputed);
+# the delta aggregate shuffles only batch-sized data; the merge is a
+# full-outer join on the view key with coalesced counters — DECIMAL
+# money throughout (the registry rule).
+# ---------------------------------------------------------------------------
+
+_EXT_IVM_ORACLE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "ext_ivm_merge",
+    oracle=_EXT_IVM_ORACLE,
+    description="INCREMENTAL VIEW MAINTENANCE (algebraic merge): the "
+    "per-customer order-count + spend view maintained as base ⊕ "
+    "delta — base aggregate over the older 90% of orders, delta "
+    "aggregate over the %10==0 batch, merged by full-outer join with "
+    "coalesced counters (DECIMAL money). The oracle recomputes the "
+    "view from ALL rows in one pass, so lost keys, double counts or "
+    "delta-new-key handling errors break the hash match — the "
+    "algebra that lets a 100 TB pipeline maintain instead of "
+    "recompute",
+)
+def ext_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        )
+
+    base = agg(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 0)).select(
+        "o_custkey",
+        F.col("n_orders").alias("d_n"),
+        F.col("spend").alias("d_spend"),
+    )
+    zero = F.lit("0").cast("decimal(18,2)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("spend"), zero)
+                + F.coalesce(F.col("d_spend"), zero)
+            )
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d22 — MinHash estimator calibration matrix (the d-family's
+# estimator-contract leg, the s9/dq7/e10 pattern).
+#
+# LSH dedup TRUSTS that matching minhash components track Jaccard;
+# this query makes the calibration itself the verified output: for
+# every candidate pair, the estimate (matching components of the
+# 8-wide signature, 0-8) crossed with the exact shingle-Jaccard
+# decile — counts per (estimate, exact) cell.  A broken hash family,
+# a biased component, or signature/verify drift all reshape the
+# matrix and break the hash match.  Runs on the shared candidate
+# view + the same md5-chunk signatures d2 banded (textually parallel
+# construction on both engines).
+# ---------------------------------------------------------------------------
+
+
+def _d22_oracle() -> str:
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        _NUM_HASHES,
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+        _sql_band_union,
+        _sql_minhash_cols,
+    )
+
+    est = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {_sql_minhash_cols()}
+  FROM documents
+  WHERE len({_SQL_TOKS}) >= 3
+), banded AS (
+  {_sql_band_union()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM documents WHERE len({_SQL_TOKS}) >= 3
+), cells AS (
+  SELECT ({est}) AS est_match,
+         (10 * (len(ha.sh) + len(hb.sh)
+                - len(list_distinct(list_concat(ha.sh, hb.sh)))))
+         // len(list_distinct(list_concat(ha.sh, hb.sh))) AS exact_decile
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = cand.id_a
+  JOIN sigs sb ON sb.doc_id = cand.id_b
+  JOIN sh ha ON ha.doc_id = cand.id_a
+  JOIN sh hb ON hb.doc_id = cand.id_b
+)
+SELECT CAST(est_match AS BIGINT) AS est_match,
+       CAST(exact_decile AS BIGINT) AS exact_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cells GROUP BY 1, 2
+"""
+
+
+@register(
+    "d22_minhash_calibration",
+    oracle=_d22_oracle(),
+    description="MINHASH ESTIMATOR CALIBRATION MATRIX (the "
+    "s9/dq7/e10 make-the-contract-the-output pattern for the dedup "
+    "family): per LSH candidate pair, matching signature components "
+    "(0-8) crossed with the exact shingle-Jaccard decile, counted "
+    "per cell. A broken hash family or signature/verify drift "
+    "reshapes the matrix and breaks the hash match. Shared candidate "
+    "view + the same md5-chunk signatures d2 bands",
+)
+def d22_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import (
+        _MD5_CALLS,
+        _NUM_HASHES,
+        _shingle_sets,
+        exploded_kgrams,
+        lsh_pairs_cached,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # the d2 signature construction (dedup_plans._banded_signatures'
+    # base aggregate, pre-banding): 2 md5s per shingle -> 8 chunk-mins
+    ex = exploded_kgrams(d, "text", 3, carry=("doc_id",), out="s")
+    hx = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("s"))).alias(f"h{g}")
+            for g in range(_MD5_CALLS)
+        ],
+    )
+    sigs = hx.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{i // 4}", 8 * (i % 4) + 1, 8)).alias(f"m{i}")
+            for i in range(_NUM_HASHES)
+        ]
+    )
+    pairs = lsh_pairs_cached(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(_NUM_HASHES)],
+    )
+    sh = _shingle_sets(d)
+    ha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    hb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    est = None
+    for i in range(_NUM_HASHES):
+        t = F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        est = t if est is None else est + t
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            est.cast("long").alias("est_match"),
+            F.expr(
+                "CAST(10 * size(array_intersect(sha, shb)) AS BIGINT) DIV "
+                "size(array_union(sha, shb))"
+            ).alias("exact_decile"),
+        )
+        .groupBy("est_match", "exact_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -463,3 +463,50 @@ class TestTokenBudgetPlan:
         # the per-document mixture must actually vary epochs across
         # sources (shorter-doc sources repeat more)
         assert len({r["epochs_micro"] for r in rows}) > 1
+
+
+class TestIvmAndCalibration:
+    def test_ivm_merge_equals_full_recompute(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        got = {
+            r["o_custkey"]: (r["n_orders"], round(r["spend"], 2))
+            for r in REGISTRY["ext_ivm_merge"].spark(spark, sf_dir).collect()
+        }
+        o = load_table(spark, sf_dir, "orders")
+        want = {
+            r["o_custkey"]: (r["n"], round(float(r["s"]), 2))
+            for r in o.groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_calibration_matrix_is_monotone_in_aggregate(self, spark, sf_dir):
+        """Higher estimates should sit at higher exact deciles on
+        average — the property that makes minhash usable at all."""
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        rows = REGISTRY["d22_minhash_calibration"].spark(spark, sf_dir).collect()
+        assert rows
+        total = sum(r["n_pairs"] for r in rows)
+        assert total > 0
+        by_est = {}
+        for r in rows:
+            assert 0 <= r["est_match"] <= 8 and 0 <= r["exact_decile"] <= 10
+            s, n = by_est.get(r["est_match"], (0, 0))
+            by_est[r["est_match"]] = (
+                s + r["exact_decile"] * r["n_pairs"],
+                n + r["n_pairs"],
+            )
+        means = {e: s / n for e, (s, n) in by_est.items()}
+        es = sorted(means)
+        # weak monotonicity between the extremes present in the data
+        if len(es) > 1:
+            assert means[es[-1]] >= means[es[0]]
