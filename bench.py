@@ -180,6 +180,7 @@ EXTRA = [
     "t32_token_budget_plan",    # mixture epochs / budget planning
     "ext_ivm_merge",            # incremental view maintenance merge
     "d22_minhash_calibration",  # minhash estimator calibration matrix
+    "ext_unpivot_roundtrip",    # melt proven by pivot round-trip
 ]
 
 

@@ -2376,3 +2376,60 @@ def d22_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("est_match", "exact_decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_unpivot_roundtrip — UNPIVOT (melt), proven by round-trip.
+#
+# a6b covers PIVOT (long → wide); this is its inverse, and the
+# differential is the algebraic identity: pivot the order counts
+# wide by priority, melt them back long with stack()/UNPIVOT, and
+# the result must equal the direct GROUP BY — any column/row
+# confusion, null-fill mistake, or lost cell breaks the hash match.
+# The wide relation is status × priority (bounded), so both
+# reshapes are metadata-cheap at any scale; the only data pass is
+# the one counting aggregate.
+# ---------------------------------------------------------------------------
+
+_EXT_UNPIVOT_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "ext_unpivot_roundtrip",
+    oracle=_EXT_UNPIVOT_ORACLE,
+    description="UNPIVOT (melt) proven by ROUND-TRIP: order counts "
+    "pivoted wide by priority, melted back long with stack(), "
+    "compared against the direct GROUP BY oracle — the algebraic "
+    "identity catches column/row confusion, null-fill and lost "
+    "cells. Completes the reshape pair with a6b's PIVOT; the wide "
+    "relation is bounded (status × priority), one counting data "
+    "pass",
+)
+def ext_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    prios = [r["o_orderpriority"] for r in
+             o.select("o_orderpriority").distinct().collect()]
+    prios.sort()
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    stack_args = ", ".join(f"'{p}', `{p}`" for p in prios)
+    return (
+        wide.select(
+            "o_orderstatus",
+            F.expr(
+                f"stack({len(prios)}, {stack_args}) "
+                "AS (o_orderpriority, n)"
+            ),
+        )
+        # a (status, priority) cell absent from the data pivots to
+        # null — melt drops it to match the GROUP BY relation
+        .filter(F.col("n").isNotNull())
+        .select("o_orderstatus", "o_orderpriority", F.col("n").cast("long"))
+    )

@@ -510,3 +510,26 @@ class TestIvmAndCalibration:
         # weak monotonicity between the extremes present in the data
         if len(es) > 1:
             assert means[es[-1]] >= means[es[0]]
+
+
+class TestUnpivotRoundtrip:
+    def test_roundtrip_equals_direct_groupby(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        got = {
+            (r["o_orderstatus"], r["o_orderpriority"]): r["n"]
+            for r in REGISTRY["ext_unpivot_roundtrip"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        want = {
+            (r["o_orderstatus"], r["o_orderpriority"]): r["n"]
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
