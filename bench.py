@@ -181,6 +181,8 @@ EXTRA = [
     "ext_ivm_merge",            # incremental view maintenance merge
     "d22_minhash_calibration",  # minhash estimator calibration matrix
     "ext_unpivot_roundtrip",    # melt proven by pivot round-trip
+    "v7_simpson_diversity",     # mixture diversity index
+    "pr8_degree_assortativity", # hub-mixing graph diagnostic
 ]
 
 

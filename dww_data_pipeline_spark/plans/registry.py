@@ -161,6 +161,8 @@ _PRIORITY: list[str] = [
     "ext_ivm_merge",
     "d22_minhash_calibration",
     "ext_unpivot_roundtrip",
+    "v7_simpson_diversity",
+    "pr8_degree_assortativity",
     # rows-only by design, each with an oracle-checked twin:
     # d7 (Gaussian-plane LSH) is superseded for hash-checking by d7b
     # and retained as the recall gate; e6's eigh top-8 PCA is not

@@ -2433,3 +2433,156 @@ def ext_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n").isNotNull())
         .select("o_orderstatus", "o_orderpriority", F.col("n").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# v7 — Simpson diversity of the corpus mixture.
+#
+# The data-mixing health number next to v4 (Heaps) and v6 (Zipf):
+# the probability two random documents come from the same source,
+# D = Σ n_i(n_i−1) / (N(N−1)), and its inverse-diversity effective
+# source count.  Exactly computable: both are ratios of integer
+# products, emitted as floor micro-ratios (collision) and a
+# rounded double from exact integers (effective sources).  One
+# count-per-source aggregate + a 1-row total — nothing else moves.
+# ---------------------------------------------------------------------------
+
+_V7_ORACLE = """
+WITH src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * (n - 1)) AS BIGINT) AS same
+  FROM src
+)
+SELECT CAST((SELECT COUNT(*) FROM src) AS BIGINT) AS n_sources,
+       total AS n_docs,
+       CAST(1000000 * same // (total * (total - 1)) AS BIGINT)
+         AS collision_micro,
+       round(CAST(total * (total - 1) AS DOUBLE) / CAST(same AS DOUBLE), 6)
+         AS effective_sources
+FROM tot
+"""
+
+
+@register(
+    "v7_simpson_diversity",
+    oracle=_V7_ORACLE,
+    description="SIMPSON DIVERSITY of the corpus source mixture "
+    "(next to v4 Heaps / v6 Zipf): same-source collision probability "
+    "as an exact integer micro-ratio and the inverse-Simpson "
+    "effective source count (double from exact integer moments). One "
+    "count-per-source aggregate + a 1-row total",
+)
+def v7_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("same"),
+    ).select(
+        "n_sources",
+        F.col("total").alias("n_docs"),
+        F.expr("1000000 * same DIV (total * (total - 1))").alias(
+            "collision_micro"
+        ),
+        F.round(
+            (F.col("total") * (F.col("total") - 1)).cast("double")
+            / F.col("same").cast("double"),
+            6,
+        ).alias("effective_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr8 — degree assortativity of the strong-tie graph.
+#
+# The graph-health diagnostic that tells you whether hubs connect to
+# hubs (assortative, r > 0) or to leaves (disassortative, r < 0) —
+# what decides if skew mitigation (salting, d6b's star CC) will be
+# needed downstream.  Degrees are integers, so all five Pearson
+# moments over the edge list (Σx, Σy, Σxy, Σx², Σy² with each edge
+# counted in both orientations, the standard undirected convention)
+# are EXACT int64 sums; r is one double division from exact
+# integers, rounded.  Edge-list-sized work on the shared
+# materialized graph.
+# ---------------------------------------------------------------------------
+
+
+def _pr8_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext import _STRONG_GRAPH_SQL
+
+    return f"""
+WITH {_STRONG_GRAPH_SQL},
+sym AS (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs),
+dg AS (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a
+), ed AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym s JOIN dg da ON da.node = s.a JOIN dg db ON db.node = s.b
+), mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT m AS n_edge_ends, sx, sxy, sxx,
+       CASE WHEN (m * sxx - sx * sx) * (m * syy - sy * sy) = 0 THEN NULL
+            ELSE round(CAST(m * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+       END AS assortativity
+FROM mo
+"""
+
+
+@register(
+    "pr8_degree_assortativity",
+    oracle=_pr8_oracle(),
+    description="DEGREE ASSORTATIVITY of the strong-tie graph "
+    "(hubs-to-hubs r > 0 vs hubs-to-leaves r < 0 — what decides "
+    "whether skew mitigation is needed downstream): all five Pearson "
+    "moments over the symmetrized edge list are EXACT int64 sums of "
+    "integer degrees; r is one rounded double division from exact "
+    "integers. Edge-list-sized work on the shared materialized graph",
+)
+def pr8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+    pairs, _, _ = strong_tie_graph(spark, sf_dir)
+    sym = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    dg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ed = (
+        sym.join(dg.select(F.col("node").alias("a"), F.col("deg").alias("x")), "a")
+        .join(dg.select(F.col("node").alias("b"), F.col("deg").alias("y")), "b")
+        .select("x", "y")
+    )
+    mo = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return mo.select(
+        F.col("m").alias("n_edge_ends"),
+        "sx",
+        "sxy",
+        "sxx",
+        # a degree-regular graph has zero variance: r is undefined,
+        # NULL on both engines (sf0.01's strong-tie graph is regular)
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )

@@ -533,3 +533,28 @@ class TestUnpivotRoundtrip:
             .collect()
         }
         assert got == want
+
+
+class TestDiversityAndAssortativity:
+    def test_simpson_bounds(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+
+        _load_all()
+        [r] = REGISTRY["v7_simpson_diversity"].spark(spark, sf_dir).collect()
+        assert 1 <= r["n_sources"]
+        assert 0 <= r["collision_micro"] <= 1_000_000
+        # the UNBIASED n(n-1) collision estimator lets inverse-Simpson
+        # exceed the source count by O(k/N) on finite samples — bound
+        # with that slack, not the population-Simpson k ceiling
+        assert 1.0 <= r["effective_sources"] <= r["n_sources"] * (
+            1 + 2 * r["n_sources"] / r["n_docs"]
+        )
+
+    def test_assortativity_range_or_null(self, spark, sf_dir):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+
+        [r] = (
+            REGISTRY["pr8_degree_assortativity"].spark(spark, sf_dir).collect()
+        )
+        a = r["assortativity"]
+        assert a is None or -1.0 <= a <= 1.0
