@@ -65,77 +65,15 @@ def register(name: str, oracle: str | None, description: str = ""):
 # ---------------------------------------------------------------------------
 
 _PRIORITY: list[str] = [
-    # ------- round-5 prefix: the 55 queries without a driver row yet.
-    # Rounds 1-4 accumulated green rows for the other 162 (r1∪r2∪r3∪r4
-    # CORRECTNESS key union); the driver's 50-query prefix this round is
-    # spent entirely on never-driver-verified queries.  The 51
-    # oracle-checked ones occupy positions 0-50; the rows-only-by-design
-    # ones follow (their twins ARE oracle-checked: d7→d7b, e6→e9,
-    # m2→m5, s2→s11).
-    # round-4b mining tier
-    "dq11_approx_percentile_gate",
-    "pr2_supplier_hits",
-    "m5_image_ahash_dedup",
-    "u4_bag_ops",
-    "d17_softdedup_weights",
-    "t25_tokenizer_fertility",
-    "ev5_anomaly_days",
-    "ext_zorder_key",
-    "e8_feature_hashing",
-    "dq12_bootstrap_ci",
-    "ev6_last_touch_attribution",
-    "pr3_supplier_communities",
-    "s9_ann_recall_gate",
-    "m6_audio_vad",
-    # round-4c pipeline extensions
-    "ext_bloom_prune_join",
-    "v5_heavy_hitters",
-    "t24_weighted_sample",
-    "pr4_triangle_count",
-    "ext_delete_propagate",
-    # round-4d pipeline extensions
-    "ev7_market_basket",
-    "dq13_k_anonymity",
-    "ev8_ewma_daily",
-    "t26_inverted_index",
-    "ext_salted_join",
-    "s10_pq_ann_topk",
-    "pr5_local_clustering",
-    "m7_shot_boundaries",
-    "st9_stream_cms_hitters",
-    "ev9_rfm_segments",
-    "ev10_gap_filled_daily",
-    "c1_curation_pipeline",
-    "s11_ivfpq_topk",
-    "t28_langid_confusion",
-    "j14_spatial_grid_join",
-    "e9_power_iteration_pc1",
-    "dq14_reconciliation",
-    "st10_session_paths",
-    "pr6_kcore",
-    "ev11_cohort_ltv",
-    "dq15_benford",
-    "j15_edit_distance_join",
-    "d18_lsh_recall_gate",
-    "s12_hybrid_rrf",
-    "m8_keyframes",
-    "dq16_schema_inventory",
-    "t30_bpe_merge_step",
-    "ev12_ab_test",
-    "st11_stream_ab_moments",
-    "dq17_pk_uniqueness",
-    "c2_data_card",
-    # position 50 — first to miss a 50-query prefix; the judge already
-    # re-verified this one by hand in round 4 (equivalence vs d6's
-    # oracle), so it is the safest to defer to round 6.
+    # ------- round-6 prefix: the 32 queries without a driver row yet
+    # (cumulative r1∪…∪r5 union = 212/244 proven, zero failures).
+    # Positions 0-29 are the 30 oracle-checked ones; positions 30-31
+    # are the two rows-only-by-design queries (their oracle-checked
+    # twins: d7→d7b, e6→e9).  A green CORRECTNESS_r06 on this prefix
+    # closes the loop: every oracle-bearing query driver-proven.
     "d6b_components_star",
-    # converted to ORACLE-CHECKED in round 5 (m2: integer aHash with a
-    # generator-arithmetic oracle; s2: exact-integer IVF-Flat sharing
-    # s11's coarse-quantizer CTEs) — first in line for round 6's prefix
     "m2_video_frame_dedup",
     "s2_ann_ivf_topk",
-    # NEW in round 5 (never driver-sampled): queue behind the round-5
-    # prefix so they fill round 6's sample right after m2/s2
     "d19_url_dedup",
     "ext_compaction_plan",
     "m9_audio_fingerprint",
@@ -169,21 +107,29 @@ _PRIORITY: list[str] = [
     # SQL-expressible — e9 (power-iteration PC1) is its checked twin
     "d7_embedding_lsh_near_dups",
     "e6_pca_project",
-    # ------- rotation: signature reference ops re-verified after the
-    # round-4 execution-shape changes (d7b/s6/e5 rewrites share
-    # operators with these)
+    # ------- positions 32-49: rotation — oldest r1-proven signature
+    # queries whose shared operators changed since round 1 (dedup /
+    # ANN / sequence / density rewrites), re-verified for regression
+    # coverage.  Everything else keeps pytest + tools/diffcheck.py
+    # coverage and rotates back in later rounds.
+    "d2_minhash_lsh_pairs",
+    "d6_dup_components",
+    "w1_jumps",
+    "a5_density",
+    "a1_pricing_summary",
+    "j1_star_join",
     "d7b_embedding_lsh_oracle",
     "s4_ann_lsh_topk",
     "d10_decontamination",
     "m1_multimodal_features",
-    "w1_jumps",
     "w5_dummy_departures",
-    "a5_density",
-    "a1_pricing_summary",
-    "j1_star_join",
     "d1_exact_dedup_groups",
-    "d2_minhash_lsh_pairs",
-    "d6_dup_components",
+    "p1_projection_filter",
+    "q3_shipping_priority",
+    "a6_density_report",
+    "s1_ann_brute_force_topk",
+    "t14_sequence_packing",
+    "st5_stateful_jumps",
 ]
 
 
