@@ -15,12 +15,34 @@ no result materialization skew) after a warm-up of the session.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _current_round() -> int:
+    """Round number for the durable per-query artifact.
+
+    The driver's stdout capture keeps only a ~2000-char tail, which the
+    full per-query dict outgrew in round 4 — so each bench run also
+    writes BENCH_LOCAL_r{N}.json into the repo.  N is the round being
+    built: one past the newest driver-recorded BENCH_r{N}.json
+    (overridable via SPARK_GRAFT_ROUND).
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
 
 # Headline set: one per operator family, weighted toward the
 # shuffle/window/join paths that dominate at scale.
@@ -229,6 +251,12 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # Durable copy of the full min-of-3 per-query dict (the stdout tail
+    # truncates it) — committed each round for round-over-round diffs.
+    local_path = os.path.join(REPO, f"BENCH_LOCAL_r{_current_round():02d}.json")
+    with open(local_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     # The driver records only the LAST ~2000 chars of bench output, and
     # the full per-query line above has outgrown that window (117+
     # entries) — BENCH_r04.json captured a mid-dict tail and parsed as
