@@ -10,13 +10,18 @@ safe.  Idle keys expire via EventTimeTimeout once the watermark
 passes a day beyond their last advance (the stateful.py discipline).
 
 Greedy semantics are order-dependent, so the streaming path processes
-each micro-batch sorted by event time and drops events older than the
-last state update (the st5 late-event rule; the watermark bounds how
-late that can happen).  Batch mode runs the SAME semantics
-relationally — each step joins the filtered fact against the
-one-row-per-user anchor aggregate — which is also what the DuckDB
-oracle checks, so the emission rule itself is differentially
-verified.
+each micro-batch sorted by event time; ACROSS micro-batches the
+per-stage anchors themselves are the late-event rule — an in-watermark
+out-of-order event still advances the funnel iff its stage is unset
+and the step window holds (a purchase seen first must not blind the
+operator to an older view arriving one micro-batch later).  What
+append mode cannot do is retract: an already-emitted anchor wins over
+a later-arriving earlier event of the SAME stage, a divergence from
+batch bounded by the watermark and pinned by the multi-micro-batch
+parity test.  Batch mode runs the same semantics relationally — each
+step joins the filtered fact against the one-row-per-user anchor
+aggregate — which is also what the DuckDB oracle checks, so the
+emission rule itself is differentially verified.
 """
 
 from __future__ import annotations
@@ -80,8 +85,11 @@ def _advance(
     if pdf is not None:
         for row in pdf.sort_values("ts_ms").itertuples(index=False):
             ts = int(row.ts_ms)
-            if last_ms is not None and ts < last_ms:
-                continue  # late event older than state (st5 rule)
+            # Late-event rule: the per-stage anchors ARE the drop
+            # threshold.  An out-of-order event in a later micro-batch
+            # still advances the funnel iff its stage is unset and the
+            # step window holds; only same-stage retraction is
+            # impossible under append mode (see module docstring).
             et = row.event_type
             if et == "view" and v_ms is None:
                 v_ms = ts
@@ -102,14 +110,16 @@ def _advance(
             ):
                 p_ms = ts
                 out.append({"user_id": user_id, "stage": 3, "ts_ms": ts})
-            last_ms = ts
+            last_ms = ts if last_ms is None else max(last_ms, ts)
 
     state.update((v_ms, c_ms, p_ms, last_ms))
-    try:
-        if last_ms is not None:
-            state.setTimeoutTimestamp(last_ms + _IDLE_TIMEOUT_MS)
-    except Exception:  # noqa: BLE001 — timeout unavailable in this mode
-        pass
+    if last_ms is not None:
+        # Spark rejects a timeout at or below the current watermark;
+        # clamp so an idle key whose last event is already behind the
+        # watermark still expires (at the next watermark advance)
+        # instead of leaking state-store entries.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + _IDLE_TIMEOUT_MS, wm + 1))
     if out:
         yield pd.DataFrame(out)
 

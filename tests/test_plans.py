@@ -472,8 +472,10 @@ class TestRound5PlanDiscipline:
                      "ev14_retention_matrix"):
             plan = _plan(spark, sf_dir, name)
             assert "CartesianProduct" not in plan, name
-            # no unpartitioned window on the event fact
-            assert "Window [" not in plan or "partitionBy" in plan, name
+            # the funnel chain is pure join+agg: no Window node at all
+            # (the stronger invariant; "partitionBy" never appears in
+            # physical-plan text, so the old disjunct was vacuous)
+            assert "Window" not in plan, name
 
     def test_t31_model_broadcasts(self, spark, sf_dir):
         plan = _plan(spark, sf_dir, "t31_classifier_filter")

@@ -727,3 +727,65 @@ class TestStreamingFunnel:
             ).collect()
         }
         assert got == want and len(want) > 0
+
+    def test_out_of_order_across_micro_batches(self, spark, tmp_path):
+        """An in-watermark out-of-order event arriving in a LATER
+        micro-batch must still advance the funnel: a purchase seen
+        first (batch 1) must not blind the operator to the older
+        view/click/purchase chain delivered in batch 2.  Guards the
+        per-stage late-event rule — a blanket last-seen-timestamp drop
+        would emit nothing here."""
+        import pandas as pd
+
+        from dww_data_pipeline_spark.streaming.funnel import streaming_funnel
+
+        stage = tmp_path / "ooo_stream"
+        stage.mkdir()
+
+        def _events(ids, times, types):
+            return pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "ts": pd.to_datetime(times).tz_localize("UTC"),
+                    "user_id": [7] * len(ids),
+                    "event_type": types,
+                    "value": [1.0] * len(ids),
+                    "props": ["{}"] * len(ids),
+                }
+            )
+
+        first = _events([1], ["2024-01-01 10:00:00"], ["purchase"])
+        # all above the post-batch-1 watermark (10:00 - 30 min = 09:30)
+        late = _events(
+            [2, 3, 4],
+            ["2024-01-01 09:50:00", "2024-01-01 09:55:00", "2024-01-01 09:58:00"],
+            ["view", "click", "purchase"],
+        )
+        f1, f2 = str(stage / "b1.parquet"), str(stage / "b2.parquet")
+        first.to_parquet(f1, coerce_timestamps="us")
+
+        schema = spark.read.parquet(f1).schema
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = (
+            streaming_funnel(stream)
+            .writeStream.format("memory")
+            .queryName("funnel_ooo")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: lone purchase, no advance
+            late.to_parquet(f2, coerce_timestamps="us")
+            q.processAllAvailable()  # batch 2: out-of-order chain
+            got = {
+                (r["user_id"], r["stage"], r["ts_ms"])
+                for r in spark.sql("select * from funnel_ooo").collect()
+            }
+        finally:
+            q.stop()
+        want = {
+            (r["user_id"], r["stage"], r["ts_ms"])
+            for r in streaming_funnel(spark.read.parquet(str(stage))).collect()
+        }
+        assert got == want
+        assert {s for (_, s, _) in got} == {1, 2, 3}
