@@ -205,6 +205,8 @@ EXTRA = [
     "ext_unpivot_roundtrip",    # melt proven by pivot round-trip
     "v7_simpson_diversity",     # mixture diversity index
     "pr8_degree_assortativity", # hub-mixing graph diagnostic
+    # round 6
+    "st13_stream_incremental_dedup",  # dedup-at-ingest batch core
 ]
 
 

@@ -1118,16 +1118,21 @@ def decontamination_hits(
 # Incremental (snapshot) dedup: new ingest batch vs existing corpus
 # ---------------------------------------------------------------------------
 
-_D11_ORACLE = f"""
+def _incremental_oracle(mod: int) -> str:
+    """The d11 incremental-dedup oracle, parameterized by the snapshot
+    modulus (doc_id % mod == 0 models the incoming batch; the rest is
+    the existing corpus) — shared by d11 (mod 10) and its streaming
+    twin's batch core st13 (mod 7)."""
+    return f"""
 WITH fp AS (
   SELECT doc_id,
          md5(array_to_string(list_slice({_SQL_TOKS}, 1, 10), ' ')) AS fp
   FROM documents
 ), corpus_fp AS (
-  SELECT fp, COUNT(*) AS n FROM fp WHERE doc_id % 10 <> 0 GROUP BY fp
+  SELECT fp, COUNT(*) AS n FROM fp WHERE doc_id % {mod} <> 0 GROUP BY fp
 ), exact AS (
   SELECT b.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_exact
-  FROM (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0) b
+  FROM (SELECT doc_id, fp FROM fp WHERE doc_id % {mod} = 0) b
   LEFT JOIN corpus_fp c ON b.fp = c.fp
 ), sigs AS (
   SELECT doc_id, {_sql_minhash_cols()}
@@ -1139,7 +1144,7 @@ WITH fp AS (
   SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket
-   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+   AND a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
 ), sh AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
   FROM documents WHERE len({_SQL_TOKS}) >= 3
@@ -1163,6 +1168,9 @@ FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
 """
 
 
+_D11_ORACLE = _incremental_oracle(10)
+
+
 @register(
     "d11_incremental_dedup",
     oracle=_D11_ORACLE,
@@ -1181,6 +1189,30 @@ def d11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_decisions(
         d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text"),
         d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"),
+    )
+
+
+@register(
+    "st13_stream_incremental_dedup",
+    oracle=_incremental_oracle(7),
+    description="STREAMING dedup-at-ingest, batch core: the d11 "
+    "decision flow over a different snapshot split (doc_id % 7 == 0 "
+    "models the live crawl feed). The streaming twin "
+    "(streaming/dedup_ingest.stream_incremental_dedup) drains the same "
+    "documents as file-source micro-batches through foreachBatch "
+    "against the ONCE-built cached corpus index; decisions depend only "
+    "on the fixed corpus, so the union of micro-batch outputs equals "
+    "this batch answer for ANY stream chopping — asserted by the "
+    "multi-micro-batch parity test. Scale shape: corpus index "
+    "(fp counts / banded signatures / shingle sets) is persisted and "
+    "cached once per run, every join is ingest-batch-driven "
+    "(north-star: continuous corpus ingestion with dedup-at-ingest)",
+)
+def st13_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return incremental_decisions(
+        d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"),
+        d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text"),
     )
 
 

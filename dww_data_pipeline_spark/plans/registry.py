@@ -107,7 +107,10 @@ _PRIORITY: list[str] = [
     # SQL-expressible — e9 (power-iteration PC1) is its checked twin
     "d7_embedding_lsh_near_dups",
     "e6_pca_project",
-    # ------- positions 32-49: rotation — oldest r1-proven signature
+    # NEW in round 6 (never driver-sampled): the streaming
+    # dedup-at-ingest batch core
+    "st13_stream_incremental_dedup",
+    # ------- positions 33-49: rotation — oldest r1-proven signature
     # queries whose shared operators changed since round 1 (dedup /
     # ANN / sequence / density rewrites), re-verified for regression
     # coverage.  Everything else keeps pytest + tools/diffcheck.py

@@ -132,3 +132,60 @@ class TestStreamShardIngest:
         # compaction is rerunnable (recovery path + idempotent result)
         compact_shard_lake(spark, lake, n_shards=N_SHARDS)
         assert _manifest(read_shard_lake(spark, lake)) == before
+
+
+class TestStreamIncrementalDedup:
+    """Dedup-at-ingest (streaming/dedup_ingest.py) == the d11/st13
+    batch core, for a multi-micro-batch chopping of the feed.
+
+    Decisions depend only on the fixed corpus index, so the union of
+    per-micro-batch decision outputs must equal the one-shot batch
+    answer REGARDLESS of how the stream is chopped — including
+    out-of-id-order file arrival (feed files are NOT ordered by
+    doc_id)."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, docs, tmp_path):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            incremental_decisions,
+        )
+        from dww_data_pipeline_spark.streaming.dedup_ingest import (
+            stream_incremental_dedup,
+        )
+
+        feed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+
+        batch_ans = sorted(
+            tuple(r) for r in incremental_decisions(feed, corpus).collect()
+        )
+        assert batch_ans  # non-vacuous: the feed split is non-empty
+        assert {t[1] for t in batch_ans} >= {"exact_dup", "keep"}
+
+        # three source files -> three micro-batches, id-interleaved so
+        # arrival order is not doc_id order
+        src = str(tmp_path / "src")
+        for i in range(3):
+            feed.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "decisions")
+        q = stream_incremental_dedup(
+            sdf, corpus, out, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        for df in q.corpus_index.values():
+            df.unpersist()
+
+        import glob as _glob
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3  # really micro-batched
+        streamed = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "batch=*")
+        ).select("doc_id", "decision", "n_matches")
+        assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
