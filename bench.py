@@ -207,6 +207,7 @@ EXTRA = [
     "pr8_degree_assortativity", # hub-mixing graph diagnostic
     # round 6
     "st13_stream_incremental_dedup",  # dedup-at-ingest batch core
+    "d20_substring_spans",      # maximal duplicated-span dedup
 ]
 
 

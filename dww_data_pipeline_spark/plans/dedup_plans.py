@@ -1802,3 +1802,113 @@ def s7_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal duplicated substring spans (position-level cross-doc dedup)
+# ---------------------------------------------------------------------------
+
+_D20_K = 5  # token width of the fingerprinted window
+
+
+def _d20_oracle() -> str:
+    toks = _SQL_TOKS
+    return f"""
+WITH gl AS (
+  SELECT doc_id, {sql_kgrams(_D20_K)} AS grams
+  FROM documents WHERE len({toks}) >= {_D20_K}
+), g AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(grams))) AS BIGINT) AS pos,
+         md5(unnest(grams)) AS fp
+  FROM gl
+), dup AS (
+  SELECT fp FROM g GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (fp)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_D20_K} THEN 0 ELSE 1 END AS b
+  FROM dw
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_D20_K - 1} AS span_end,
+       MAX(pos) + {_D20_K} - MIN(pos) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register(
+    "d20_substring_spans",
+    oracle=_d20_oracle(),
+    description="MAXIMAL duplicated substring spans (position-level "
+    "substring dedup, the unaligned complement of d14's fixed chunks): "
+    "every overlapping 5-token window is fingerprinted (md5, 16-byte "
+    "shuffle key); windows whose fingerprint occurs in >= 2 distinct "
+    "docs are cross-doc duplicated; per doc, overlapping/touching "
+    "duplicated windows merge into maximal token spans via "
+    "gap-and-islands (LAG + running SUM over a doc-partitioned "
+    "window). Finds shared boilerplate at ANY offset, which "
+    "chunk-aligned dedup misses. Scale shape: one shuffle on the "
+    "16-byte fingerprint (partial-agg distinct-doc counts), one "
+    "fingerprint semi-join, one doc-partitioned window bounded by "
+    "document length — documents never pair with each other "
+    "(north-star: substring-level corpus dedup a la Lee et al. "
+    "2107.06499, suffix-array pass re-expressed as window "
+    "fingerprints)",
+)
+def d20_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+def substring_spans(d: DataFrame, K: int = _D20_K) -> DataFrame:
+    """Maximal cross-doc duplicated token spans of ``(doc_id, text)``
+    rows — the d20 core, factored for direct testing on synthetic
+    corpora."""
+    from pyspark.sql import Window
+
+    # explode barrier: bind the token array once (see exploded_kgrams)
+    tk = d.select(
+        "doc_id", F.explode(F.array(_spark_tokens(F.col("text")))).alias("_tk")
+    ).filter(F.size("_tk") >= K)
+    m = F.size("_tk") - (K - 1)
+    z = F.arrays_zip(*[F.slice("_tk", i + 1, m) for i in range(K)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(K)])
+    )
+    g = tk.select("doc_id", F.posexplode(grams).alias("p0", "gram")).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.md5("gram").alias("fp"),
+    )
+    dup = (
+        g.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    dw = g.join(dup, "fp", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dw.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= K, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + K - 1).alias("span_end"),
+        (F.max("pos") + K - F.min("pos")).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")

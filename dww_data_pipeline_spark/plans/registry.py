@@ -108,9 +108,10 @@ _PRIORITY: list[str] = [
     "d7_embedding_lsh_near_dups",
     "e6_pca_project",
     # NEW in round 6 (never driver-sampled): the streaming
-    # dedup-at-ingest batch core
+    # dedup-at-ingest batch core and the maximal-substring-span dedup
     "st13_stream_incremental_dedup",
-    # ------- positions 33-49: rotation — oldest r1-proven signature
+    "d20_substring_spans",
+    # ------- positions 34-49: rotation — oldest r1-proven signature
     # queries whose shared operators changed since round 1 (dedup /
     # ANN / sequence / density rewrites), re-verified for regression
     # coverage.  Everything else keeps pytest + tools/diffcheck.py

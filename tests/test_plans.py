@@ -486,3 +486,46 @@ class TestRound5PlanDiscipline:
         plan = _plan(spark, sf_dir, "dq18_completeness_blocks")
         assert "Window" not in plan  # the whole point vs the lead() form
         assert "BatchEvalPython" not in plan
+
+
+class TestRound6PlanDiscipline:
+    """d20 substring spans + st13 (streaming twin tested in
+    test_stream_ingest.py; here the plan shapes)."""
+
+    def test_d20_known_spans_merge_maximally(self, spark):
+        from dww_data_pipeline_spark.plans.dedup_plans import substring_spans
+
+        shared = "s1 s2 s3 s4 s5 s6"       # 6 tokens -> two 5-windows
+        shared2 = "t1 t2 t3 t4 t5"         # 5 tokens -> one 5-window
+        docs = spark.createDataFrame(
+            [
+                (1, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 "
+                    f"{shared} y1 y2 y3 y4 {shared2}"),
+                (2, f"z1 z2 {shared} w1 w2 w3 w4 w5 w6 w7 w8 {shared2}"),
+                (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in substring_spans(docs).collect())
+        # overlapping duplicated windows merge into ONE maximal span per
+        # run; the two runs in each doc stay separate (gap > K); the
+        # unique doc contributes nothing
+        assert got == [
+            (1, 11, 16, 6, 2),
+            (1, 21, 25, 5, 1),
+            (2, 3, 8, 6, 2),
+            (2, 17, 21, 5, 1),
+        ]
+
+    def test_d20_plan_partitioned_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "d20_substring_spans")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the islands window is doc-partitioned, never a global sort
+        assert "Exchange SinglePartition" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_st13_batch_core_broadcast_exact_stage(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "st13_stream_incremental_dedup")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

@@ -1,0 +1,111 @@
+"""Three-SF differential sweep -> recorded artifact DIFFCHECK_r{N}.json.
+
+Round 5 caught a real cross-engine divergence (ext_merge_upsert .xx5
+rounding) only at sf0.1 — so "green at all three SFs" must be a
+committed, checkable artifact each round, not a claim.  This runs the
+tools/diffcheck.py comparison for every registry query at sf0.001,
+sf0.01 and sf0.1 and writes a compact summary JSON
+(per-SF ok/rows_only/fail counts + failure names + per-SF wall time)
+to the repo root.
+
+Usage:  python tools/diffsweep.py [sf_dir ...]   # default: all three
+Round number: one past the newest driver CORRECTNESS_r{N}.json
+(overridable via SPARK_GRAFT_ROUND), matching bench.py's convention.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def _current_round() -> int:
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def sweep(sf_dirs: list[str]) -> dict:
+    sys.path.insert(0, REPO)
+    from tools.diffcheck import canon, duck_conn, values_match
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
+    from dww_data_pipeline_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark("diffsweep")
+    out: dict = {
+        "metric": "diffcheck_three_sf_sweep",
+        "n_queries": len(REGISTRY),
+        "sfs": {},
+    }
+    for sf_dir in sf_dirs:
+        con = duck_conn(sf_dir)
+        t0 = time.perf_counter()
+        ok = rows_only = 0
+        fails: list[str] = []
+        for name, q in sorted(REGISTRY.items()):
+            try:
+                sdf = q.spark(spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                fails.append(f"{name}: spark error: {e}")
+                continue
+            if q.oracle is None:
+                rows_only += 1
+                continue
+            try:
+                ddf = con.execute(q.oracle).df()
+            except Exception as e:  # noqa: BLE001
+                fails.append(f"{name}: duckdb error: {e}")
+                continue
+            good, why = values_match(canon(sdf), canon(ddf))
+            if good:
+                ok += 1
+            else:
+                fails.append(f"{name}: {why}")
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out["sfs"][sf] = {
+            "hash_ok": ok,
+            "rows_only": rows_only,
+            "failures": fails,
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        print(
+            f"sf{sf}: {ok} hash-ok, {rows_only} rows-only, "
+            f"{len(fails)} failures ({out['sfs'][sf]['wall_s']}s)",
+            flush=True,
+        )
+        con.close()
+    out["all_green"] = all(not s["failures"] for s in out["sfs"].values())
+    return out
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or DEFAULT_SFS
+    out = sweep(sf_dirs)
+    path = os.path.join(REPO, f"DIFFCHECK_r{_current_round():02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in out.items() if k != "sfs"}))
+    print(f"wrote {path}")
+    return 0 if out["all_green"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
