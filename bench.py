@@ -208,6 +208,8 @@ EXTRA = [
     # round 6
     "st13_stream_incremental_dedup",  # dedup-at-ingest batch core
     "d20_substring_spans",      # maximal duplicated-span dedup
+    "dq20_hll_merge_gate",      # mergeable-sketch rollup contract
+    "ev17_pattern_match",       # regex journey pattern matching
 ]
 
 

@@ -1212,3 +1212,73 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq20 — sketch MERGEABILITY gate (the incremental-rollup contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq20_hll_merge_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           1 AS merged_within_10pct,
+           1 AS whole_within_10pct,
+           1 AS merge_vs_whole_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    description="SKETCH-MERGEABILITY GATE (DataSketches HLL): per "
+    "event type, per-MONTH partial sketches (hll_sketch_agg) are "
+    "unioned (hll_union_agg) and the merged estimate must land within "
+    "10% of the exact distinct-user count, as must the whole-scan "
+    "sketch, and the two estimates within 5% of each other (exact "
+    "equality is NOT the contract: a union abandons the single-stream "
+    "HIP estimator for the composite one, so merged != whole by "
+    "construction). The oracle pins the exact counts and the expected "
+    "all-green flags. This is THE 100 TB incremental pattern: daily "
+    "partials persisted once, any rollup window answered by sketch "
+    "union — no re-scan of history; mergeability is what makes the "
+    "rollup lattice sound, so it is asserted as a first-class "
+    "oracle-checked quantity (north-star: mergeable-summary rollups)",
+)
+def dq20_hll_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.date_trunc("month", F.col("ts")).alias("month")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    whole = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_whole"),
+    )
+    exact_d = F.col("exact_distinct").cast("double")
+
+    def _within(a, b, tol):
+        return (
+            F.when(F.abs(a - b) / F.greatest(b, F.lit(1.0)) <= tol, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return (
+        whole.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            _within(F.col("est_merged").cast("double"), exact_d, 0.1).alias(
+                "merged_within_10pct"
+            ),
+            _within(F.col("est_whole").cast("double"), exact_d, 0.1).alias(
+                "whole_within_10pct"
+            ),
+            _within(
+                F.col("est_merged").cast("double"),
+                F.col("est_whole").cast("double"),
+                0.05,
+            ).alias("merge_vs_whole_within_5pct"),
+        )
+    )

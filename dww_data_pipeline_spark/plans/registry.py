@@ -111,7 +111,9 @@ _PRIORITY: list[str] = [
     # dedup-at-ingest batch core and the maximal-substring-span dedup
     "st13_stream_incremental_dedup",
     "d20_substring_spans",
-    # ------- positions 34-49: rotation — oldest r1-proven signature
+    "dq20_hll_merge_gate",
+    "ev17_pattern_match",
+    # ------- positions 36-49: rotation — oldest r1-proven signature
     # queries whose shared operators changed since round 1 (dedup /
     # ANN / sequence / density rewrites), re-verified for regression
     # coverage.  Everything else keeps pytest + tools/diffcheck.py

@@ -2586,3 +2586,92 @@ def pr8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL on both engines (sf0.01's strong-tie graph is regular)
         F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ev17 — regex sequence-pattern matching over per-user journeys
+# (the MATCH_RECOGNIZE capability, re-expressed portably).
+#
+# Each user's events collapse to one journey string of event-type
+# initials in strict (ts, event_id) order; behavioural patterns are
+# then plain regexes counted over that string — browse-to-buy arcs
+# (view then purchase with no purchase in between) and error bursts
+# (runs of >= 2 errors). Non-overlapping leftmost counting is the
+# shared semantics of Java regex (Spark), RE2 (DuckDB) and PCRE for
+# these patterns, so the counts hash-match across engines.
+#
+# Scale shape: ONE user_id shuffle (collect_list of (ts, event_id,
+# chr) structs, sort_array for deterministic order — bounded by
+# per-user event count, the same bound every sessionization op in
+# this engine relies on); the regex scans are per-row Column
+# expressions after that. No window, no join, no Python.
+# ---------------------------------------------------------------------------
+
+_EV17_ORACLE = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       journey,
+       CAST(len(journey) AS BIGINT) AS journey_len,
+       CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS BIGINT)
+         AS n_view_to_purchase,
+       CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+         AS n_error_bursts,
+       CASE WHEN journey LIKE '%p' THEN 1 ELSE 0 END AS ends_converted
+FROM j
+"""
+
+
+@register(
+    "ev17_pattern_match",
+    oracle=_EV17_ORACLE,
+    description="SEQUENCE PATTERN MATCHING (MATCH_RECOGNIZE "
+    "re-expressed): per user, events collapse to a journey string of "
+    "event-type initials in strict (ts, event_id) order, and "
+    "behavioural patterns are counted as regexes over it — "
+    "browse-to-buy arcs 'v[^p]*p', error bursts 'ee+', and a "
+    "converted-ending flag. Non-overlapping leftmost regex counting "
+    "is identical across Java regex / RE2, so the oracle hash-matches "
+    "the counts. One user_id shuffle (struct collect_list + "
+    "sort_array, bounded by per-user event count), then pure Column "
+    "regex scans — no window, no join (event-sequence analytics)",
+)
+def ev17_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(journey.alias("journey"))
+        .select(
+            "user_id",
+            "journey",
+            F.length("journey").cast("long").alias("journey_len"),
+            F.regexp_count("journey", F.lit("v[^p]*p"))
+            .cast("long")
+            .alias("n_view_to_purchase"),
+            F.regexp_count("journey", F.lit("ee+"))
+            .cast("long")
+            .alias("n_error_bursts"),
+            F.when(F.col("journey").endswith("p"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ends_converted"),
+        )
+    )

@@ -529,3 +529,18 @@ class TestRound6PlanDiscipline:
         plan = _plan(spark, sf_dir, "st13_stream_incremental_dedup")
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_dq20_two_scans_no_window(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dq20_hll_merge_gate")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # merged estimate joins whole-scan stats on the tiny
+        # event_type key — broadcast, never a shuffle join
+        assert "SortMergeJoin" not in plan
+
+    def test_ev17_single_user_shuffle_no_window_no_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "ev17_pattern_match")
+        assert "Window" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
