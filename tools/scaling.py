@@ -101,6 +101,10 @@ QUERIES = [
     "d19_url_dedup",        # per-row canonicalization + key groupBy
     "t31_classifier_filter",  # vocab model train + broadcast score
     "ev14_retention_matrix",  # per-user anchors + distinct activity
+    # round-6 scale paths
+    "d20_substring_spans",  # gram-fp shuffle + doc-partitioned islands
+    "ev17_pattern_match",   # one user shuffle + per-row regex scans
+    "dq20_hll_merge_gate",  # partial sketches + union rollup
 ]
 
 
