@@ -1242,7 +1242,12 @@ def ext_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partials persisted once, any rollup window answered by sketch "
     "union — no re-scan of history; mergeability is what makes the "
     "rollup lattice sound, so it is asserted as a first-class "
-    "oracle-checked quantity (north-star: mergeable-summary rollups)",
+    "oracle-checked quantity. The streaming leg "
+    "(streaming/sketch_rollup.py) persists per-micro-batch partials "
+    "and answers rollups by union only, with EXACT "
+    "decomposition-independence parity-tested — union-path estimates "
+    "depend only on register state (north-star: mergeable-summary "
+    "rollups)",
 )
 def dq20_hll_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -189,3 +189,63 @@ class TestStreamIncrementalDedup:
             os.path.join(out, "batch=*")
         ).select("doc_id", "decision", "n_matches")
         assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
+
+
+class TestStreamSketchRollup:
+    """Streaming HLL partial-sketch rollup (streaming/sketch_rollup.py)
+    == the batch union-path answer, for any decomposition on either
+    side — mergeability (register-wise max) is decomposition- and
+    order-independent, so the parity is EXACT equality of estimates,
+    not a tolerance."""
+
+    def test_stream_partials_union_equals_batch_union(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F811
+
+        from dww_data_pipeline_spark.streaming.sketch_rollup import (
+            batch_rollup_estimates,
+            rollup_estimates,
+            stream_sketch_rollup,
+        )
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "ts", "user_id", "event_type"
+        )
+
+        # 3 source files chopped by event_id-free hash of user_id, so
+        # (month, event_type) groups SPAN micro-batches
+        src = str(tmp_path / "src")
+        for i in range(3):
+            ev.filter(F.crc32(F.col("user_id").cast("string")) % 3 == i) \
+                .coalesce(1).write.parquet(f"{src}/f{i}")
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "partials")
+        q = stream_sketch_rollup(sdf, out, checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        streamed = rollup_estimates(spark, out)
+        # real incremental case: some group assembled from >= 2 partials
+        assert streamed.filter(F.col("n_partials") >= 2).count() > 0
+
+        got = sorted(
+            tuple(r)
+            for r in streamed.select(
+                "month", "event_type", "est_distinct"
+            ).collect()
+        )
+        # batch reference over a DIFFERENT decomposition (odd/even user)
+        want = sorted(
+            tuple(r)
+            for r in batch_rollup_estimates(
+                ev, split_col=(F.col("user_id") % 2)
+            ).collect()
+        )
+        assert got == want
+        # and over no decomposition at all (single partial per group)
+        want1 = sorted(
+            tuple(r) for r in batch_rollup_estimates(ev).collect()
+        )
+        assert got == want1
