@@ -210,6 +210,7 @@ EXTRA = [
     "d20_substring_spans",      # maximal duplicated-span dedup
     "dq20_hll_merge_gate",      # mergeable-sketch rollup contract
     "ev17_pattern_match",       # regex journey pattern matching
+    "s15_ann_probe_curve",      # IVF recall-vs-nprobe tuning curve
 ]
 
 

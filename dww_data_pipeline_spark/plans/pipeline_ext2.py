@@ -3015,3 +3015,157 @@ def c2_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _c2_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s15_ann_probe_curve — the IVF tuning curve: recall@k vs nprobe.
+#
+# The operating decision every IVF deployment makes — how many cells
+# to probe — computed as an oracle-checked quantity: for each probe
+# count p (1..all cells) and each query, the number of the exact
+# top-k answers the p-cell search recovers. Monotone by construction
+# (probe sets nest); equals k at p = #cells (full scan). The d21/d22
+# calibration-pattern applied to the ANN family: parameter sweeps are
+# first-class verified outputs, not notebook one-offs.
+#
+# Scale shape: the sweep reuses ONE cell assignment of the corpus
+# (the persisted IVF index); per (query, p) work is the probed cells
+# only, exactly the production cost model being charted. Exact
+# integer d2 end to end (the s2/s11 quantizer), so the curve
+# hash-matches across engines.
+# ---------------------------------------------------------------------------
+
+
+def _s15_oracle() -> str:
+    exact_d2 = _ivfpq_coarse_d2_sql("v.vq", "qv.vq")
+    truth_d2 = _ivfpq_coarse_d2_sql("q.vq", "qv.vq")
+    parts = _ivf_coarse_parts()[:-1]  # drop qc (nprobe-filtered); rank all
+    parts += [
+        f"""qcr AS MATERIALIZED (
+  SELECT qv.query_id, c.j AS cluster,
+         row_number() OVER (PARTITION BY qv.query_id
+                            ORDER BY {_ivfpq_coarse_d2_sql('qv.vq', 'c.cv')}, c.j)
+           AS cell_rank
+  FROM qv CROSS JOIN cc c)""",
+        f"probes AS (SELECT unnest(generate_series(1, {_IVF_K})) AS p)",
+        f"""cand AS MATERIALIZED (
+  SELECT pr.p, qc.query_id, r.vec_id, CAST({exact_d2} AS BIGINT) AS d2
+  FROM qcr qc
+  JOIN probes pr ON qc.cell_rank <= pr.p
+  JOIN caf r ON r.cluster = qc.cluster
+  JOIN q v ON v.vec_id = r.vec_id
+  JOIN qv ON qv.query_id = qc.query_id)""",
+        f"""atop AS (
+  SELECT p, query_id, vec_id FROM (
+    SELECT p, query_id, vec_id,
+           row_number() OVER (PARTITION BY p, query_id
+                              ORDER BY d2, vec_id) AS rn
+    FROM cand
+  ) WHERE rn <= {_PQ_TOPK})""",
+        f"""ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qv.query_id, q.vec_id,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY CAST({truth_d2} AS BIGINT), q.vec_id)
+             AS rn
+    FROM q CROSS JOIN qv
+  ) WHERE rn <= {_PQ_TOPK})""",
+    ]
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(a.p AS BIGINT) AS nprobe, a.query_id,
+       CAST(COUNT(e.vec_id) AS BIGINT) AS hits_at_k
+FROM atop a LEFT JOIN ex e
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY a.p, a.query_id"""
+
+
+@register(
+    "s15_ann_probe_curve",
+    oracle=_s15_oracle(),
+    description="IVF PROBE-COUNT TUNING CURVE: for every nprobe p "
+    "(1..all 4 cells) and every query, how many of the exact top-5 "
+    "the p-cell IVF search recovers (hits_at_k; monotone in p, = k "
+    "at full probe). The d21/d22 calibration pattern applied to ANN: "
+    "the recall-vs-cost operating curve as an oracle-checked integer "
+    "quantity on the SAME exact-integer quantizer as s2/s11, so cell "
+    "assignment, probe sets, and both top-k rankings hash-match "
+    "across engines. One corpus cell assignment reused across the "
+    "whole sweep; per-(query,p) cost is the probed cells only — the "
+    "production cost model being charted (north-star: similarity-"
+    "search tuning)",
+)
+def s15_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = e.select("vec_id", F.expr(_PQ_VQ_SPARK).alias("vq")).persist()
+    try:
+        ccents = _train_coarse(vq)
+        assigned = vq.select(
+            "vec_id", "vq", F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster")
+        ).persist()
+        qrows = {
+            int(r["vec_id"]): list(r["vq"])
+            for r in vq.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        branches = []
+        truth = []
+        for qid in _PQ_QUERIES:
+            qvec = qrows[qid]
+            ranked_cells = sorted(
+                range(_IVF_K),
+                key=lambda j: (
+                    sum((qvec[i] - ccents[j][i]) ** 2 for i in range(64)),
+                    j,
+                ),
+            )
+            qlit = "array(" + ", ".join(f"{int(x)}L" for x in qvec) + ")"
+            d2 = F.expr(
+                f"aggregate(zip_with(vq, {qlit}, (x, y) -> (x - y) * (x - y)), "
+                "0L, (acc, v) -> acc + v)"
+            )
+            truth.append(
+                vq.select(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    "vec_id",
+                    d2.alias("d2"),
+                )
+            )
+            for p in range(1, _IVF_K + 1):
+                probe = [int(j) for j in ranked_cells[:p]]
+                branches.append(
+                    assigned.filter(F.col("cluster").isin(probe)).select(
+                        F.lit(p).cast("long").alias("nprobe"),
+                        F.lit(qid).cast("long").alias("query_id"),
+                        "vec_id",
+                        d2.alias("d2"),
+                    )
+                )
+        wa = Window.partitionBy("nprobe", "query_id").orderBy("d2", "vec_id")
+        atop = (
+            reduce(lambda a, b: a.unionByName(b), branches)
+            .withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") <= _PQ_TOPK)
+            .select("nprobe", "query_id", "vec_id")
+        )
+        wt = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+        ex = (
+            reduce(lambda a, b: a.unionByName(b), truth)
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= _PQ_TOPK)
+            .select("query_id", "vec_id")
+        )
+        return (
+            atop.join(ex, ["query_id", "vec_id"], "left_semi")
+            .groupBy("nprobe", "query_id")
+            .agg(F.count(F.lit(1)).alias("hits_at_k"))
+        )
+    finally:
+        vq.unpersist(blocking=False)
+        try:
+            assigned.unpersist(blocking=False)
+        except NameError:
+            pass

@@ -113,7 +113,8 @@ _PRIORITY: list[str] = [
     "d20_substring_spans",
     "dq20_hll_merge_gate",
     "ev17_pattern_match",
-    # ------- positions 36-49: rotation — oldest r1-proven signature
+    "s15_ann_probe_curve",
+    # ------- positions 37-49: rotation — oldest r1-proven signature
     # queries whose shared operators changed since round 1 (dedup /
     # ANN / sequence / density rewrites), re-verified for regression
     # coverage.  Everything else keeps pytest + tools/diffcheck.py

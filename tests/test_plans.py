@@ -544,3 +544,22 @@ class TestRound6PlanDiscipline:
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_s15_curve_monotone_and_saturates(self, spark, sf_dir):
+        rows = REGISTRY["s15_ann_probe_curve"].spark(spark, sf_dir).collect()
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _IVF_K,
+            _PQ_QUERIES,
+            _PQ_TOPK,
+        )
+
+        by_q: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["hits_at_k"]
+        assert set(by_q) == set(_PQ_QUERIES)
+        for qid, curve in by_q.items():
+            assert set(curve) == set(range(1, _IVF_K + 1)), qid
+            seq = [curve[p] for p in range(1, _IVF_K + 1)]
+            # probe sets nest -> recall is monotone; full probe = exact
+            assert seq == sorted(seq), (qid, seq)
+            assert seq[-1] == _PQ_TOPK, (qid, seq)
