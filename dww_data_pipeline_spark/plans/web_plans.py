@@ -2641,7 +2641,13 @@ FROM j
     "regex scans — no window, no join (event-sequence analytics)",
 )
 def ev17_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return journey_patterns(load_table(spark, sf_dir, "events"))
+
+
+def journey_patterns(ev: DataFrame) -> DataFrame:
+    """The ev17 core over any (user_id, ts, event_id, event_type)
+    relation — factored for direct property testing against a pure
+    sequential reference."""
     journey = F.array_join(
         F.transform(
             F.sort_array(

@@ -242,3 +242,143 @@ class TestGraphProperties:
         assert all(v > 0 for v in vals)
         # dangling mass is redistributed, never lost
         assert abs(sum(vals) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-6: d20 substring spans + ev17 journey patterns vs pure-Python
+# sequential references on randomized inputs.
+# ---------------------------------------------------------------------------
+
+_D20_K = 5
+# 3-symbol vocabulary makes cross-doc 5-gram collisions genuinely
+# likely in 30-token docs (3^5 = 243 possible grams)
+_DOCS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=30),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _naive_spans(docs: list[list[str]]) -> list[tuple]:
+    grams: dict[str, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - _D20_K + 1):
+            g = " ".join(toks[i : i + _D20_K])
+            grams.setdefault(g, set()).add(did)
+            per_doc.setdefault(did, []).append(i + 1)  # 1-based
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = []
+    for did, toks in enumerate(docs):
+        pos = [
+            i + 1
+            for i in range(len(toks) - _D20_K + 1)
+            if " ".join(toks[i : i + _D20_K]) in dup
+        ]
+        island: list[int] = []
+        for p in pos:
+            if island and p - island[-1] <= _D20_K:
+                island.append(p)
+            else:
+                if island:
+                    out.append(
+                        (
+                            did,
+                            island[0],
+                            island[-1] + _D20_K - 1,
+                            island[-1] + _D20_K - island[0],
+                            len(island),
+                        )
+                    )
+                island = [p]
+        if island:
+            out.append(
+                (
+                    did,
+                    island[0],
+                    island[-1] + _D20_K - 1,
+                    island[-1] + _D20_K - island[0],
+                    len(island),
+                )
+            )
+    return sorted(out)
+
+
+class TestSubstringSpansProperties:
+    @settings(**_SETTINGS)
+    @given(_DOCS)
+    def test_matches_sequential_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import substring_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in substring_spans(df).collect())
+        assert got == _naive_spans(docs)
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=9),  # ts bucket (ties likely)
+        st.sampled_from(["view", "click", "purchase", "error", "signup"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+class TestJourneyPatternProperties:
+    @settings(**_SETTINGS)
+    @given(_EVENTS)
+    def test_matches_sequential_reference(self, spark, rows):
+        import re
+        from datetime import datetime, timezone
+
+        from dww_data_pipeline_spark.plans.web_plans import journey_patterns
+
+        data = [
+            (
+                u,
+                datetime.fromtimestamp(86400 * ts, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                i,
+                et,
+            )
+            for i, (u, ts, et) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = sorted(
+            tuple(r)
+            for r in journey_patterns(df)
+            .select(
+                "user_id",
+                "journey",
+                "journey_len",
+                "n_view_to_purchase",
+                "n_error_bursts",
+                "ends_converted",
+            )
+            .collect()
+        )
+        by_user: dict[int, list[tuple]] = {}
+        for u, ts, eid, et in data:
+            by_user.setdefault(u, []).append((ts, eid, et))
+        want = []
+        for u, evs in by_user.items():
+            j = "".join(et[0] for _, _, et in sorted(evs))
+            want.append(
+                (
+                    u,
+                    j,
+                    len(j),
+                    len(re.findall("v[^p]*p", j)),
+                    len(re.findall("ee+", j)),
+                    1 if j.endswith("p") else 0,
+                )
+            )
+        assert got == sorted(want)
