@@ -61,3 +61,15 @@ def exploded_kgrams(
     z = F.arrays_zip(*[F.slice("_tk", i + 1, m) for i in range(k)])
     grams = F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(k)]))
     return tk.select(*carry, F.explode(grams).alias(out))
+
+
+# Cross-engine parity domain (measured, fuzz-tested in
+# tests/test_properties.py::TestTokenizerCrossEngineParity): the pair
+# above is equivalent over ASCII + common Latin-1 letters and the
+# whitespace set {space, \t, \n, \r, \f}. Two measured dialect
+# boundaries OUTSIDE that domain: Java's \s includes \x0B (vertical
+# tab) while RE2/DuckDB's does not, and lower('İ' U+0130) is
+# 'i'+combining-dot under the JVM but plain 'i' under DuckDB. The
+# test corpus is ASCII, so every oracle comparison stays exact; any
+# non-ASCII production corpus should normalize VT and dotted-İ
+# upstream (or extend the fuzz domain first).

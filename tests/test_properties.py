@@ -382,3 +382,88 @@ class TestJourneyPatternProperties:
                 )
             )
         assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Cross-ENGINE tokenizer parity fuzz: every text-family oracle in the
+# repo rests on text_exprs.spark_tokens == text_exprs.SQL_TOKS. Fuzz
+# the equivalence over the portable character domain, and PIN the two
+# measured dialect boundaries outside it (probed, not assumed).
+# ---------------------------------------------------------------------------
+
+_PORTABLE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    ".,!?()[]'\"-_:;/" + " \t\n\r\x0c" + "éüßàñÉÜ"
+)
+
+
+class TestTokenizerCrossEngineParity:
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(
+            st.text(alphabet=_PORTABLE, min_size=0, max_size=40),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_portable_domain_parity(self, spark, texts):
+        import duckdb
+
+        from dww_data_pipeline_spark.plans.text_exprs import (
+            SQL_TOKS,
+            spark_tokens,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "i long, text string"
+        )
+        srows = {
+            r["i"]: list(r["t"])
+            for r in df.select(
+                "i", spark_tokens(F.col("text")).alias("t")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+        drows = {
+            i: list(v)
+            for i, v in con.execute(f"SELECT i, {SQL_TOKS} FROM t").fetchall()
+        }
+        con.close()
+        assert srows == drows
+
+    def test_known_dialect_boundaries_still_diverge(self, spark):
+        """The two measured divergences OUTSIDE the portable domain —
+        pinned so a silent engine upgrade that moves the boundary is
+        noticed: Java \\s includes \\x0B (vertical tab), RE2's does
+        not; Java lower('İ') is 'i'+combining-dot (2 codepoints),
+        DuckDB's is plain 'i'. Corpus text never contains either
+        (TESTDATA is ASCII); oracles stay exact on real data."""
+        import duckdb
+
+        from dww_data_pipeline_spark.plans.text_exprs import (
+            SQL_TOKS,
+            spark_tokens,
+        )
+
+        cases = ["vt\x0bsep", "İstanbul"]
+        df = spark.createDataFrame(
+            list(enumerate(cases)), "i long, text string"
+        )
+        srows = {
+            r["i"]: list(r["t"])
+            for r in df.select(
+                "i", spark_tokens(F.col("text")).alias("t")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+        drows = {
+            i: list(v)
+            for i, v in con.execute(f"SELECT i, {SQL_TOKS} FROM t").fetchall()
+        }
+        con.close()
+        assert srows[0] == ["vt", "sep"] and drows[0] == ["vt\x0bsep"]
+        assert srows[1] != drows[1]
