@@ -467,3 +467,96 @@ class TestTokenizerCrossEngineParity:
         con.close()
         assert srows[0] == ["vt", "sep"] and drows[0] == ["vt\x0bsep"]
         assert srows[1] != drows[1]
+
+
+# ---------------------------------------------------------------------------
+# Round-6 centerpiece: the incremental-dedup decision core (d11/st13)
+# vs a from-scratch pure-Python reference (md5 minhash chain included).
+# ---------------------------------------------------------------------------
+
+_DEDUP_DOC = st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12)
+
+
+def _py_toks(t: str) -> list[str]:
+    import re as _re
+
+    return [x for x in _re.split(r"\s+", t.lower().strip()) if x]
+
+
+def _py_decisions(batch: list[tuple], corpus: list[tuple]) -> list[tuple]:
+    import hashlib
+
+    def fp(t):
+        return hashlib.md5(" ".join(_py_toks(t)[:10]).encode()).hexdigest()
+
+    def shingles(t):
+        tk = _py_toks(t)
+        return [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+
+    def bands(t):
+        sh = shingles(t)
+        if not sh:
+            return []
+        ms = [
+            min(
+                hashlib.md5(f"{i // 4}|{s}".encode()).hexdigest()[
+                    8 * (i % 4) : 8 * (i % 4) + 8
+                ]
+                for s in sh
+            )
+            for i in range(8)
+        ]
+        return [(b, ms[2 * b] + "," + ms[2 * b + 1]) for b in range(4)]
+
+    corpus_fp: dict[str, int] = {}
+    for _, t in corpus:
+        corpus_fp[fp(t)] = corpus_fp.get(fp(t), 0) + 1
+    corpus_bands: dict[tuple, set[int]] = {}
+    for cid, t in corpus:
+        for bb in bands(t):
+            corpus_bands.setdefault(bb, set()).add(cid)
+    corpus_sh = {cid: set(shingles(t)) for cid, t in corpus if shingles(t)}
+
+    out = []
+    for bid, t in batch:
+        n_exact = corpus_fp.get(fp(t), 0)
+        cands: set[int] = set()
+        for bb in bands(t):
+            cands |= corpus_bands.get(bb, set())
+        sh_b = set(shingles(t))
+        n_near = 0
+        if sh_b:
+            for cid in cands:
+                sh_c = corpus_sh.get(cid)
+                if not sh_c:
+                    continue
+                inter = len(sh_b & sh_c)
+                union = len(sh_b | sh_c)
+                if inter / max(union, 1) >= 0.2:
+                    n_near += 1
+        decision = (
+            "exact_dup" if n_exact > 0 else ("near_dup" if n_near > 0 else "keep")
+        )
+        out.append((bid, decision, n_exact if n_exact > 0 else n_near))
+    return sorted(out)
+
+
+class TestIncrementalDedupProperties:
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(_DEDUP_DOC, min_size=1, max_size=4),
+        st.lists(_DEDUP_DOC, min_size=2, max_size=6),
+    )
+    def test_matches_sequential_reference(self, spark, batch_t, corpus_t):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            incremental_decisions,
+        )
+
+        batch = [(1000 + i, " ".join(t)) for i, t in enumerate(batch_t)]
+        corpus = [(i, " ".join(t)) for i, t in enumerate(corpus_t)]
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = sorted(
+            tuple(r) for r in incremental_decisions(bdf, cdf).collect()
+        )
+        assert got == _py_decisions(batch, corpus)
