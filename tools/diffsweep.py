@@ -43,7 +43,7 @@ def _current_round() -> int:
 
 def sweep(sf_dirs: list[str]) -> dict:
     sys.path.insert(0, REPO)
-    from tools.diffcheck import canon, duck_conn, values_match
+    from tools.diffcheck import canon, duck_conn, run_spark_side, values_match
     from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
     from dww_data_pipeline_spark.session import get_spark
 
@@ -61,7 +61,7 @@ def sweep(sf_dirs: list[str]) -> dict:
         fails: list[str] = []
         for name, q in sorted(REGISTRY.items()):
             try:
-                sdf = q.spark(spark, sf_dir).toPandas()
+                sdf = run_spark_side(q, spark, sf_dir)
             except Exception as e:  # noqa: BLE001
                 fails.append(f"{name}: spark error: {e}")
                 continue
