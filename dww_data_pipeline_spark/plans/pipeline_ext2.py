@@ -3158,10 +3158,23 @@ def s15_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= _PQ_TOPK)
             .select("query_id", "vec_id")
         )
+        # LEFT join (not left_semi) so a (nprobe, query_id) whose probed
+        # candidates contain zero true-top-k hits still emits a row with
+        # hits_at_k=0, mirroring the oracle's LEFT JOIN + COUNT shape.
+        # Today 0-hit pairs are unreachable (every query vector is a
+        # corpus member, its own nearest cell ranks first, so p>=1
+        # always retrieves the query itself, which is in its own exact
+        # top-k) — but the parity must not depend on that invariant.
         return (
-            atop.join(ex, ["query_id", "vec_id"], "left_semi")
+            atop.join(
+                ex.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+            )
             .groupBy("nprobe", "query_id")
-            .agg(F.count(F.lit(1)).alias("hits_at_k"))
+            .agg(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                .cast("long")
+                .alias("hits_at_k")
+            )
         )
     finally:
         vq.unpersist(blocking=False)

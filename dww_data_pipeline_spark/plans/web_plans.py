@@ -2612,7 +2612,9 @@ WITH j AS (
   SELECT user_id,
          string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
            AS journey
-  FROM events GROUP BY user_id
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
 )
 SELECT user_id,
        journey,
@@ -2647,7 +2649,15 @@ def ev17_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def journey_patterns(ev: DataFrame) -> DataFrame:
     """The ev17 core over any (user_id, ts, event_id, event_type)
     relation — factored for direct property testing against a pure
-    sequential reference."""
+    sequential reference.
+
+    Null events are excluded up front: DuckDB's string_agg skips NULL
+    values and orders NULL ts last, while Spark would carry a null
+    struct field through collect_list/sort_array (nulls-first) and
+    array_join (drops nulls) — three different null placements. The
+    explicit filter makes both engines agree by construction instead
+    of relying on the current data being non-null."""
+    ev = ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
     journey = F.array_join(
         F.transform(
             F.sort_array(

@@ -55,16 +55,27 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     return True, "ok"
 
 
+# Retries are a correctness-relevant signal, not just plumbing: a
+# genuinely flaky query masked by a silent rerun is indistinguishable
+# from a hypervisor stall. Every retry is printed AND accumulated here
+# so sweeps can record them in the DIFFCHECK_r{N}.json artifact.
+RETRIES: list[str] = []
+
+
 def run_spark_side(q, spark, sf_dir: str) -> pd.DataFrame:
     """Execute the Spark side with ONE retry on infrastructure
     exceptions only. A transient environment event (observed once: a
     contiguous 5-query failure window that passed on immediate rerun
     — suspected tmp-cleanup/hypervisor stall) must not read as a
     correctness failure; a VALUE mismatch is computed downstream and
-    never retried."""
+    never retried. The first-attempt exception is always printed and
+    recorded in RETRIES so masked failures remain auditable."""
     try:
         return q.spark(spark, sf_dir).toPandas()
-    except Exception:  # noqa: BLE001
+    except Exception as e:  # noqa: BLE001
+        first = f"{q.name}: {type(e).__name__}: {str(e).splitlines()[0][:200]}"
+        RETRIES.append(first)
+        print(f"RETRY {first}", flush=True)
         return q.spark(spark, sf_dir).toPandas()
 
 

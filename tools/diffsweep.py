@@ -43,6 +43,7 @@ def _current_round() -> int:
 
 def sweep(sf_dirs: list[str]) -> dict:
     sys.path.insert(0, REPO)
+    import tools.diffcheck as dc
     from tools.diffcheck import canon, duck_conn, run_spark_side, values_match
     from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
     from dww_data_pipeline_spark.session import get_spark
@@ -59,6 +60,7 @@ def sweep(sf_dirs: list[str]) -> dict:
         t0 = time.perf_counter()
         ok = rows_only = 0
         fails: list[str] = []
+        retries_before = len(dc.RETRIES)
         for name, q in sorted(REGISTRY.items()):
             try:
                 sdf = run_spark_side(q, spark, sf_dir)
@@ -83,6 +85,7 @@ def sweep(sf_dirs: list[str]) -> dict:
             "hash_ok": ok,
             "rows_only": rows_only,
             "failures": fails,
+            "spark_retries": dc.RETRIES[retries_before:],
             "wall_s": round(time.perf_counter() - t0, 1),
         }
         print(
