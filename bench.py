@@ -90,7 +90,7 @@ EXTRA = [
     "d13_snapshot_diff",        # cross-snapshot corpus delta
     "e5_embedding_gram",        # fixed-point 64x64 second-moment matrix
     "dq5_skew_profile",         # heavy-hitter join-key diagnosis
-    "e6_pca_project",           # Gram -> eigh -> literal-folded projection
+    "e6_pca_project",           # Gram -> eigh -> PCA quality contract + Bessel scan
     # round 4
     "d14_chunk_dedup",          # span-level first-occurrence dedup
     "t18_bm25_retrieval",       # BM25 topical mining

@@ -20,6 +20,8 @@ zero Python work.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -776,3 +778,69 @@ def pca_project(
             ).alias(f"{out_prefix}{p}")
         )
     return df.select("*", *cols)
+
+
+def pca_quality(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+) -> dict:
+    """Driver-side PCA quality contract over ONE Gram collect.
+
+    Returns the eigh top-k components plus the exact-integer /
+    micro-unit contract quantities the e6 oracle asserts:
+
+    * ``orth_max_err_u`` — max |comps comps^T - I| entry in floored
+      micro-units (eigh orthonormality holds to ~1e-15, so 0);
+    * ``desc_violations`` — count of adjacent eigenvalue-descent
+      violations in the top-k (eigh sorts, so 0);
+    * ``capture_ok`` — 1 iff top-k eigenvalue mass >= k/dim of the
+      trace (always true for the top-k of a PSD second-moment);
+    * ``eig_residual_u`` — max_p ||G c_p - lambda_p c_p|| / lambda_p
+      in floored micro-units: the eigenpair residual, ~1e-14 for a
+      correct eigh regardless of the spectrum's eigengap (a power-
+      iteration agreement gate was tried first and rejected — at
+      sf0.01 the corpus spectrum has lambda2/lambda1 = 0.985, so 64
+      fixed-point rounds agree only to cos 0.977; the residual is the
+      spectrum-independent form of the same "is this really an
+      eigenvector of G" question).
+    """
+    cells = gram_fixed_point(df, vec_col, dim=dim).collect()
+    g = np.zeros((dim, dim))
+    gi: dict[tuple[int, int], int] = {}
+    for r in cells:
+        i, j = r["pos"] // dim, r["pos"] % dim
+        g[i][j] = r["s_fp"] / 1e8
+        gi[(i, j)] = int(r["s_fp"])
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1]
+    comps: list[list[float]] = []
+    for o in order[:k]:
+        v = vecs[:, o]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    top = [float(vals[o]) for o in order[:k]]
+
+    c = np.array(comps)
+    orth_err = float(np.max(np.abs(c @ c.T - np.eye(k))))
+    desc_violations = sum(
+        1 for p in range(k - 1) if top[p] < top[p + 1] - 1e-12
+    )
+    trace = float(np.trace(g))
+    capture_ok = 1 if sum(top) * dim >= trace * k - 1e-6 else 0
+
+    residual = max(
+        float(np.linalg.norm(g @ c[p] - top[p] * c[p]))
+        / max(top[p], 1e-12)
+        for p in range(k)
+    )
+    return {
+        "components": comps,
+        "eigenvalues": top,
+        "orth_max_err_u": int(math.floor(orth_err * 1e6)),
+        "desc_violations": int(desc_violations),
+        "capture_ok": int(capture_ok),
+        "eig_residual_u": int(math.floor(residual * 1e6)),
+    }

@@ -393,28 +393,56 @@ def e5_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e6_pca_project",
-    oracle=None,
-    description="PCA PROJECTION (rows-only BY DESIGN: the "
-    "eigendecomposition is not SQL-expressible; e9_power_iteration_pc1 "
-    "is the oracle-checked twin for the dominant component, and "
-    "determinism + math properties are pytest-verified here): "
-    "embeddings projected onto the top-8 principal "
-    "directions of the corpus. Two-phase scale shape — the distributed "
-    "pass reduces the corpus to the 64x64 FIXED-POINT Gram matrix "
-    "(deterministic across runs/partitionings, map-side partial agg), "
-    "the driver eigendecomposes the tiny matrix, and the projection "
-    "folds to plan-time literals (zero shuffle, zero UDFs) — the "
-    "data-driven counterpart of the e4 random projection.",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           0 AS orth_max_err_u,
+           0 AS desc_violations,
+           CAST(0 AS BIGINT) AS bessel_violations,
+           1 AS capture_ok,
+           0 AS eig_residual_u
+    FROM embeddings
+    """,
+    description="PCA QUALITY CONTRACT, oracle-checked (the dq7/dq11 "
+    "contract pattern — eigh itself is not SQL-expressible, so the "
+    "oracle asserts the mathematical contract the projection must "
+    "EARN): top-8 eigh PCA over the exact 64x64 fixed-point Gram, "
+    "graded on orthonormality residual (micro-units, must be 0), "
+    "eigenvalue-descent violations (0), per-vector Bessel violations "
+    "sum_p pc_p^2 <= |x|^2 counted DISTRIBUTED over the literal-"
+    "folded projection (0), top-8 variance capture >= 8/64 of the "
+    "trace (1), and the eigenpair residual max_p |G c_p - l_p c_p| / "
+    "l_p in micro-units (0 — spectrum-independent, unlike a power-"
+    "iteration agreement gate, which the sf0.01 eigengap defeats). "
+    "Two-phase scale shape unchanged: one dim^2 partial-agg exchange, "
+    "driver eigh on the bounded artifact, plan-time literal "
+    "projection, one scan for the Bessel count. The per-vector "
+    "projection surface stays available as operators.pca_project "
+    "(pytest-verified); e9 remains the hash-checked dominant-"
+    "component twin.",
 )
 def e6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.operators.similarity import (
-        pca_components,
         pca_project,
+        pca_quality,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    comps, _ = pca_components(e, "embedding", k=8, dim=64)
-    out = pca_project(e, comps, "embedding")
-    return out.select(
-        "vec_id", *[F.round(F.col(f"pc{p}"), 6).alias(f"pc{p}") for p in range(8)]
+    q = pca_quality(e, "embedding", k=8, dim=64)
+    out = pca_project(e, q["components"], "embedding")
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x)
+    sumsq = None
+    for p in range(8):
+        t = F.col(f"pc{p}") * F.col(f"pc{p}")
+        sumsq = t if sumsq is None else sumsq + t
+    bessel_bad = sumsq > norm2 * (1.0 + 1e-9) + 1e-9
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.lit(int(q["orth_max_err_u"])).alias("orth_max_err_u"),
+        F.lit(int(q["desc_violations"])).alias("desc_violations"),
+        F.sum(F.when(bessel_bad, 1).otherwise(0))
+        .cast("long")
+        .alias("bessel_violations"),
+        F.lit(int(q["capture_ok"])).alias("capture_ok"),
+        F.lit(int(q["eig_residual_u"])).alias("eig_residual_u"),
     )

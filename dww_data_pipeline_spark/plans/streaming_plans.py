@@ -380,37 +380,175 @@ SELECT query_id, vec_id, d2, rank FROM (
 _s2_attach_oracle()
 
 
+# ---------------------------------------------------------------------------
+# d7 — Gaussian-plane LSH RECALL GATE, oracle-checked (closes the
+# last rows-only class; round-6 verdict ask #4).
+#
+# The random-hyperplane near-dup path graded the way a production
+# index is: per sampled query vector, how many of its true cosine
+# neighbours (cos >= 0.3, the d5 truth semantics) land in the same
+# LSH bucket. The planes are seeded Gaussians quantized to INTEGER
+# literals, and vectors go through the same exact-integer quantizer
+# as the s2/s11 PQ family — so the bucket sign test is pure BIGINT
+# arithmetic, bit-identical across engines regardless of fold order
+# (a float Gaussian dot could flip sign between Spark's sequential
+# aggregate and DuckDB's list_sum near zero; integers cannot).
+# Recall NUMBERS — not a pass flag — hash-match cross-engine, the s9
+# discipline applied to the pair-pruning index.
+#
+# Scale shape: one n x |Q| broadcast nested-loop (|Q| = 16 fixed), a
+# 16-group aggregate — no n^2 anywhere; the full pair-level scale
+# path stays d7b (bucket equi-join, Sum bucket^2).
+# ---------------------------------------------------------------------------
+
+_D7_BITS = 4
+_D7_PLANE_SCALE = 1000
+_D7_VQ_OFF = 2_000_000  # the PQ quantizer's +2 offset at scale 1e6
+_D7_NQUERIES = 16
+
+
+def _d7_planes_int() -> list[list[int]]:
+    """Seeded Gaussian hyperplanes (similarity._hyperplanes, seed 42)
+    quantized to integers so both engines fold them as exact BIGINT
+    literals — same plane family d7 always used, now on the exact
+    arithmetic the differential check needs."""
+    from dww_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    return [
+        [int(round(float(x) * _D7_PLANE_SCALE)) for x in plane]
+        for plane in _hyperplanes(dim=64, bits=_D7_BITS)
+    ]
+
+
+def _d7_bucket_spark_sql() -> str:
+    """Bucket id over the integer-quantized vector column ``vq``:
+    sign-bit concatenation of exact integer plane dots (centered by
+    the quantizer offset so the plane passes through the origin)."""
+    terms = []
+    for i, plane in enumerate(_d7_planes_int()):
+        arr = ", ".join(f"{p}L" for p in plane)
+        dot = (
+            f"aggregate(zip_with(vq, array({arr}), "
+            f"(v, p) -> (v - {_D7_VQ_OFF}L) * p), 0L, (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _d7_bucket_duck_sql() -> str:
+    terms = []
+    for i, plane in enumerate(_d7_planes_int()):
+        arr = ", ".join(str(p) for p in plane)
+        dot = (
+            f"list_sum(list_transform(list_zip(vq, [{arr}]), "
+            f"p -> (p[1] - {_D7_VQ_OFF}) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _d7_attach_oracle() -> None:
+    """Attach-after-registration (the s2 pattern): the oracle embeds
+    pipeline_ext2's exact-integer quantizer text, deferred to avoid
+    the module cycle."""
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_DUCK
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    cos = (
+        "(list_sum(list_transform(list_zip(b.v, q.qv), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) / "
+        "(sqrt(list_sum(list_transform(b.v, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(q.qv, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    oracle = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding AS v, {_PQ_VQ_DUCK} AS vq FROM embeddings
+),
+bk AS MATERIALIZED (
+  SELECT vec_id, v, {_d7_bucket_duck_sql()} AS bucket FROM e
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM bk WHERE vec_id < {_D7_NQUERIES}
+)
+SELECT q.query_id,
+       CAST(SUM(CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truth,
+       CAST(SUM(CASE WHEN b.bucket = q.qbucket THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(CASE WHEN b.bucket = q.qbucket AND {cos} >= 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+FROM bk b JOIN q ON b.vec_id <> q.query_id
+GROUP BY q.query_id
+"""
+    qr = REGISTRY["d7_embedding_lsh_near_dups"]
+    REGISTRY["d7_embedding_lsh_near_dups"] = Query(
+        name=qr.name, spark=qr.spark, oracle=oracle, description=qr.description
+    )
+
+
 @register(
     "d7_embedding_lsh_near_dups",
-    oracle=None,
-    description="Embedding near-dup SCALE path: random-hyperplane "
-    "(Gaussian-plane) LSH buckets prune the pair space before the "
-    "cosine threshold. Rows-only BY DESIGN: this is the RECALL GATE "
-    "for the family — d7b (deterministic sign-LSH) is its "
-    "hash-checked twin and d5 the oracle-checked brute baseline; "
-    "d7's value is measuring what random planes lose, asserted in "
-    "tests.",
+    oracle=None,  # attached below — embeds the shared quantizer text
+    description="GAUSSIAN-PLANE LSH RECALL GATE, oracle-checked: per "
+    "sampled query vector (16 fixed), how many of its true cosine "
+    "neighbours (cos >= 0.3, d5 semantics) share its random-"
+    "hyperplane bucket — n_truth / n_candidates / n_found as exact "
+    "BIGINTs. Seeded Gaussian planes quantized to integer literals "
+    "over the s2/s11 exact-integer vector quantizer, so the bucket "
+    "sign test is associative BIGINT math both engines compute "
+    "bit-identically; recall numbers themselves hash-match (the s9 "
+    "discipline). Scale shape: n x 16 broadcast nested-loop + "
+    "16-group agg, no n^2; the pair-level scale path remains d7b.",
 )
 def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dww_data_pipeline_spark.operators.similarity import _hyperplanes, lsh_bucket_col
-    from dww_data_pipeline_spark.plans.dedup_plans import _spark_cos
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_SPARK
 
-    e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes(dim=64, bits=4)
-    b = e.withColumn("_bucket", lsh_bucket_col("embedding", planes))
-    a1 = b.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_bucket"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(_PQ_VQ_SPARK).alias("vq")
     )
-    a2 = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_bucket"
+    bk = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.expr(_d7_bucket_spark_sql()).alias("bucket"),
     )
+    q = bk.filter(F.col("vec_id") < _D7_NQUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # inline per-pair cosine (dot, norm_b, norm_q in the same op order
+    # as the oracle's inline expressions — the s4 parity shape)
+    dv = F.transform(F.col("v"), lambda x: x.cast("double"))
+    dq = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, dq, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x * x))
+    cos = dot / (nb * nq)
+    hit = F.col("bucket") == F.col("qbucket")
+    near = cos >= 0.3
     return (
-        a1.join(a2, ["_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(_spark_cos(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.3)
-        .select("id_a", "id_b", "cos")
+        bk.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(near, 1).otherwise(0)).cast("long").alias("n_truth"),
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(hit & near, 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+        )
     )
+
+
+_d7_attach_oracle()
 
 
 def _p3_image_expr(seed_col, w: int = 2, h: int = 2):

@@ -16,7 +16,11 @@ class TestCli:
     def test_oracle_print_and_rows_only(self, capsys):
         assert main(["oracle", "a1_pricing_summary"]) == 0
         assert "l_returnflag" in capsys.readouterr().out
-        assert main(["oracle", "e6_pca_project"]) == 1  # rows-only
+        # e6 gained its contract oracle in round 7 — the rows-only
+        # class is empty now; the CLI's exit-1 branch stays for any
+        # future genuinely non-SQL-expressible operator
+        assert main(["oracle", "e6_pca_project"]) == 0
+        assert "eig_residual_u" in capsys.readouterr().out
         assert main(["oracle", "nope"]) == 2
 
     def test_unknown_query_rejected(self):

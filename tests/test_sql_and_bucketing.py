@@ -47,8 +47,10 @@ class TestSqlSurface:
         assert sql_rows == op_rows
 
     def test_lsh_near_dup_recall_vs_brute_force(self, spark, sf_dir):
-        # d7 (bucket-pruned) must be a subset of d5 (exhaustive) at the
-        # same threshold, with nontrivial recall
+        # d7's recall-gate contract cross-checked against d5 (exhaustive):
+        # per sampled query, n_truth must equal the number of d5 pairs
+        # containing that query id, found <= candidates, found <= truth,
+        # and aggregate recall must be nontrivial
         from dww_data_pipeline_spark.plans.registry import REGISTRY, _load_all
 
         _load_all()
@@ -56,17 +58,24 @@ class TestSqlSurface:
             (r["id_a"], r["id_b"])
             for r in REGISTRY["d5_embedding_near_dups"].spark(spark, sf_dir).collect()
         }
-        lsh = {
-            (r["id_a"], r["id_b"])
-            for r in REGISTRY["d7_embedding_lsh_near_dups"].spark(spark, sf_dir).collect()
+        gate = {
+            r["query_id"]: (r["n_truth"], r["n_candidates"], r["n_found"])
+            for r in REGISTRY["d7_embedding_lsh_near_dups"]
+            .spark(spark, sf_dir)
+            .collect()
         }
-        assert lsh <= brute  # bucketing may miss pairs, never invent them
-        if brute:
+        assert len(gate) == 16
+        for qid, (n_truth, n_cand, n_found) in gate.items():
+            assert n_truth == sum(1 for p in brute if qid in p)
+            assert 0 <= n_found <= min(n_truth, n_cand)
+        tot_truth = sum(v[0] for v in gate.values())
+        tot_found = sum(v[2] for v in gate.values())
+        if tot_truth:
             # single-probe hyperplane LSH recall for threshold-grade pairs is
             # (1 - theta/pi)^bits ~ 13% at cos=0.3 with 4 bits — truly-near
             # pairs collide far more often; multi-probe raises this at the
             # cost of pruning
-            assert len(lsh & brute) / len(brute) > 0.05
+            assert tot_found / tot_truth > 0.05
 
     def test_sql_equals_dataframe_plan_result(self, spark, sf_dir):
         register_all(spark, sf_dir)
