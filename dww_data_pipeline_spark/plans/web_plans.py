@@ -2691,3 +2691,71 @@ def journey_patterns(ev: DataFrame) -> DataFrame:
             .alias("ends_converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# st14 — streaming journey pattern matches (real-time twin of ev17).
+#
+# MATCH_RECOGNIZE as a stream: a match-instance row (user_id,
+# pattern, ts_ms) fires the moment a pattern completes — the closing
+# 'p' of a non-overlapping v[^p]*p arc, the second consecutive error
+# of an ee+ burst (one emission per maximal run, no run-terminator
+# needed).  Streaming mode is applyInPandasWithState with a four-int
+# per-user automaton (streaming/journey.py); batch mode — what
+# registers here — is the equivalent window chain, and the oracle
+# re-derives the same match instances in SQL, so the emission rule is
+# differentially verified while the pytest parity test runs the REAL
+# readStream path against this batch answer (the st12 discipline).
+# ---------------------------------------------------------------------------
+
+_ST14_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, substr(event_type, 1, 1) AS c,
+         epoch_us(ts) // 1000 AS ts_ms
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), o AS (
+  SELECT user_id, c, ts_ms,
+         lag(c, 1) OVER w AS p1,
+         lag(c, 2) OVER w AS p2,
+         COALESCE(SUM(CASE WHEN c = 'p' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS grp
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), g AS (
+  SELECT user_id, grp, MAX(CASE WHEN c = 'v' THEN 1 ELSE 0 END) AS has_v
+  FROM o GROUP BY user_id, grp
+)
+SELECT o.user_id, 'vp_arc' AS pattern, CAST(o.ts_ms AS BIGINT) AS ts_ms
+FROM o JOIN g ON g.user_id = o.user_id AND g.grp = o.grp
+WHERE o.c = 'p' AND g.has_v = 1
+UNION ALL
+SELECT user_id, 'error_burst' AS pattern, CAST(ts_ms AS BIGINT) AS ts_ms
+FROM o
+WHERE c = 'e' AND p1 = 'e' AND (p2 IS NULL OR p2 <> 'e')
+"""
+
+
+@register(
+    "st14_stream_pattern_match",
+    oracle=_ST14_ORACLE,
+    description="STREAMING PATTERN MATCHES (real-time twin of ev17's "
+    "MATCH_RECOGNIZE): one row per completed pattern instance — the "
+    "closing p of a non-overlapping v[^p]*p arc, the second "
+    "consecutive error of an ee+ burst (exactly one emission per "
+    "maximal run, open runs need no terminator). Streaming mode is "
+    "applyInPandasWithState with a four-int per-user automaton, "
+    "append-safe with event-time expiry; batch mode is the "
+    "equivalent window chain (one user shuffle: running-p grouping "
+    "for arcs, double-lag for burst starts). The oracle verifies the "
+    "emission rule; the readStream parity test verifies the stateful "
+    "path emits the same instances (continuous journey monitoring)",
+)
+def st14_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.streaming.journey import (
+        streaming_journey_patterns,
+    )
+
+    return streaming_journey_patterns(load_table(spark, sf_dir, "events"))

@@ -789,3 +789,152 @@ class TestStreamingFunnel:
         }
         assert got == want
         assert {s for (_, s, _) in got} == {1, 2, 3}
+
+
+class TestStreamingJourneyPatterns:
+    def test_stream_matches_match_batch(self, spark, sf_dir):
+        """The stateful journey-pattern matcher (applyInPandasWithState,
+        real readStream) must emit exactly the match instances the
+        batch window chain computes — the st12 parity discipline for
+        the MATCH_RECOGNIZE operator."""
+        from dww_data_pipeline_spark.streaming.journey import (
+            streaming_journey_patterns,
+        )
+
+        stream = read_events_stream(spark, str(sf_dir))
+        q = (
+            streaming_journey_patterns(stream)
+            .writeStream.format("memory")
+            .queryName("journey_matches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["user_id"], r["pattern"], r["ts_ms"])
+            for r in spark.sql("select * from journey_matches").collect()
+        )
+        want = sorted(
+            (r["user_id"], r["pattern"], r["ts_ms"])
+            for r in streaming_journey_patterns(
+                load_table(spark, str(sf_dir), "events")
+            ).collect()
+        )
+        assert got == want and len(want) > 0
+
+    def test_batch_counts_reconstruct_sequential_reference(self, spark, sf_dir):
+        """The batch window chain must agree with a from-scratch
+        sequential automaton over the same (ts_ms, event_id) order —
+        an implementation-independent check of the non-overlapping
+        counting semantics."""
+        from dww_data_pipeline_spark.streaming.journey import (
+            streaming_journey_patterns,
+        )
+
+        ev = (
+            load_table(spark, str(sf_dir), "events")
+            .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+            .select(
+                "user_id",
+                "event_id",
+                F.substring("event_type", 1, 1).alias("c"),
+                F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+            )
+            .collect()
+        )
+        by_user: dict = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts_ms"], r["event_id"], r["c"])
+            )
+        want: list = []
+        for uid, rows in by_user.items():
+            open_arc = prev_e = burst_counted = False
+            for ts, _eid, c in sorted(rows):
+                if c == "e":
+                    if prev_e and not burst_counted:
+                        want.append((uid, "error_burst", ts))
+                        burst_counted = True
+                    prev_e = True
+                else:
+                    prev_e = burst_counted = False
+                    if c == "v" and not open_arc:
+                        open_arc = True
+                    elif c == "p" and open_arc:
+                        want.append((uid, "vp_arc", ts))
+                        open_arc = False
+        got = sorted(
+            (r["user_id"], r["pattern"], r["ts_ms"])
+            for r in streaming_journey_patterns(
+                load_table(spark, str(sf_dir), "events")
+            ).collect()
+        )
+        assert got == sorted(want)
+
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """Pattern state must survive micro-batch boundaries: an arc
+        opened by a view in batch 1 closes on the purchase in batch 2,
+        and a burst whose two errors straddle the boundary still emits
+        exactly once — the automaton, not per-batch regexes."""
+        import pandas as pd
+
+        from dww_data_pipeline_spark.streaming.journey import (
+            streaming_journey_patterns,
+        )
+
+        stage = tmp_path / "journey_stream"
+        stage.mkdir()
+
+        def _events(ids, times, types):
+            return pd.DataFrame(
+                {
+                    "event_id": ids,
+                    "ts": pd.to_datetime(times).tz_localize("UTC"),
+                    "user_id": [11] * len(ids),
+                    "event_type": types,
+                    "value": [1.0] * len(ids),
+                    "props": ["{}"] * len(ids),
+                }
+            )
+
+        b1 = _events(
+            [1, 2],
+            ["2024-01-01 10:00:00", "2024-01-01 10:01:00"],
+            ["view", "error"],
+        )
+        b2 = _events(
+            [3, 4],
+            ["2024-01-01 10:02:00", "2024-01-01 10:03:00"],
+            ["error", "purchase"],
+        )
+        f1, f2 = str(stage / "b1.parquet"), str(stage / "b2.parquet")
+        b1.to_parquet(f1, coerce_timestamps="us")
+
+        schema = spark.read.parquet(f1).schema
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = (
+            streaming_journey_patterns(stream)
+            .writeStream.format("memory")
+            .queryName("journey_xbatch")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: open arc + first error
+            b2.to_parquet(f2, coerce_timestamps="us")
+            q.processAllAvailable()  # batch 2: burst completes, arc closes
+            got = sorted(
+                (r["user_id"], r["pattern"], r["ts_ms"])
+                for r in spark.sql("select * from journey_xbatch").collect()
+            )
+        finally:
+            q.stop()
+        want = sorted(
+            (r["user_id"], r["pattern"], r["ts_ms"])
+            for r in streaming_journey_patterns(
+                spark.read.parquet(str(stage))
+            ).collect()
+        )
+        assert got == want
+        assert [p for (_, p, _) in got] == sorted(["error_burst", "vp_arc"])
