@@ -214,6 +214,7 @@ EXTRA = [
     # round 7
     "st14_stream_pattern_match",  # streaming MATCH_RECOGNIZE twin
     "d7_embedding_lsh_near_dups",  # Gaussian-plane LSH recall gate
+    "t33_bpe_train",            # full 16-merge BPE training loop
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

@@ -2752,6 +2752,155 @@ def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t33_bpe_train — the FULL BPE training loop (round-6 verdict ask #6).
+#
+# t30 proves one count-and-rank step; training is the closed loop:
+# count adjacent symbol pairs across the word histogram, merge the
+# most frequent pair everywhere, re-segment, repeat.  Segmentations
+# are space-delimited symbol strings with sentinel spaces
+# (" a b c "), so a merge is ONE literal ``replace`` of " a b " with
+# " ab " — left-to-right non-overlapping in both engines, which is
+# exactly BPE's greedy merge rule, and boundary-safe because every
+# symbol is space-wrapped and symbols never contain spaces.
+#
+# Scale shape: the corpus collapses to its word HISTOGRAM once (the
+# only corpus-scale shuffle, the t30/t14 two-phase rule); each of the
+# 16 iterations then costs one vocabulary-bounded pair aggregation
+# plus a 1-row argmax (bounded driver artifact, the e7/pr1
+# discipline) — the reason BPE training is feasible on 100 TB at all.
+# The segmentation column stays a pure expression chain (iteration
+# i+1 = replace(iteration i, pair, merged) with literal args), so the
+# whole loop is N vocabulary-sized jobs, zero UDFs, zero corpus
+# re-reads.  The oracle unrolls the same recurrence as 16 CTE stages.
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_MERGES = 16
+
+
+def _t33_oracle() -> str:
+    seg0 = (
+        "' ' || array_to_string(list_transform(generate_series(1, "
+        "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
+    )
+    parts = [
+        f"""words AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+)""",
+        f"seg0 AS MATERIALIZED (SELECT n, {seg0} AS seg FROM words)",
+    ]
+    for it in range(1, _BPE_TRAIN_MERGES + 1):
+        prev = f"seg{it - 1}"
+        parts += [
+            f"""p{it} AS (
+  SELECT ' ' || syms[i] || ' ' || syms[i + 1] || ' ' AS pair,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM (SELECT n, string_split(trim(seg), ' ') AS syms FROM {prev})
+  CROSS JOIN LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1
+)""",
+            f"""b{it} AS MATERIALIZED (
+  SELECT pair, n FROM p{it} ORDER BY n DESC, pair LIMIT 1
+)""",
+            f"""seg{it} AS MATERIALIZED (
+  SELECT s.n,
+         replace(s.seg, b.pair,
+                 ' ' || replace(trim(b.pair), ' ', '') || ' ') AS seg
+  FROM {prev} s CROSS JOIN b{it} b
+)""",
+        ]
+    body = ",\n".join(parts)
+    rows = "\nUNION ALL ".join(
+        f"SELECT {it} AS step, trim(pair) AS pair, "
+        f"replace(trim(pair), ' ', '') AS merged, n FROM b{it}"
+        for it in range(1, _BPE_TRAIN_MERGES + 1)
+    )
+    return f"WITH {body}\nSELECT CAST(step AS BIGINT) AS step, pair, merged, n FROM ({rows})"
+
+
+@register(
+    "t33_bpe_train",
+    oracle=_t33_oracle(),
+    description="FULL BPE TRAINING LOOP: 16 merges learned end-to-end "
+    "— per iteration, exact corpus-weighted adjacent symbol-pair "
+    "counts over the word histogram, argmax merge (count desc, pair "
+    "lex tie-break), greedy non-overlapping re-segmentation via one "
+    "literal replace on sentinel-space-delimited symbol strings. "
+    "Output is the learned merge table (step, pair, merged, n) — what "
+    "a tokenizer trainer ships. Corpus-scale work is the ONE word-"
+    "histogram shuffle; each iteration is vocabulary-bounded plus a "
+    "1-row argmax (e7/pr1 bounded-artifact discipline). The oracle "
+    "unrolls the identical recurrence as 16 CTE stages (tokenizer "
+    "training tier: t25 fertility, t30 one step, t33 the loop).",
+)
+def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.expr(
+                "concat(' ', array_join(transform(sequence(1, "
+                "length(tok)), i -> substring(tok, i, 1)), ' '), ' ')"
+            ).alias("seg"),
+        )
+        .persist()
+    )
+    try:
+        words.count()  # materialize the histogram once
+        seg = words
+        merges: list[tuple[str, str, int]] = []
+        for it in range(1, _BPE_TRAIN_MERGES + 1):
+            syms = "split(trim(seg), ' ')"
+            pairs = (
+                seg.filter(F.expr(f"size({syms}) >= 2"))
+                .select(
+                    "n",
+                    F.explode(
+                        F.expr(
+                            f"transform(sequence(1, size({syms}) - 1), "
+                            f"i -> concat(' ', element_at({syms}, i), ' ', "
+                            f"element_at({syms}, i + 1), ' '))"
+                        )
+                    ).alias("pair"),
+                )
+                .groupBy("pair")
+                .agg(F.sum("n").alias("n"))
+            )
+            best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+            if not best:
+                raise ValueError(
+                    f"t33: vocabulary exhausted after {it - 1} merges "
+                    f"(need {_BPE_TRAIN_MERGES}) — corpus too small"
+                )
+            pair, n = best[0]["pair"], int(best[0]["n"])
+            merged = " " + pair.strip().replace(" ", "") + " "
+            merges.append((pair, merged, n))
+            # Column literals, not an f-string expr: tokens are
+            # whitespace-split raw text and may contain quotes or
+            # backslashes that would break (or inject into) SQL text
+            seg = seg.select(
+                "n",
+                F.replace(F.col("seg"), F.lit(pair), F.lit(merged)).alias(
+                    "seg"
+                ),
+            )
+        rows = [
+            (it + 1, p.strip(), m.strip(), n)
+            for it, (p, m, n) in enumerate(merges)
+        ]
+        return spark.createDataFrame(
+            rows, "step long, pair string, merged string, n long"
+        )
+    finally:
+        words.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
 # ev12_ab_test — experiment analysis from exact integer moments.
 #
 # The experimentation primitive: users hash deterministically into

@@ -1178,3 +1178,54 @@ class TestDataCard:
         )
         assert 1 <= card["n_langs"] <= 20
         assert 0 < card["n_tokens"]
+
+
+class TestBpeTrain:
+    def test_merge_table_matches_sequential_bpe(self, spark, sf_dir):
+        """t33's learned merge table must equal a from-scratch
+        sequential BPE trainer over the same word histogram — greedy
+        non-overlapping re-segmentation, (count desc, pair lex)
+        argmax — an implementation-independent check of the loop, not
+        just one step."""
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(spark_tokens(F.col("text"))).alias("t"))
+            .collect()
+        )
+        hist: dict[tuple[str, ...], int] = {}
+        for r in toks:
+            key = tuple(r["t"])
+            hist[key] = hist.get(key, 0) + 1
+        want = []
+        for step in range(1, 17):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, n in hist.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + n
+            assert counts, f"vocabulary exhausted at step {step}"
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            want.append((step, f"{a} {b}", a + b, n))
+            new_hist: dict[tuple[str, ...], int] = {}
+            for syms, cnt in hist.items():
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                new_hist[key] = new_hist.get(key, 0) + cnt
+            hist = new_hist
+        got = sorted(
+            (r["step"], r["pair"], r["merged"], r["n"])
+            for r in REGISTRY["t33_bpe_train"].spark(spark, sf_dir).collect()
+        )
+        assert got == sorted(want)
