@@ -2,6 +2,7 @@
 local parallelism and report speedup / parallel efficiency.
 
     python tools/scaling.py [sf_dir] [--threads 4,8,16,32] [--multiply N]
+    python tools/scaling.py [sf_dir] --data-scaling [--multiples 1,16,64]
 
 Each thread count gets a FRESH SparkSession (local[N], shuffle
 partitions = N — the same sizing rule session.py applies), each query
@@ -15,6 +16,20 @@ canonical so join semantics hold) and runs against that, which is
 where throughput-bound scaling becomes visible. The replica is a
 PERFORMANCE fixture only — correctness stays pinned to the driver's
 own parquet.
+
+``--data-scaling`` (round-6 verdict ask #3) holds threads FIXED at 32
+and grows the DATA instead: the top-wall-time queries run at 1×, 16×
+and 64× and the table reports rows/sec plus the t(64×)/t(16×) ratio
+(linear = 4.0 past the fixed-overhead floor; anything well above is a
+super-linear term the plan-shape argument missed). These replicas are
+CONTENT-shifted as well as key-shifted: a key-only replica duplicates
+every string 64×, which collapses under DISTINCT (j15 would measure
+nothing) or turns the whole corpus into one giant near-dup cluster
+(candidate generators would measure the duplication pathology, not
+data growth) — so documents.text gets per-replica token prefixes and
+customer.c_name a per-replica suffix whose cross-replica edit
+distance is >= 2 by construction. The duplication pathology itself is
+covered separately (hostile-skew studies in SCALE.md).
 
 This is the local stand-in for executor-count scaling on a cluster:
 a query whose wall-clock refuses to drop with N is serialized
@@ -44,9 +59,34 @@ _KEY_COLS = {
 _KEY_OFFSET = 1_000_000_000
 
 
-def build_replica(sf_dir: str, n: int) -> str:
+def _content_shift_cols(t: str, i: int):
+    """Per-replica string perturbations for the data-scaling fixture
+    (see module docstring): (col_name, expr) pairs for replica i."""
+    from pyspark.sql import functions as F
+
+    if t == "documents":
+        # prefix EVERY token so no shingle/gram collides across
+        # replicas — a genuinely-larger corpus, not 64 copies of one
+        return [
+            (
+                "text",
+                F.regexp_replace(F.col("text"), r"(\S+)", f"r{i}$1"),
+            )
+        ]
+    if t == "customer":
+        # doubled two-digit tag: any two replicas differ in >= 2
+        # character positions, so no cross-replica pair enters the
+        # levenshtein<=1 result (the study measures growth, not
+        # fabricated fuzzy matches)
+        return [
+            ("c_name", F.concat(F.col("c_name"), F.lit(f"{i:02d}{i:02d}")))
+        ]
+    return []
+
+
+def build_replica(sf_dir: str, n: int, content_shift: bool = False) -> str:
     """Materialize an n× key-shifted copy of the fact tables (tiny
-    canonical dims copied as-is). Cached by (sf_dir, n)."""
+    canonical dims copied as-is). Cached by (sf_dir, n, shift)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -55,7 +95,7 @@ def build_replica(sf_dir: str, n: int) -> str:
     from dww_data_pipeline_spark.sources.catalog import TABLES, load_table
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/dww_scale_{tag}_x{n}"
+    out = f"/tmp/dww_scale_{tag}_x{n}" + ("_cs" if content_shift else "")
     if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -72,6 +112,9 @@ def build_replica(sf_dir: str, n: int) -> str:
             rep = df
             for k in keys:
                 rep = rep.withColumn(k, F.col(k) + F.lit(i * _KEY_OFFSET))
+            if content_shift:
+                for col, expr in _content_shift_cols(t, i):
+                    rep = rep.withColumn(col, expr)
             parts.append(rep)
         full = parts[0]
         for p in parts[1:]:
@@ -108,12 +151,84 @@ QUERIES = [
 ]
 
 
+# Data-scaling study set: the top-wall-time queries from the bench,
+# each mapped to the table whose row count drives its work (rows/sec
+# denominator).
+DATA_QUERIES = {
+    "j15_edit_distance_join": "customer",
+    "s11_ivfpq_topk": "embeddings",
+    "pr6_kcore": "lineitem",
+    "d6b_components_star": "documents",
+    "pr1_supplier_pagerank": "lineitem",
+    "s10_pq_ann_topk": "embeddings",
+    "d20_substring_spans": "documents",
+    "d18_lsh_recall_gate": "documents",
+    "d11_incremental_dedup": "documents",
+    "st13_stream_incremental_dedup": "documents",
+}
+
+
+def data_scaling(sf_dir: str, multiples: list[int], threads: int = 32) -> None:
+    """Fixed threads, growing data: time the DATA_QUERIES at each
+    multiple of sf_dir (content-shifted replicas) and report rows/sec
+    plus the top-to-mid time ratio vs the ideal linear ratio."""
+    from dww_data_pipeline_spark.plans.registry import all_queries
+    from dww_data_pipeline_spark.session import get_spark
+    from dww_data_pipeline_spark.sources.catalog import load_table
+
+    dirs = {}
+    for m in multiples:
+        dirs[m] = sf_dir if m == 1 else build_replica(sf_dir, m, content_shift=True)
+        print(f"# {m}x -> {dirs[m]}", flush=True)
+
+    spark = get_spark(f"data-scaling-{threads}", cpus=str(threads))
+    base_rows = {
+        t: load_table(spark, sf_dir, t).count()
+        for t in sorted(set(DATA_QUERIES.values()))
+    }
+    queries = all_queries()
+    queries["a10_distinct"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm-up
+    results: dict[str, dict[int, float]] = {}
+    for name in DATA_QUERIES:
+        results[name] = {}
+        for m in multiples:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, dirs[m]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][m] = round(best, 3)
+            print(
+                json.dumps({"query": name, "multiple": m, "sec": results[name][m]}),
+                flush=True,
+            )
+    spark.stop()
+
+    lo, hi = multiples[-2], multiples[-1]
+    ideal = hi / lo
+    print(f"\nrows/sec at fixed local[{threads}] "
+          f"(t{hi}x/t{lo}x ideal={ideal:.1f} for linear):")
+    for name, table in DATA_QUERIES.items():
+        r = results[name]
+        rps = " ".join(
+            f"{m}x={int(base_rows[table] * m / r[m]):,}/s" for m in multiples
+        )
+        ratio = r[hi] / r[lo]
+        flag = "  <-- SUPER-LINEAR" if ratio > 1.5 * ideal else ""
+        print(f"  {name:30s} {rps}  ratio={ratio:.2f}{flag}")
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = [4, 8, 16, 32]
     multiply = 0
+    multiples = [1, 16, 64]
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         def _val(flag):
@@ -128,6 +243,12 @@ def main() -> None:
         v = _val("--multiply")
         if v is not None:
             multiply = int(v)
+        v = _val("--multiples")
+        if v is not None:
+            multiples = [int(x) for x in v.split(",")]
+    if "--data-scaling" in argv:
+        data_scaling(sf_dir, multiples)
+        return
 
     from dww_data_pipeline_spark.plans.registry import all_queries
     from dww_data_pipeline_spark.session import get_spark
