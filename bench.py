@@ -215,6 +215,7 @@ EXTRA = [
     "st14_stream_pattern_match",  # streaming MATCH_RECOGNIZE twin
     "d7_embedding_lsh_near_dups",  # Gaussian-plane LSH recall gate
     "t33_bpe_train",            # full 16-merge BPE training loop
+    "t34_kneser_ney_score",     # interpolated-KN perplexity filter
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

@@ -1287,3 +1287,136 @@ def dq20_hll_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_vs_whole_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t34 — interpolated Kneser-Ney bigram LM scoring.
+#
+# t19 scores with add-0.5 smoothing; production perplexity filters
+# (CCNet's KenLM stage and its descendants) use modified Kneser-Ney,
+# whose backoff weight is the CONTINUATION probability — how many
+# distinct contexts a word follows, not how often it occurs.  This is
+# the interpolated bigram form with absolute discount D = 0.75:
+#
+#   P(w2|w1) = (max(c(w1 w2) - D, 0) + D * N1+(w1 .) * Pc(w2)) / c(w1 .)
+#   Pc(w2)   = N1+(. w2) / N1+(. .)
+#
+# "the san" scores low under add-k (rare bigram) but "san" ALSO has a
+# tiny continuation count (it only ever follows "the"), which is
+# exactly the distinction KN encodes and add-k cannot.
+#
+# Scale shape: everything past the one bigram-count shuffle is
+# vocabulary-bounded — c1 / N1+(w1 .) / N1+(. w2) aggregate the
+# DISTINCT-bigram model table (not the corpus), N1+(. .) is a 1-row
+# broadcast, and ln() evaluates once per model row.  The corpus-side
+# score join carries distinct (doc, bigram) pairs with counts, the
+# t19 discipline.  D = 0.75 and all counts are exact in binary, the
+# per-row float expression trees are written identically on both
+# engines (IEEE ops in the same order), and the per-doc mean rounds
+# at 1e-6 >> summation-order noise (t19 precedent).
+# ---------------------------------------------------------------------------
+
+_T34_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS_CURATION} AS t FROM documents
+), bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+), c2 AS MATERIALIZED (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY bg
+), typ AS MATERIALIZED (
+  SELECT bg, c2,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM c2
+), c1 AS MATERIALIZED (
+  SELECT w1,
+         CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+  FROM typ GROUP BY w1
+), cont AS MATERIALIZED (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc_w2 FROM typ GROUP BY w2
+), tot AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM typ
+), model AS MATERIALIZED (
+  SELECT typ.bg,
+         ln((greatest(CAST(typ.c2 AS DOUBLE) - 0.75, 0.0)
+             + 0.75 * CAST(c1.n1p_w1 AS DOUBLE)
+               * (CAST(cont.nc_w2 AS DOUBLE) / CAST(tot.nbb AS DOUBLE)))
+            / CAST(c1.c1 AS DOUBLE)) AS lp
+  FROM typ JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tot
+), doc_bg AS MATERIALIZED (
+  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg GROUP BY doc_id, bg
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       round(SUM(CAST(n AS DOUBLE) * lp) / CAST(SUM(n) AS DOUBLE), 6)
+         AS avg_logp_kn
+FROM doc_bg JOIN model USING (bg)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "t34_kneser_ney_score",
+    oracle=_T34_ORACLE,
+    description="INTERPOLATED KNESER-NEY BIGRAM LM SCORING (the "
+    "CCNet/KenLM-style perplexity filter, stepping past t19's add-k): "
+    "absolute discount D=0.75 with continuation-probability backoff "
+    "N1+(.w2)/N1+(..) — rare bigrams of promiscuous words score "
+    "higher than rare bigrams of single-context words, the "
+    "distinction add-k smoothing cannot encode. Model statistics "
+    "aggregate the distinct-bigram table (vocabulary-bounded, one "
+    "corpus count shuffle); ln() once per model row; score join "
+    "carries distinct (doc, bigram) pairs with counts",
+)
+def t34_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = exploded_kgrams(d, "text", 2, carry=("doc_id",), out="bg")
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    typ = c2.select(
+        "bg",
+        "c2",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    c1 = typ.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p_w1")
+    )
+    cont = typ.groupBy("w2").agg(F.count(F.lit(1)).alias("nc_w2"))
+    tot = typ.agg(F.count(F.lit(1)).alias("nbb"))
+    # identical float expression tree as the oracle: greatest/+/*//
+    # associate left-to-right on both engines
+    lp = F.log(
+        (
+            F.greatest(F.col("c2").cast("double") - F.lit(0.75), F.lit(0.0))
+            + F.lit(0.75)
+            * F.col("n1p_w1").cast("double")
+            * (F.col("nc_w2").cast("double") / F.col("nbb").cast("double"))
+        )
+        / F.col("c1").cast("double")
+    )
+    model = (
+        typ.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", lp.alias("lp"))
+    )
+    doc_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc_bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n").cast("double") * F.col("lp"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("avg_logp_kn"),
+        )
+    )

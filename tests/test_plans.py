@@ -563,3 +563,67 @@ class TestRound6PlanDiscipline:
             # probe sets nest -> recall is monotone; full probe = exact
             assert seq == sorted(seq), (qid, seq)
             assert seq[-1] == _PQ_TOPK, (qid, seq)
+
+
+class TestKneserNeyScore:
+    def test_matches_sequential_kn_reference(self, spark, sf_dir):
+        """t34 must equal a from-scratch interpolated-KN scorer built
+        on plain Python dicts over the same token stream — counts,
+        continuation statistics, the D=0.75 interpolation, and the
+        per-doc weighted mean all recomputed independently."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", spark_tokens(F.col("text")).alias("t"))
+            .collect()
+        )
+        c2: dict[tuple[str, str], int] = {}
+        per_doc: dict[int, dict[tuple[str, str], int]] = {}
+        for r in docs:
+            toks = list(r["t"])
+            mine = per_doc.setdefault(r["doc_id"], {})
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                mine[(a, b)] = mine.get((a, b), 0) + 1
+        c1: dict[str, int] = {}
+        n1p: dict[str, int] = {}
+        nc: dict[str, int] = {}
+        for (a, b), n in c2.items():
+            c1[a] = c1.get(a, 0) + n
+            n1p[a] = n1p.get(a, 0) + 1
+            nc[b] = nc.get(b, 0) + 1
+        nbb = len(c2)
+        lp = {
+            (a, b): math.log(
+                (max(n - 0.75, 0.0) + 0.75 * n1p[a] * (nc[b] / nbb)) / c1[a]
+            )
+            for (a, b), n in c2.items()
+        }
+        want = {}
+        for doc_id, mine in per_doc.items():
+            if not mine:
+                continue
+            tot_n = sum(mine.values())
+            s = sum(n * lp[p] for p, n in mine.items())
+            want[doc_id] = (tot_n, s / tot_n)
+
+        rows = REGISTRY["t34_kneser_ney_score"].spark(spark, sf_dir).collect()
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp_kn"]) for r in rows}
+        assert set(got) == set(want)
+        for doc_id, (n, mean) in want.items():
+            assert got[doc_id][0] == n
+            # Spark rounds at 1e-6; the reference sums per doc in a
+            # different order — boundary slack of half an ulp-of-round
+            assert abs(got[doc_id][1] - mean) <= 1.5e-6, doc_id
+
+    def test_kn_distinguishes_continuation(self, spark, sf_dir):
+        # every score is a mean log-probability: strictly negative
+        rows = REGISTRY["t34_kneser_ney_score"].spark(spark, sf_dir).collect()
+        assert rows and all(r["avg_logp_kn"] < 0.0 for r in rows)
+        assert all(r["n_bigrams"] >= 1 for r in rows)
