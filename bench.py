@@ -216,6 +216,7 @@ EXTRA = [
     "d7_embedding_lsh_near_dups",  # Gaussian-plane LSH recall gate
     "t33_bpe_train",            # full 16-merge BPE training loop
     "t34_kneser_ney_score",     # interpolated-KN perplexity filter
+    "d23_cdc_chunking",         # content-defined chunking contract
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

@@ -1420,3 +1420,200 @@ def t34_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — content-defined chunking (CDC) with an oracle-checked
+# shift-resistance contract.
+#
+# d14 dedups FIXED 16-word chunks: one inserted token shifts every
+# later boundary, so near-identical documents share almost no chunk
+# fingerprints.  Production dedup storage (LBFS, FastCDC) cuts chunks
+# where a ROLLING HASH of the local content hits a sentinel value, so
+# boundaries move WITH the content and an insertion disturbs only the
+# chunks it touches.  This operator runs both schemes side by side on
+# each document and its 1-token-prefixed twin and emits the shared
+# distinct-fingerprint counts as exact integers — the shift-resistance
+# property is the oracle-checked RESULT, not a code comment: CDC keeps
+# (all but <= 2 leading chunks) shared, fixed-width collapses to
+# near-zero.
+#
+# Cut rule: after token i iff the top-32-bit md5 of the bigram
+# (tok[i-1], tok[i]) is 0 mod 8 (window-2 gear hash, expected chunk
+# ~8 tokens; '^' pads the first bigram).  md5-top-32 parses
+# identically on both engines (sources/shards.py discipline).
+#
+# Scale shape: one doc-partitioned token window (lag + running cut
+# count — no global window), two keyed chunk aggregations, and
+# doc-level conditional sums; work is linear in corpus tokens, no
+# pairwise join anywhere.  On 100 TB the version twin doubles token
+# volume but stays embarrassingly doc-parallel.
+# ---------------------------------------------------------------------------
+
+_D23_ORACLE = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS_CURATION} AS t FROM documents
+), versions AS MATERIALIZED (
+  SELECT doc_id, 'orig' AS version, t FROM base
+  UNION ALL
+  SELECT doc_id, 'shift' AS version, list_prepend('xq0', t) AS t FROM base
+), tok AS MATERIALIZED (
+  SELECT doc_id, version, i - 1 AS idx, t[i] AS tok
+  FROM versions, UNNEST(generate_series(1, len(t))) AS s(i)
+), flagged AS MATERIALIZED (
+  SELECT doc_id, version, idx, tok,
+         CASE WHEN ('0x' || substr(md5(
+                      coalesce(lag(tok) OVER w, '^') || ' ' || tok),
+                    1, 8))::BIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id, version ORDER BY idx)
+), assigned AS MATERIALIZED (
+  SELECT doc_id, version, idx, tok,
+         COALESCE(SUM(cut) OVER (
+             PARTITION BY doc_id, version ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cdc_id,
+         idx // 8 AS fix_id
+  FROM flagged
+), chunks AS MATERIALIZED (
+  SELECT doc_id, version, 'cdc' AS scheme,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS fp
+  FROM assigned GROUP BY doc_id, version, cdc_id
+  UNION ALL
+  SELECT doc_id, version, 'fix' AS scheme,
+         md5(string_agg(tok, ' ' ORDER BY idx)) AS fp
+  FROM assigned GROUP BY doc_id, version, fix_id
+), per_fp AS MATERIALIZED (
+  SELECT doc_id, scheme, fp,
+         MAX(CASE WHEN version = 'orig' THEN 1 ELSE 0 END) AS in_orig,
+         MAX(CASE WHEN version = 'shift' THEN 1 ELSE 0 END) AS in_shift
+  FROM (SELECT DISTINCT doc_id, version, scheme, fp FROM chunks)
+  GROUP BY doc_id, scheme, fp
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN scheme='cdc' AND in_orig=1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cdc_orig,
+  CAST(SUM(CASE WHEN scheme='cdc' AND in_shift=1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_cdc_shift,
+  CAST(SUM(CASE WHEN scheme='cdc' AND in_orig=1 AND in_shift=1
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_cdc_shared,
+  CAST(SUM(CASE WHEN scheme='fix' AND in_orig=1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fix_orig,
+  CAST(SUM(CASE WHEN scheme='fix' AND in_shift=1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fix_shift,
+  CAST(SUM(CASE WHEN scheme='fix' AND in_orig=1 AND in_shift=1
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_fix_shared
+FROM per_fp
+GROUP BY doc_id
+"""
+
+
+@register(
+    "d23_cdc_chunking",
+    oracle=_D23_ORACLE,
+    description="CONTENT-DEFINED CHUNKING (LBFS/FastCDC gear-hash "
+    "discipline, the shift-resistant complement of d14's fixed "
+    "chunks): cut where the md5-top-32 of the token bigram hits 0 "
+    "mod 8, chunk each document AND its 1-token-prefixed twin under "
+    "both CDC and fixed-width schemes, and emit shared "
+    "distinct-fingerprint counts as exact integers — shift "
+    "resistance as an oracle-checked contract (CDC shares all but "
+    "<= 2 leading chunks; fixed-width collapses). One doc-partitioned "
+    "token window + keyed chunk aggs, linear in corpus tokens",
+)
+def d23_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", spark_tokens(F.col("text")).alias("t"))
+    versions = base.select(
+        "doc_id", F.lit("orig").alias("version"), "t"
+    ).unionByName(
+        base.select(
+            "doc_id",
+            F.lit("shift").alias("version"),
+            F.concat(F.array(F.lit("xq0")), F.col("t")).alias("t"),
+        )
+    )
+    tok = versions.select(
+        "doc_id", "version", F.posexplode("t").alias("idx", "tok")
+    )
+    w = Window.partitionBy("doc_id", "version").orderBy("idx")
+    bigram = F.concat_ws(
+        " ", F.coalesce(F.lag("tok").over(w), F.lit("^")), F.col("tok")
+    )
+    cut = (
+        F.conv(F.substring(F.md5(bigram), 1, 8), 16, 10).cast("long") % 8 == 0
+    ).cast("int")
+    flagged = tok.withColumn("cut", cut)
+    assigned = flagged.select(
+        "doc_id",
+        "version",
+        "idx",
+        "tok",
+        F.coalesce(
+            F.sum("cut").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cdc_id"),
+        F.floor(F.col("idx") / F.lit(8)).cast("long").alias("fix_id"),
+    )
+
+    def _chunks(id_col: str, scheme: str) -> DataFrame:
+        return (
+            assigned.groupBy("doc_id", "version", id_col)
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(F.struct("idx", "tok"))
+                            ),
+                            lambda r: r["tok"],
+                        ),
+                        " ",
+                    )
+                ).alias("fp")
+            )
+            .select(
+                "doc_id", "version", F.lit(scheme).alias("scheme"), "fp"
+            )
+        )
+
+    chunks = _chunks("cdc_id", "cdc").unionByName(_chunks("fix_id", "fix"))
+    per_fp = (
+        chunks.distinct()
+        .groupBy("doc_id", "scheme", "fp")
+        .agg(
+            F.max(
+                F.when(F.col("version") == "orig", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("in_orig"),
+            F.max(
+                F.when(F.col("version") == "shift", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("in_shift"),
+        )
+    )
+
+    def _n(scheme: str, cond):
+        return F.sum(
+            F.when((F.col("scheme") == scheme) & cond, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).cast("long")
+
+    in_o = F.col("in_orig") == 1
+    in_s = F.col("in_shift") == 1
+    return per_fp.groupBy("doc_id").agg(
+        _n("cdc", in_o).alias("n_cdc_orig"),
+        _n("cdc", in_s).alias("n_cdc_shift"),
+        _n("cdc", in_o & in_s).alias("n_cdc_shared"),
+        _n("fix", in_o).alias("n_fix_orig"),
+        _n("fix", in_s).alias("n_fix_shift"),
+        _n("fix", in_o & in_s).alias("n_fix_shared"),
+    )

@@ -627,3 +627,81 @@ class TestKneserNeyScore:
         rows = REGISTRY["t34_kneser_ney_score"].spark(spark, sf_dir).collect()
         assert rows and all(r["avg_logp_kn"] < 0.0 for r in rows)
         assert all(r["n_bigrams"] >= 1 for r in rows)
+
+
+class TestCdcChunking:
+    @staticmethod
+    def _chunk_sets(toks):
+        """Pure-Python twin of the d23 chunker: window-2 gear-hash
+        CDC and fixed-width-8 chunking, returning the two distinct
+        chunk-fingerprint sets."""
+        import hashlib
+
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        cdc, fix, cur = [], [], []
+        prev = "^"
+        for i, t in enumerate(toks):
+            cur.append(t)
+            if h32(prev + " " + t) % 8 == 0:
+                cdc.append(" ".join(cur))
+                cur = []
+            prev = t
+        if cur:
+            cdc.append(" ".join(cur))
+        for i in range(0, len(toks), 8):
+            fix.append(" ".join(toks[i : i + 8]))
+
+        def fps(chunks):
+            return {
+                hashlib.md5(c.encode()).hexdigest() for c in chunks
+            }
+
+        return fps(cdc), fps(fix)
+
+    def test_matches_sequential_cdc_reference(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", spark_tokens(F.col("text")).alias("t"))
+            .collect()
+        )
+        want = {}
+        for r in docs:
+            toks = list(r["t"])
+            co, fo = self._chunk_sets(toks)
+            cs, fs = self._chunk_sets(["xq0"] + toks)
+            want[r["doc_id"]] = (
+                len(co), len(cs), len(co & cs),
+                len(fo), len(fs), len(fo & fs),
+            )
+        rows = REGISTRY["d23_cdc_chunking"].spark(spark, sf_dir).collect()
+        got = {
+            r["doc_id"]: (
+                r["n_cdc_orig"], r["n_cdc_shift"], r["n_cdc_shared"],
+                r["n_fix_orig"], r["n_fix_shift"], r["n_fix_shared"],
+            )
+            for r in rows
+        }
+        assert got == want
+
+    def test_shift_resistance_contract(self, spark, sf_dir):
+        """The property that motivates CDC, asserted on every doc:
+        a 1-token prefix insertion disturbs at most the first two
+        CDC chunks, while fixed-width chunking re-shifts every
+        boundary (corpus-level near-collapse of shared chunks)."""
+        rows = REGISTRY["d23_cdc_chunking"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_cdc_shared"] >= r["n_cdc_orig"] - 2, r["doc_id"]
+        cdc_shared = sum(r["n_cdc_shared"] for r in rows)
+        cdc_total = sum(r["n_cdc_orig"] for r in rows)
+        fix_shared = sum(r["n_fix_shared"] for r in rows)
+        fix_total = sum(r["n_fix_orig"] for r in rows)
+        assert cdc_shared / cdc_total > 0.7
+        assert fix_shared / fix_total < 0.2
