@@ -217,6 +217,7 @@ EXTRA = [
     "t33_bpe_train",            # full 16-merge BPE training loop
     "t34_kneser_ney_score",     # interpolated-KN perplexity filter
     "d23_cdc_chunking",         # content-defined chunking contract
+    "st15_stream_lm_score",     # LM perplexity gate at ingest
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

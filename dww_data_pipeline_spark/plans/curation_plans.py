@@ -1617,3 +1617,219 @@ def d23_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n("fix", in_s).alias("n_fix_shift"),
         _n("fix", in_o & in_s).alias("n_fix_shared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st15 — LM perplexity gate at ingest (streaming twin discipline).
+#
+# t19/t34 score the corpus against itself — every bigram is in-model
+# by construction.  The PRODUCTION form of the perplexity filter
+# scores INCOMING documents against a model trained on the existing
+# corpus (CCNet's KenLM gate), which forces the question self-scoring
+# never asks: what does an unseen bigram cost?  Here the answer is
+# explicit and engine-portable:
+#
+#   Pc(w2)      = (N1+(. w2) + 0.5) / (N1+(. .) + 0.5 * (V + 1))
+#                 (continuation distribution, add-0.5 floored so OOV
+#                  words keep a nonzero continuation mass)
+#   w1 seen:      P = (max(c(w1 w2) - D, 0) + D * N1+(w1 .) * Pc) / c(w1 .)
+#   w1 unseen:    P = Pc(w2)
+#
+# Corpus/batch split is the d11 snapshot convention (doc_id % 10 == 0
+# is the incoming batch).  The registered query is the BATCH core;
+# streaming/lm_ingest.py runs the same core per micro-batch against a
+# model built ONCE and cached (the st13 persisted-index discipline),
+# parity-tested stream == batch.
+#
+# Scale shape: the model is vocabulary-bounded and built once; each
+# batch pays one bigram-count shuffle over ITS OWN text plus keyed
+# left joins against the model.  ln() per (doc, bigram) row with an
+# identical expression tree on both engines; 1e-6 rounding on the
+# per-doc mean (t19 discipline).
+# ---------------------------------------------------------------------------
+
+
+def lm_model(corpus: DataFrame) -> dict[str, DataFrame]:
+    """Kneser-Ney bigram model components from a corpus: c2m (bg ->
+    count), c1m (w1 -> left total + distinct continuations), contm
+    (w2 -> distinct left contexts), tot (1-row N1+(..)), voc (1-row
+    distinct-token count). All vocabulary-bounded."""
+    from dww_data_pipeline_spark.plans.text_exprs import (
+        exploded_kgrams,
+        spark_tokens,
+    )
+
+    bgc = exploded_kgrams(corpus, "text", 2, carry=(), out="bg")
+    c2m = bgc.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    typ = c2m.select(
+        "bg",
+        "c2",
+        F.split("bg", " ")[0].alias("w1"),
+        F.split("bg", " ")[1].alias("w2"),
+    )
+    return {
+        "c2m": c2m,
+        "c1m": typ.groupBy("w1").agg(
+            F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+        ),
+        "contm": typ.groupBy("w2").agg(F.count(F.lit(1)).alias("nc")),
+        "tot": typ.agg(F.count(F.lit(1)).alias("nbb")),
+        "voc": corpus.select(
+            F.explode(spark_tokens(F.col("text"))).alias("tok")
+        ).agg(F.countDistinct("tok").alias("v")),
+    }
+
+
+def lm_score(batch: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """Score (doc_id, text) rows against an lm_model: per-doc mean
+    smoothed log P(w2|w1) with the OOV backoff documented above,
+    plus the OOV-occurrence count (its own quality signal)."""
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    bbg = exploded_kgrams(batch, "text", 2, carry=("doc_id",), out="bg")
+    dbg = (
+        bbg.select(
+            "doc_id",
+            "bg",
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+        .groupBy("doc_id", "bg", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pc = (F.coalesce(F.col("nc"), F.lit(0)).cast("double") + F.lit(0.5)) / (
+        F.col("nbb").cast("double")
+        + F.lit(0.5) * (F.col("v").cast("double") + F.lit(1.0))
+    )
+    with_pc = (
+        dbg.join(model["contm"], "w2", "left")
+        .crossJoin(F.broadcast(model["tot"]))
+        .crossJoin(F.broadcast(model["voc"]))
+        .withColumn("pc", pc)
+    )
+    seen_lp = F.log(
+        (
+            F.greatest(
+                F.coalesce(F.col("c2"), F.lit(0)).cast("double") - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75) * F.col("n1p").cast("double") * F.col("pc")
+        )
+        / F.col("c1").cast("double")
+    )
+    scored = (
+        with_pc.join(model["c2m"], "bg", "left")
+        .join(model["c1m"], "w1", "left")
+        .select(
+            "doc_id",
+            "n",
+            F.when(F.col("c2").isNull(), F.col("n"))
+            .otherwise(F.lit(0))
+            .alias("oov_n"),
+            F.when(F.col("c1").isNotNull(), seen_lp)
+            .otherwise(F.log(F.col("pc")))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum("oov_n").cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.col("n").cast("double") * F.col("lp"))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("avg_logp"),
+    )
+
+
+_ST15_ORACLE = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT text FROM documents WHERE doc_id % 10 <> 0
+), ctoks AS MATERIALIZED (
+  SELECT {_SQL_TOKS_CURATION} AS t FROM corpus
+), cbg AS MATERIALIZED (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM ctoks
+), c2m AS MATERIALIZED (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM cbg GROUP BY bg
+), typ AS MATERIALIZED (
+  SELECT bg, c2,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM c2m
+), c1m AS MATERIALIZED (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1p
+  FROM typ GROUP BY w1
+), contm AS MATERIALIZED (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM typ GROUP BY w2
+), tot AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM typ
+), voc AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS tok FROM ctoks)
+), btoks AS MATERIALIZED (
+  SELECT doc_id, {_SQL_TOKS_CURATION} AS t FROM documents
+  WHERE doc_id % 10 = 0
+), bbg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM btoks
+), dbg AS MATERIALIZED (
+  SELECT doc_id, bg,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bbg GROUP BY 1, 2, 3, 4
+), with_pc AS MATERIALIZED (
+  SELECT d0.doc_id, d0.bg, d0.w1, d0.n,
+         (CAST(coalesce(contm.nc, 0) AS DOUBLE) + 0.5)
+           / (CAST(tot.nbb AS DOUBLE)
+              + 0.5 * (CAST(voc.v AS DOUBLE) + 1.0)) AS pc
+  FROM dbg d0
+  LEFT JOIN contm USING (w2)
+  CROSS JOIN tot CROSS JOIN voc
+), scored AS MATERIALIZED (
+  SELECT w.doc_id, w.n,
+         CASE WHEN c2m.c2 IS NULL THEN w.n ELSE 0 END AS oov_n,
+         CASE WHEN c1m.c1 IS NOT NULL
+              THEN ln((greatest(CAST(coalesce(c2m.c2, 0) AS DOUBLE) - 0.75,
+                                0.0)
+                       + 0.75 * CAST(c1m.n1p AS DOUBLE) * w.pc)
+                      / CAST(c1m.c1 AS DOUBLE))
+              ELSE ln(w.pc) END AS lp
+  FROM with_pc w
+  LEFT JOIN c2m USING (bg)
+  LEFT JOIN c1m USING (w1)
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov_n) AS BIGINT) AS n_oov,
+       round(SUM(CAST(n AS DOUBLE) * lp) / CAST(SUM(n) AS DOUBLE), 6)
+         AS avg_logp
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register(
+    "st15_stream_lm_score",
+    oracle=_ST15_ORACLE,
+    description="LM PERPLEXITY GATE AT INGEST (CCNet's production "
+    "form): incoming documents (doc_id % 10 == 0, the d11 snapshot "
+    "convention) scored against a Kneser-Ney bigram model trained on "
+    "the EXISTING corpus only, with explicit engine-portable OOV "
+    "backoff (floored continuation distribution; unseen-context "
+    "bigrams fall back to pure continuation probability) and the OOV "
+    "occurrence count as its own quality signal. Batch core of the "
+    "streaming flow in streaming/lm_ingest.py (model built once and "
+    "cached, per-micro-batch cost batch-proportional — the st13 "
+    "persisted-index discipline)",
+)
+def st15_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    return lm_score(batch, lm_model(corpus))

@@ -249,3 +249,67 @@ class TestStreamSketchRollup:
             tuple(r) for r in batch_rollup_estimates(ev).collect()
         )
         assert got == want1
+
+
+class TestStreamLmScore:
+    """LM gate at ingest (streaming/lm_ingest.py) == the st15 batch
+    core: scores depend only on the frozen corpus model, so the union
+    of per-micro-batch score outputs must equal the one-shot batch
+    answer regardless of how the stream is chopped."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, docs, tmp_path):
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            lm_model,
+            lm_score,
+        )
+        from dww_data_pipeline_spark.streaming.lm_ingest import stream_lm_score
+
+        feed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        # at sf0.001 the corpus covers every feed bigram, so the OOV
+        # path is exercised by construction: one synthetic doc whose
+        # tokens cannot exist in the corpus
+        feed = feed.unionByName(
+            spark.createDataFrame(
+                [(999_000_003, "zzqx1 zzqx2 zzqx3 zzqx1 zzqx2")],
+                "doc_id long, text string",
+            )
+        )
+        corpus = docs.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id", "text"
+        )
+
+        batch_ans = sorted(
+            tuple(r) for r in lm_score(feed, lm_model(corpus)).collect()
+        )
+        assert batch_ans
+        # non-vacuous OOV path, and fully-OOV docs score finite
+        oov_row = [t for t in batch_ans if t[0] == 999_000_003][0]
+        assert oov_row[1] == 4 and oov_row[2] == 4
+        import math
+
+        assert math.isfinite(oov_row[3]) and oov_row[3] < 0
+
+        src = str(tmp_path / "src")
+        for i in range(3):
+            feed.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "scores")
+        q = stream_lm_score(sdf, corpus, out, checkpoint=str(tmp_path / "ckpt"))
+        q.awaitTermination(180)
+        for df in q.lm_model.values():
+            df.unpersist()
+
+        import glob as _glob
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3  # really micro-batched
+        streamed = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "batch=*")
+        ).select("doc_id", "n_bigrams", "n_oov", "avg_logp")
+        assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
