@@ -218,6 +218,7 @@ EXTRA = [
     "t34_kneser_ney_score",     # interpolated-KN perplexity filter
     "d23_cdc_chunking",         # content-defined chunking contract
     "st15_stream_lm_score",     # LM perplexity gate at ingest
+    "ext_orc_roundtrip",        # columnar-format interchange gate
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

@@ -2759,3 +2759,83 @@ def st14_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_journey_patterns(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_orc_roundtrip — columnar-format interchange as an oracle-checked
+# contract.
+#
+# A lake is rarely one format forever: migrations, vendor handoffs,
+# and engine mixes all require that a table survive
+# parquet -> ORC -> parquet bit-exactly.  This query DOES the
+# round-trip (writes the documents table as ORC under /tmp, reads it
+# back with Spark's native ORC source) and emits the reconciliation
+# as exact integers: row counts on both sides and the number of
+# doc_ids whose full-row md5 differs between the parquet original and
+# the ORC read-back.  The oracle states the invariant the round-trip
+# must satisfy (n_parquet == n_orc, 0 mismatches) from the parquet
+# side alone — if ORC write or read were lossy (string encoding,
+# timestamp flavor, null handling), the mismatch count diverges and
+# the hash check fails.
+#
+# Scale shape: one full-column scan on each side, one keyed join on
+# doc_id for the checksum compare, an aggregate — all linear; the
+# write is the same distributed sink any lake migration runs.  The
+# /tmp target is keyed by the sf_dir tag so concurrent SFs don't
+# collide; overwrite mode keeps replays idempotent.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parquet,
+       CAST(COUNT(*) AS BIGINT) AS n_orc,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents
+"""
+
+
+@register(
+    "ext_orc_roundtrip",
+    oracle=_ORC_ORACLE,
+    description="COLUMNAR FORMAT INTERCHANGE CONTRACT: write the "
+    "documents table to ORC (Spark-native sink), read it back, and "
+    "reconcile against the parquet original by full-row md5 per "
+    "doc_id — row counts and mismatch count as exact integers, the "
+    "oracle pinning the lossless invariant (equal counts, 0 "
+    "mismatches). The migration-safety gate for any "
+    "multi-format/multi-engine lake",
+)
+def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = sorted(d.columns)
+    row_md5 = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+        )
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    orc_path = f"/tmp/dww_orc_roundtrip_{tag}"
+    d.write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    a = d.select(F.col("doc_id").alias("k"), row_md5.alias("h_parquet"))
+    b = back.select(F.col("doc_id").alias("k"), row_md5.alias("h_orc"))
+    joined = a.join(b, "k", "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("h_parquet").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_parquet"),
+        F.sum(F.when(F.col("h_orc").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orc"),
+        F.sum(
+            F.when(
+                F.col("h_parquet").isNull()
+                | F.col("h_orc").isNull()
+                | (F.col("h_parquet") != F.col("h_orc")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
