@@ -148,6 +148,10 @@ QUERIES = [
     "d20_substring_spans",  # gram-fp shuffle + doc-partitioned islands
     "ev17_pattern_match",   # one user shuffle + per-row regex scans
     "dq20_hll_merge_gate",  # partial sketches + union rollup
+    # round-7 scale paths
+    "t34_kneser_ney_score",   # vocab-bounded model + doc-bigram join
+    "d23_cdc_chunking",       # doc-partitioned token window + chunk aggs
+    "st15_stream_lm_score",   # frozen-model scoring (batch core)
 ]
 
 
