@@ -219,6 +219,7 @@ EXTRA = [
     "d23_cdc_chunking",         # content-defined chunking contract
     "st15_stream_lm_score",     # LM perplexity gate at ingest
     "ext_orc_roundtrip",        # columnar-format interchange gate
+    "c3_perplexity_mixture",    # composed CCNet perplexity sampling
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

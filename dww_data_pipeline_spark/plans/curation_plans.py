@@ -1833,3 +1833,108 @@ def st15_stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
     batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     return lm_score(batch, lm_model(corpus))
+
+
+# ---------------------------------------------------------------------------
+# c3 — perplexity-bucketed mixture (the composed CCNet tail step).
+#
+# CCNet's pipeline is dedup -> LM scoring -> perplexity-bucketed
+# sampling: documents are bucketed by LM score WITHIN their source
+# domain (perplexity is not comparable across domains), head buckets
+# are kept whole, tail buckets are down-sampled. The repo has every
+# stage as a verified operator (d-family, t34, t16/t17); c3 is the
+# composed step itself: t34's KN scores -> per-source score deciles
+# (decile 1 = most in-distribution) -> deterministic md5-uniform
+# admission at per-decile rates (head 3 deciles 100%, mid 4 50%,
+# tail 3 10%) -> the per-(source, decile) mixture manifest as exact
+# integers.
+#
+# Scale shape: t34's model work (vocabulary-bounded) + a per-source
+# ntile window (parallel across sources; for very low source
+# cardinality swap in the t14 two-phase rank, as t17 documents) + a
+# hash-gated filter and one small groupBy. Admission is RNG-free —
+# re-runs, backfills, and engines admit the identical set (t16
+# discipline).
+# ---------------------------------------------------------------------------
+
+_C3_RATES_SQL = (
+    "CASE WHEN decile <= 3 THEN 1.0 "
+    "WHEN decile <= 7 THEN 0.5 ELSE 0.1 END"
+)
+
+_C3_ORACLE = f"""
+WITH t34 AS MATERIALIZED ({_T34_ORACLE}),
+src AS MATERIALIZED (
+  SELECT t34.doc_id, t34.n_bigrams, t34.avg_logp_kn, d.source
+  FROM t34 JOIN documents d ON d.doc_id = t34.doc_id
+), bucketed AS MATERIALIZED (
+  SELECT doc_id, n_bigrams, source,
+         CAST(ntile(10) OVER (PARTITION BY source
+                              ORDER BY avg_logp_kn DESC, doc_id)
+              AS BIGINT) AS decile
+  FROM src
+), admitted AS MATERIALIZED (
+  SELECT doc_id, n_bigrams, source, decile,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0
+                   < {_C3_RATES_SQL}
+              THEN 1 ELSE 0 END AS kept
+  FROM bucketed
+)
+SELECT source, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_bigrams ELSE 0 END) AS BIGINT)
+         AS bigrams_kept
+FROM admitted
+GROUP BY source, decile
+"""
+
+
+@register(
+    "c3_perplexity_mixture",
+    oracle=_C3_ORACLE,
+    description="PERPLEXITY-BUCKETED MIXTURE (the composed CCNet tail "
+    "step): t34's Kneser-Ney scores -> per-source score deciles "
+    "(ntile over a source-partitioned window, decile 1 = most "
+    "in-distribution) -> deterministic md5-uniform admission at "
+    "per-decile rates (head kept whole, tail down-sampled 10x) -> "
+    "the per-(source, decile) mixture manifest as exact integers. "
+    "RNG-free reproducible corpus builds; every stage is itself a "
+    "verified operator (t34, t16, t17)",
+)
+def c3_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scores = t34_kneser_ney_score(spark, sf_dir)
+    src = scores.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logp_kn").desc(), "doc_id"
+    )
+    bucketed = src.select(
+        "doc_id",
+        "n_bigrams",
+        "source",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = (
+        F.when(F.col("decile") <= 3, F.lit(1.0))
+        .when(F.col("decile") <= 7, F.lit(0.5))
+        .otherwise(F.lit(0.1))
+    )
+    admitted = bucketed.withColumn(
+        "kept", F.when(u < rate, F.lit(1)).otherwise(F.lit(0))
+    )
+    return admitted.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("kept") == 1, F.col("n_bigrams")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bigrams_kept"),
+    )

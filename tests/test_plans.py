@@ -705,3 +705,28 @@ class TestCdcChunking:
         fix_total = sum(r["n_fix_orig"] for r in rows)
         assert cdc_shared / cdc_total > 0.7
         assert fix_shared / fix_total < 0.2
+
+
+class TestPerplexityMixture:
+    def test_head_kept_whole_tail_downsampled(self, spark, sf_dir):
+        rows = REGISTRY["c3_perplexity_mixture"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["decile"] <= 10
+            assert 0 <= r["n_kept"] <= r["n_docs"]
+            if r["decile"] <= 3:
+                # rate 1.0: the md5-uniform is < 1 by construction,
+                # so head deciles are kept WHOLE, exactly
+                assert r["n_kept"] == r["n_docs"], r
+        tail_docs = sum(r["n_docs"] for r in rows if r["decile"] >= 8)
+        tail_kept = sum(r["n_kept"] for r in rows if r["decile"] >= 8)
+        assert tail_kept / tail_docs < 0.35  # 10% nominal, small-n slack
+
+    def test_deciles_balanced_within_source(self, spark, sf_dir):
+        rows = REGISTRY["c3_perplexity_mixture"].spark(spark, sf_dir).collect()
+        by_source: dict[str, list] = {}
+        for r in rows:
+            by_source.setdefault(r["source"], []).append(r["n_docs"])
+        for source, sizes in by_source.items():
+            assert len(sizes) == 10, source  # every decile populated
+            assert max(sizes) - min(sizes) <= 1, source  # ntile balance
