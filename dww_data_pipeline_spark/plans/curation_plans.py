@@ -1526,7 +1526,15 @@ def d23_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
 
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", spark_tokens(F.col("text")).alias("t"))
+    return cdc_chunk_counts(
+        d.select("doc_id", spark_tokens(F.col("text")).alias("t"))
+    )
+
+
+def cdc_chunk_counts(base: DataFrame) -> DataFrame:
+    """The d23 core over any (doc_id, t array<string>) relation —
+    factored for direct property testing against a pure sequential
+    chunker (the journey_patterns/substring_spans discipline)."""
     versions = base.select(
         "doc_id", F.lit("orig").alias("version"), "t"
     ).unionByName(

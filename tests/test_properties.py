@@ -560,3 +560,153 @@ class TestIncrementalDedupProperties:
             tuple(r) for r in incremental_decisions(bdf, cdf).collect()
         )
         assert got == _py_decisions(batch, corpus)
+
+
+# ---------------------------------------------------------------------------
+# LM-gate scoring core (st15): randomized corpus/feed splits over a
+# tiny vocabulary force every OOV branch — unseen bigrams of seen
+# words, unseen continuation words, fully-unseen contexts, empty
+# corpora — against a from-scratch Python KN scorer with the same
+# documented backoff.
+# ---------------------------------------------------------------------------
+
+_LM_TOKS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "zz"]), min_size=0, max_size=12
+)
+_LM_CORPUS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+    min_size=0,
+    max_size=8,
+)
+_LM_FEED = st.lists(_LM_TOKS, min_size=1, max_size=6)
+
+
+class TestLmScoreProperties:
+    @settings(**_SETTINGS)
+    @given(_LM_CORPUS, _LM_FEED)
+    def test_matches_sequential_kn_with_oov(self, spark, corpus, feed):
+        import math
+
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            lm_model,
+            lm_score,
+        )
+
+        cdf = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+            or [(0, "")],
+            "doc_id long, text string",
+        )
+        fdf = spark.createDataFrame(
+            [(100 + i, " ".join(toks)) for i, toks in enumerate(feed)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["n_oov"], r["avg_logp"])
+            for r in lm_score(fdf, lm_model(cdf)).collect()
+        }
+
+        # from-scratch reference with the documented backoff
+        c2: dict[tuple[str, str], int] = {}
+        for toks in corpus:
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+        c1: dict[str, int] = {}
+        n1p: dict[str, int] = {}
+        nc: dict[str, int] = {}
+        for (a, b), n in c2.items():
+            c1[a] = c1.get(a, 0) + n
+            n1p[a] = n1p.get(a, 0) + 1
+            nc[b] = nc.get(b, 0) + 1
+        nbb = len(c2)
+        v = len({t for toks in corpus for t in toks})
+        want = {}
+        for i, toks in enumerate(feed):
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            s, oov = 0.0, 0
+            for a, b in pairs:
+                pc = (nc.get(b, 0) + 0.5) / (nbb + 0.5 * (v + 1))
+                if a in c1:
+                    p = (
+                        max(c2.get((a, b), 0) - 0.75, 0.0)
+                        + 0.75 * n1p[a] * pc
+                    ) / c1[a]
+                else:
+                    p = pc
+                s += math.log(p)
+                if (a, b) not in c2:
+                    oov += 1
+            want[100 + i] = (len(pairs), oov, s / len(pairs))
+
+        assert set(got) == set(want)
+        for k, (n, oov, mean) in want.items():
+            assert got[k][0] == n and got[k][1] == oov, k
+            assert abs(got[k][2] - mean) <= 1.5e-6, k
+
+
+# ---------------------------------------------------------------------------
+# CDC chunking core (d23): randomized token lists over a 2-symbol
+# vocabulary force pathological chunk collisions (the same chunk
+# repeating inside a doc, in both versions, empty docs, single
+# tokens) against a pure sequential chunker.
+# ---------------------------------------------------------------------------
+
+_CDC_DOCS = st.lists(
+    st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=24),
+    min_size=1,
+    max_size=5,
+)
+
+
+class TestCdcChunkingProperties:
+    @staticmethod
+    def _sets(toks):
+        import hashlib
+
+        def h32(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        cdc, cur, prev = [], [], "^"
+        for t in toks:
+            cur.append(t)
+            if h32(prev + " " + t) % 8 == 0:
+                cdc.append(" ".join(cur))
+                cur = []
+            prev = t
+        if cur:
+            cdc.append(" ".join(cur))
+        fix = [
+            " ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)
+        ]
+        md5 = lambda c: hashlib.md5(c.encode()).hexdigest()  # noqa: E731
+        return {md5(c) for c in cdc}, {md5(c) for c in fix}
+
+    @settings(**_SETTINGS)
+    @given(_CDC_DOCS)
+    def test_matches_sequential_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.curation_plans import (
+            cdc_chunk_counts,
+        )
+
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(docs)],
+            "doc_id long, t array<string>",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_cdc_orig"], r["n_cdc_shift"], r["n_cdc_shared"],
+                r["n_fix_orig"], r["n_fix_shift"], r["n_fix_shared"],
+            )
+            for r in cdc_chunk_counts(df).collect()
+        }
+        want = {}
+        for i, toks in enumerate(docs):
+            co, fo = self._sets(toks)
+            cs, fs = self._sets(["xq0"] + toks)
+            want[i] = (
+                len(co), len(cs), len(co & cs),
+                len(fo), len(fs), len(fo & fs),
+            )
+        assert got == want
