@@ -808,11 +808,9 @@ def pca_quality(
     """
     cells = gram_fixed_point(df, vec_col, dim=dim).collect()
     g = np.zeros((dim, dim))
-    gi: dict[tuple[int, int], int] = {}
     for r in cells:
         i, j = r["pos"] // dim, r["pos"] % dim
         g[i][j] = r["s_fp"] / 1e8
-        gi[(i, j)] = int(r["s_fp"])
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1]
     comps: list[list[float]] = []

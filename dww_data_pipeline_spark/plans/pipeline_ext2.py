@@ -2758,23 +2758,58 @@ def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count adjacent symbol pairs across the word histogram, merge the
 # most frequent pair everywhere, re-segment, repeat.  Segmentations
 # are space-delimited symbol strings with sentinel spaces
-# (" a b c "), so a merge is ONE literal ``replace`` of " a b " with
-# " ab " — left-to-right non-overlapping in both engines, which is
-# exactly BPE's greedy merge rule, and boundary-safe because every
-# symbol is space-wrapped and symbols never contain spaces.
+# (" a b c "); re-segmentation is a left-to-right greedy FOLD over
+# the symbol array (append each symbol; when the incoming symbol is
+# the pair's right half and the rebuilt string's trailing symbol is
+# its left half, pop the tail and append the merged symbol instead).
+# A just-merged symbol can never be re-consumed as a left half in the
+# same pass (merged = left||right ≠ left since right is non-empty),
+# so the fold is EXACTLY the reference greedy rule — merge at i, skip
+# to i+2 — including overlapping runs (" a n a n a n " → an/an/an,
+# " a a a a a " → aa/aa/a), which a single literal replace of
+# " a b "→" ab " gets wrong because the match consumes the shared
+# sentinel space (the round-7 advisor finding).  Boundary-safe
+# because every symbol is space-wrapped and symbols never contain
+# spaces; tests/test_pipeline_ext2.py::TestBpeTrain pins the table
+# against a from-scratch sequential trainer.
 #
 # Scale shape: the corpus collapses to its word HISTOGRAM once (the
 # only corpus-scale shuffle, the t30/t14 two-phase rule); each of the
 # 16 iterations then costs one vocabulary-bounded pair aggregation
 # plus a 1-row argmax (bounded driver artifact, the e7/pr1
 # discipline) — the reason BPE training is feasible on 100 TB at all.
-# The segmentation column stays a pure expression chain (iteration
-# i+1 = replace(iteration i, pair, merged) with literal args), so the
-# whole loop is N vocabulary-sized jobs, zero UDFs, zero corpus
-# re-reads.  The oracle unrolls the same recurrence as 16 CTE stages.
+# Each iteration's re-segmentation localCheckpoints the vocabulary-
+# bounded histogram so plan depth stays one fold per job (16 nested
+# higher-order functions would defeat codegen and re-evaluate the
+# whole chain every iteration).  The oracle unrolls the same
+# recurrence as 16 CTE stages with DuckDB's list_reduce fold.
 # ---------------------------------------------------------------------------
 
 _BPE_TRAIN_MERGES = 16
+
+
+def _bpe_apply_merge(seg, left: str, right: str, merged: str):
+    """Exact greedy BPE merge application as a left-to-right fold
+    over the sentinel-space segmentation: append each symbol; when
+    the incoming symbol is ``right`` and the rebuilt string's
+    trailing symbol is ``left``, pop the tail and append ``merged``
+    instead (merge, then skip — the reference rule; a just-merged
+    symbol can't be re-consumed because merged != left).  Dynamic
+    symbols enter only as Column literals — raw-text symbols may
+    contain quotes/backslashes, never inline them into SQL text."""
+    tail = F.lit(" " + left + " ")
+    return F.aggregate(
+        F.split(F.trim(seg), " "),
+        F.lit(" "),
+        lambda acc, x: F.when(
+            (x == F.lit(right)) & acc.endswith(tail),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - (len(left) + 1)),
+                F.lit(merged),
+                F.lit(" "),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit(" "))),
+    )
 
 
 def _t33_oracle() -> str:
@@ -2802,12 +2837,20 @@ def _t33_oracle() -> str:
   GROUP BY 1
 )""",
             f"""b{it} AS MATERIALIZED (
-  SELECT pair, n FROM p{it} ORDER BY n DESC, pair LIMIT 1
+  SELECT pair, n,
+         string_split(trim(pair), ' ')[1] AS la,
+         string_split(trim(pair), ' ')[2] AS rb,
+         replace(trim(pair), ' ', '') AS m
+  FROM p{it} ORDER BY n DESC, pair LIMIT 1
 )""",
             f"""seg{it} AS MATERIALIZED (
   SELECT s.n,
-         replace(s.seg, b.pair,
-                 ' ' || replace(trim(b.pair), ' ', '') || ' ') AS seg
+         list_reduce(
+           list_prepend(' ', string_split(trim(s.seg), ' ')),
+           (acc, x) -> CASE
+             WHEN x = b.rb AND ends_with(acc, ' ' || b.la || ' ')
+             THEN substr(acc, 1, len(acc) - len(b.la) - 1) || b.m || ' '
+             ELSE acc || x || ' ' END) AS seg
   FROM {prev} s CROSS JOIN b{it} b
 )""",
         ]
@@ -2826,8 +2869,10 @@ def _t33_oracle() -> str:
     description="FULL BPE TRAINING LOOP: 16 merges learned end-to-end "
     "— per iteration, exact corpus-weighted adjacent symbol-pair "
     "counts over the word histogram, argmax merge (count desc, pair "
-    "lex tie-break), greedy non-overlapping re-segmentation via one "
-    "literal replace on sentinel-space-delimited symbol strings. "
+    "lex tie-break), exact greedy re-segmentation via a left-to-right "
+    "fold over sentinel-space-delimited symbol strings (merge, then "
+    "skip — correct on overlapping runs, pinned vs a sequential "
+    "trainer in pytest). "
     "Output is the learned merge table (step, pair, merged, n) — what "
     "a tokenizer trainer ships. Corpus-scale work is the ONE word-"
     "histogram shuffle; each iteration is vocabulary-bounded plus a "
@@ -2880,15 +2925,16 @@ def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             pair, n = best[0]["pair"], int(best[0]["n"])
             merged = " " + pair.strip().replace(" ", "") + " "
             merges.append((pair, merged, n))
-            # Column literals, not an f-string expr: tokens are
-            # whitespace-split raw text and may contain quotes or
-            # backslashes that would break (or inject into) SQL text
+            la, rb = pair.strip().split(" ")
+            # localCheckpoint keeps plan depth at one fold per job on
+            # the vocabulary-bounded histogram (16 nested folds would
+            # defeat codegen and re-evaluate the chain each iteration)
             seg = seg.select(
                 "n",
-                F.replace(F.col("seg"), F.lit(pair), F.lit(merged)).alias(
-                    "seg"
-                ),
-            )
+                _bpe_apply_merge(
+                    F.col("seg"), la, rb, merged.strip()
+                ).alias("seg"),
+            ).localCheckpoint()
         rows = [
             (it + 1, p.strip(), m.strip(), n)
             for it, (p, m, n) in enumerate(merges)

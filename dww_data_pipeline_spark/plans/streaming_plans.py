@@ -474,11 +474,11 @@ q AS (
   FROM bk WHERE vec_id < {_D7_NQUERIES}
 )
 SELECT q.query_id,
-       CAST(SUM(CASE WHEN {cos} >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN round({cos}, 6) >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_truth,
        CAST(SUM(CASE WHEN b.bucket = q.qbucket THEN 1 ELSE 0 END) AS BIGINT)
          AS n_candidates,
-       CAST(SUM(CASE WHEN b.bucket = q.qbucket AND {cos} >= 0.3
+       CAST(SUM(CASE WHEN b.bucket = q.qbucket AND round({cos}, 6) >= 0.3
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_found
 FROM bk b JOIN q ON b.vec_id <> q.query_id
 GROUP BY q.query_id
@@ -532,7 +532,11 @@ def d7_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = F.sqrt(F.aggregate(dq, F.lit(0.0), lambda a, x: a + x * x))
     cos = dot / (nb * nq)
     hit = F.col("bucket") == F.col("qbucket")
-    near = cos >= 0.3
+    # round at 1e-6 before thresholding on BOTH engines: the float
+    # fold's association order differs between Spark's aggregate and
+    # DuckDB's list_sum, so a cosine landing exactly on 0.3 could
+    # flip the count (the d5/s4 round(cos, 6) discipline)
+    near = F.round(cos, 6) >= 0.3
     return (
         bk.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id")

@@ -2781,8 +2781,13 @@ def st14_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one full-column scan on each side, one keyed join on
 # doc_id for the checksum compare, an aggregate — all linear; the
 # write is the same distributed sink any lake migration runs.  The
-# /tmp target is keyed by the sf_dir tag so concurrent SFs don't
-# collide; overwrite mode keeps replays idempotent.
+# ORC target is a fresh per-run temp dir (mkdtemp), deleted once the
+# 1-row reconciliation has been computed — concurrent runs (bench +
+# diff sweep on the same SF) never race on a shared path and no
+# corpus-sized ORC data outlives the query (round-7 advisor finding).
+# The aggregate is materialized inside the operator so the cleanup
+# can't invalidate the returned plan; the distributed work has
+# already run by then (the e7/pr1 bounded-artifact discipline).
 # ---------------------------------------------------------------------------
 
 _ORC_ORACLE = """
@@ -2805,7 +2810,8 @@ FROM documents
     "multi-format/multi-engine lake",
 )
 def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    import shutil
+    import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     cols = sorted(d.columns)
@@ -2814,28 +2820,33 @@ def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
         )
     )
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    orc_path = f"/tmp/dww_orc_roundtrip_{tag}"
-    d.write.mode("overwrite").orc(orc_path)
-    back = spark.read.orc(orc_path)
-    a = d.select(F.col("doc_id").alias("k"), row_md5.alias("h_parquet"))
-    b = back.select(F.col("doc_id").alias("k"), row_md5.alias("h_orc"))
-    joined = a.join(b, "k", "full_outer")
-    return joined.agg(
-        F.sum(F.when(F.col("h_parquet").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_parquet"),
-        F.sum(F.when(F.col("h_orc").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_orc"),
-        F.sum(
-            F.when(
-                F.col("h_parquet").isNull()
-                | F.col("h_orc").isNull()
-                | (F.col("h_parquet") != F.col("h_orc")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_mismatch"),
+    orc_path = tempfile.mkdtemp(prefix="dww_orc_roundtrip_")
+    try:
+        d.write.mode("overwrite").orc(orc_path)
+        back = spark.read.orc(orc_path)
+        a = d.select(F.col("doc_id").alias("k"), row_md5.alias("h_parquet"))
+        b = back.select(F.col("doc_id").alias("k"), row_md5.alias("h_orc"))
+        joined = a.join(b, "k", "full_outer")
+        row = joined.agg(
+            F.sum(F.when(F.col("h_parquet").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_parquet"),
+            F.sum(F.when(F.col("h_orc").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orc"),
+            F.sum(
+                F.when(
+                    F.col("h_parquet").isNull()
+                    | F.col("h_orc").isNull()
+                    | (F.col("h_parquet") != F.col("h_orc")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(orc_path, ignore_errors=True)
+    return spark.createDataFrame(
+        [row], "n_parquet long, n_orc long, n_mismatch long"
     )

@@ -187,7 +187,9 @@ def main() -> None:
     for i, a in enumerate(sys.argv[1:]):
         if a.startswith("--hot="):
             hots = [int(x) for x in a.split("=", 1)[1].split(",")]
-        elif a == "--hot" and i + 2 < len(sys.argv) + 1:
+        elif a == "--hot":
+            if i + 2 >= len(sys.argv):
+                sys.exit("usage: skew_study.py [sf_dir] --hot N[,N...]")
             hots = [int(x) for x in sys.argv[i + 2].split(",")]
 
     spark = get_spark("skew-study")
