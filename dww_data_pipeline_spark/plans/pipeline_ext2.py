@@ -2812,7 +2812,11 @@ def _bpe_apply_merge(seg, left: str, right: str, merged: str):
     )
 
 
-def _t33_oracle() -> str:
+def _bpe_oracle_stages() -> str:
+    """The DuckDB unroll of the training recurrence (seg0..seg16 with
+    per-iteration pair counts p{it} and argmax b{it}), shared by the
+    t33 and t35 oracles.  Carries tok through every stage so the
+    encode oracle can key the final segmentation back to its word."""
     seg0 = (
         "' ' || array_to_string(list_transform(generate_series(1, "
         "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
@@ -2823,7 +2827,7 @@ def _t33_oracle() -> str:
   FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
   GROUP BY tok
 )""",
-        f"seg0 AS MATERIALIZED (SELECT n, {seg0} AS seg FROM words)",
+        f"seg0 AS MATERIALIZED (SELECT tok, n, {seg0} AS seg FROM words)",
     ]
     for it in range(1, _BPE_TRAIN_MERGES + 1):
         prev = f"seg{it - 1}"
@@ -2844,7 +2848,7 @@ def _t33_oracle() -> str:
   FROM p{it} ORDER BY n DESC, pair LIMIT 1
 )""",
             f"""seg{it} AS MATERIALIZED (
-  SELECT s.n,
+  SELECT s.tok, s.n,
          list_reduce(
            list_prepend(' ', string_split(trim(s.seg), ' ')),
            (acc, x) -> CASE
@@ -2854,13 +2858,19 @@ def _t33_oracle() -> str:
   FROM {prev} s CROSS JOIN b{it} b
 )""",
         ]
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _t33_oracle() -> str:
     rows = "\nUNION ALL ".join(
         f"SELECT {it} AS step, trim(pair) AS pair, "
         f"replace(trim(pair), ' ', '') AS merged, n FROM b{it}"
         for it in range(1, _BPE_TRAIN_MERGES + 1)
     )
-    return f"WITH {body}\nSELECT CAST(step AS BIGINT) AS step, pair, merged, n FROM ({rows})"
+    return (
+        f"WITH {_bpe_oracle_stages()}\n"
+        f"SELECT CAST(step AS BIGINT) AS step, pair, merged, n FROM ({rows})"
+    )
 
 
 @register(
@@ -2881,12 +2891,104 @@ def _t33_oracle() -> str:
     "training tier: t25 fertility, t30 one step, t33 the loop).",
 )
 def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train_segmentation(spark, sf_dir)
+    rows = [
+        (it + 1, p.strip(), m.strip(), n)
+        for it, (p, m, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step long, pair string, merged string, n long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t35_bpe_encode — the ENCODE pass that closes the tokenizer loop.
+#
+# t33 learns the merge table; t35 applies it: each corpus word is
+# segmented by applying the 16 learned merges in RANK ORDER, one
+# exact greedy pass each (_bpe_apply_merge — merge, then skip).  On
+# the training corpus that is by construction the trainer's own final
+# segmentation state, which is the invariant the pytest replay pins:
+# a sequential encoder applying the t33 merge list word-by-word must
+# reproduce every segmentation here.  Output is the top-500 words by
+# corpus frequency (n desc, tok lex tie-break) with their BPE
+# segmentation and symbol count — the fertility-per-word view t25
+# approximates with whitespace tokens, now on real BPE tokens.
+#
+# Scale shape: identical to t33 (the two-phase word-histogram rule —
+# corpus collapses to its vocabulary once; every encode step is
+# vocabulary-bounded), plus one vocabulary-sized top-k window.  The
+# final rank window is a single-partition sort over the vocabulary,
+# never the corpus (the o2 discipline).  The oracle unrolls the same
+# 16 stages and reads the final segmentation from seg16.
+# ---------------------------------------------------------------------------
+
+_BPE_ENCODE_TOPK = 500
+
+
+def _t35_oracle() -> str:
+    return f"""WITH {_bpe_oracle_stages()}
+SELECT CAST(rank AS BIGINT) AS rank, tok, n, trim(seg) AS seg,
+       CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+FROM (
+  SELECT tok, n, seg,
+         row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM seg{_BPE_TRAIN_MERGES}
+) WHERE rank <= {_BPE_ENCODE_TOPK}"""
+
+
+@register(
+    "t35_bpe_encode",
+    oracle=_t35_oracle(),
+    description="BPE ENCODE PASS (train -> apply, the closed "
+    "tokenizer loop): segment the corpus with t33's learned merge "
+    "list, applied in rank order as exact greedy folds over the word "
+    "histogram — top-500 words by corpus frequency with their BPE "
+    "segmentation and symbol count (real-BPE fertility per word). "
+    "On the training corpus this equals the trainer's final "
+    "segmentation state, pinned in pytest against a sequential "
+    "encoder. Same two-phase vocabulary-bounded shape as t33 plus "
+    "one vocabulary-sized rank window; the oracle unrolls the "
+    "identical 16 CTE stages and reads seg16.",
+)
+def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _, seg = _bpe_train_segmentation(spark, sf_dir)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        seg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BPE_ENCODE_TOPK)
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.trim(F.col("seg")).alias("seg"),
+            F.size(F.split(F.trim(F.col("seg")), " "))
+            .cast("long")
+            .alias("n_sym"),
+        )
+    )
+
+
+def _bpe_train_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """The 16-merge BPE training loop shared by t33 (the merge table)
+    and t35 (the encode pass).  Returns ``(merges, seg)`` where
+    ``merges`` is the learned [(sentinel pair, sentinel merged, count)]
+    list and ``seg`` is the corpus word histogram (tok, n, seg) in its
+    FINAL segmentation — which is by construction what rank-ordered
+    greedy application of the merge list produces on the training
+    corpus, i.e. the encoded corpus.  ``seg`` is localCheckpointed
+    (vocabulary-bounded), independent of the unpersisted histogram."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            "tok",
             "n",
             F.expr(
                 "concat(' ', array_join(transform(sequence(1, "
@@ -2928,20 +3030,15 @@ def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             la, rb = pair.strip().split(" ")
             # localCheckpoint keeps plan depth at one fold per job on
             # the vocabulary-bounded histogram (16 nested folds would
-            # defeat codegen and re-evaluate the chain each iteration)
+            # defeat codegen and re-evaluate the chain every iteration)
             seg = seg.select(
+                "tok",
                 "n",
                 _bpe_apply_merge(
                     F.col("seg"), la, rb, merged.strip()
                 ).alias("seg"),
             ).localCheckpoint()
-        rows = [
-            (it + 1, p.strip(), m.strip(), n)
-            for it, (p, m, n) in enumerate(merges)
-        ]
-        return spark.createDataFrame(
-            rows, "step long, pair string, merged string, n long"
-        )
+        return merges, seg
     finally:
         words.unpersist(blocking=False)
 

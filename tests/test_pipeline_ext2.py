@@ -1229,3 +1229,51 @@ class TestBpeTrain:
             for r in REGISTRY["t33_bpe_train"].spark(spark, sf_dir).collect()
         )
         assert got == sorted(want)
+
+
+class TestBpeEncode:
+    def test_encode_matches_sequential_encoder(self, spark, sf_dir):
+        """t35's segmentations must equal a from-scratch sequential
+        encoder applying t33's learned merge list in rank order with
+        the exact greedy pass (merge, then skip) — the train->apply
+        closure: on the training corpus the encode output is the
+        trainer's own final segmentation state."""
+        merges = [
+            tuple(r["pair"].split(" "))
+            for r in sorted(
+                REGISTRY["t33_bpe_train"].spark(spark, sf_dir).collect(),
+                key=lambda r: r["step"],
+            )
+        ]
+
+        def encode(word: str) -> list[str]:
+            syms = list(word)
+            for a, b in merges:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        rows = REGISTRY["t35_bpe_encode"].spark(spark, sf_dir).collect()
+        assert rows, "t35 returned no rows"
+        for r in rows:
+            want = encode(r["tok"])
+            assert r["seg"].split(" ") == want, r["tok"]
+            assert r["n_sym"] == len(want)
+
+    def test_rank_contract(self, spark, sf_dir):
+        """Ranks are dense from 1 in (n desc, tok lex) order."""
+        rows = sorted(
+            REGISTRY["t35_bpe_encode"].spark(spark, sf_dir).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["n"], r["tok"]) for r in rows]
+        assert keys == sorted(keys)
