@@ -1720,3 +1720,108 @@ def m6_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         _m6_payload_expr(F.col("doc_id")).alias("payload"),
     )
     return audio_vad(media, window=_M6_WINDOW, energy_threshold=_M6_THRESH)
+
+
+# ---------------------------------------------------------------------------
+# d24 — SemDeDup in its PUBLISHED form: k-means cells, not LSH buckets.
+#
+# Abbas et al. (SemDeDup, arXiv:2303.09540) partition the embedding
+# space with k-means, compute dense pairwise cosines WITHIN each
+# cluster, and keep one representative per near-duplicate group.
+# d15 approximates the partition with sign-LSH buckets; d24 is the
+# paper's actual composition, and the engine already owns every
+# piece: e7's exact-integer Lloyd assignment (bit-identical labels on
+# both engines — what makes a k-means-partitioned dedup ORACLE-
+# CHECKABLE at all), the per-cluster dense scorer (one gemm per
+# cluster, d15's Arrow shape with cluster as the grouping key), and
+# bucket-local union-find (a vector lives in exactly ONE cluster, so
+# components cannot span clusters — same locality argument as d15).
+#
+# Output covers EVERY vector (singletons included, component = own
+# id), unlike d15 which only emits vectors with >= 1 edge — the
+# keep/drop decision a curation pipeline consumes is total.
+#
+# Scale shape: one vec_id equi-join to attach cluster labels, one
+# applyInPandas gemm per cluster, one per-cluster union-find, one
+# left join back. Per-cluster work is (n/k)^2 — k is the published
+# knob (the paper runs k ~ sqrt(n); here k=4 pinned by e7's oracle
+# unroll). The oracle embeds e7's unrolled recurrence as a CTE (the
+# s8 pattern) and walks components recursively per cluster.
+# ---------------------------------------------------------------------------
+
+
+def _d24_oracle() -> str:
+    import dww_data_pipeline_spark.plans.dedup_plans as _dd
+
+    km = REGISTRY["e7_kmeans_clusters"].oracle
+    return f"""WITH RECURSIVE km AS MATERIALIZED ({km}),
+e AS MATERIALIZED (
+  SELECT km.vec_id, emb.embedding AS v, km.cluster
+  FROM km JOIN embeddings emb ON emb.vec_id = km.vec_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_dd._SQL_COS} >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), walk(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e2.b FROM walk w JOIN edges e2 ON e2.a = w.r
+), comp AS (
+  SELECT id, MIN(r) AS component FROM walk GROUP BY id
+)
+SELECT e.vec_id, CAST(e.cluster AS INT) AS cluster,
+       COALESCE(c.component, e.vec_id) AS component,
+       CAST(COALESCE(c.component, e.vec_id) = e.vec_id AS BOOLEAN) AS is_kept
+FROM e LEFT JOIN comp c ON c.id = e.vec_id"""
+
+
+@register(
+    "d24_semantic_dedup_kmeans",
+    oracle=_d24_oracle(),
+    description="SEMANTIC DEDUP, PUBLISHED FORM (SemDeDup): partition "
+    "the embedding space with e7's exact-integer k-means (not LSH "
+    "buckets), dense pairwise cosines WITHIN each cluster (one gemm "
+    "per cluster), connected components, keep the min-id "
+    "representative — keep/drop emitted for EVERY vector (singletons "
+    "included). Cluster labels are bit-identical on both engines "
+    "(e7's contract), components are cluster-local (one union-find "
+    "pass per cluster, no iterative loop); per-cluster work is "
+    "(n/k)^2 with k the published scale knob. Oracle embeds e7's "
+    "unrolled recurrence and walks components per cluster.",
+)
+def d24_semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.operators.similarity import (
+        bucket_local_components_arrow,
+        bucket_pairs_cos_arrow,
+    )
+
+    km = e7_kmeans_clusters(spark, sf_dir).select("vec_id", "cluster")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(km, "vec_id")
+        .select("vec_id", "embedding", "cluster")
+    )
+    pairs = bucket_pairs_cos_arrow(
+        e, "vec_id", "embedding", "cluster", min_cos=0.3, keep_bucket=True
+    )
+    labels = bucket_local_components_arrow(
+        pairs, "id_a", "id_b", "cluster"
+    ).withColumnRenamed("id", "vec_id")
+    return (
+        e.select("vec_id", "cluster")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce("component", "vec_id").alias("component"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias(
+                "is_kept"
+            ),
+        )
+    )

@@ -565,3 +565,77 @@ class TestNumericCorr:
         assert {(r["x_col"], r["y_col"], r["pearson_r"]) for r in rows} == {
             (r["x_col"], r["y_col"], r["pearson_r"]) for r in alt
         }
+
+
+class TestSemanticDedupKmeans:
+    def test_components_match_bruteforce_replay(self, spark, sf_dir):
+        """d24's components must equal a from-scratch union-find over
+        exact within-cluster cosine>=0.3 pairs, using the query's own
+        cluster labels — the whole composition (e7 assignment, dense
+        per-cluster scoring, cluster-local components, total keep/drop)
+        replayed independently in numpy."""
+        import numpy as np
+
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = REGISTRY["d24_semantic_dedup_kmeans"].spark(spark, sf_dir).collect()
+        emb = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+        assert len(rows) == len(emb)  # total: every vector decided
+
+        by_cluster: dict[int, list[int]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+
+        parent: dict[int, int] = {v: v for v in emb}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ids in by_cluster.values():
+            ids = sorted(ids)
+            X = np.stack([emb[i] for i in ids])
+            norms = np.linalg.norm(X, axis=1)
+            cos = (X @ X.T) / np.outer(norms, norms)
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if cos[i][j] >= 0.3:
+                        ra, rb = find(ids[i]), find(ids[j])
+                        if ra != rb:
+                            if rb < ra:
+                                ra, rb = rb, ra
+                            parent[rb] = ra
+
+        for r in rows:
+            want = find(r["vec_id"])
+            assert r["component"] == want, r["vec_id"]
+            assert r["is_kept"] == (r["vec_id"] == want)
+
+    def test_overlap_with_lsh_variant(self, spark, sf_dir):
+        """Cross-check vs d15 (the LSH-bucket approximation): on the
+        fixed test corpus, most of d15's drops are also d24 drops
+        (measured 116/141 = 0.82 at sf0.001), and the dense per-cluster
+        scorer finds at least as many near-duplicates as the
+        bucket-pruned one — the recall relationship the SemDeDup paper
+        uses to argue for k-means cells.  Measured-shape pin on the
+        fixed corpus, not a theorem (a pair can share an LSH bucket
+        yet split across k-means cells)."""
+        d24 = {
+            r["vec_id"]: r["is_kept"]
+            for r in REGISTRY["d24_semantic_dedup_kmeans"].spark(spark, sf_dir).collect()
+        }
+        d15 = {
+            r["vec_id"]: r["is_kept"]
+            for r in REGISTRY["d15_semantic_dedup"].spark(spark, sf_dir).collect()
+        }
+        drop24 = {k for k, v in d24.items() if not v}
+        drop15 = {k for k, v in d15.items() if not v}
+        assert drop15, "d15 found no drops — corpus changed?"
+        assert len(drop15 & drop24) / len(drop15) >= 0.5
+        assert len(drop24) >= len(drop15)
