@@ -1811,10 +1811,11 @@ def s7_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D20_K = 5  # token width of the fingerprinted window
 
 
-def _d20_oracle() -> str:
+def _d20_stages() -> str:
+    """The duplicated-window → gap-and-islands CTE chain (gl..isl),
+    shared by the d20 (span report) and d25 (span scrub) oracles."""
     toks = _SQL_TOKS
-    return f"""
-WITH gl AS (
+    return f"""gl AS (
   SELECT doc_id, {sql_kgrams(_D20_K)} AS grams
   FROM documents WHERE len({toks}) >= {_D20_K}
 ), g AS (
@@ -1836,7 +1837,12 @@ WITH gl AS (
          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS UNBOUNDED PRECEDING) AS island
   FROM brk
-)
+)"""
+
+
+def _d20_oracle() -> str:
+    return f"""
+WITH {_d20_stages()}
 SELECT doc_id,
        MIN(pos) AS span_start,
        MAX(pos) + {_D20_K - 1} AS span_end,
@@ -1912,3 +1918,99 @@ def substring_spans(d: DataFrame, K: int = _D20_K) -> DataFrame:
         (F.max("pos") + K - F.min("pos")).alias("span_tokens"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+
+
+# ---------------------------------------------------------------------------
+# d25 — span SCRUB: d20's detection composed into the rewrite.
+#
+# d20 reports maximal cross-doc duplicated token spans; curation needs
+# the REWRITE: drop every token position covered by a span and
+# reassemble the surviving text in order (d14's reassembly
+# discipline applied at token granularity), emitting per-doc removed-
+# token counts as exact integers.  Every document appears in the
+# output — docs with no duplicated spans (including docs shorter than
+# the window) pass through whole at n_removed = 0, so the result is a
+# total corpus rewrite a pipeline can substitute for the raw text.
+#
+# Scale shape: d20's stages unchanged (one fingerprint shuffle, one
+# semi-join, one doc-partitioned window), plus ONE per-doc span
+# aggregation and ONE doc_id left join back to the corpus.  The
+# collect_list of spans per doc is bounded by construction: spans are
+# disjoint >= K+1 tokens apart, so a doc holds at most
+# len/( K+1 ) spans — the "bounded by construction" class SCALE.md's
+# collect_list rule requires.  The scrub itself is a per-row
+# array filter (token index not covered by any span) — pure Column
+# expressions, no extra shuffle, no UDF.
+# ---------------------------------------------------------------------------
+
+
+def _d25_oracle() -> str:
+    return f"""
+WITH {_d20_stages()}, spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_D20_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), sp AS (
+  SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY doc_id
+), base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), scrub AS (
+  SELECT b.doc_id, b.toks, s.spans,
+         CASE WHEN s.spans IS NULL THEN b.toks
+              ELSE list_filter(b.toks, (x, i) ->
+                     len(list_filter(s.spans,
+                         sp2 -> i >= sp2[1] AND i <= sp2[2])) = 0)
+         END AS kept
+  FROM base b LEFT JOIN sp s USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       CAST(COALESCE(len(spans), 0) AS BIGINT) AS n_spans,
+       COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+FROM scrub
+"""
+
+
+@register(
+    "d25_span_scrub",
+    oracle=_d25_oracle(),
+    description="SPAN SCRUB (the rewrite d20's detection feeds): drop "
+    "every token position covered by a maximal cross-doc duplicated "
+    "span and reassemble the surviving text in order — per-doc "
+    "original/removed token counts and span count as exact integers, "
+    "every document present (clean and short docs pass through whole "
+    "at 0 removed), so the output is a total corpus rewrite. d20's "
+    "stages plus one bounded per-doc span aggregation (disjoint "
+    "spans: <= len/(K+1) per doc by construction) and one doc_id "
+    "left join; the scrub is a pure Column array filter, no UDF, no "
+    "extra shuffle (substring-level curation a la Lee et al. "
+    "2107.06499, detection -> removal).",
+)
+def d25_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = substring_spans(d).select("doc_id", "span_start", "span_end")
+    # bounded by construction: spans are disjoint and >= K+1 apart,
+    # so <= len/(K+1) rows per doc (the SCALE.md collect_list rule)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = d.select(
+        "doc_id", _spark_tokens(F.col("text")).alias("toks")
+    ).join(sp, "doc_id", "left")
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.exists(
+                F.col("spans"),
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 <= s["span_end"]),
+            ),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )

@@ -730,3 +730,48 @@ class TestPerplexityMixture:
         for source, sizes in by_source.items():
             assert len(sizes) == 10, source  # every decile populated
             assert max(sizes) - min(sizes) <= 1, source  # ntile balance
+
+
+class TestSpanScrub:
+    """d25: d20's span detection composed into the token rewrite."""
+
+    def test_scrub_consistent_with_d20_spans(self, spark, sf_dir):
+        """Per doc: removed tokens == sum of d20 span widths (spans
+        are disjoint), kept + removed == total, and the reassembled
+        text is exactly the out-of-span tokens in original order."""
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.plans.registry import REGISTRY
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        spans: dict[int, list[tuple[int, int]]] = {}
+        for r in REGISTRY["d20_substring_spans"].spark(spark, sf_dir).collect():
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        toks = {
+            r["doc_id"]: r["toks"]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", spark_tokens(F.col("text")).alias("toks"))
+            .collect()
+        }
+        rows = REGISTRY["d25_span_scrub"].spark(spark, sf_dir).collect()
+        assert {r["doc_id"] for r in rows} == set(toks)  # total rewrite
+        for r in rows:
+            ss = spans.get(r["doc_id"], [])
+            assert r["n_spans"] == len(ss)
+            assert r["n_removed"] == sum(e - s + 1 for s, e in ss)
+            assert r["n_tokens"] == len(toks[r["doc_id"]])
+            want = [
+                t
+                for i, t in enumerate(toks[r["doc_id"]], start=1)
+                if not any(s <= i <= e for s, e in ss)
+            ]
+            assert r["scrubbed_text"] == " ".join(want), r["doc_id"]
+
+    def test_d25_plan_no_cartesian_no_python(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "d25_span_scrub")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
