@@ -220,6 +220,10 @@ EXTRA = [
     "st15_stream_lm_score",     # LM perplexity gate at ingest
     "ext_orc_roundtrip",        # columnar-format interchange gate
     "c3_perplexity_mixture",    # composed CCNet perplexity sampling
+    # round 8
+    "t35_bpe_encode",           # BPE encode pass (train -> apply)
+    "d24_semantic_dedup_kmeans",  # SemDeDup, published k-means form
+    "d25_span_scrub",           # duplicated-span removal rewrite
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression
@@ -235,6 +239,23 @@ _CALIBRATION_REF = {
     "a1_pricing_summary": 1.219,
     "d2_minhash_lsh_pairs": 1.729,
 }
+
+
+def _prev_bench_local() -> dict | None:
+    """Newest BENCH_LOCAL_r{N}.json with N below the current round —
+    the reference for per-query drift-normalized ratios."""
+    cur = _current_round()
+    best_n, best_p = -1, None
+    for p in glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and best_n < int(m.group(1)) < cur:
+            best_n, best_p = int(m.group(1)), p
+    if not best_p:
+        return None
+    with open(best_p) as f:
+        d = json.load(f)
+    d["_path"] = os.path.basename(best_p)
+    return d
 
 
 def main() -> None:
@@ -294,6 +315,18 @@ def main() -> None:
             "drift": drift,
         }
         out["value_drift_normalized"] = round(out["value"] / drift, 3)
+        # Per-query drift-normalized ratios vs the previous round's
+        # local artifact (round-7 verdict ask #7): "which queries
+        # really regressed" becomes a zero-effort read — anything
+        # near 1.0 after dividing out the box drift is noise.
+        prev = _prev_bench_local()
+        if prev:
+            out["ratios_normalized"] = {
+                n: round((timings[n] / drift) / prev["queries"][n], 3)
+                for n in timings
+                if n in prev.get("queries", {}) and prev["queries"][n] > 0
+            }
+            out["ratios_normalized_ref"] = prev["_path"]
     print(json.dumps(out))
     # Durable copy of the full min-of-3 per-query dict (the stdout tail
     # truncates it) — committed each round for round-over-round diffs.

@@ -219,16 +219,35 @@ def nest_documents(
     entity_cols: list[str],
     rel_cols: list[str],
     order_cols: list[str],
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """W8: fold rows into one nested document per entity, rels sorted
     by ``order_cols`` (reference dwwApi.js:80-139 relies on upstream
     ORDER BY; we sort inside the array so the result is deterministic
     regardless of partitioning — the reference's order dependency was
     a correctness hazard, cf. FixUnpaddedDates GetWeta.py:675-703).
-    """
+
+    ``max_group_rows`` is the opt-in guard for SCALE.md's standing
+    rule (collect_list per group only when group size is bounded by
+    construction): when the entity key's fan-out is NOT bounded —
+    hostile skew, an upstream join regression — pass a cap and the
+    builder keeps only the first K rels per entity in ``order_cols``
+    order via a windowed row_number pre-filter, the spillable form
+    the round-7 hostile-skew study measured (a window sorts and
+    spills per partition; an unbounded collect_list OOMs the
+    aggregation buffer at 4-16M rows/group on an 8 GiB heap)."""
     struct_cols = [F.col(c) for c in order_cols] + [
         F.col(c) for c in rel_cols if c not in order_cols
     ]
+    if max_group_rows is not None:
+        w = Window.partitionBy(*entity_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        df = (
+            df.withColumn("_grn", F.row_number().over(w))
+            .filter(F.col("_grn") <= max_group_rows)
+            .drop("_grn")
+        )
     return df.groupBy(*entity_cols).agg(
         F.sort_array(F.collect_list(F.struct(*struct_cols))).alias("rels")
     )

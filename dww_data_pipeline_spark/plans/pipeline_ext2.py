@@ -2917,10 +2917,11 @@ def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: identical to t33 (the two-phase word-histogram rule —
 # corpus collapses to its vocabulary once; every encode step is
-# vocabulary-bounded), plus one vocabulary-sized top-k window.  The
-# final rank window is a single-partition sort over the vocabulary,
-# never the corpus (the o2 discipline).  The oracle unrolls the same
-# 16 stages and reads the final segmentation from seg16.
+# vocabulary-bounded), plus one TakeOrdered top-500 over the
+# vocabulary — never a partition-less rank window (the global-window
+# discipline); ranks attach driver-side on the bounded artifact (the
+# e7/pr1 rule).  The oracle unrolls the same 16 stages and reads the
+# final segmentation from seg16.
 # ---------------------------------------------------------------------------
 
 _BPE_ENCODE_TOPK = 500
@@ -2952,15 +2953,14 @@ FROM (
     "identical 16 CTE stages and reads seg16.",
 )
 def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     _, seg = _bpe_train_segmentation(spark, sf_dir)
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    return (
-        seg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _BPE_ENCODE_TOPK)
+    # top-k via TakeOrdered (never a partition-less rank window — the
+    # global-window discipline); ranks attach driver-side on the
+    # bounded top-500 artifact (the e7/pr1 bounded-collect rule)
+    rows = (
+        seg.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_BPE_ENCODE_TOPK)
         .select(
-            "rank",
             "tok",
             "n",
             F.trim(F.col("seg")).alias("seg"),
@@ -2968,6 +2968,14 @@ def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_sym"),
         )
+        .collect()
+    )
+    out = [
+        (i + 1, r["tok"], r["n"], r["seg"], r["n_sym"])
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out, "rank long, tok string, n long, seg string, n_sym long"
     )
 
 

@@ -2646,7 +2646,9 @@ def ev17_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return journey_patterns(load_table(spark, sf_dir, "events"))
 
 
-def journey_patterns(ev: DataFrame) -> DataFrame:
+def journey_patterns(
+    ev: DataFrame, max_group_rows: int | None = None
+) -> DataFrame:
     """The ev17 core over any (user_id, ts, event_id, event_type)
     relation — factored for direct property testing against a pure
     sequential reference.
@@ -2656,8 +2658,28 @@ def journey_patterns(ev: DataFrame) -> DataFrame:
     struct field through collect_list/sort_array (nulls-first) and
     array_join (drops nulls) — three different null placements. The
     explicit filter makes both engines agree by construction instead
-    of relying on the current data being non-null."""
+    of relying on the current data being non-null.
+
+    ``max_group_rows`` is the opt-in guard for SCALE.md's standing
+    rule (collect_list per group only when group size is bounded by
+    construction): when per-user event counts are NOT bounded (the
+    measured OOM cliff is 4-16M events/user on an 8 GiB heap), pass
+    a cap and the journey keeps only each user's FIRST K events in
+    (ts, event_id) order via a windowed row_number pre-filter — the
+    spillable form the round-7 hostile-skew study measured.  The
+    registry query ev17 runs UNGUARDED because the synthetic events
+    table bounds per-user counts by construction; st14's window
+    chain and streaming twin are the unbounded-scale paths."""
     ev = ev.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+    if max_group_rows is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = (
+            ev.withColumn("_grn", F.row_number().over(w))
+            .filter(F.col("_grn") <= max_group_rows)
+            .drop("_grn")
+        )
     journey = F.array_join(
         F.transform(
             F.sort_array(

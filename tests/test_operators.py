@@ -94,6 +94,32 @@ class TestJumps:
         p1 = [r for r in out.collect() if r["person_id"] == "p1"][0]
         assert [x["movie_id"] for x in p1["rels"]] == ["m1", "m2", "m3", "m4"]
 
+    def test_w8_max_group_rows_guard(self, timeline):
+        """The opt-in collect_list guard: cap keeps the FIRST K rels
+        in order_cols order; a generous cap is a no-op."""
+        capped = sequence.nest_documents(
+            timeline,
+            ["person_id"],
+            ["company", "movie_id"],
+            ["release", "movie_id"],
+            max_group_rows=2,
+        )
+        p1 = [r for r in capped.collect() if r["person_id"] == "p1"][0]
+        assert [x["movie_id"] for x in p1["rels"]] == ["m1", "m2"]
+        uncapped = sequence.nest_documents(
+            timeline, ["person_id"], ["company", "movie_id"], ["release", "movie_id"]
+        )
+        roomy = sequence.nest_documents(
+            timeline,
+            ["person_id"],
+            ["company", "movie_id"],
+            ["release", "movie_id"],
+            max_group_rows=10_000,
+        )
+        assert sorted(map(str, roomy.collect())) == sorted(
+            map(str, uncapped.collect())
+        )
+
 
 class TestAsofJoin:
     def _tables(self, spark):
@@ -792,3 +818,29 @@ class TestCompletenessBlocks:
             # every planted hole is id % 97 == 13: a 500-wide block
             # contains at most ceil(500/97) + 1 of them
             assert r["n_missing_interior"] <= 7
+
+
+class TestJourneyGuard:
+    def test_max_group_rows_caps_journey(self, spark):
+        """journey_patterns' opt-in collect_list guard keeps each
+        user's FIRST K events in (ts, event_id) order."""
+        from datetime import datetime
+
+        from dww_data_pipeline_spark.plans.web_plans import journey_patterns
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 0, i), i, et)
+            for i, et in enumerate(["view", "view", "purchase", "error", "error"])
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        full = journey_patterns(df).collect()[0]
+        assert full["journey"] == "vvpee"
+        assert full["n_error_bursts"] == 1
+        capped = journey_patterns(df, max_group_rows=3).collect()[0]
+        assert capped["journey"] == "vvp"
+        assert capped["n_view_to_purchase"] == 1
+        assert capped["n_error_bursts"] == 0
+        roomy = journey_patterns(df, max_group_rows=100).collect()[0]
+        assert roomy["journey"] == full["journey"]

@@ -3,6 +3,8 @@ local parallelism and report speedup / parallel efficiency.
 
     python tools/scaling.py [sf_dir] [--threads 4,8,16,32] [--multiply N]
     python tools/scaling.py [sf_dir] --data-scaling [--multiples 1,16,64]
+    python tools/scaling.py [sf_dir] --scale-artifact SCALE_r8.json \
+        [--multiples 1,16]   # recurring top-5 data-scaling artifact
 
 Each thread count gets a FRESH SparkSession (local[N], shuffle
 partitions = N — the same sizing rule session.py applies), each query
@@ -226,6 +228,88 @@ def data_scaling(sf_dir: str, multiples: list[int], threads: int = 32) -> None:
         print(f"  {name:30s} {rps}  ratio={ratio:.2f}{flag}")
 
 
+def _latest_bench_local(repo_root: str) -> tuple[str, dict]:
+    """Path + parsed JSON of the newest BENCH_LOCAL_r{N}.json."""
+    import glob
+    import re
+
+    cands = glob.glob(os.path.join(repo_root, "BENCH_LOCAL_r*.json"))
+    if not cands:
+        raise SystemExit("no BENCH_LOCAL_r*.json found — run bench.py first")
+    def rnum(p):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+    path = max(cands, key=rnum)
+    with open(path) as f:
+        return path, json.load(f)
+
+
+def scale_artifact(
+    sf_dir: str, out_path: str, top_n: int = 5, multiples: list[int] | None = None
+) -> None:
+    """Recurring data-scaling artifact (round-7 verdict ask #2): time
+    the top-``top_n`` wall-time queries from the latest local bench at
+    each data multiple (min-of-2, fixed local[32], content-shifted
+    replicas) and write one JSON artifact — SCALE_r{N}.json — so a new
+    super-linear term is caught by a mechanical diff against last
+    round's 16x column instead of a once-per-round manual study."""
+    from dww_data_pipeline_spark.plans.registry import all_queries
+    from dww_data_pipeline_spark.session import get_spark
+
+    multiples = multiples or [1, 16]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path, bench = _latest_bench_local(repo_root)
+    top = sorted(
+        bench["queries"].items(), key=lambda kv: -kv[1]
+    )[:top_n]
+    names = [n for n, _ in top]
+    print(f"# top-{top_n} from {os.path.basename(bench_path)}: {names}",
+          flush=True)
+
+    dirs = {}
+    for m in multiples:
+        dirs[m] = sf_dir if m == 1 else build_replica(sf_dir, m, content_shift=True)
+        print(f"# {m}x -> {dirs[m]}", flush=True)
+
+    spark = get_spark("scale-artifact", cpus="32")
+    queries = all_queries()
+    queries["a10_distinct"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm-up
+    out: dict[str, dict] = {}
+    for name in names:
+        rec: dict[str, float] = {}
+        for m in multiples:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, dirs[m]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            rec[f"t{m}x"] = round(best, 3)
+            print(json.dumps({"query": name, "multiple": m, "sec": rec[f"t{m}x"]}),
+                  flush=True)
+        lo, hi = multiples[0], multiples[-1]
+        rec["ratio"] = round(rec[f"t{hi}x"] / rec[f"t{lo}x"], 3)
+        rec["ideal"] = round(hi / lo, 1)
+        out[name] = rec
+    spark.stop()
+
+    artifact = {
+        "source_bench": os.path.basename(bench_path),
+        "threads": 32,
+        "multiples": multiples,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "queries": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(f"# wrote {out_path}", flush=True)
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
@@ -250,6 +334,25 @@ def main() -> None:
         v = _val("--multiples")
         if v is not None:
             multiples = [int(x) for x in v.split(",")]
+    artifact_out = None
+    for i, a in enumerate(argv):
+        if a.startswith("--scale-artifact="):
+            artifact_out = a.split("=", 1)[1]
+        elif a == "--scale-artifact" and i + 1 < len(argv):
+            artifact_out = argv[i + 1]
+    # round-7 measured finding: 64x data on the shared 8 GiB local JVM
+    # shows fake super-linear ratios from GC pressure — 16 GiB is the
+    # default for any study that touches a >= 64x replica (driver
+    # memory can only be set before the first session launches)
+    if (multiply >= 64 or ("--data-scaling" in argv and max(multiples) >= 64)
+            or (artifact_out and max(multiples) >= 64)):
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    if artifact_out:
+        scale_artifact(
+            sf_dir, artifact_out,
+            multiples=multiples if multiples != [1, 16, 64] else [1, 16],
+        )
+        return
     if "--data-scaling" in argv:
         data_scaling(sf_dir, multiples)
         return
