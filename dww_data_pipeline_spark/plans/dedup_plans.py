@@ -1987,8 +1987,14 @@ FROM scrub
     "2107.06499, detection -> removal).",
 )
 def d25_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    spans = substring_spans(d).select("doc_id", "span_start", "span_end")
+    return span_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def span_scrub(d: DataFrame, K: int = _D20_K) -> DataFrame:
+    """The d25 core over any (doc_id, text) relation — factored for
+    direct property testing against a pure sequential reference
+    (the substring_spans pattern)."""
+    spans = substring_spans(d, K).select("doc_id", "span_start", "span_end")
     # bounded by construction: spans are disjoint and >= K+1 apart,
     # so <= len/(K+1) rows per doc (the SCALE.md collect_list rule)
     sp = spans.groupBy("doc_id").agg(

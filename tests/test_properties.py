@@ -710,3 +710,37 @@ class TestCdcChunkingProperties:
                 len(fo), len(fs), len(fo & fs),
             )
         assert got == want
+
+
+class TestSpanScrubProperties:
+    @settings(**_SETTINGS)
+    @given(_DOCS)
+    def test_matches_sequential_reference(self, spark, docs):
+        """d25's scrub over randomized small-vocabulary corpora equals
+        a pure-Python rewrite built from the naive span reference:
+        drop every 1-based token position covered by a span, keep the
+        rest in order."""
+        from dww_data_pipeline_spark.plans.dedup_plans import span_scrub
+
+        spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+        for did, s, e, _, _ in _naive_spans(docs):
+            spans_by_doc.setdefault(did, []).append((s, e))
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in span_scrub(df).collect()}
+        assert set(got) == set(range(len(docs)))
+        for did, toks in enumerate(docs):
+            ss = spans_by_doc.get(did, [])
+            want_kept = [
+                t
+                for i, t in enumerate(toks, start=1)
+                if not any(s <= i <= e for s, e in ss)
+            ]
+            r = got[did]
+            assert r["n_tokens"] == len(toks)
+            assert r["n_spans"] == len(ss)
+            assert r["n_removed"] == len(toks) - len(want_kept)
+            assert r["scrubbed_text"] == " ".join(want_kept)
