@@ -224,6 +224,10 @@ EXTRA = [
     "t35_bpe_encode",           # BPE encode pass (train -> apply)
     "d24_semantic_dedup_kmeans",  # SemDeDup, published k-means form
     "d25_span_scrub",           # duplicated-span removal rewrite
+    "s16_mmr_rerank",           # MMR diversified top-k (exact-integer)
+    "e11_kcenter_coreset",      # greedy k-center coreset selection
+    "ev18_holt_linear",         # Holt linear-trend smoothing + forecast
+    "dq21_chi2_independence",   # categorical chi-squared dependence
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

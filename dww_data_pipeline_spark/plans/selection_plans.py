@@ -1,0 +1,695 @@
+"""Data-selection & diagnostics tier — four published-algorithm
+operators a training-data pipeline runs between dedup and sharding:
+
+* ``s16_mmr_rerank`` — Maximal Marginal Relevance diversified top-k
+  (Carbonell & Goldstein, SIGIR 1998): greedy re-ranking that trades
+  query relevance against redundancy with already-selected results.
+  The missing diversity leg of the retrieval suite (s1 is pure
+  relevance, s12 fuses two relevance signals).
+* ``e11_kcenter_coreset`` — greedy k-center coreset selection
+  (Gonzalez 1985; the 2-approximation farthest-point traversal used
+  for coverage-maximizing training-subset selection, e.g. Sener &
+  Savarese ICLR 2018 "core-set" active learning).
+* ``ev18_holt_linear`` — Holt's linear-trend exponential smoothing
+  (Holt 1957; Hyndman & Athanasopoulos FPP §8.2) over the daily event
+  series, with 1/2/3-step-ahead forecasts — the trend-aware upgrade
+  of ev8's EWMA level.
+* ``dq21_chi2_independence`` — Pearson chi-squared dependence profile
+  between categorical column pairs (Pearson 1900), with Cramér's V —
+  the categorical complement of dq10's numeric Pearson correlations.
+
+Cross-engine determinism: s16/e11 run ENTIRELY in exact BIGINT
+arithmetic on e2's int8-quantized vectors (dot products and squared
+L2 distances of integer codes — no float comparison ever decides a
+selection), so greedy tie-breaks are bit-identical on both engines.
+ev18 follows the t33 fold discipline: the recurrence is the IDENTICAL
+left-to-right IEEE-double fold on both engines (Spark ``aggregate``
+vs DuckDB ``list_reduce`` over the date-ordered series), outputs
+rounded at 1e-6. dq21 follows e1's fixed-point rule: each cell's
+chi-squared term is a deterministic double expression, floored at
+1e6 and summed as BIGINT so 1000 executors summing in any order
+agree. House conventions per plans/registry.py.
+
+These are beyond-reference north-star operators (the reference
+pipeline — GetWeta.py / ProcessWeta.py — has no retrieval, coreset,
+forecasting, or independence-testing tier); parity targets are the
+published algorithms cited above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Shared exact-integer vector algebra over e2's int8 quantization.
+#
+# q = floor((v - mn) * 255 / (mx - mn)) - 128 per dimension (e2's
+# verified arithmetic, one explicit DOUBLE order so every engine
+# computes identical codes); dots and squared distances of the codes
+# are then pure BIGINT — 64 dims x 128^2 < 2^21 per vector, far from
+# overflow — so every comparison the greedy loops make is exact.
+# ---------------------------------------------------------------------------
+
+_SQL_QV = """base AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings
+),
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn))
+                          AS BIGINT) - 128
+           END) AS v
+  FROM base
+)"""
+
+
+def _sql_idot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1] * p[2])) AS BIGINT)"
+    )
+
+
+def _sql_idist2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<long>) — e2's int8 codes as a reusable frame."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (x.cast("double") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))
+            ).cast("long")
+            - 128
+        ),
+    )
+    return base.select("vec_id", q.alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# s16_mmr_rerank — Maximal Marginal Relevance diversified top-k.
+#
+# MMR(c) = lambda * rel(q, c) - (1 - lambda) * max_{s in S} sim(c, s);
+# with lambda = 1/2 the argmax is unchanged by scaling 2x, so the
+# selection score is the pure-integer mmr2 = rel_dot - max_sim_dot
+# (relevance and similarity both as BIGINT dots of quantized codes)
+# — the greedy argmax, including every tie-break (score desc, vec_id
+# asc), is exact on both engines.  Step 1 has an empty selected set:
+# max_sim_dot = 0, i.e. the pure-relevance pick, the standard
+# initialization.
+#
+# Scale shape: the ONLY corpus-scale work is the candidate-pool
+# construction — one broadcast of the 3 query vectors against the
+# scan, one per-query top-12 window (partitioned by query_id; never
+# a global window).  The greedy loop then runs on <= 12 rows per
+# query (bounded BY CONSTRUCTION by the pool cap, localCheckpointed
+# once), so the K-1 join+argmax iterations cost O(K^2 * pool) rows
+# total regardless of corpus size.  The oracle unrolls the identical
+# greedy recurrence as K selection stages (the t33/e7 discipline).
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = (0, 1, 2)
+_MMR_POOL = 12
+_MMR_K = 4
+
+
+def _mmr_oracle() -> str:
+    stages = [
+        _SQL_QV,
+        "q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qvec FROM qv "
+        f"WHERE vec_id IN {_MMR_QUERIES})",
+        f"""cand AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id, e.v,
+         {_sql_idot('e.v', 'q.qvec')} AS rel_dot
+  FROM qv e, q WHERE e.vec_id <> q.query_id
+)""",
+        f"""pool AS MATERIALIZED (
+  SELECT query_id, vec_id, v, rel_dot FROM (
+    SELECT query_id, vec_id, v, rel_dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_dot DESC, vec_id) AS rn
+    FROM cand) WHERE rn <= {_MMR_POOL}
+)""",
+        """sel1 AS MATERIALIZED (
+  SELECT 1 AS step, query_id, vec_id, v, rel_dot,
+         CAST(0 AS BIGINT) AS max_sim_dot
+  FROM (
+    SELECT query_id, vec_id, v, rel_dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_dot DESC, vec_id) AS rn
+    FROM pool) WHERE rn = 1
+)""",
+    ]
+    sels = ["sel1"]
+    for i in range(2, _MMR_K + 1):
+        seen = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+        stages.append(f"seen{i} AS MATERIALIZED ({seen})")
+        stages.append(
+            f"""score{i} AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, c.v, c.rel_dot,
+         MAX({_sql_idot('c.v', 's.v')}) AS max_sim_dot
+  FROM pool c JOIN seen{i} s ON s.query_id = c.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM seen{i} s2
+                    WHERE s2.query_id = c.query_id
+                      AND s2.vec_id = c.vec_id)
+  GROUP BY c.query_id, c.vec_id, c.v, c.rel_dot
+)"""
+        )
+        stages.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT {i} AS step, query_id, vec_id, v, rel_dot, max_sim_dot FROM (
+    SELECT query_id, vec_id, v, rel_dot, max_sim_dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_dot - max_sim_dot DESC,
+                                       vec_id) AS rn
+    FROM score{i}) WHERE rn = 1
+)"""
+        )
+        sels.append(f"sel{i}")
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT query_id, CAST(step AS INT) AS step, vec_id, rel_dot, max_sim_dot,
+       rel_dot - max_sim_dot AS mmr2
+FROM ({union})"""
+    )
+
+
+@register(
+    "s16_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description="MAXIMAL MARGINAL RELEVANCE diversified top-k "
+    "(Carbonell & Goldstein 1998): greedy re-rank of the per-query "
+    "top-12 relevance pool, each step picking argmax of rel - "
+    "max-sim-to-selected (lambda = 1/2) — relevance AND redundancy as "
+    "exact BIGINT dots of e2's int8 codes, so every greedy tie-break "
+    "is bit-identical cross-engine. Corpus-scale work is one "
+    "broadcast-query scan + per-query top-k window; the greedy loop "
+    "runs on the 12-row-per-query pool (bounded by construction). "
+    "Oracle unrolls the K selection stages (t33/e7 discipline). The "
+    "diversity leg of the retrieval suite",
+)
+def s16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = quantized_vectors(spark, sf_dir)
+    q = qv.filter(F.col("vec_id").isin(*_MMR_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    cand = qv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        "v",
+        _int_dot(F.col("v"), F.col("qvec")).alias("rel_dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_dot"), F.asc("vec_id"))
+    # the pool cap is the ONLY corpus-scale stage; checkpoint it so the
+    # greedy iterations replan over <= 12 rows/query, not the corpus
+    pool = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(
+            F.lit(1).alias("step"),
+            "query_id",
+            "vec_id",
+            "v",
+            "rel_dot",
+            F.lit(0).cast("long").alias("max_sim_dot"),
+        )
+    )
+    for i in range(2, _MMR_K + 1):
+        seen = sel.select(
+            "query_id", F.col("vec_id").alias("s_vid"), F.col("v").alias("sv")
+        )
+        rem = pool.join(
+            seen.select("query_id", F.col("s_vid").alias("vec_id")),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        ms = (
+            rem.join(seen, "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                _int_dot(F.col("v"), F.col("sv")).alias("sim"),
+            )
+            .groupBy("query_id", "vec_id")
+            .agg(F.max("sim").alias("max_sim_dot"))
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            (F.col("rel_dot") - F.col("max_sim_dot")).desc(), F.asc("vec_id")
+        )
+        pick = (
+            pool.join(ms, ["query_id", "vec_id"])
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .select(
+                F.lit(i).alias("step"),
+                "query_id",
+                "vec_id",
+                "v",
+                "rel_dot",
+                "max_sim_dot",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        "query_id",
+        F.col("step").cast("int").alias("step"),
+        "vec_id",
+        "rel_dot",
+        "max_sim_dot",
+        (F.col("rel_dot") - F.col("max_sim_dot")).alias("mmr2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e11_kcenter_coreset — greedy k-center (farthest-point) coreset.
+#
+# Gonzalez's 2-approximation: seed with the min-id point, then K-1
+# times pick the point FARTHEST from the selected set (max over
+# points of min squared distance to centers; ties -> smaller
+# vec_id).  Squared L2 over the integer codes keeps every selection
+# and tie-break exact.  The selected-at distance of step i+1 IS the
+# covering radius after i centers (the quantity the greedy argmax
+# maximizes), so radius_sq_after needs only one extra pass for the
+# final step.  n_assigned is the coreset cell census: each point's
+# nearest center (ties -> earliest step).
+#
+# Scale shape: each of the K-1 iterations is ONE distributed
+# map-and-fold over the quantized scan (update running min-distance
+# against the newest center, then a TakeOrdered argmax — never a
+# partition-less window) plus a 1-row driver collect (the bounded
+# driver artifact the e7/pr1/t33 discipline allows); the per-
+# iteration frame is localCheckpointed so plan depth stays one fold
+# per job.  The oracle unrolls the identical recurrence as K
+# MATERIALIZED stages.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    stages = [
+        _SQL_QV,
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT 1)",
+        f"""m1 AS MATERIALIZED (
+  SELECT p.vec_id, p.v, {_sql_idist2('p.v', 'c.v')} AS mind
+  FROM qv p, c1 c
+)""",
+    ]
+    for i in range(2, _KC_K + 1):
+        stages.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT vec_id, v, mind FROM m{i - 1} ORDER BY mind DESC, vec_id LIMIT 1
+)"""
+        )
+        stages.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT p.vec_id, p.v, LEAST(p.mind, {_sql_idist2('p.v', 'c.v')}) AS mind
+  FROM m{i - 1} p, c{i} c
+)"""
+        )
+    centers = " UNION ALL ".join(
+        ["SELECT 1 AS step, vec_id AS center_id, CAST(0 AS BIGINT) AS sel_dist_sq, v FROM c1"]
+        + [
+            f"SELECT {i} AS step, vec_id AS center_id, mind AS sel_dist_sq, v FROM c{i}"
+            for i in range(2, _KC_K + 1)
+        ]
+    )
+    stages.append(f"centers AS MATERIALIZED ({centers})")
+    stages.append(
+        f"""asg AS MATERIALIZED (
+  SELECT step, COUNT(*) AS n_assigned FROM (
+    SELECT p.vec_id, c.step,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_sql_idist2('p.v', 'c.v')}, c.step) AS rn
+    FROM qv p, centers c) WHERE rn = 1 GROUP BY step
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT CAST(c.step AS INT) AS step, c.center_id, c.sel_dist_sq,
+       COALESCE(lead(c.sel_dist_sq) OVER (ORDER BY c.step),
+                (SELECT MAX(mind) FROM m{_KC_K})) AS radius_sq_after,
+       COALESCE(a.n_assigned, 0) AS n_assigned
+FROM centers c LEFT JOIN asg a ON a.step = c.step"""
+    )
+
+
+@register(
+    "e11_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    description="GREEDY K-CENTER CORESET (Gonzalez 1985; the Sener & "
+    "Savarese core-set selection rule): seed min-id, then 7x pick the "
+    "point with max min-squared-L2 to the selected centers — all "
+    "distances exact BIGINT over e2's int8 codes, so every farthest-"
+    "point pick and tie-break is bit-identical cross-engine. Emits "
+    "selection order, the selected-at distance, the covering radius "
+    "after each step, and the coreset cell census. Per iteration: one "
+    "distributed min-distance fold + TakeOrdered argmax + 1-row "
+    "driver collect (bounded artifact, e7/pr1 discipline). Oracle "
+    "unrolls the recurrence as K MATERIALIZED stages",
+)
+def e11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = quantized_vectors(spark, sf_dir).localCheckpoint()
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    seed = qv.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(seed.vec_id), 0, list(seed.v))]
+    points = qv.select(
+        "vec_id", "v", _int_dist2(F.col("v"), lit_vec(seed.v)).alias("mind")
+    ).localCheckpoint()
+    for i in range(2, _KC_K + 1):
+        far = points.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
+        centers.append((i, int(far.vec_id), int(far.mind), list(far.v)))
+        points = points.select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("mind"), _int_dist2(F.col("v"), lit_vec(far.v))
+            ).alias("mind"),
+        ).localCheckpoint()
+    final_radius = points.agg(F.max("mind")).collect()[0][0]
+
+    cdf = spark.createDataFrame(
+        [(s, cid, d, v) for s, cid, d, v in centers],
+        "step int, center_id long, sel_dist_sq long, cv array<long>",
+    )
+    wa = Window.partitionBy("vec_id").orderBy("d2", "step")
+    asg = (
+        qv.join(F.broadcast(cdf))
+        .select(
+            "vec_id", "step", _int_dist2(F.col("v"), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    # radius after step i = the step-(i+1) pick's distance; final step
+    # needs the one extra max pass computed above
+    radius = {s: d for s, _, d, _ in centers}
+    base = spark.createDataFrame(
+        [
+            (s, cid, d, int(radius.get(s + 1, final_radius)))
+            for s, cid, d, _ in centers
+        ],
+        "step int, center_id long, sel_dist_sq long, radius_sq_after long",
+    )
+    return base.join(asg, "step", "left").select(
+        "step",
+        "center_id",
+        "sel_dist_sq",
+        "radius_sq_after",
+        F.coalesce(F.col("n_assigned"), F.lit(0).cast("long")).alias("n_assigned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev18_holt_linear — Holt's linear-trend exponential smoothing.
+#
+# level_t = a*y_t + (1-a)*(level + trend); trend_t = b*(level_t -
+# level) + (1-b)*trend, a = b = 1/2; init level_0 = y_0, trend_0 =
+# y_1 - y_0 (the FPP convention).  Both engines run the IDENTICAL
+# left-to-right recurrence over the date-ordered daily series — same
+# IEEE ops in the same order, so the doubles agree bit-for-bit
+# before the 1e-6 rounding.  Spark folds with ``aggregate`` (struct
+# state); the oracle unrolls the SAME recurrence as a recursive CTE
+# rather than DuckDB's list_reduce, because DuckDB v1.0 evaluates a
+# struct-state reduce lambda's fields SEQUENTIALLY against a mutated
+# accumulator (a later field reading acc.l sees the just-written new
+# l, not the old one — measured: fold (acc,x) -> {l: acc.l+1,
+# b: acc.l} yields b = new l), which silently corrupts any two-field
+# recurrence.
+#
+# Scale shape: the daily aggregation is the only corpus-scale
+# shuffle; the per-type series is bounded BY CONSTRUCTION at the
+# generator's 30-day span (SF grows rows-per-day, never days), so
+# the collect_list group is fixed-size — the SCALE.md standing rule
+# satisfied by construction, recorded in plan_audit.COLLECT_BOUNDED.
+# ---------------------------------------------------------------------------
+
+_EV18_ORACLE = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), ser AS MATERIALIZED (
+  SELECT event_type, list(CAST(cnt AS DOUBLE) ORDER BY day) AS ys
+  FROM daily GROUP BY event_type
+), walk(event_type, i, l, b) AS (
+  SELECT event_type, 2, ys[1], ys[2] - ys[1] FROM ser WHERE len(ys) >= 2
+  UNION ALL
+  SELECT w.event_type, w.i + 1,
+         (s.ys[w.i + 1] + w.l + w.b) * 0.5,
+         (((s.ys[w.i + 1] + w.l + w.b) * 0.5) - w.l + w.b) * 0.5
+  FROM walk w JOIN ser s ON s.event_type = w.event_type
+  WHERE w.i < len(s.ys)
+), fin AS (
+  SELECT w.event_type, len(s.ys) AS n_days, w.l, w.b
+  FROM walk w JOIN ser s ON s.event_type = w.event_type
+  WHERE w.i = len(s.ys)
+)
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_1,
+       round(l + b * 2.0, 6) AS forecast_2,
+       round(l + b * 3.0, 6) AS forecast_3
+FROM fin
+"""
+
+
+@register(
+    "ev18_holt_linear",
+    oracle=_EV18_ORACLE,
+    description="HOLT'S LINEAR-TREND exponential smoothing (Holt "
+    "1957; FPP 8.2) over the daily event series per type, alpha = "
+    "beta = 1/2, with 1/2/3-step-ahead forecasts — the trend-aware "
+    "upgrade of ev8's EWMA level. The recurrence is the IDENTICAL "
+    "left-to-right IEEE fold on both engines (aggregate vs "
+    "list_reduce over the date-ordered series), rounded at 1e-6. One "
+    "corpus-scale daily shuffle; the folded series is bounded by the "
+    "generator's 30-day span (SF grows rows-per-day, never days)",
+)
+def ev18_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("cnt")))
+            ).alias("s")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("s"), lambda x: x["cnt"].cast("double")).alias("ys"),
+        )
+        .filter(F.size("ys") >= 2)
+    )
+    y0 = F.element_at("ys", 1)
+    y1 = F.element_at("ys", 2)
+    rest = F.slice(F.col("ys"), 3, F.size(F.col("ys")))
+    st = F.aggregate(
+        rest,
+        F.struct(y0.alias("l"), (y1 - y0).alias("b")),
+        lambda acc, y: F.struct(
+            ((y + acc["l"] + acc["b"]) * F.lit(0.5)).alias("l"),
+            (
+                (((y + acc["l"] + acc["b"]) * F.lit(0.5)) - acc["l"] + acc["b"])
+                * F.lit(0.5)
+            ).alias("b"),
+        ),
+    )
+    out = ser.select("event_type", F.size("ys").alias("n_days"), st.alias("st"))
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st")["l"], 6).alias("level"),
+        F.round(F.col("st")["b"], 6).alias("trend"),
+        F.round(F.col("st")["l"] + F.col("st")["b"], 6).alias("forecast_1"),
+        F.round(F.col("st")["l"] + F.col("st")["b"] * F.lit(2.0), 6).alias(
+            "forecast_2"
+        ),
+        F.round(F.col("st")["l"] + F.col("st")["b"] * F.lit(3.0), 6).alias(
+            "forecast_3"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq21_chi2_independence — categorical dependence profile.
+#
+# chi2 = sum over cells of (O - E)^2 / E with E = rt*ct/N, computed
+# as (O*N - rt*ct)^2 / (N*rt*ct): the numerator root is EXACT BIGINT
+# (|O*N| <= N^2, well inside 2^63 at test scale; at petabyte row
+# counts pre-aggregate to per-shard cells first), cast to DOUBLE for
+# one deterministic square-and-divide per cell, then floored at 1e6
+# and summed as BIGINT (e1's fixed-point rule) so accumulation order
+# cannot differ cross-engine.  Cramer's V = sqrt(chi2 / (N *
+# min(r-1, c-1))) — sqrt of a deterministic double is correctly
+# rounded per IEEE on both engines.
+#
+# Scale shape: per pair, ONE cells aggregation (r x c <= dozens of
+# rows out of any corpus size), then broadcast-joined marginals —
+# the chi-squared itself costs nothing beyond the contingency table.
+# ---------------------------------------------------------------------------
+
+_DQ21_PAIRS = (
+    ("orders", "o_orderpriority", "o_orderstatus", "orders.priority_x_status"),
+    ("lineitem", "l_returnflag", "l_linestatus", "lineitem.returnflag_x_linestatus"),
+    ("documents", "lang", "source", "documents.lang_x_source"),
+)
+
+
+def _dq21_pair_sql(table: str, ca: str, cb: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS pair, n, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+       CAST((r - 1) * (c - 1) AS INT) AS dof,
+       CAST(fp AS DOUBLE) / 1000000.0 AS chi2,
+       round(sqrt((CAST(fp AS DOUBLE) / 1000000.0)
+                  / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))),
+             6) AS cramers_v
+FROM (
+  SELECT MAX(n) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+         SUM(CAST(floor(term * 1000000.0) AS BIGINT)) AS fp
+  FROM (
+    SELECT cells.a, cells.b,  n.n,
+           CAST(cells.o * n.n - rt.rt * ct.ct AS DOUBLE)
+             * CAST(cells.o * n.n - rt.rt * ct.ct AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * CAST(rt.rt * ct.ct AS DOUBLE)) AS term
+    FROM (SELECT {ca} AS a, {cb} AS b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM {table} GROUP BY {ca}, {cb}) cells
+    JOIN (SELECT {ca} AS a, CAST(COUNT(*) AS BIGINT) AS rt
+          FROM {table} GROUP BY {ca}) rt USING (a)
+    JOIN (SELECT {cb} AS b, CAST(COUNT(*) AS BIGINT) AS ct
+          FROM {table} GROUP BY {cb}) ct USING (b)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}) n
+  )
+)"""
+
+
+_DQ21_ORACLE = " UNION ALL ".join(
+    _dq21_pair_sql(t, a, b, lab) for t, a, b, lab in _DQ21_PAIRS
+)
+
+
+def _chi2_pair(
+    spark: SparkSession, sf_dir: str, table: str, ca: str, cb: str, label: str
+) -> DataFrame:
+    t = load_table(spark, sf_dir, table).select(
+        F.col(ca).alias("a"), F.col(cb).alias("b")
+    )
+    # the contingency table is r x c rows (dozens) out of any corpus
+    # size; checkpoint it so the marginals/N derive from it instead of
+    # re-scanning the fact table once per consumer (one corpus scan
+    # per pair, not seven)
+    cells = t.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    rt = cells.groupBy("a").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    den = F.col("n").cast("double") * (F.col("rt") * F.col("ct")).cast("double")
+    term = num * num / den
+    agg = (
+        cells.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").alias("n"),
+            F.countDistinct("a").alias("r"),
+            F.countDistinct("b").alias("c"),
+            F.sum(F.floor(term * F.lit(1000000.0)).cast("long")).alias("fp"),
+        )
+    )
+    chi2 = F.col("fp").cast("double") / F.lit(1000000.0)
+    return agg.select(
+        F.lit(label).alias("pair"),
+        "n",
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("int").alias("dof"),
+        chi2.alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "dq21_chi2_independence",
+    oracle=_DQ21_ORACLE,
+    description="PEARSON CHI-SQUARED dependence profile between "
+    "categorical column pairs (priority x status, returnflag x "
+    "linestatus, lang x source) with Cramer's V — the "
+    "categorical complement of dq10's numeric correlations. Cell "
+    "terms via the exact-BIGINT root (O*N - rt*ct), one deterministic "
+    "double square-and-divide each, floored at 1e6 and summed as "
+    "BIGINT (e1's fixed-point rule). Per pair: one contingency "
+    "aggregation, broadcast marginals — cost is the groupBy, the "
+    "statistic is free",
+)
+def dq21_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [_chi2_pair(spark, sf_dir, t, a, b, lab) for t, a, b, lab in _DQ21_PAIRS]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

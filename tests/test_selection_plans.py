@@ -1,0 +1,231 @@
+"""Tests for the data-selection & diagnostics tier
+(plans/selection_plans.py): MMR re-ranking, k-center coreset, Holt
+linear smoothing, chi-squared dependence — each replayed against an
+independent sequential implementation (numpy / pure python).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from dww_data_pipeline_spark.plans.registry import REGISTRY, all_queries
+from dww_data_pipeline_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _loaded():
+    all_queries()
+
+
+def _quantized_np(spark, sf_dir) -> dict[int, np.ndarray]:
+    """e2's int8 quantization replayed in numpy double math."""
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    out = {}
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        mn, mx = float(v.min()), float(v.max())
+        if mx == mn:
+            q = np.zeros(len(v), dtype=np.int64)
+        else:
+            q = np.floor((v - mn) * 255 / (mx - mn)).astype(np.int64) - 128
+        out[int(r["vec_id"])] = q
+    return out
+
+
+class TestMmrRerank:
+    def test_matches_sequential_greedy(self, spark, sf_dir):
+        """Full selection (ids, steps, scores) equals a from-scratch
+        sequential MMR over the same integer codes."""
+        qv = _quantized_np(spark, sf_dir)
+        want = []
+        for qid in (0, 1, 2):
+            q = qv[qid]
+            rel = {i: int(v @ q) for i, v in qv.items() if i != qid}
+            pool = sorted(rel, key=lambda i: (-rel[i], i))[:12]
+            selected: list[int] = []
+            for step in range(1, 5):
+                best = None
+                for c in pool:
+                    if c in selected:
+                        continue
+                    ms = max((int(qv[c] @ qv[s]) for s in selected), default=0)
+                    key = (-(rel[c] - ms), c)
+                    if best is None or key < best[0]:
+                        best = (key, c, ms)
+                _, c, ms = best
+                selected.append(c)
+                want.append((qid, step, c, rel[c], ms, rel[c] - ms))
+        got = sorted(
+            (
+                r["query_id"],
+                r["step"],
+                r["vec_id"],
+                r["rel_dot"],
+                r["max_sim_dot"],
+                r["mmr2"],
+            )
+            for r in REGISTRY["s16_mmr_rerank"].spark(spark, sf_dir).collect()
+        )
+        assert got == sorted(want)
+
+    def test_diversity_tradeoff_shape(self, spark, sf_dir):
+        """Per query: 4 distinct picks; step 1 is the pure-relevance
+        argmax (max_sim_dot = 0); mmr2 is the exact integer margin.
+        (max_sim_dot CAN be negative — signed codes — so mmr2 may
+        exceed rel_dot; no inequality is asserted between them.)"""
+        rows = REGISTRY["s16_mmr_rerank"].spark(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for q, rs in by_q.items():
+            assert sorted(r["step"] for r in rs) == [1, 2, 3, 4]
+            assert len({r["vec_id"] for r in rs}) == 4
+            first = next(r for r in rs if r["step"] == 1)
+            assert first["max_sim_dot"] == 0
+            assert first["rel_dot"] == max(r["rel_dot"] for r in rs)
+            for r in rs:
+                assert r["mmr2"] == r["rel_dot"] - r["max_sim_dot"]
+
+
+class TestKcenterCoreset:
+    def test_matches_sequential_gonzalez(self, spark, sf_dir):
+        """Selection order, distances, radii, and cell census equal a
+        from-scratch farthest-point traversal."""
+        qv = _quantized_np(spark, sf_dir)
+        ids = sorted(qv)
+        centers = [ids[0]]
+        mind = {i: int(np.sum((qv[i] - qv[ids[0]]) ** 2)) for i in ids}
+        want = [(1, ids[0], 0)]
+        for step in range(2, 9):
+            far = min(ids, key=lambda i: (-mind[i], i))
+            want.append((step, far, mind[far]))
+            for i in ids:
+                mind[i] = min(mind[i], int(np.sum((qv[i] - qv[far]) ** 2)))
+        radius = {s: d for s, _, d in want}
+        final_radius = max(mind.values())
+        census: dict[int, int] = {}
+        for i in ids:
+            best = min(
+                range(1, 9),
+                key=lambda s: (int(np.sum((qv[i] - qv[want[s - 1][1]]) ** 2)), s),
+            )
+            census[best] = census.get(best, 0) + 1
+        got = sorted(
+            (
+                r["step"],
+                r["center_id"],
+                r["sel_dist_sq"],
+                r["radius_sq_after"],
+                r["n_assigned"],
+            )
+            for r in REGISTRY["e11_kcenter_coreset"].spark(spark, sf_dir).collect()
+        )
+        exp = sorted(
+            (s, c, d, radius.get(s + 1, final_radius), census.get(s, 0))
+            for s, c, d in want
+        )
+        assert got == exp
+
+    def test_greedy_invariants(self, spark, sf_dir):
+        """Covering radius is non-increasing; the census covers every
+        vector; each step's radius_sq_after <= its sel_dist_sq."""
+        rows = sorted(
+            REGISTRY["e11_kcenter_coreset"].spark(spark, sf_dir).collect(),
+            key=lambda r: r["step"],
+        )
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(r["n_assigned"] for r in rows) == n_vecs
+        dists = [r["sel_dist_sq"] for r in rows[1:]]
+        assert dists == sorted(dists, reverse=True)
+        for r in rows[1:]:
+            assert r["radius_sq_after"] <= r["sel_dist_sq"]
+
+
+class TestHoltLinear:
+    def test_matches_sequential_fold(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        import pyspark.sql.functions as F
+
+        daily = (
+            ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .count()
+            .collect()
+        )
+        series: dict[str, dict] = {}
+        for r in daily:
+            series.setdefault(r["event_type"], {})[r["day"]] = r["count"]
+        want = {}
+        for et, by_day in series.items():
+            ys = [float(by_day[d]) for d in sorted(by_day)]
+            if len(ys) < 2:
+                continue
+            level, trend = ys[0], ys[1] - ys[0]
+            for y in ys[2:]:
+                lnew = (y + level + trend) * 0.5
+                trend = (lnew - level + trend) * 0.5
+                level = lnew
+            want[et] = (
+                len(ys),
+                round(level, 6),
+                round(trend, 6),
+                round(level + trend, 6),
+                round(level + trend * 2.0, 6),
+                round(level + trend * 3.0, 6),
+            )
+        got = {
+            r["event_type"]: (
+                r["n_days"],
+                r["level"],
+                r["trend"],
+                r["forecast_1"],
+                r["forecast_2"],
+                r["forecast_3"],
+            )
+            for r in REGISTRY["ev18_holt_linear"].spark(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert all(v[0] == 30 for v in got.values())
+
+
+class TestChi2Independence:
+    def test_matches_sequential_chi2(self, spark, sf_dir):
+        """Each pair's statistic equals a from-scratch contingency
+        chi-squared with the same 1e-6 fixed-point floor."""
+        pairs = {
+            "orders.priority_x_status": ("orders", "o_orderpriority", "o_orderstatus"),
+            "lineitem.returnflag_x_linestatus": ("lineitem", "l_returnflag", "l_linestatus"),
+            "documents.lang_x_source": ("documents", "lang", "source"),
+        }
+        got = {
+            r["pair"]: r
+            for r in REGISTRY["dq21_chi2_independence"].spark(spark, sf_dir).collect()
+        }
+        assert set(got) == set(pairs)
+        for label, (table, ca, cb) in pairs.items():
+            rows = load_table(spark, sf_dir, table).select(ca, cb).collect()
+            cells: dict[tuple, int] = {}
+            for r in rows:
+                cells[(r[ca], r[cb])] = cells.get((r[ca], r[cb]), 0) + 1
+            n = sum(cells.values())
+            rt: dict = {}
+            ct: dict = {}
+            for (a, b), o in cells.items():
+                rt[a] = rt.get(a, 0) + o
+                ct[b] = ct.get(b, 0) + o
+            fp = 0
+            for (a, b), o in cells.items():
+                num = float(o * n - rt[a] * ct[b])
+                den = float(n) * float(rt[a] * ct[b])
+                fp += math.floor(num * num / den * 1000000.0)
+            r_, c_ = len(rt), len(ct)
+            g = got[label]
+            assert g["n"] == n and g["r"] == r_ and g["c"] == c_
+            assert g["dof"] == (r_ - 1) * (c_ - 1)
+            assert g["chi2"] == fp / 1000000.0
+            cv = round(math.sqrt((fp / 1000000.0) / (n * min(r_ - 1, c_ - 1))), 6)
+            assert g["cramers_v"] == cv
+            assert 0.0 <= g["cramers_v"] <= 1.0
