@@ -228,6 +228,9 @@ EXTRA = [
     "e11_kcenter_coreset",      # greedy k-center coreset selection
     "ev18_holt_linear",         # Holt linear-trend smoothing + forecast
     "dq21_chi2_independence",   # categorical chi-squared dependence
+    "s17_hard_negative_mining", # contrastive hard-negative mining
+    "ev19_cusum_changepoint",   # exact-integer CUSUM drift detector
+    "ev20_seasonal_indices",    # day-of-week seasonal indices
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

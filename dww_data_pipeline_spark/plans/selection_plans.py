@@ -17,6 +17,17 @@ operators a training-data pipeline runs between dedup and sharding:
 * ``dq21_chi2_independence`` — Pearson chi-squared dependence profile
   between categorical column pairs (Pearson 1900), with Cramér's V —
   the categorical complement of dq10's numeric Pearson correlations.
+* ``s17_hard_negative_mining`` — label-aware hard-negative mining for
+  contrastive training (Schroff et al. CVPR 2015 "FaceNet" triplet
+  semantics; Karpukhin et al. 2020 DPR hard negatives): per anchor,
+  the top-k most-similar vectors of a DIFFERENT class, flagged
+  harder/easier than the anchor's best positive.
+* ``ev19_cusum_changepoint`` — Page's CUSUM change-point statistic
+  (Page 1954, Biometrika) over the daily event series, in EXACT
+  scaled-integer arithmetic (both drift directions + alarm flags).
+* ``ev20_seasonal_indices`` — classical multiplicative decomposition
+  day-of-week seasonal indices (Hyndman & Athanasopoulos FPP §6.3),
+  each index one exact-integer ratio.
 
 Cross-engine determinism: s16/e11 run ENTIRELY in exact BIGINT
 arithmetic on e2's int8-quantized vectors (dot products and squared
@@ -693,3 +704,307 @@ def dq21_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# s17_hard_negative_mining — label-aware negatives for contrastive
+# training.
+#
+# For each anchor (the s-suite's query vectors), rank every vector of
+# a DIFFERENT class by similarity and keep the top-k: the "hard
+# negatives" a contrastive trainer wants in the batch (FaceNet's
+# triplet semantics; DPR mines them from BM25, here from the
+# embedding space itself).  pos_dot is the anchor's best same-class
+# similarity (its nearest positive, self excluded);
+# harder_than_pos marks negatives that currently beat it — the
+# active triplet-loss violations.  All similarities are exact BIGINT
+# dots of e2's int8 codes, so ranking and the flag are bit-identical
+# cross-engine.
+#
+# Scale shape: one broadcast of the anchor set against the scan,
+# one per-anchor top-k window (partitioned by query_id), one 3-row
+# broadcast join for pos_dot.  Same plan skeleton as s1 — the label
+# predicate rides the scan.
+# ---------------------------------------------------------------------------
+
+_S17_K = 5
+
+
+def _s17_oracle() -> str:
+    return f"""WITH {_SQL_QV},
+lv AS MATERIALIZED (
+  SELECT q.vec_id, q.v, e.label FROM qv q JOIN embeddings e USING (vec_id)
+),
+anchors AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qvec, label AS qlabel
+  FROM lv WHERE vec_id IN {_MMR_QUERIES}
+),
+pos AS MATERIALIZED (
+  SELECT a.query_id, MAX({_sql_idot('c.v', 'a.qvec')}) AS pos_dot
+  FROM lv c JOIN anchors a
+    ON c.label = a.qlabel AND c.vec_id <> a.query_id
+  GROUP BY a.query_id
+),
+neg AS MATERIALIZED (
+  SELECT a.query_id, c.vec_id,
+         {_sql_idot('c.v', 'a.qvec')} AS neg_dot
+  FROM lv c JOIN anchors a ON c.label <> a.qlabel
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, neg_dot, pos_dot,
+       CAST(neg_dot > pos_dot AS BOOLEAN) AS harder_than_pos
+FROM (
+  SELECT n.query_id, n.vec_id, n.neg_dot, p.pos_dot,
+         row_number() OVER (PARTITION BY n.query_id
+                            ORDER BY n.neg_dot DESC, n.vec_id) AS rank
+  FROM neg n JOIN pos p ON p.query_id = n.query_id
+) WHERE rank <= {_S17_K}"""
+
+
+@register(
+    "s17_hard_negative_mining",
+    oracle=_s17_oracle(),
+    description="LABEL-AWARE HARD-NEGATIVE MINING for contrastive "
+    "training (FaceNet triplet semantics / DPR hard negatives): per "
+    "anchor, the top-5 most-similar vectors of a DIFFERENT class, "
+    "each flagged harder_than_pos against the anchor's best positive "
+    "— the active triplet-loss violations. Exact BIGINT dots of e2's "
+    "int8 codes; one broadcast-anchor scan + per-anchor top-k window "
+    "(s1's plan skeleton with the label predicate riding the scan)",
+)
+def s17_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lv = quantized_vectors(spark, sf_dir).join(labels, "vec_id")
+    anchors = lv.filter(F.col("vec_id").isin(*_MMR_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    pos = (
+        lv.join(
+            F.broadcast(anchors),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.max(_int_dot(F.col("v"), F.col("qvec"))).alias("pos_dot"))
+    )
+    neg = lv.join(
+        F.broadcast(anchors), F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "vec_id",
+        _int_dot(F.col("v"), F.col("qvec")).alias("neg_dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("neg_dot"), F.asc("vec_id"))
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _S17_K)
+        .join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "neg_dot",
+            "pos_dot",
+            (F.col("neg_dot") > F.col("pos_dot")).alias("harder_than_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev19_cusum_changepoint — Page's CUSUM drift detector, exact.
+#
+# S+_t = max(0, S+_{t-1} + (y_t - mu - k)),  S-_t = max(0, S-_{t-1}
+# - (y_t - mu + k)) with target mu = T/D (the series' own mean) and
+# slack k = mu/20.  Scaling every term by 20*D clears both
+# denominators: the increments become the exact BIGINTs
+# 20*D*y_t - 21*T (upper) and 19*T - 20*D*y_t (lower), so the whole
+# recurrence — including the max(0, .) clamps and the alarm
+# comparisons — is integer arithmetic, bit-identical cross-engine.
+# Alarm threshold h = mu/2 cumulative drift, i.e. 10*T in scaled
+# units (pinned parameters, documented here).
+#
+# Per-day statistics are required (the alarm DAY is the product), so
+# the fold carries an array accumulator (append one struct per day) —
+# bounded by the generator's 30-day span like ev18, then posexploded
+# back to rows.  The oracle walks the identical recurrence as a
+# recursive CTE emitting every step.
+# ---------------------------------------------------------------------------
+
+_EV19_ORACLE = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), ser AS MATERIALIZED (
+  SELECT event_type,
+         list(strftime(day, '%Y-%m-%d') ORDER BY day) AS days,
+         list(cnt ORDER BY day) AS ys,
+         CAST(len(list(cnt ORDER BY day)) AS BIGINT) AS d,
+         CAST(list_sum(list(cnt ORDER BY day)) AS BIGINT) AS t
+  FROM daily GROUP BY event_type
+), walk(event_type, i, sp, sn) AS (
+  SELECT event_type, 1,
+         GREATEST(CAST(0 AS BIGINT), 20 * d * ys[1] - 21 * t),
+         GREATEST(CAST(0 AS BIGINT), 19 * t - 20 * d * ys[1])
+  FROM ser
+  UNION ALL
+  SELECT w.event_type, w.i + 1,
+         GREATEST(CAST(0 AS BIGINT), w.sp + 20 * s.d * s.ys[w.i + 1] - 21 * s.t),
+         GREATEST(CAST(0 AS BIGINT), w.sn + 19 * s.t - 20 * s.d * s.ys[w.i + 1])
+  FROM walk w JOIN ser s ON s.event_type = w.event_type
+  WHERE w.i < s.d
+)
+SELECT w.event_type, s.days[w.i] AS day, s.ys[w.i] AS cnt,
+       w.sp AS cusum_pos, w.sn AS cusum_neg,
+       CAST(w.sp > 10 * s.t AS BOOLEAN) AS alarm_pos,
+       CAST(w.sn > 10 * s.t AS BOOLEAN) AS alarm_neg
+FROM walk w JOIN ser s ON s.event_type = w.event_type
+"""
+
+
+@register(
+    "ev19_cusum_changepoint",
+    oracle=_EV19_ORACLE,
+    description="PAGE'S CUSUM change-point detector (Page 1954) over "
+    "the daily event series, both drift directions, in EXACT scaled "
+    "integers: scaling by 20*D clears the mean and slack denominators "
+    "(increments 20*D*y - 21*T and 19*T - 20*D*y), so the clamped "
+    "recurrence and the alarm comparisons are BIGINT cross-engine. "
+    "mu = series mean, slack k = mu/20, alarm h = mu/2 cumulative "
+    "(10*T scaled). One daily shuffle; the fold is bounded by the "
+    "30-day generator span (ev18's bound); oracle walks the identical "
+    "recurrence as a recursive CTE",
+)
+def ev19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("cnt")))
+            ).alias("s")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("s"), lambda x: F.date_format(x["day"], "yyyy-MM-dd")).alias(
+                "days"
+            ),
+            F.transform(F.col("s"), lambda x: x["cnt"]).alias("ys"),
+        )
+        .select(
+            "event_type",
+            "days",
+            "ys",
+            F.size("ys").cast("long").alias("d"),
+            F.aggregate(
+                F.col("ys"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("t"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    walk = F.aggregate(
+        F.col("ys"),
+        F.array().cast("array<struct<sp:bigint,sn:bigint>>"),
+        lambda acc, y: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    F.greatest(
+                        zero,
+                        F.coalesce(F.try_element_at(acc, F.lit(-1))["sp"], zero)
+                        + 20 * F.col("d") * y
+                        - 21 * F.col("t"),
+                    ).alias("sp"),
+                    F.greatest(
+                        zero,
+                        F.coalesce(F.try_element_at(acc, F.lit(-1))["sn"], zero)
+                        + 19 * F.col("t")
+                        - 20 * F.col("d") * y,
+                    ).alias("sn"),
+                )
+            ),
+        ),
+    )
+    st = ser.select("event_type", "days", "ys", "t", walk.alias("walk"))
+    ex = st.select(
+        "event_type",
+        "t",
+        F.posexplode(F.arrays_zip("days", "ys", "walk")).alias("i", "z"),
+    )
+    return ex.select(
+        "event_type",
+        F.col("z")["days"].alias("day"),
+        F.col("z")["ys"].alias("cnt"),
+        F.col("z")["walk"]["sp"].alias("cusum_pos"),
+        F.col("z")["walk"]["sn"].alias("cusum_neg"),
+        (F.col("z")["walk"]["sp"] > 10 * F.col("t")).alias("alarm_pos"),
+        (F.col("z")["walk"]["sn"] > 10 * F.col("t")).alias("alarm_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ev20_seasonal_indices — classical decomposition's seasonal leg.
+#
+# Multiplicative day-of-week index = weekday mean / overall mean =
+# (sum_wd / n_wd) / (T / D) = sum_wd * D / (n_wd * T): one exact
+# integer ratio per (event_type, weekday), emitted as a single
+# correctly-rounded double division (no float accumulation anywhere).
+# Weekday numbering is pinned ISO (1 = Monday): Spark weekday()+1,
+# DuckDB isodow — the dayofweek() builtins DISAGREE across engines
+# (Spark 1=Sunday, DuckDB 0=Sunday) and must not be used here.
+# ---------------------------------------------------------------------------
+
+_EV20_ORACLE = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tot AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d, SUM(cnt) AS t
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(isodow(d.day) AS INT) AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(d.cnt) AS BIGINT) AS sum_cnt,
+       round(CAST(SUM(d.cnt) * MAX(tot.d) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(tot.t) AS DOUBLE), 6) AS seasonal_index
+FROM daily d JOIN tot ON tot.event_type = d.event_type
+GROUP BY d.event_type, isodow(d.day)
+"""
+
+
+@register(
+    "ev20_seasonal_indices",
+    oracle=_EV20_ORACLE,
+    description="CLASSICAL-DECOMPOSITION day-of-week seasonal indices "
+    "(FPP 6.3, multiplicative form): weekday mean over overall mean "
+    "as ONE exact integer ratio sum_wd*D/(n_wd*T) per (type, "
+    "weekday), single correctly-rounded double division. Weekday "
+    "numbering pinned ISO (Spark weekday()+1 == DuckDB isodow) "
+    "because the engines' dayofweek() builtins disagree. Completes "
+    "the ev18/ev19 forecasting tier's seasonality leg",
+)
+def ev20_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"), F.sum("cnt").alias("t")
+    )
+    wd = (F.weekday("day") + 1).cast("int")
+    return (
+        daily.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", wd.alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.round(
+                (F.sum("cnt") * F.max("d")).cast("double")
+                / (F.count(F.lit(1)) * F.max("t")).cast("double"),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )

@@ -229,3 +229,135 @@ class TestChi2Independence:
             cv = round(math.sqrt((fp / 1000000.0) / (n * min(r_ - 1, c_ - 1))), 6)
             assert g["cramers_v"] == cv
             assert 0.0 <= g["cramers_v"] <= 1.0
+
+
+class TestHardNegativeMining:
+    def test_matches_sequential_mining(self, spark, sf_dir):
+        qv = _quantized_np(spark, sf_dir)
+        labels = {
+            int(r["vec_id"]): r["label"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        want = []
+        for qid in (0, 1, 2):
+            q, ql = qv[qid], labels[qid]
+            pos = max(
+                int(qv[i] @ q) for i in qv if labels[i] == ql and i != qid
+            )
+            negs = sorted(
+                ((int(qv[i] @ q), i) for i in qv if labels[i] != ql),
+                key=lambda p: (-p[0], p[1]),
+            )[:5]
+            for rank, (d, i) in enumerate(negs, 1):
+                want.append((qid, rank, i, d, pos, d > pos))
+        got = sorted(
+            (
+                r["query_id"],
+                r["rank"],
+                r["vec_id"],
+                r["neg_dot"],
+                r["pos_dot"],
+                r["harder_than_pos"],
+            )
+            for r in REGISTRY["s17_hard_negative_mining"].spark(spark, sf_dir).collect()
+        )
+        assert got == sorted(want)
+
+
+class TestCusumChangepoint:
+    def test_matches_sequential_cusum(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .count()
+            .collect()
+        )
+        series: dict[str, dict] = {}
+        for r in daily:
+            series.setdefault(r["event_type"], {})[r["day"]] = r["count"]
+        want = []
+        for et, by_day in series.items():
+            days = sorted(by_day)
+            d, t = len(days), sum(by_day.values())
+            sp = sn = 0
+            for day in days:
+                y = by_day[day]
+                sp = max(0, sp + 20 * d * y - 21 * t)
+                sn = max(0, sn + 19 * t - 20 * d * y)
+                want.append(
+                    (et, day.isoformat(), y, sp, sn, sp > 10 * t, sn > 10 * t)
+                )
+        got = sorted(
+            (
+                r["event_type"],
+                r["day"],
+                r["cnt"],
+                r["cusum_pos"],
+                r["cusum_neg"],
+                r["alarm_pos"],
+                r["alarm_neg"],
+            )
+            for r in REGISTRY["ev19_cusum_changepoint"].spark(spark, sf_dir).collect()
+        )
+        assert got == sorted(want)
+
+    def test_clamp_floor(self, spark, sf_dir):
+        rows = REGISTRY["ev19_cusum_changepoint"].spark(spark, sf_dir).collect()
+        assert all(r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in rows)
+        assert len(rows) == 150  # 5 types x 30 days
+
+
+class TestSeasonalIndices:
+    def test_matches_sequential_indices(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .count()
+            .collect()
+        )
+        agg: dict[tuple, list] = {}
+        tot: dict[str, list] = {}
+        for r in daily:
+            et, wd, c = r["event_type"], r["day"].isoweekday(), r["count"]
+            a = agg.setdefault((et, wd), [0, 0])
+            a[0] += 1
+            a[1] += c
+            t = tot.setdefault(et, [0, 0])
+            t[0] += 1
+            t[1] += c
+        got = {
+            (r["event_type"], r["weekday"]): (
+                r["n_days"],
+                r["sum_cnt"],
+                r["seasonal_index"],
+            )
+            for r in REGISTRY["ev20_seasonal_indices"].spark(spark, sf_dir).collect()
+        }
+        want = {
+            (et, wd): (
+                n,
+                s,
+                round(float(s * tot[et][0]) / float(n * tot[et][1]), 6),
+            )
+            for (et, wd), (n, s) in agg.items()
+        }
+        assert got == want
+
+    def test_index_mass_balance(self, spark, sf_dir):
+        """Weighted by day counts, the indices average to exactly 1:
+        sum_wd(n_wd * idx_wd) = D for each type (the multiplicative-
+        decomposition normalization, exact by construction)."""
+        rows = REGISTRY["ev20_seasonal_indices"].spark(spark, sf_dir).collect()
+        by_et: dict[str, list] = {}
+        for r in rows:
+            by_et.setdefault(r["event_type"], []).append(r)
+        for et, rs in by_et.items():
+            d = sum(r["n_days"] for r in rs)
+            weighted = sum(r["n_days"] * r["seasonal_index"] for r in rs)
+            assert abs(weighted - d) < 1e-4
