@@ -231,6 +231,8 @@ EXTRA = [
     "s17_hard_negative_mining", # contrastive hard-negative mining
     "ev19_cusum_changepoint",   # exact-integer CUSUM drift detector
     "ev20_seasonal_indices",    # day-of-week seasonal indices
+    "s18_rocchio_prf",          # pseudo-relevance-feedback expansion
+    "pr9_harmonic_centrality",  # bounded-radius harmonic centrality
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

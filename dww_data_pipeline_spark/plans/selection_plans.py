@@ -1008,3 +1008,260 @@ def ev20_seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s18_rocchio_prf — pseudo-relevance-feedback query expansion.
+#
+# Rocchio (1971) with alpha = beta = 1 over the top-|F| first-round
+# results: q' = q + (1/|F|) * sum(F).  Scaling by |F| = 5 clears the
+# centroid denominator — the expanded query is the exact integer
+# vector 5*q + sum(F), and second-round scores are exact BIGINT dots
+# against it, so both rounds' rankings and tie-breaks are
+# bit-identical cross-engine.  in_feedback marks results the
+# expansion itself contributed (the classic PRF self-retrieval
+# effect, made visible).
+#
+# Scale shape: two broadcast-query corpus scans (round 1 top-k
+# window, round 2 re-score) — the s1 skeleton twice; the expansion
+# vector is built from the 5-row feedback set (bounded BY
+# CONSTRUCTION by the round-1 window cap before collection) with a
+# zip_with fold, never a dim-explode shuffle.
+# ---------------------------------------------------------------------------
+
+_PRF_FB = 5
+_PRF_K = 5
+
+
+def _s18_oracle() -> str:
+    return f"""WITH {_SQL_QV},
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qvec FROM qv
+  WHERE vec_id IN {_MMR_QUERIES}),
+r1 AS MATERIALIZED (
+  SELECT query_id, vec_id, v FROM (
+    SELECT q.query_id, e.vec_id, e.v,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_sql_idot('e.v', 'q.qvec')} DESC,
+                                       e.vec_id) AS rn
+    FROM qv e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {_PRF_FB}
+),
+fbsum AS MATERIALIZED (
+  SELECT query_id, dim, CAST(SUM(x) AS BIGINT) AS s FROM (
+    SELECT query_id, unnest(range(len(v))) AS dim, unnest(v) AS x FROM r1
+  ) GROUP BY query_id, dim
+),
+expq AS MATERIALIZED (
+  SELECT f.query_id,
+         list_transform(
+           list_zip(q.qvec, list(f.s ORDER BY f.dim)),
+           p -> 5 * p[1] + p[2]) AS ev
+  FROM fbsum f JOIN q ON q.query_id = f.query_id
+  GROUP BY f.query_id, q.qvec
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, prf_dot, in_feedback
+FROM (
+  SELECT x.query_id, c.vec_id,
+         {_sql_idot('c.v', 'x.ev')} AS prf_dot,
+         EXISTS (SELECT 1 FROM r1 WHERE r1.query_id = x.query_id
+                 AND r1.vec_id = c.vec_id) AS in_feedback,
+         row_number() OVER (PARTITION BY x.query_id
+                            ORDER BY {_sql_idot('c.v', 'x.ev')} DESC,
+                                     c.vec_id) AS rank
+  FROM qv c, expq x WHERE c.vec_id <> x.query_id
+) WHERE rank <= {_PRF_K}"""
+
+
+@register(
+    "s18_rocchio_prf",
+    oracle=_s18_oracle(),
+    description="ROCCHIO PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971, "
+    "alpha = beta = 1): round-1 top-5 per query, expanded query as "
+    "the EXACT integer vector 5*q + sum(feedback) (scaling clears "
+    "the centroid denominator), round-2 re-score against it — both "
+    "rankings exact BIGINT cross-engine; in_feedback exposes the PRF "
+    "self-retrieval effect. Two broadcast-query scans (the s1 "
+    "skeleton twice); the expansion folds the 5-row bounded feedback "
+    "set, never a dim-explode shuffle",
+)
+def s18_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = quantized_vectors(spark, sf_dir)
+    q = qv.filter(F.col("vec_id").isin(*_MMR_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    w = Window.partitionBy("query_id")
+    r1 = (
+        qv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "v",
+            _int_dot(F.col("v"), F.col("qvec")).alias("dot1"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("dot1"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rn") <= _PRF_FB)
+        .select("query_id", "vec_id", "v")
+        .localCheckpoint()
+    )
+    zero_vec = F.transform(F.col("qvec"), lambda _: F.lit(0).cast("long"))
+    expq = (
+        r1.groupBy("query_id")
+        .agg(F.collect_list("v").alias("fb"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.zip_with(
+                F.col("qvec"),
+                F.aggregate(
+                    F.col("fb"),
+                    zero_vec,
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ),
+                lambda qx, sx: 5 * qx + sx,
+            ).alias("ev"),
+        )
+    )
+    fb_flag = r1.select("query_id", "vec_id", F.lit(True).alias("in_feedback"))
+    return (
+        qv.join(F.broadcast(expq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dot(F.col("v"), F.col("ev")).alias("prf_dot"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(w.orderBy(F.desc("prf_dot"), F.asc("vec_id"))),
+        )
+        .filter(F.col("rank") <= _PRF_K)
+        .join(F.broadcast(fb_flag), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "prf_dot",
+            F.coalesce(F.col("in_feedback"), F.lit(False)).alias("in_feedback"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pr9_harmonic_centrality — bounded-radius harmonic centrality.
+#
+# H(u) = sum over reachable v != u of 1/d(u,v), truncated at radius 3
+# (Boldi & Vigna 2014 axiomatize the harmonic form; bounded-radius
+# truncation is the standard distributed approximation).  Scaling by
+# 6 = lcm(1,2,3) clears every denominator: h6 = 6*n1 + 3*n2 + 2*n3
+# is EXACT BIGINT from the per-distance frontier counts, and the
+# double emitted is one correctly-rounded division.
+#
+# Runs on the strong-tie co-supplier graph (pr4's >= 8 shared-orders
+# threshold — the rule that keeps a bounded-node-dimension graph
+# sparse as the fact table grows), so the three frontier expansions
+# are joins over a node-bounded edge list: distinct-then-anti-join
+# per ring (exactly-distance-k sets), never a weighted multiplicity
+# blowup.  The oracle reuses the same shared graph SQL prefix as
+# pr4/pr5.
+# ---------------------------------------------------------------------------
+
+
+def _pr9_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext import _STRONG_GRAPH_SQL
+
+    return f"""WITH {_STRONG_GRAPH_SQL},
+sym AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+d1 AS MATERIALIZED (SELECT a AS u, b AS w FROM sym),
+d2 AS MATERIALIZED (
+  SELECT DISTINCT d1.u, s.b AS w
+  FROM d1 JOIN sym s ON s.a = d1.w
+  WHERE s.b <> d1.u
+    AND NOT EXISTS (SELECT 1 FROM d1 i WHERE i.u = d1.u AND i.w = s.b)
+),
+d3 AS MATERIALIZED (
+  SELECT DISTINCT d2.u, s.b AS w
+  FROM d2 JOIN sym s ON s.a = d2.w
+  WHERE s.b <> d2.u
+    AND NOT EXISTS (SELECT 1 FROM d1 i WHERE i.u = d2.u AND i.w = s.b)
+    AND NOT EXISTS (SELECT 1 FROM d2 i WHERE i.u = d2.u AND i.w = s.b)
+),
+counts AS (
+  SELECT deg.node,
+         CAST(COALESCE((SELECT COUNT(*) FROM d1 WHERE d1.u = deg.node), 0) AS BIGINT) AS n1,
+         CAST(COALESCE((SELECT COUNT(*) FROM d2 WHERE d2.u = deg.node), 0) AS BIGINT) AS n2,
+         CAST(COALESCE((SELECT COUNT(*) FROM d3 WHERE d3.u = deg.node), 0) AS BIGINT) AS n3
+  FROM deg
+)
+SELECT node, n1, n2, n3,
+       6 * n1 + 3 * n2 + 2 * n3 AS h6,
+       round(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6.0, 6) AS harmonic
+FROM counts"""
+
+
+@register(
+    "pr9_harmonic_centrality",
+    oracle=_pr9_oracle(),
+    description="HARMONIC CENTRALITY truncated at radius 3 (Boldi & "
+    "Vigna 2014) over the strong-tie co-supplier graph: per-node "
+    "exactly-distance-k ring sizes via distinct + anti-join frontier "
+    "expansion, h6 = 6*n1 + 3*n2 + 2*n3 EXACT BIGINT (lcm scaling "
+    "clears the 1/d denominators), one correctly-rounded division at "
+    "the end. The >= 8 shared-orders threshold keeps the node-"
+    "bounded edge list sparse as the fact table grows (pr4's rule); "
+    "the centrality itself never touches the fact table again",
+)
+def pr9_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+    pairs, deg, _ = strong_tie_graph(spark, sf_dir)
+    sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    d1 = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    d2 = (
+        d1.join(sym, d1.w == sym.a)
+        .select("u", F.col("b").alias("w2"))
+        .filter(F.col("w2") != F.col("u"))
+        .select("u", F.col("w2").alias("w"))
+        .distinct()
+        .join(d1, ["u", "w"], "left_anti")
+        .localCheckpoint()
+    )
+    d3 = (
+        d2.join(sym, d2.w == sym.a)
+        .select("u", F.col("b").alias("w2"))
+        .filter(F.col("w2") != F.col("u"))
+        .select("u", F.col("w2").alias("w"))
+        .distinct()
+        .join(d1, ["u", "w"], "left_anti")
+        .join(d2, ["u", "w"], "left_anti")
+    )
+
+    def ring(df, name):
+        return df.groupBy("u").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        deg.select("node")
+        .join(ring(d1, "n1").withColumnRenamed("u", "node"), "node", "left")
+        .join(ring(d2, "n2").withColumnRenamed("u", "node"), "node", "left")
+        .join(ring(d3, "n3").withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+            F.coalesce("n3", F.lit(0)).cast("long").alias("n3"),
+        )
+    )
+    h6 = 6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3")
+    return out.select(
+        "node",
+        "n1",
+        "n2",
+        "n3",
+        h6.alias("h6"),
+        F.round(h6.cast("double") / 6.0, 6).alias("harmonic"),
+    )

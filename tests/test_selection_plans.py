@@ -361,3 +361,67 @@ class TestSeasonalIndices:
             d = sum(r["n_days"] for r in rs)
             weighted = sum(r["n_days"] * r["seasonal_index"] for r in rs)
             assert abs(weighted - d) < 1e-4
+
+
+class TestRocchioPrf:
+    def test_matches_sequential_prf(self, spark, sf_dir):
+        qv = _quantized_np(spark, sf_dir)
+        want = []
+        for qid in (0, 1, 2):
+            q = qv[qid]
+            r1 = sorted(
+                ((int(qv[i] @ q), i) for i in qv if i != qid),
+                key=lambda p: (-p[0], p[1]),
+            )[:5]
+            fb = [i for _, i in r1]
+            ev = 5 * q + sum(qv[i] for i in fb)
+            r2 = sorted(
+                ((int(qv[i] @ ev), i) for i in qv if i != qid),
+                key=lambda p: (-p[0], p[1]),
+            )[:5]
+            for rank, (d, i) in enumerate(r2, 1):
+                want.append((qid, rank, i, d, i in set(fb)))
+        got = sorted(
+            (
+                r["query_id"],
+                r["rank"],
+                r["vec_id"],
+                r["prf_dot"],
+                r["in_feedback"],
+            )
+            for r in REGISTRY["s18_rocchio_prf"].spark(spark, sf_dir).collect()
+        )
+        assert got == sorted(want)
+
+
+class TestHarmonicCentrality:
+    def test_matches_sequential_bfs(self, spark, sf_dir):
+        """Ring sizes and h6 equal a from-scratch BFS truncated at
+        radius 3 over the same strong-tie graph."""
+        from dww_data_pipeline_spark.plans.pipeline_ext import strong_tie_graph
+
+        pairs, _, _ = strong_tie_graph(spark, sf_dir)
+        adj: dict[int, set] = {}
+        for r in pairs.collect():
+            adj.setdefault(r["u"], set()).add(r["v"])
+            adj.setdefault(r["v"], set()).add(r["u"])
+        want = {}
+        for u in adj:
+            seen = {u}
+            frontier = {u}
+            rings = []
+            for _ in range(3):
+                frontier = {w for x in frontier for w in adj[x]} - seen
+                rings.append(len(frontier))
+                seen |= frontier
+            n1, n2, n3 = rings
+            want[u] = (n1, n2, n3, 6 * n1 + 3 * n2 + 2 * n3)
+        got = {
+            r["node"]: (r["n1"], r["n2"], r["n3"], r["h6"])
+            for r in REGISTRY["pr9_harmonic_centrality"].spark(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_harmonic_is_h6_over_6(self, spark, sf_dir):
+        for r in REGISTRY["pr9_harmonic_centrality"].spark(spark, sf_dir).collect():
+            assert r["harmonic"] == round(r["h6"] / 6.0, 6)
