@@ -744,3 +744,79 @@ class TestSpanScrubProperties:
             assert r["n_spans"] == len(ss)
             assert r["n_removed"] == len(toks) - len(want_kept)
             assert r["scrubbed_text"] == " ".join(want_kept)
+
+
+class TestRecurrenceCrossEngineParity:
+    """The ev18/ev19 recurrence discipline, fuzzed: the identical
+    left-to-right fold must produce BIT-IDENTICAL results on DuckDB
+    (the oracle's recursive-CTE walk) and a pure-Python fold, on
+    hostile random series the 30-day fixture never covers (spikes,
+    zeros, long runs). No Spark here — the Spark==DuckDB leg is
+    pinned by diffcheck on the real tables; this pins the walk's
+    arithmetic itself, including the DuckDB v1.0 struct-state
+    list_reduce hazard the oracle deliberately avoids."""
+
+    @given(
+        ys=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=2, max_size=45
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_holt_walk_matches_python(self, ys):
+        import duckdb
+
+        lit = "[" + ", ".join(f"CAST({y} AS DOUBLE)" for y in ys) + "]"
+        q = f"""
+        WITH RECURSIVE ser AS (SELECT {lit} AS ys),
+        walk(i, l, b) AS (
+          SELECT 2, ys[1], ys[2] - ys[1] FROM ser
+          UNION ALL
+          SELECT w.i + 1,
+                 (s.ys[w.i + 1] + w.l + w.b) * 0.5,
+                 (((s.ys[w.i + 1] + w.l + w.b) * 0.5) - w.l + w.b) * 0.5
+          FROM walk w, ser s WHERE w.i < len(s.ys)
+        )
+        SELECT l, b FROM walk WHERE i = {len(ys)}
+        """
+        dl, db = duckdb.connect().execute(q).fetchone()
+        level, trend = float(ys[0]), float(ys[1]) - float(ys[0])
+        for y in [float(v) for v in ys[2:]]:
+            lnew = (y + level + trend) * 0.5
+            trend = (lnew - level + trend) * 0.5
+            level = lnew
+        assert (dl, db) == (level, trend)  # bit-identical, no tolerance
+
+    @given(
+        ys=st.lists(
+            st.integers(min_value=0, max_value=10_000), min_size=1, max_size=45
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_cusum_walk_matches_python(self, ys):
+        import duckdb
+
+        d, t = len(ys), sum(ys)
+        lit = "[" + ", ".join(f"CAST({y} AS BIGINT)" for y in ys) + "]"
+        q = f"""
+        WITH RECURSIVE ser AS (SELECT {lit} AS ys),
+        walk(i, sp, sn) AS (
+          SELECT 1,
+                 GREATEST(CAST(0 AS BIGINT), 20 * {d} * ys[1] - 21 * {t}),
+                 GREATEST(CAST(0 AS BIGINT), 19 * {t} - 20 * {d} * ys[1])
+          FROM ser
+          UNION ALL
+          SELECT w.i + 1,
+                 GREATEST(CAST(0 AS BIGINT), w.sp + 20 * {d} * s.ys[w.i + 1] - 21 * {t}),
+                 GREATEST(CAST(0 AS BIGINT), w.sn + 19 * {t} - 20 * {d} * s.ys[w.i + 1])
+          FROM walk w, ser s WHERE w.i < {d}
+        )
+        SELECT i, sp, sn FROM walk
+        """
+        got = sorted(duckdb.connect().execute(q).fetchall())
+        sp = sn = 0
+        want = []
+        for i, y in enumerate(ys, 1):
+            sp = max(0, sp + 20 * d * y - 21 * t)
+            sn = max(0, sn + 19 * t - 20 * d * y)
+            want.append((i, sp, sn))
+        assert got == want
