@@ -233,6 +233,7 @@ EXTRA = [
     "ev20_seasonal_indices",    # day-of-week seasonal indices
     "s18_rocchio_prf",          # pseudo-relevance-feedback expansion
     "pr9_harmonic_centrality",  # bounded-radius harmonic centrality
+    "st16_stream_cusum",        # CUSUM drift detection at ingest
 ]
 
 # Calibration pair (round-6 verdict ask #2): one CPU-bound expression

@@ -880,6 +880,14 @@ def ev19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return cusum_walk(daily)
+
+
+def cusum_walk(daily: DataFrame) -> DataFrame:
+    """The ev19 batch core over a (event_type, day: date, cnt) daily
+    table — shared verbatim by the oracle-checked batch query and the
+    streaming twin (streaming/drift_ingest.py), the st13/st15
+    batch-core discipline."""
     ser = (
         daily.groupBy("event_type")
         .agg(
@@ -943,6 +951,53 @@ def ev19_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("z")["walk"]["sp"] > 10 * F.col("t")).alias("alarm_pos"),
         (F.col("z")["walk"]["sn"] > 10 * F.col("t")).alias("alarm_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st16_stream_cusum — the drift detector's AT-INGEST form.
+#
+# streaming/drift_ingest.py folds micro-batches into a versioned
+# daily-count state and recomputes ev19's walk per batch; the
+# registry query pins the MID-STREAM semantics the stream emits: the
+# drift table over the PREFIX of the series ingested so far (here
+# the first 20 generator days — what the detector shows while the
+# rest of the month is still arriving). Same cusum_walk core, same
+# exact scaled-integer arithmetic; mu/slack/alarm derive from the
+# prefix's own T and D, exactly as each micro-batch recomputation
+# does. Stream == batch parity for arbitrary choppings is pinned by
+# tests/test_stream_ingest.py::TestStreamCusum.
+# ---------------------------------------------------------------------------
+
+_ST16_CUT = "2024-01-20"
+
+_ST16_ORACLE = _EV19_ORACLE.replace(
+    "FROM events GROUP BY event_type, CAST(ts AS DATE)",
+    f"FROM events WHERE CAST(ts AS DATE) <= DATE '{_ST16_CUT}'\n"
+    "  GROUP BY event_type, CAST(ts AS DATE)",
+)
+
+
+@register(
+    "st16_stream_cusum",
+    oracle=_ST16_ORACLE,
+    description="CUSUM DRIFT DETECTION AT INGEST (ev19's streaming "
+    "twin, streaming/drift_ingest.py): the mid-stream drift table "
+    "over the first-20-days PREFIX of the series — what the detector "
+    "emits while the rest of the month is still arriving; mu, slack "
+    "and alarms derive from the prefix's own totals exactly as each "
+    "micro-batch recomputation does. Versioned bounded daily-count "
+    "state (state after batch N overwritten idempotently on replay); "
+    "stream == batch for arbitrary choppings pinned by the parity "
+    "test",
+)
+def st16_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.to_date("ts") <= F.lit(_ST16_CUT).cast("date"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cusum_walk(daily)
 
 
 # ---------------------------------------------------------------------------

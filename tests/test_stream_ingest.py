@@ -313,3 +313,72 @@ class TestStreamLmScore:
             os.path.join(out, "batch=*")
         ).select("doc_id", "n_bigrams", "n_oov", "avg_logp")
         assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
+
+
+class TestStreamCusum:
+    """CUSUM-at-ingest (streaming/drift_ingest.py) == the ev19 batch
+    core after the final micro-batch, for a multi-micro-batch
+    chopping of the event feed: the versioned daily-count state makes
+    the accumulated series identical to the batch table, and the walk
+    is the SAME cusum_walk the oracle-checked query runs."""
+
+    def test_final_microbatch_equals_batch(self, spark, tmp_path):
+        from dww_data_pipeline_spark.plans.registry import REGISTRY, all_queries
+        from dww_data_pipeline_spark.streaming.drift_ingest import stream_cusum
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        all_queries()
+        sf_dir = "/root/testdata/sf0.001"
+        batch_ans = sorted(
+            tuple(r)
+            for r in REGISTRY["ev19_cusum_changepoint"].spark(spark, sf_dir).collect()
+        )
+        assert batch_ans
+
+        ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+        src = str(tmp_path / "src")
+        # three source files -> three micro-batches, interleaved by
+        # timestamp second so each batch touches most days (arrival order
+        # is NOT day order)
+        for i in range(3):
+            ev.filter(F.second("ts") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "drift")
+        q = stream_cusum(
+            sdf,
+            out,
+            checkpoint=str(tmp_path / "ckpt"),
+            state_dir=str(tmp_path / "state"),
+        )
+        q.awaitTermination(180)
+
+        import os
+
+        batches = sorted(
+            int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("batch=")
+        )
+        assert len(batches) == 3  # one per source file
+        final = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/batch={batches[-1]}").collect()
+        )
+        assert final == batch_ans
+
+        # intermediate batches carry the same schema and only-seen days
+        mid = spark.read.parquet(f"{out}/batch={batches[0]}")
+        assert mid.columns == [
+            "event_type",
+            "day",
+            "cnt",
+            "cusum_pos",
+            "cusum_neg",
+            "alarm_pos",
+            "alarm_neg",
+        ]
+        assert 0 < mid.count() <= len(batch_ans)
