@@ -26,6 +26,39 @@ def test_proof_ledger_fresh():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_proof_ledger_pending_vs_drift():
+    """A driver artifact newer than the last rotation is PENDING (exit 0
+    — the expected between-rounds state that red-flagged rounds 6–8),
+    while a hand-edited ledger still fails even in that state."""
+    import re
+
+    check = [sys.executable, os.path.join(REPO, "tools", "proof_ledger.py"), "--check"]
+    reg = os.path.join(REPO, "dww_data_pipeline_spark", "plans", "registry.py")
+    hi = int(re.search(r"latest seen: r(\d+)", open(reg).read()).group(1))
+    fake = os.path.join(REPO, f"CORRECTNESS_r{hi + 90}.json")
+    cov = os.path.join(REPO, "COVERAGE.md")
+    cov_text = open(cov).read()
+    assert not os.path.exists(fake)
+    try:
+        # pick any real green row so the fake artifact parses as proof
+        import glob
+        import json
+
+        src = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-1]
+        rows = json.load(open(src))
+        json.dump(dict(list(rows.items())[:2]), open(fake, "w"))
+        r = subprocess.run(check, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0 and "PENDING" in r.stdout, r.stdout + r.stderr
+        # hand-edit on top of the pending artifact must still fail
+        open(cov, "w").write(cov_text.replace("| 0 | `", "| 0 | `HANDEDIT", 1))
+        r = subprocess.run(check, capture_output=True, text=True, timeout=600)
+        assert r.returncode == 1 and "STALE" in r.stdout, r.stdout + r.stderr
+    finally:
+        open(cov, "w").write(cov_text)
+        if os.path.exists(fake):
+            os.remove(fake)
+
+
 def test_registry_prefix_spends_sample_on_unproven():
     """No unproven query may wait BEHIND the ~50-slot driver prefix while
     an already-proven query occupies a prefix slot (the round-4 rotation
