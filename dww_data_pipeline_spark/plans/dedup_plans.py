@@ -2020,3 +2020,216 @@ def span_scrub(d: DataFrame, K: int = _D20_K) -> DataFrame:
         F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d26 — exact-substring dedup in its PUBLISHED form (Lee et al.
+# 2107.06499 "Deduplicating Training Data Makes Language Models
+# Better", the ExactSubstr pass: suffix arrays, 50-token min-match).
+# d20/d25 are the K-gram island APPROXIMATION of this operator and
+# count cross-doc occurrences only; d26 implements the paper's
+# definition — a length-50 token window is duplicated when it occurs
+# at least twice ANYWHERE in the corpus, within- or cross-doc.
+#
+# Suffix RANKS by prefix doubling, Spark-native:
+#   round 0: rank class of each single token;
+#   round k: rank class of each 2^k-token prefix = the PAIR
+#            (r_{2^(k-1)}[pos], r_{2^(k-1)}[pos + 2^(k-1)]).
+# log2(32) = 5 static rounds rank every 32-token prefix; a length-50
+# window then compares in O(1) via the classic two-level trick —
+# windows at i and j are token-identical iff
+# (r32[i], r32[i+18]) == (r32[j], r32[j+18])  (18 = 50 - 32).
+#
+# Rank VALUES never reach the output (only rank EQUALITY does), so
+# classes need a representative, not a dense ordering: the class id is
+# MIN(gid) over the class, where gid = doc_id * 2^32 + pos is the
+# unique global position id.  That turns every doubling round into
+# pure hash shuffles — no global sort, no single-partition window:
+#   * the pos+g shift is a per-doc lead() window (partition bounded by
+#     document length, d20's discipline);
+#   * the class id is one (r, rb) -> MIN(gid) aggregation (map-side
+#     partial agg absorbs hot classes) plus one (r, rb) equi-join back
+#     (AQE skew-join splits a boilerplate class that floods one key).
+# Suffixes never cross document boundaries (per-doc positions; rank 0
+# marks "past end of doc" and can never equal a real MIN(gid) >= 1),
+# so no sentinel tokens are needed.
+#
+# Duplicated windows merge into maximal per-doc spans exactly as d20
+# does (gap-and-islands, gap <= L).  The oracle unrolls the five
+# doubling rounds as MATERIALIZED CTE stages (t33's unroll discipline;
+# MATERIALIZED because DuckDB inlines each CTE per reference and the
+# chain references each round twice — measured 98.6 s -> 0.10 s at
+# sf0.001).
+# ---------------------------------------------------------------------------
+
+_D26_L = 50  # published min-match length (Lee et al. 2107.06499 §4.1)
+
+
+def _d26_round_sql(g: int) -> str:
+    """One prefix-doubling round as CTE stages: r{2g} from r{g}."""
+    d = 2 * g
+    return f"""p{d} AS MATERIALIZED (
+  SELECT a.doc_id, a.n, a.pos, a.gid, a.r AS ra, COALESCE(b.r, 0) AS rb
+  FROM r{g} a LEFT JOIN r{g} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {g}
+), c{d} AS MATERIALIZED (
+  SELECT ra, rb, MIN(gid) AS r FROM p{d} GROUP BY ra, rb
+), r{d} AS MATERIALIZED (
+  SELECT p{d}.doc_id, p{d}.n, p{d}.pos, p{d}.gid, c{d}.r
+  FROM p{d} JOIN c{d} USING (ra, rb)
+)"""
+
+
+def _d26_oracle(L: int = _D26_L) -> str:
+    base = 1 << (L.bit_length() - 1)
+    half = L - base
+    rounds = ",\n".join(_d26_round_sql(g) for g in (1, 2, 4, 8, 16) if 2 * g <= base)
+    toks = _SQL_TOKS
+    if half:
+        win = f"""win AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, a.r AS f1, b.r AS f2
+  FROM r{base} a JOIN r{base} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {half}
+  WHERE a.pos + {L - 1} <= a.n
+)"""
+    else:
+        win = f"""win AS MATERIALIZED (
+  SELECT doc_id, pos, r AS f1, r AS f2 FROM r{base} WHERE pos + {L - 1} <= n
+)"""
+    return f"""
+WITH tl AS MATERIALIZED (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n
+  FROM documents WHERE len({toks}) >= {L}
+), praw AS (
+  SELECT doc_id, n, CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos,
+         unnest(toks) AS tok
+  FROM tl
+), pg AS MATERIALIZED (
+  SELECT doc_id, n, pos, tok, doc_id * 4294967296 + pos AS gid FROM praw
+), c1 AS MATERIALIZED (
+  SELECT tok, MIN(gid) AS r FROM pg GROUP BY tok
+), r1 AS MATERIALIZED (
+  SELECT pg.doc_id, pg.n, pg.pos, pg.gid, c1.r FROM pg JOIN c1 USING (tok)
+),
+{rounds},
+{win}, dupf AS MATERIALIZED (
+  SELECT f1, f2 FROM win GROUP BY f1, f2 HAVING COUNT(*) >= 2
+), dw AS MATERIALIZED (
+  SELECT win.doc_id, win.pos FROM win JOIN dupf USING (f1, f2)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {L} THEN 0 ELSE 1 END AS b
+  FROM dw
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {L - 1} AS span_end,
+       MAX(pos) + {L} - MIN(pos) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register(
+    "d26_suffix_array_spans",
+    oracle=_d26_oracle(),
+    description="EXACT-SUBSTRING dedup, PUBLISHED form (Lee et al. "
+    "2107.06499 ExactSubstr): suffix ranks by prefix doubling — five "
+    "static Spark-native rounds, each a per-doc lead() window (rank "
+    "of pos+g) plus one (r, rb) -> MIN(gid) class aggregation and "
+    "equi-join back (partial agg + AQE skew-join absorb hot "
+    "boilerplate classes; rank EQUALITY is all the output needs, so "
+    "class representatives replace dense ranks and no global sort "
+    "ever runs) — then every length-50 window compares in O(1) via "
+    "the two-level rank pair (r32[pos], r32[pos+18]); windows "
+    "occurring >= 2 times ANYWHERE (within- or cross-doc, the "
+    "paper's definition — d20/d25 are the K-gram cross-doc-only "
+    "approximation) merge into maximal spans by d20's "
+    "gap-and-islands. Oracle unrolls the doubling rounds as "
+    "MATERIALIZED CTE stages (t33's discipline).",
+)
+def d26_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return suffix_array_spans(load_table(spark, sf_dir, "documents"))
+
+
+def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
+    """The d26 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python suffix array (the
+    substring_spans pattern). ``L`` is the min-match window width;
+    doubling rounds rank prefixes of length base = 2^floor(log2 L)."""
+    from pyspark.sql import Window
+
+    base = 1 << (L.bit_length() - 1)
+    half = L - base
+    tl = d.select("doc_id", _spark_tokens(F.col("text")).alias("_tk")).filter(
+        F.size("_tk") >= L
+    )
+    p = (
+        tl.select("doc_id", F.size("_tk").alias("n"), F.posexplode("_tk").alias("p0", "tok"))
+        .select(
+            "doc_id",
+            "n",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            "tok",
+        )
+        # class representative = MIN(gid); ids must be unique across
+        # docs, so doc_id strides by 2^32 — fail loudly past the
+        # packing domain rather than silently corrupt rank classes
+        .withColumn(
+            "gid",
+            F.expr(
+                "CASE WHEN doc_id BETWEEN 0 AND 2147483647 "
+                "THEN CAST(doc_id AS BIGINT) * 4294967296 + pos "
+                "ELSE CAST(raise_error(concat('d26 gid packing expects "
+                "0 <= doc_id < 2^31, got ', CAST(doc_id AS STRING))) "
+                "AS BIGINT) END"
+            ),
+        )
+    )
+    c1 = p.groupBy("tok").agg(F.min("gid").alias("r"))
+    r = p.join(c1, "tok").select("doc_id", "n", "pos", "gid", "r")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    g = 1
+    while 2 * g <= base:
+        # positions are contiguous 1..n per doc, so lead(g) == pos+g;
+        # 0 = "suffix ended" (real class ids are gids >= 1)
+        pr = r.withColumn("rb", F.lead("r", g, 0).over(w_doc))
+        cls = pr.groupBy("r", "rb").agg(F.min("gid").alias("r2"))
+        r = pr.join(cls, ["r", "rb"]).select(
+            "doc_id", "n", "pos", "gid", F.col("r2").alias("r")
+        )
+        g *= 2
+    f2 = F.lead("r", half, 0).over(w_doc) if half else F.col("r")
+    win = (
+        r.withColumn("f2", f2)
+        .filter(F.col("pos") + (L - 1) <= F.col("n"))
+        .select("doc_id", "pos", F.col("r").alias("f1"), "f2")
+    )
+    dup = (
+        win.groupBy("f1", "f2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("f1", "f2")
+    )
+    dw = win.join(dup, ["f1", "f2"], "left_semi").select("doc_id", "pos")
+    isl = dw.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("b").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L - 1).alias("span_end"),
+            (F.max("pos") + L - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+    )

@@ -1747,6 +1747,16 @@ def m6_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knob (the paper runs k ~ sqrt(n); here k=4 pinned by e7's oracle
 # unroll). The oracle embeds e7's unrolled recurrence as a CTE (the
 # s8 pattern) and walks components recursively per cluster.
+#
+# Float caveat (ACCEPTED, same as d7b / bucket_pairs_cos_arrow's
+# docstring): the Spark side thresholds the RAW BLAS-summed cosine
+# at 0.3 while the oracle thresholds a raw left-to-right list_sum
+# fold — summation order differs, so a pair whose cosine sits within
+# ~1e-15 of 0.3 could flip cross-engine and move a component
+# assignment. Rounding before the threshold (the d5/d7 round(cos,6)
+# discipline) only relocates the same-measure flip window to the
+# half-micro rounding boundary, so we keep the raw threshold and
+# the vectorized scorer; empirically zero hits across all SFs.
 # ---------------------------------------------------------------------------
 
 

@@ -820,3 +820,124 @@ class TestRecurrenceCrossEngineParity:
             sn = max(0, sn + 19 * t - 20 * d * y)
             want.append((i, sp, sn))
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9: d26 suffix-array exact-substring spans vs a pure-Python
+# suffix array (sorted suffixes + SA-neighbor LCP — a position's
+# length-L window is duplicated iff an SA-adjacent suffix shares an
+# LCP >= L, the textbook characterization; entirely independent of
+# the engine's prefix-doubling construction).
+# ---------------------------------------------------------------------------
+
+# 2-symbol vocabulary makes exact length-6 repeats genuinely likely in
+# 40-token docs (2^6 = 64 possible windows), including WITHIN-doc
+# repeats — d26 counts those too (the published ExactSubstr form)
+_D26_DOCS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb"]), min_size=0, max_size=40),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _sa_ref_spans(docs: list[list[str]], L: int) -> list[tuple]:
+    sufs = [
+        (tuple(toks[i:]), did, i + 1)
+        for did, toks in enumerate(docs)
+        for i in range(len(toks))
+    ]
+    sufs.sort()
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    dup: set[tuple[int, int]] = set()
+    for k in range(len(sufs) - 1):
+        if lcp(sufs[k][0], sufs[k + 1][0]) >= L:
+            dup.add((sufs[k][1], sufs[k][2]))
+            dup.add((sufs[k + 1][1], sufs[k + 1][2]))
+    out = []
+    for did in sorted({d for d, _ in dup}):
+        island: list[int] = []
+        for p in sorted(p for d, p in dup if d == did):
+            if island and p - island[-1] <= L:
+                island.append(p)
+            else:
+                if island:
+                    out.append(
+                        (did, island[0], island[-1] + L - 1,
+                         island[-1] + L - island[0], len(island))
+                    )
+                island = [p]
+        if island:
+            out.append(
+                (did, island[0], island[-1] + L - 1,
+                 island[-1] + L - island[0], len(island))
+            )
+    return sorted(out)
+
+
+class TestSuffixArraySpansProperties:
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_matches_pure_python_suffix_array(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=6).collect())
+        assert got == _sa_ref_spans(docs, 6)
+
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_power_of_two_window(self, spark, docs):
+        """L = 4 exercises the half == 0 path (window == one rank)."""
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=4).collect())
+        assert got == _sa_ref_spans(docs, 4)
+
+    def test_agrees_with_d20_on_shared_block(self, spark):
+        """d26 vs d20 on the same corpus: tokens are unique WITHIN each
+        doc (so every duplicate is cross-doc and both operators see it)
+        with a 60-token block shared at different offsets.  d26 (L=50)
+        must report exactly the shared block; every d26 span must lie
+        inside a d20 (K=5) island, since each 5-gram of a cross-doc
+        50-token match is itself cross-doc duplicated."""
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            substring_spans,
+            suffix_array_spans,
+        )
+
+        shared = [f"u{i}" for i in range(60)]
+        doc0 = [f"a{i}" for i in range(20)] + shared + [f"b{i}" for i in range(20)]
+        doc1 = [f"c{i}" for i in range(30)] + shared + [f"d{i}" for i in range(10)]
+        df = spark.createDataFrame(
+            [(0, " ".join(doc0)), (1, " ".join(doc1))],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in suffix_array_spans(df, L=50).collect()
+        )
+        # shared block occupies positions 21..80 in doc0, 31..90 in doc1
+        assert got == [(0, 21, 80), (1, 31, 90)]
+        d20 = [
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in substring_spans(df).collect()
+        ]
+        for did, s, e in got:
+            assert any(
+                d == did and s0 <= s and e0 >= e for d, s0, e0 in d20
+            ), f"d26 span ({did},{s},{e}) not contained in any d20 span {d20}"

@@ -59,6 +59,31 @@ def test_proof_ledger_pending_vs_drift():
             os.remove(fake)
 
 
+def test_bench_set_partitions_registry():
+    """Every registered query is either benched (HEADLINE + EXTRA) or
+    explicitly excluded with a reason category in bench.BENCH_EXCLUDED
+    — the bench-set rule is a checkable property, not a curated list
+    (round-8 verdict ask #7)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    from dww_data_pipeline_spark.plans.registry import all_queries
+
+    registered = set(all_queries())
+    benched = set(bench.HEADLINE) | set(bench.EXTRA)
+    excluded = set(bench.BENCH_EXCLUDED)
+    assert not (benched & excluded), (
+        f"queries both benched and excluded: {sorted(benched & excluded)}"
+    )
+    unaccounted = registered - benched - excluded
+    assert not unaccounted, (
+        f"queries neither benched nor explicitly excluded: "
+        f"{sorted(unaccounted)} — add to bench.EXTRA or BENCH_EXCLUDED"
+    )
+    ghosts = (benched | excluded) - registered
+    assert not ghosts, f"bench lists reference unregistered queries: {sorted(ghosts)}"
+
+
 def test_registry_prefix_spends_sample_on_unproven():
     """No unproven query may wait BEHIND the ~50-slot driver prefix while
     an already-proven query occupies a prefix slot (the round-4 rotation

@@ -3,8 +3,8 @@ local parallelism and report speedup / parallel efficiency.
 
     python tools/scaling.py [sf_dir] [--threads 4,8,16,32] [--multiply N]
     python tools/scaling.py [sf_dir] --data-scaling [--multiples 1,16,64]
-    python tools/scaling.py [sf_dir] --scale-artifact SCALE_r8.json \
-        [--multiples 1,16]   # recurring top-5 data-scaling artifact
+    python tools/scaling.py [sf_dir] --scale-artifact SCALE_r9.json \
+        [--multiples 1,16,64]   # recurring top-5 data-scaling artifact
 
 Each thread count gets a FRESH SparkSession (local[N], shuffle
 partitions = N — the same sizing rule session.py applies), each query
@@ -256,7 +256,7 @@ def scale_artifact(
     from dww_data_pipeline_spark.plans.registry import all_queries
     from dww_data_pipeline_spark.session import get_spark
 
-    multiples = multiples or [1, 16]
+    multiples = multiples or [1, 16, 64]
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench_path, bench = _latest_bench_local(repo_root)
     top = sorted(
@@ -291,7 +291,9 @@ def scale_artifact(
             print(json.dumps({"query": name, "multiple": m, "sec": rec[f"t{m}x"]}),
                   flush=True)
         lo, hi = multiples[0], multiples[-1]
-        rec["ratio"] = round(rec[f"t{hi}x"] / rec[f"t{lo}x"], 3)
+        for m in multiples[1:]:
+            rec[f"ratio_{m}x"] = round(rec[f"t{m}x"] / rec[f"t{lo}x"], 3)
+        rec["ratio"] = rec[f"ratio_{hi}x"]  # legacy top-tier alias
         rec["ideal"] = round(hi / lo, 1)
         out[name] = rec
     spark.stop()
@@ -316,7 +318,10 @@ def main() -> None:
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     threads = [4, 8, 16, 32]
     multiply = 0
-    multiples = [1, 16, 64]
+    # None = "--multiples not passed"; resolved per path below.  A list
+    # literal default made an EXPLICIT --multiples 1,16,64 indistinguishable
+    # from the sentinel and silently rewrote it to [1,16] (round-8 advice).
+    multiples = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         def _val(flag):
@@ -340,21 +345,23 @@ def main() -> None:
             artifact_out = a.split("=", 1)[1]
         elif a == "--scale-artifact" and i + 1 < len(argv):
             artifact_out = argv[i + 1]
+    # resolved defaults: the recurring artifact carries BOTH the 16x and
+    # 64x tiers from round 9 on (round-8 verdict ask #6); an explicit
+    # --multiples list is always honored verbatim.
+    mult_artifact = multiples or [1, 16, 64]
+    mult_ds = multiples or [1, 16, 64]
     # round-7 measured finding: 64x data on the shared 8 GiB local JVM
     # shows fake super-linear ratios from GC pressure — 16 GiB is the
     # default for any study that touches a >= 64x replica (driver
     # memory can only be set before the first session launches)
-    if (multiply >= 64 or ("--data-scaling" in argv and max(multiples) >= 64)
-            or (artifact_out and max(multiples) >= 64)):
+    if (multiply >= 64 or ("--data-scaling" in argv and max(mult_ds) >= 64)
+            or (artifact_out and max(mult_artifact) >= 64)):
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     if artifact_out:
-        scale_artifact(
-            sf_dir, artifact_out,
-            multiples=multiples if multiples != [1, 16, 64] else [1, 16],
-        )
+        scale_artifact(sf_dir, artifact_out, multiples=mult_artifact)
         return
     if "--data-scaling" in argv:
-        data_scaling(sf_dir, multiples)
+        data_scaling(sf_dir, mult_ds)
         return
 
     from dww_data_pipeline_spark.plans.registry import all_queries
