@@ -1811,13 +1811,16 @@ def s7_ann_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D20_K = 5  # token width of the fingerprinted window
 
 
-def _d20_stages() -> str:
+def _d20_stages(src: str = "documents") -> str:
     """The duplicated-window → gap-and-islands CTE chain (gl..isl),
-    shared by the d20 (span report) and d25 (span scrub) oracles."""
+    shared by the d20 (span report), d25 (span scrub) and c1
+    (curation composition) oracles.  ``src`` is the (doc_id, text)
+    relation the detection runs over — c1 scopes it to the kept
+    corpus."""
     toks = _SQL_TOKS
     return f"""gl AS (
   SELECT doc_id, {sql_kgrams(_D20_K)} AS grams
-  FROM documents WHERE len({toks}) >= {_D20_K}
+  FROM {src} WHERE len({toks}) >= {_D20_K}
 ), g AS (
   SELECT doc_id,
          CAST(unnest(generate_series(1, len(grams))) AS BIGINT) AS pos,

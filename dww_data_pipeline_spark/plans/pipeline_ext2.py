@@ -1071,6 +1071,7 @@ def _c1_attach_oracle() -> None:
     # text_plans loads after this module in registry._load_all — import
     # it explicitly so t13's oracle exists before we embed it
     from dww_data_pipeline_spark.plans import text_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.dedup_plans import _D20_K, _d20_stages
     from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
 
     t13 = REGISTRY["t13_corpus_filter_decision"].oracle
@@ -1082,10 +1083,33 @@ def _c1_attach_oracle() -> None:
       FROM documents d JOIN gate g ON g.doc_id = d.doc_id
       WHERE g.keep
     ),
-    dedup AS (
+    dedup AS MATERIALIZED (
       SELECT doc_id,
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
       FROM surv
+    ),
+    keptdocs AS MATERIALIZED (
+      SELECT s.doc_id, s.text
+      FROM surv s JOIN dedup dd ON dd.doc_id = s.doc_id
+      WHERE dd.is_keeper
+    ),
+    {_d20_stages(src="keptdocs")},
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_D20_K - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    sp AS (
+      SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY doc_id
+    ),
+    scrub AS MATERIALIZED (
+      SELECT b.doc_id, b.toks, s.spans,
+             CASE WHEN s.spans IS NULL THEN b.toks
+                  ELSE list_filter(b.toks, (x, i) ->
+                         len(list_filter(s.spans,
+                             sp2 -> i >= sp2[1] AND i <= sp2[2])) = 0)
+             END AS kept
+      FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM keptdocs) b
+      LEFT JOIN sp s USING (doc_id)
     )
     SELECT d.doc_id,
            CASE WHEN NOT g.keep THEN 'filtered'
@@ -1094,10 +1118,18 @@ def _c1_attach_oracle() -> None:
            CAST(CASE WHEN g.keep AND dd.is_keeper
                      THEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
                                                1, 8)) AS BIGINT) % 16
-                     ELSE -1 END AS BIGINT) AS shard
+                     ELSE -1 END AS BIGINT) AS shard,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(sc.toks) - len(sc.kept), 0) AS BIGINT)
+             AS n_removed,
+           CAST(COALESCE(len(sc.spans), 0) AS BIGINT) AS n_spans,
+           CASE WHEN g.keep AND dd.is_keeper
+                THEN COALESCE(array_to_string(sc.kept, ' '), '')
+                ELSE '' END AS scrubbed_text
     FROM documents d
     JOIN gate g ON g.doc_id = d.doc_id
     LEFT JOIN dedup dd ON dd.doc_id = d.doc_id
+    LEFT JOIN scrub sc ON sc.doc_id = d.doc_id
     """
     REGISTRY["c1_curation_pipeline"] = Query(
         name=q.name, spark=q.spark, oracle=oracle, description=q.description
@@ -1107,20 +1139,26 @@ def _c1_attach_oracle() -> None:
 @register(
     "c1_curation_pipeline",
     oracle=None,  # attached below — embeds t13's registered oracle
-    description="END-TO-END CURATION in one call: every document gets "
-    "its final disposition — 'filtered' (t13 quality/repetition/"
-    "rarity gate), 'duplicate' (identical-text survivor with a lower "
-    "id exists; d1 fingerprint discipline, text never shuffles), or "
-    "'kept' with its deterministic t21 shard assignment. The stages "
-    "are the already-verified operators COMPOSED, and the oracle "
-    "embeds t13's registered SQL as a CTE, so the differential check "
-    "verifies the composition itself. This is the query a corpus "
-    "owner schedules; the audit trail (why a doc fell out) stays "
-    "queryable via t13's reasons column.",
+    description="END-TO-END CURATION in one call, detection through "
+    "REWRITE: every document gets its final disposition — 'filtered' "
+    "(t13 quality/repetition/rarity gate), 'duplicate' (identical-"
+    "text survivor with a lower id exists; d1 fingerprint discipline, "
+    "text never shuffles), or 'kept' with its deterministic t21 shard "
+    "assignment — and every kept document additionally gets d25's "
+    "duplicated-span scrub, run over the KEPT corpus: original/"
+    "removed token counts and span count as exact integers plus the "
+    "scrubbed training text, so the one call emits the surviving "
+    "corpus and its per-stage audit (sum n_tokens = corpus tokens; "
+    "sum n_tokens - n_removed over kept = surviving tokens). The "
+    "stages are the already-verified operators COMPOSED (t13, d1, "
+    "t21, d20/d25), and the oracle embeds t13's registered SQL plus "
+    "d20's span stages scoped to the kept corpus, so the "
+    "differential check verifies the composition itself.",
 )
 def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from dww_data_pipeline_spark.plans.dedup_plans import span_scrub
     from dww_data_pipeline_spark.plans.text_plans import (
         t13_corpus_filter_decision,
     )
@@ -1134,6 +1172,18 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
     )
+    # detection -> rewrite: d25's scrub over the KEPT corpus only
+    # (spans duplicated among surviving docs are what a training run
+    # would otherwise ingest twice); doc_id-keyed joins throughout
+    kept = (
+        j.filter(F.col("keep"))
+        .join(dedup, "doc_id")
+        .filter(F.col("is_keeper"))
+        .select("doc_id", "text")
+    )
+    scrub = span_scrub(kept).select(
+        "doc_id", "n_removed", "n_spans", "scrubbed_text"
+    )
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -1141,6 +1191,7 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.join(dedup, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
         .select(
             "doc_id",
             F.when(~F.col("keep"), F.lit("filtered"))
@@ -1153,6 +1204,15 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(-1))
             .cast("long")
             .alias("shard"),
+            F.size(spark_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.when(
+                F.col("keep") & F.col("is_keeper"),
+                F.coalesce("scrubbed_text", F.lit("")),
+            )
+            .otherwise(F.lit(""))
+            .alias("scrubbed_text"),
         )
     )
 
@@ -2912,8 +2972,8 @@ def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a sequential encoder applying the t33 merge list word-by-word must
 # reproduce every segmentation here.  Output is the top-500 words by
 # corpus frequency (n desc, tok lex tie-break) with their BPE
-# segmentation and symbol count — the fertility-per-word view t25
-# approximates with whitespace tokens, now on real BPE tokens.
+# segmentation and symbol count — the per-word view behind t25's
+# corpus-wide real-BPE fertility report (rewired in round 9).
 #
 # Scale shape: identical to t33 (the two-phase word-histogram rule —
 # corpus collapses to its vocabulary once; every encode step is

@@ -267,7 +267,12 @@ class TestTokenizerFertility:
         for r in rows:
             # whitespace tokenization: a token plus its separator
             # averages > 1 char
-            assert r["chars_per_token"] > 1.0
+            assert r["chars_per_ws_token"] > 1.0
+            # 16 merges on a fresh corpus leave most words multi-symbol,
+            # so BPE emits at least as many tokens as whitespace does —
+            # the real-tokens fertility can only be lower or equal
+            assert r["sum_bpe_tokens"] >= r["sum_ws_tokens"]
+            assert r["chars_per_bpe_token"] <= r["chars_per_ws_token"]
 
 
 class TestImageAhashDedup:

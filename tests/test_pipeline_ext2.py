@@ -424,6 +424,50 @@ class TestCurationPipeline:
         }
         assert "kept" in statuses and "filtered" in statuses
 
+    def test_scrub_composes_d25_over_kept_corpus(self, spark, sf_dir):
+        """c1's rewrite columns must equal d25's span_scrub run over
+        exactly the kept corpus; non-kept docs carry zero counts and
+        empty text, and the audit sums are exact integers."""
+        from dww_data_pipeline_spark.functions import (  # noqa: F401
+            strings,
+        )
+        from dww_data_pipeline_spark.plans.dedup_plans import span_scrub
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+        rows = {
+            r["doc_id"]: r
+            for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
+        }
+        kept_ids = [d for d, r in rows.items() if r["status"] == "kept"]
+        docs = load_table(spark, sf_dir, "documents")
+        kept_df = docs.filter(F.col("doc_id").isin(kept_ids)).select(
+            "doc_id", "text"
+        )
+        want = {r["doc_id"]: r for r in span_scrub(kept_df).collect()}
+        assert set(want) == set(kept_ids)
+        for did, r in rows.items():
+            if r["status"] == "kept":
+                w = want[did]
+                assert r["n_tokens"] == w["n_tokens"]
+                assert r["n_removed"] == w["n_removed"]
+                assert r["n_spans"] == w["n_spans"]
+                assert r["scrubbed_text"] == w["scrubbed_text"]
+            else:
+                assert r["n_removed"] == 0 and r["n_spans"] == 0
+                assert r["scrubbed_text"] == ""
+        # audit identities: n_tokens covers the WHOLE corpus; the
+        # surviving corpus is kept tokens minus scrubbed tokens
+        total_tokens = docs.select(
+            F.sum(F.size(spark_tokens(F.col("text"))))
+        ).collect()[0][0]
+        assert sum(r["n_tokens"] for r in rows.values()) == total_tokens
+        surviving = sum(
+            r["n_tokens"] - r["n_removed"]
+            for r in rows.values()
+            if r["status"] == "kept"
+        )
+        assert 0 < surviving <= total_tokens
+
 
 class TestIvfPq:
     def test_full_recurrence_matches_driver_recompute(self, spark, sf_dir):
