@@ -236,6 +236,7 @@ EXTRA = [
     "st16_stream_cusum",        # CUSUM drift detection at ingest
     # round 9
     "d26_suffix_array_spans",   # prefix-doubling exact-substring dedup
+    "s19_index_staleness_gate", # ANN index recall-decay/drift rebuild gate
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

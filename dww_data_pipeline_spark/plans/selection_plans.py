@@ -1320,3 +1320,382 @@ def pr9_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         h6.alias("h6"),
         F.round(h6.cast("double") / 6.0, 6).alias("harmonic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s19_index_staleness_gate — the ANN index LIFECYCLE decision.
+#
+# The missing production step between building an IVF index (s2/s11)
+# and trusting it: the quantizer is FROZEN at build time (streaming/
+# ann_ingest.py's contract — re-training is a rebuild, not an ingest
+# concern), so as vectors keep arriving the cell structure drifts and
+# probe-limited recall decays.  s19 measures both and emits the
+# rebuild/keep decision as an oracle-checked quantity.
+#
+# Deterministic lifecycle simulation on the embeddings table: the
+# BASE corpus is vec_id % 4 != 3 (the index's training set); the
+# remaining quarter ARRIVES in four steps (step = (vec_id % 16)//4
+# + 1).  The coarse quantizer is s2/s11's exact-integer k-means
+# (_train_coarse) fit on the BASE ONLY and frozen; arrivals are
+# assigned to the stale cells exactly as ann_ingest_batch does.  Per
+# step s in 0..4 (cumulative corpus = base + arrivals with step <= s):
+#
+#   * recall leg (s15's machinery at the production nprobe=2): how
+#     many of the exact top-5 per fixed query the probe-limited
+#     search recovers over the CURRENT corpus — hits as an exact
+#     integer, the probe sets frozen at base-build time;
+#   * drift leg (dq4's machinery on the index itself): L1 distance
+#     between the base corpus' cell-occupancy histogram and the
+#     arrived-so-far histogram, integer cross-product form
+#     sum|a*n2 - b*n1| so partition order cannot move it;
+#   * decision: rebuild iff recall < 4/5 (5*hits < 4*|Q|*k, integer
+#     cross-multiply) OR assignment drift > 1/2 (2*num > n1*n2).
+#
+# Scale shape: ONE corpus pass assigns every vector to its frozen
+# cell (the literal-centroid argmin, no shuffle); the drift leg is
+# one (step, cell)-bounded histogram shuffle.  The recall leg's
+# exact-truth scan is the CALIBRATION probe — |Q|=3 fixed queries x
+# S+1 steps over the corpus, the same bounded verification shape
+# s15 ships (production recall estimation keeps the query panel
+# fixed; the corpus term stays linear).  The greedy/iterative parts
+# are all bounded: 4x64-integer centroid collect (e7 discipline),
+# 3-row query collect.
+# ---------------------------------------------------------------------------
+
+_S19_STEPS = 4
+
+
+def _s19_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+        _PQ_VQ_DUCK,
+        _ivfpq_coarse_d2_sql,
+    )
+
+    nk = len(_PQ_QUERIES) * _PQ_TOPK
+    csums = ", ".join(f"SUM(qb.vq[{i + 1}]) AS s{i}" for i in range(64))
+    cupd = ", ".join(f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(64))
+    return f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, {_PQ_VQ_DUCK} AS vq,
+         CASE WHEN vec_id % 4 = 3
+              THEN CAST((vec_id % 16) // 4 AS INT) + 1 ELSE 0 END AS step
+  FROM embeddings
+), qb AS MATERIALIZED (
+  SELECT vec_id, vq FROM q WHERE step = 0
+), cinit AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+  FROM (SELECT vec_id, vq FROM qb ORDER BY vec_id LIMIT {_IVF_K})
+), ca0 AS MATERIALIZED (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT qb.vec_id, c.j,
+           row_number() OVER (PARTITION BY qb.vec_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('qb.vq', 'c.cv')}, c.j) AS rn
+    FROM qb CROSS JOIN cinit c
+  ) WHERE rn = 1
+), cs AS MATERIALIZED (
+  SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n, {csums}
+  FROM ca0 a JOIN qb ON qb.vec_id = a.vec_id GROUP BY a.cluster
+), cc AS MATERIALIZED (
+  SELECT p.j, CASE WHEN s.cluster IS NULL THEN p.cv
+                   ELSE list_value({cupd}) END AS cv
+  FROM cinit p LEFT JOIN cs s ON s.cluster = p.j
+), caf AS MATERIALIZED (
+  SELECT vec_id, step, j AS cluster FROM (
+    SELECT q.vec_id, q.step, c.j,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('q.vq', 'c.cv')}, c.j) AS rn
+    FROM q CROSS JOIN cc c
+  ) WHERE rn = 1
+), qv AS MATERIALIZED (
+  SELECT vec_id AS query_id, vq FROM q WHERE vec_id IN {_PQ_QUERIES}
+), qc AS MATERIALIZED (
+  SELECT query_id, j AS cluster FROM (
+    SELECT qv.query_id, c.j,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('qv.vq', 'c.cv')}, c.j) AS rn
+    FROM qv CROSS JOIN cc c
+  ) WHERE rn <= {_IVF_NPROBE}
+), steps AS (
+  SELECT CAST(unnest(generate_series(0, {_S19_STEPS})) AS INT) AS s
+), cand AS MATERIALIZED (
+  SELECT st.s, qc.query_id, r.vec_id,
+         CAST({_ivfpq_coarse_d2_sql('v.vq', 'qv.vq')} AS BIGINT) AS d2
+  FROM steps st
+  CROSS JOIN qc
+  JOIN caf r ON r.cluster = qc.cluster AND r.step <= st.s
+  JOIN q v ON v.vec_id = r.vec_id
+  JOIN qv ON qv.query_id = qc.query_id
+), atop AS MATERIALIZED (
+  SELECT s, query_id, vec_id FROM (
+    SELECT s, query_id, vec_id,
+           row_number() OVER (PARTITION BY s, query_id
+                              ORDER BY d2, vec_id) AS rn
+    FROM cand
+  ) WHERE rn <= {_PQ_TOPK}
+), ex AS MATERIALIZED (
+  SELECT s, query_id, vec_id FROM (
+    SELECT st.s, qv.query_id, q.vec_id,
+           row_number() OVER (PARTITION BY st.s, qv.query_id
+                              ORDER BY CAST({_ivfpq_coarse_d2_sql('q.vq', 'qv.vq')} AS BIGINT),
+                                       q.vec_id) AS rn
+    FROM steps st JOIN q ON q.step <= st.s CROSS JOIN qv
+  ) WHERE rn <= {_PQ_TOPK}
+), hits AS MATERIALIZED (
+  SELECT a.s, CAST(COUNT(e.vec_id) AS BIGINT) AS hits
+  FROM atop a LEFT JOIN ex e
+    ON e.s = a.s AND e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY a.s
+), bh AS MATERIALIZED (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS a
+  FROM caf WHERE step = 0 GROUP BY cluster
+), ah AS MATERIALIZED (
+  SELECT st.s, c.cluster, CAST(COUNT(*) AS BIGINT) AS b
+  FROM steps st JOIN caf c ON c.step >= 1 AND c.step <= st.s
+  GROUP BY st.s, c.cluster
+), grid AS (
+  SELECT st.s, c.j AS cluster FROM steps st CROSS JOIN cc c
+), jd AS MATERIALIZED (
+  SELECT g.s, g.cluster, COALESCE(bh.a, 0) AS a, COALESCE(ah.b, 0) AS b
+  FROM grid g LEFT JOIN bh ON bh.cluster = g.cluster
+  LEFT JOIN ah ON ah.s = g.s AND ah.cluster = g.cluster
+), tot AS (
+  SELECT s, CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+  FROM jd GROUP BY s
+), drift AS MATERIALIZED (
+  SELECT jd.s, CAST(SUM(abs(jd.a * t.n2 - jd.b * t.n1)) AS BIGINT) AS drift_num,
+         t.n1, t.n2
+  FROM jd JOIN tot t ON t.s = jd.s GROUP BY jd.s, t.n1, t.n2
+), counts AS (
+  SELECT st.s, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CASE WHEN q.step >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+  FROM steps st JOIN q ON q.step <= st.s GROUP BY st.s
+)
+SELECT CAST(h.s AS BIGINT) AS step, c.n_vectors, c.n_arrived,
+       h.hits AS hits_at_k,
+       round(CAST(h.hits AS DOUBLE) / {nk}, 6) AS recall_at_k,
+       d.drift_num,
+       CASE WHEN d.n2 = 0 THEN 0.0
+            ELSE round(CAST(d.drift_num AS DOUBLE)
+                       / (CAST(d.n1 AS DOUBLE) * CAST(d.n2 AS DOUBLE)), 6)
+       END AS l1_assign_drift,
+       (5 * h.hits < 4 * {nk})
+         OR (d.n2 > 0 AND 2 * d.drift_num > d.n1 * d.n2) AS rebuild
+FROM hits h JOIN drift d ON d.s = h.s JOIN counts c ON c.s = h.s"""
+
+
+def index_staleness_gate(
+    assigned: DataFrame,
+    queries: DataFrame,
+    n_steps: int,
+    k: int,
+    n_queries: int,
+) -> DataFrame:
+    """The s19 core over any pre-assigned corpus — factored so the
+    streaming parity test can feed it the PERSISTED index's merged
+    lake (base + streamed delta segments, cluster = on-disk list_id)
+    and require the identical gate as the batch-assembled corpus.
+
+    ``assigned``: (vec_id, step, vq array<long>, cluster) — step 0 =
+    base, 1..n_steps = arrival order.  ``queries``: (query_id,
+    qv array<long>, cells array<int>) — probe cells frozen at build
+    time.  Emits one row per cumulative step with exact-integer
+    hits/drift and the rebuild decision."""
+    spark = assigned.sparkSession
+    nk = n_queries * k
+    steps = spark.range(0, n_steps + 1).select(F.col("id").cast("int").alias("s"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # recall leg: probe-limited candidates vs exact truth, per step
+    cand = assigned.join(
+        F.broadcast(queries), F.array_contains(F.col("cells"), F.col("cluster"))
+    ).select("query_id", "vec_id", "step", d2.alias("d2"))
+    cand_s = cand.join(F.broadcast(steps), F.col("step") <= F.col("s")).select(
+        "s", "query_id", "vec_id", "d2"
+    )
+    wa = Window.partitionBy("s", "query_id").orderBy("d2", "vec_id")
+    atop = (
+        cand_s.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .select("s", "query_id", "vec_id")
+    )
+    ex = (
+        assigned.crossJoin(F.broadcast(queries.select("query_id", "qv")))
+        .select("query_id", "vec_id", "step", d2.alias("d2"))
+        .join(F.broadcast(steps), F.col("step") <= F.col("s"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .select("s", "query_id", "vec_id")
+    )
+    hits = (
+        atop.join(ex, ["s", "query_id", "vec_id"], "left_semi")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("hits_at_k"))
+    )
+    # drift leg: base histogram vs cumulative arrival histogram (dq4's
+    # integer cross-product form on the index's own cell occupancy)
+    bh = (
+        assigned.filter(F.col("step") == 0)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    ah = (
+        assigned.filter(F.col("step") >= 1)
+        .join(F.broadcast(steps), F.col("step") <= F.col("s"))
+        .groupBy("s", "cluster")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    cells = assigned.select("cluster").distinct()
+    grid = steps.crossJoin(F.broadcast(cells))
+    jd = (
+        grid.join(bh, "cluster", "left")
+        .join(ah, ["s", "cluster"], "left")
+        .select(
+            "s",
+            "cluster",
+            F.coalesce("a", F.lit(0).cast("long")).alias("a"),
+            F.coalesce("b", F.lit(0).cast("long")).alias("b"),
+        )
+    )
+    tot = jd.groupBy("s").agg(
+        F.sum("a").alias("n1"), F.sum("b").alias("n2")
+    )
+    drift = (
+        jd.join(tot, "s")
+        .groupBy("s", "n1", "n2")
+        .agg(
+            F.sum(F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1"))).alias(
+                "drift_num"
+            )
+        )
+    )
+    counts = (
+        assigned.join(F.broadcast(steps), F.col("step") <= F.col("s"))
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("step") >= 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_arrived"),
+        )
+    )
+    dbl = "double"
+    return (
+        hits.join(drift, "s")
+        .join(counts, "s")
+        .select(
+            F.col("s").cast("long").alias("step"),
+            "n_vectors",
+            "n_arrived",
+            F.col("hits_at_k").cast("long").alias("hits_at_k"),
+            F.round(F.col("hits_at_k").cast(dbl) / F.lit(nk).cast(dbl), 6).alias(
+                "recall_at_k"
+            ),
+            F.col("drift_num").cast("long").alias("drift_num"),
+            F.when(F.col("n2") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("drift_num").cast(dbl)
+                    / (F.col("n1").cast(dbl) * F.col("n2").cast(dbl)),
+                    6,
+                )
+            )
+            .alias("l1_assign_drift"),
+            (
+                (F.lit(5) * F.col("hits_at_k") < F.lit(4 * nk))
+                | (
+                    (F.col("n2") > 0)
+                    & (F.lit(2) * F.col("drift_num") > F.col("n1") * F.col("n2"))
+                )
+            ).alias("rebuild"),
+        )
+    )
+
+
+@register(
+    "s19_index_staleness_gate",
+    oracle=_s19_oracle(),
+    description="ANN INDEX STALENESS GATE (the lifecycle decision "
+    "between building an IVF index and trusting it): the coarse "
+    "quantizer trains on the base three-quarters of the corpus and "
+    "FREEZES (ann_ingest's contract); the last quarter arrives in "
+    "four steps assigned to the stale cells. Per cumulative step: "
+    "probe-limited recall@5 for the fixed query panel at nprobe=2 "
+    "(s15's machinery — exact-integer hits vs the exact top-5 over "
+    "the CURRENT corpus) and the L1 cell-occupancy drift between "
+    "base and arrivals (dq4's integer cross-product form), composed "
+    "into a rebuild/keep decision via integer cross-multiplied "
+    "thresholds (recall < 4/5 or drift > 1/2). One frozen-centroid "
+    "corpus pass, one bounded histogram shuffle; the exact-truth leg "
+    "is the fixed-panel calibration probe (s15's verification "
+    "shape). Streaming twin proven in pytest: the same gate over "
+    "ann_ingest's streamed delta segments + persisted base equals "
+    "the batch-assembled corpus (north-star: similarity-search "
+    "index operations)",
+)
+def s19_index_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _IVF_K,
+        _IVF_NPROBE,
+        _PQ_QUERIES,
+        _PQ_TOPK,
+        _PQ_VQ_SPARK,
+        _ivfpq_coarse_expr,
+        _train_coarse,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(_PQ_VQ_SPARK).alias("vq"),
+        F.expr(
+            "CASE WHEN vec_id % 4 = 3 "
+            "THEN CAST((vec_id % 16) div 4 AS INT) + 1 ELSE 0 END"
+        ).alias("step"),
+    ).persist()
+    try:
+        base = q.filter(F.col("step") == 0).select("vec_id", "vq")
+        ccents = _train_coarse(base)  # frozen at base-build time
+        assigned = q.select(
+            "vec_id",
+            "step",
+            "vq",
+            F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+        )
+        # fixed query panel: vectors + their frozen probe cells (3x64
+        # integer collect — bounded by construction, e7 discipline)
+        qrows = {
+            int(r["vec_id"]): list(r["vq"])
+            for r in q.filter(F.col("vec_id").isin(*_PQ_QUERIES)).collect()
+        }
+        qdata = []
+        for qid in _PQ_QUERIES:
+            qvec = qrows[qid]
+            ranked = sorted(
+                range(_IVF_K),
+                key=lambda j: (
+                    sum((qvec[i] - ccents[j][i]) ** 2 for i in range(64)),
+                    j,
+                ),
+            )
+            qdata.append((qid, qvec, ranked[:_IVF_NPROBE]))
+        queries = spark.createDataFrame(
+            qdata, "query_id long, qv array<long>, cells array<int>"
+        )
+        out = index_staleness_gate(
+            assigned,
+            queries,
+            n_steps=_S19_STEPS,
+            k=_PQ_TOPK,
+            n_queries=len(_PQ_QUERIES),
+        )
+        # the gate is 5 rows; materialize before releasing the corpus
+        # cache so the persist guard can unpersist deterministically
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        q.unpersist(blocking=False)

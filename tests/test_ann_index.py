@@ -208,3 +208,143 @@ class TestStreamingAnnIngest:
             spark, idx, self_q, "vec_id", "embedding", k=1, nprobe=1
         ).collect()
         assert top and top[0]["vec_id"] == probe_id
+
+
+class TestIndexStalenessGate:
+    def test_stream_batch_parity(self, spark, sf_dir, tmp_path):
+        """The s19 gate over ann_ingest's streamed lake (persisted base
+        + delta segments, cluster = on-disk list_id) must equal the
+        gate over the batch-assembled corpus with the same frozen
+        centroids — the streaming twin of the registered query."""
+        import numpy as np
+
+        from dww_data_pipeline_spark.operators.similarity import (
+            _nearest_centroid_col,
+        )
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_SPARK
+        from dww_data_pipeline_spark.plans.selection_plans import (
+            _S19_STEPS,
+            index_staleness_gate,
+        )
+        from dww_data_pipeline_spark.streaming.ann_ingest import (
+            _load_centroids,
+            read_indexed_vectors,
+            stream_ann_ingest,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        step = F.expr(
+            "CASE WHEN vec_id % 4 = 3 "
+            "THEN CAST((vec_id % 16) div 4 AS INT) + 1 ELSE 0 END"
+        )
+        base = emb.withColumn("step", step).filter("step = 0").drop("step")
+        idx = str(tmp_path / "index")
+        build_ivf_index(
+            base, "vec_id", "embedding", idx, n_lists=4, sample_size=200
+        )
+        # arrivals stream in step order, one file -> one micro-batch
+        src = str(tmp_path / "src")
+        arrivals = emb.withColumn("step", step).filter("step >= 1")
+        for s in range(1, _S19_STEPS + 1):
+            arrivals.filter(F.col("step") == s).drop("step").coalesce(
+                1
+            ).write.parquet(f"{src}/f{s}")
+        q = stream_ann_ingest(
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*"),
+            idx,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        cents = _load_centroids(spark, idx)
+        vq = F.expr(_PQ_VQ_SPARK)
+        # fixed query panel with probe cells frozen against the
+        # PERSISTED centroids (shared by both sides)
+        qids = [0, 1, 2]
+        qrows = {
+            int(r["vec_id"]): (list(r["vq"]), np.array(r["embedding"], "float64"))
+            for r in emb.filter(F.col("vec_id").isin(qids))
+            .select("vec_id", "embedding", vq.alias("vq"))
+            .collect()
+        }
+        qdata = []
+        for qid in qids:
+            qvq, qemb = qrows[qid]
+            d = ((cents - qemb) ** 2).sum(axis=1)
+            ranked = sorted(range(len(cents)), key=lambda j: (d[j], j))
+            qdata.append((qid, qvq, ranked[:2]))
+        queries = spark.createDataFrame(
+            qdata, "query_id long, qv array<long>, cells array<int>"
+        )
+
+        streamed = read_indexed_vectors(spark, idx).select(
+            "vec_id",
+            step.alias("step"),
+            vq.alias("vq"),
+            F.col("list_id").cast("int").alias("cluster"),
+        )
+        batch = emb.select(
+            "vec_id",
+            step.alias("step"),
+            vq.alias("vq"),
+            _nearest_centroid_col("embedding", cents).cast("int").alias("cluster"),
+        )
+        got = sorted(
+            tuple(r)
+            for r in index_staleness_gate(
+                streamed, queries, _S19_STEPS, k=5, n_queries=3
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in index_staleness_gate(
+                batch, queries, _S19_STEPS, k=5, n_queries=3
+            ).collect()
+        )
+        assert got == want
+        assert len(got) == _S19_STEPS + 1
+        by_step = {r[0]: r for r in got}
+        # step 0: no arrivals yet -> zero drift, full-probe-set recall
+        # is whatever the frozen index gives, corpus = base only
+        assert by_step[0][2] == 0 and by_step[0][6] == 0.0
+        # corpus grows monotonically across steps
+        ns = [by_step[s][1] for s in range(_S19_STEPS + 1)]
+        assert ns == sorted(ns) and ns[-1] == emb.count()
+
+    def test_planted_drift_forces_rebuild(self, spark):
+        """Arrivals landing entirely in one cell must push the L1
+        assignment drift past 1/2 and flip the decision to rebuild,
+        even when recall stays perfect (full probe coverage)."""
+        from dww_data_pipeline_spark.plans.selection_plans import (
+            index_staleness_gate,
+        )
+
+        # base: 8 vectors split 4/4 over cells 0/1; arrivals: 4 vectors
+        # all in cell 1 (the planted shift), one per step
+        rows = []
+        for i in range(8):
+            rows.append((i, 0, [i * 10, 0], i % 2))
+        for s in range(1, 5):
+            rows.append((100 + s, s, [1000 + s, 0], 1))
+        assigned = spark.createDataFrame(
+            rows, "vec_id long, step int, vq array<long>, cluster int"
+        )
+        queries = spark.createDataFrame(
+            [(0, [0, 0], [0, 1])], "query_id long, qv array<long>, cells array<int>"
+        )
+        out = {
+            r["step"]: r
+            for r in index_staleness_gate(
+                assigned, queries, n_steps=4, k=2, n_queries=1
+            ).collect()
+        }
+        # both cells probed -> recall is 1.0 at every step
+        assert all(r["recall_at_k"] == 1.0 for r in out.values())
+        # base split 4/4 vs arrivals all-in-cell-1: L1 = |0.5 - 0| +
+        # |0.5 - 1| = 1.0 > 0.5 at every arrival step
+        assert out[0]["l1_assign_drift"] == 0.0 and not out[0]["rebuild"]
+        for s in range(1, 5):
+            assert out[s]["l1_assign_drift"] == 1.0
+            assert out[s]["rebuild"]
