@@ -2034,69 +2034,106 @@ def span_scrub(d: DataFrame, K: int = _D20_K) -> DataFrame:
 # definition — a length-50 token window is duplicated when it occurs
 # at least twice ANYWHERE in the corpus, within- or cross-doc.
 #
-# Suffix RANKS by prefix doubling, Spark-native:
+# Suffix RANKS by prefix doubling, Spark-native and radix-4:
 #   round 0: rank class of each single token;
-#   round k: rank class of each 2^k-token prefix = the PAIR
-#            (r_{2^(k-1)}[pos], r_{2^(k-1)}[pos + 2^(k-1)]).
-# log2(32) = 5 static rounds rank every 32-token prefix; a length-50
-# window then compares in O(1) via the classic two-level trick —
-# windows at i and j are token-identical iff
-# (r32[i], r32[i+18]) == (r32[j], r32[j+18])  (18 = 50 - 32).
+#   super-round: rank class of each 4g-token block = the 4-TUPLE
+#       (r_g[pos], r_g[pos+g], r_g[pos+2g], r_g[pos+3g]) —
+#       the three shifted ranks are stacked lead() expressions over
+#       ONE per-doc window pass (one exchange + one sort), so a
+#       radix-4 super-round costs what a radix-2 round costs and the
+#       round count halves (log4 instead of log2).
+# Two super-rounds rank every 16-token block; a length-50 window then
+# compares in O(1) via the covering-offsets trick — windows at i and
+# j are token-identical iff their rank 4-tuples at offsets
+# (0, 16, 32, 34) agree (blocks [0..15][16..31][32..47][34..49]
+# cover all 50 positions; every block is full for a valid window).
 #
 # Rank VALUES never reach the output (only rank EQUALITY does), so
-# classes need a representative, not a dense ordering: the class id is
-# MIN(gid) over the class, where gid = doc_id * 2^32 + pos is the
-# unique global position id.  That turns every doubling round into
-# pure hash shuffles — no global sort, no single-partition window:
-#   * the pos+g shift is a per-doc lead() window (partition bounded by
-#     document length, d20's discipline);
-#   * the class id is one (r, rb) -> MIN(gid) aggregation (map-side
-#     partial agg absorbs hot classes) plus one (r, rb) equi-join back
-#     (AQE skew-join splits a boilerplate class that floods one key).
+# classes need a representative, not a dense ordering: the class id
+# is MIN(gid) over the class, where gid = doc_id * 2^24 + pos is the
+# unique global position id (domain: doc_id < 2^39, docs <= 16M
+# tokens — guarded with raise_error, never silent corruption).  That
+# makes every round pure hash shuffles — no global sort, no
+# single-partition window:
+#   * the pos+kg shifts are per-doc lead() windows (partition bounded
+#     by document length, d20's discipline);
+#   * the class id is one 4-tuple -> MIN(gid) aggregation (map-side
+#     partial agg absorbs hot classes) plus one equi-join back (AQE
+#     skew-join splits a boilerplate class that floods one key).
 # Suffixes never cross document boundaries (per-doc positions; rank 0
 # marks "past end of doc" and can never equal a real MIN(gid) >= 1),
 # so no sentinel tokens are needed.
 #
 # Duplicated windows merge into maximal per-doc spans exactly as d20
-# does (gap-and-islands, gap <= L).  The oracle unrolls the five
-# doubling rounds as MATERIALIZED CTE stages (t33's unroll discipline;
+# does (gap-and-islands, gap <= L).  The oracle unrolls the
+# super-rounds as MATERIALIZED CTE stages (t33's unroll discipline;
 # MATERIALIZED because DuckDB inlines each CTE per reference and the
-# chain references each round twice — measured 98.6 s -> 0.10 s at
-# sf0.001).
+# chain references each round four times — measured 98.6 s -> 0.10 s
+# at sf0.001 on the radix-2 prototype).
 # ---------------------------------------------------------------------------
 
 _D26_L = 50  # published min-match length (Lee et al. 2107.06499 §4.1)
+_D26_GID = 1 << 24  # gid stride: doc_id < 2^39, doc length <= 16M tokens
 
 
-def _d26_round_sql(g: int) -> str:
-    """One prefix-doubling round as CTE stages: r{2g} from r{g}."""
-    d = 2 * g
+def _d26_schedule(L: int) -> tuple[int, list[tuple[int, int]], list[int]]:
+    """(base, rounds, offsets) for min-match ``L``: base = the largest
+    power of FOUR <= L (pure radix-4 super-rounds minimize the round
+    count — each costs one window pass + one class shuffle regardless
+    of radix); rounds = [(g, K)] meaning "rank Kg-blocks from g-blocks
+    with a K-tuple"; offsets = block starts whose union covers
+    [0, L).  L = 50 -> base 16, two rounds, offsets (0, 16, 32, 34)."""
+    base = 1
+    while base * 4 <= L:
+        base *= 4
+    rounds = []
+    g = 1
+    while g < base:
+        rounds.append((g, 4))
+        g *= 4
+    offs = list(range(0, L - base + 1, base))
+    if offs[-1] != L - base:
+        offs.append(L - base)
+    return base, rounds, offs
+
+
+def _d26_round_sql(g: int, k: int) -> str:
+    """One radix-``k`` super-round as CTE stages: r{kg} from r{g}."""
+    d = k * g
+    picks = ["a.r AS k0"]
+    joins = []
+    for i in range(1, k):
+        picks.append(f"COALESCE(b{i}.r, 0) AS k{i}")
+        joins.append(
+            f"  LEFT JOIN r{g} b{i} ON b{i}.doc_id = a.doc_id "
+            f"AND b{i}.pos = a.pos + {i * g}"
+        )
+    keys = ", ".join(f"k{i}" for i in range(k))
     return f"""p{d} AS MATERIALIZED (
-  SELECT a.doc_id, a.n, a.pos, a.gid, a.r AS ra, COALESCE(b.r, 0) AS rb
-  FROM r{g} a LEFT JOIN r{g} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {g}
+  SELECT a.doc_id, a.n, a.pos, a.gid, {", ".join(picks)}
+  FROM r{g} a
+{chr(10).join(joins)}
 ), c{d} AS MATERIALIZED (
-  SELECT ra, rb, MIN(gid) AS r FROM p{d} GROUP BY ra, rb
+  SELECT {keys}, MIN(gid) AS r FROM p{d} GROUP BY {keys}
 ), r{d} AS MATERIALIZED (
   SELECT p{d}.doc_id, p{d}.n, p{d}.pos, p{d}.gid, c{d}.r
-  FROM p{d} JOIN c{d} USING (ra, rb)
+  FROM p{d} JOIN c{d} USING ({keys})
 )"""
 
 
 def _d26_oracle(L: int = _D26_L) -> str:
-    base = 1 << (L.bit_length() - 1)
-    half = L - base
-    rounds = ",\n".join(_d26_round_sql(g) for g in (1, 2, 4, 8, 16) if 2 * g <= base)
+    base, rounds, offs = _d26_schedule(L)
+    round_sql = ",\n".join(_d26_round_sql(g, k) for g, k in rounds)
     toks = _SQL_TOKS
-    if half:
-        win = f"""win AS MATERIALIZED (
-  SELECT a.doc_id, a.pos, a.r AS f1, b.r AS f2
-  FROM r{base} a JOIN r{base} b ON b.doc_id = a.doc_id AND b.pos = a.pos + {half}
-  WHERE a.pos + {L - 1} <= a.n
-)"""
-    else:
-        win = f"""win AS MATERIALIZED (
-  SELECT doc_id, pos, r AS f1, r AS f2 FROM r{base} WHERE pos + {L - 1} <= n
-)"""
+    fcols = ["a.r AS f0"]
+    fjoins = []
+    for i, off in enumerate(offs[1:], start=1):
+        fcols.append(f"COALESCE(o{i}.r, 0) AS f{i}")
+        fjoins.append(
+            f"  LEFT JOIN r{base} o{i} ON o{i}.doc_id = a.doc_id "
+            f"AND o{i}.pos = a.pos + {off}"
+        )
+    fkeys = ", ".join(f"f{i}" for i in range(len(offs)))
     return f"""
 WITH tl AS MATERIALIZED (
   SELECT doc_id, {toks} AS toks, len({toks}) AS n
@@ -2106,17 +2143,22 @@ WITH tl AS MATERIALIZED (
          unnest(toks) AS tok
   FROM tl
 ), pg AS MATERIALIZED (
-  SELECT doc_id, n, pos, tok, doc_id * 4294967296 + pos AS gid FROM praw
+  SELECT doc_id, n, pos, tok, doc_id * {_D26_GID} + pos AS gid FROM praw
 ), c1 AS MATERIALIZED (
   SELECT tok, MIN(gid) AS r FROM pg GROUP BY tok
 ), r1 AS MATERIALIZED (
   SELECT pg.doc_id, pg.n, pg.pos, pg.gid, c1.r FROM pg JOIN c1 USING (tok)
 ),
-{rounds},
-{win}, dupf AS MATERIALIZED (
-  SELECT f1, f2 FROM win GROUP BY f1, f2 HAVING COUNT(*) >= 2
+{round_sql},
+win AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, {", ".join(fcols)}
+  FROM r{base} a
+{chr(10).join(fjoins)}
+  WHERE a.pos + {L - 1} <= a.n
+), dupf AS MATERIALIZED (
+  SELECT {fkeys} FROM win GROUP BY {fkeys} HAVING COUNT(*) >= 2
 ), dw AS MATERIALIZED (
-  SELECT win.doc_id, win.pos FROM win JOIN dupf USING (f1, f2)
+  SELECT win.doc_id, win.pos FROM win JOIN dupf USING ({fkeys})
 ), brk AS (
   SELECT doc_id, pos,
          CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -2139,19 +2181,19 @@ FROM isl GROUP BY doc_id, island
     "d26_suffix_array_spans",
     oracle=_d26_oracle(),
     description="EXACT-SUBSTRING dedup, PUBLISHED form (Lee et al. "
-    "2107.06499 ExactSubstr): suffix ranks by prefix doubling — five "
-    "static Spark-native rounds, each a per-doc lead() window (rank "
-    "of pos+g) plus one (r, rb) -> MIN(gid) class aggregation and "
-    "equi-join back (partial agg + AQE skew-join absorb hot "
-    "boilerplate classes; rank EQUALITY is all the output needs, so "
-    "class representatives replace dense ranks and no global sort "
-    "ever runs) — then every length-50 window compares in O(1) via "
-    "the two-level rank pair (r32[pos], r32[pos+18]); windows "
-    "occurring >= 2 times ANYWHERE (within- or cross-doc, the "
-    "paper's definition — d20/d25 are the K-gram cross-doc-only "
-    "approximation) merge into maximal spans by d20's "
-    "gap-and-islands. Oracle unrolls the doubling rounds as "
-    "MATERIALIZED CTE stages (t33's discipline).",
+    "2107.06499 ExactSubstr): suffix ranks by radix-4 prefix doubling "
+    "— two static super-rounds, each one per-doc window pass (three "
+    "stacked lead() shifts, one exchange + one sort) plus one "
+    "4-tuple -> MIN(gid) class aggregation and equi-join back "
+    "(partial agg + AQE skew-join absorb hot boilerplate classes; "
+    "rank EQUALITY is all the output needs, so class representatives "
+    "replace dense ranks and no global sort ever runs) — then every "
+    "length-50 window compares in O(1) via covering rank offsets "
+    "(0, 16, 32, 34); windows occurring >= 2 times ANYWHERE (within- "
+    "or cross-doc, the paper's definition — d20/d25 are the K-gram "
+    "cross-doc-only approximation) merge into maximal spans by d20's "
+    "gap-and-islands. Oracle unrolls the super-rounds as MATERIALIZED "
+    "CTE stages (t33's discipline).",
 )
 def d26_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_array_spans(load_table(spark, sf_dir, "documents"))
@@ -2161,16 +2203,19 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
     """The d26 core over any (doc_id, text) relation — factored for
     property testing against a pure-Python suffix array (the
     substring_spans pattern). ``L`` is the min-match window width;
-    doubling rounds rank prefixes of length base = 2^floor(log2 L)."""
+    super-rounds rank blocks of base = 2^floor(log2 L) tokens."""
     from pyspark.sql import Window
 
-    base = 1 << (L.bit_length() - 1)
-    half = L - base
+    base, rounds, offs = _d26_schedule(L)
     tl = d.select("doc_id", _spark_tokens(F.col("text")).alias("_tk")).filter(
         F.size("_tk") >= L
     )
     p = (
-        tl.select("doc_id", F.size("_tk").alias("n"), F.posexplode("_tk").alias("p0", "tok"))
+        tl.select(
+            "doc_id",
+            F.size("_tk").alias("n"),
+            F.posexplode("_tk").alias("p0", "tok"),
+        )
         .select(
             "doc_id",
             "n",
@@ -2178,15 +2223,18 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
             "tok",
         )
         # class representative = MIN(gid); ids must be unique across
-        # docs, so doc_id strides by 2^32 — fail loudly past the
-        # packing domain rather than silently corrupt rank classes
+        # docs, so doc_id strides by 2^24 (docs <= 16M tokens,
+        # doc_id < 2^39) — fail loudly past the packing domain rather
+        # than silently corrupt rank classes
         .withColumn(
             "gid",
             F.expr(
-                "CASE WHEN doc_id BETWEEN 0 AND 2147483647 "
-                "THEN CAST(doc_id AS BIGINT) * 4294967296 + pos "
+                f"CASE WHEN doc_id BETWEEN 0 AND {(1 << 39) - 1} "
+                f"AND n <= {_D26_GID} "
+                f"THEN CAST(doc_id AS BIGINT) * {_D26_GID} + pos "
                 "ELSE CAST(raise_error(concat('d26 gid packing expects "
-                "0 <= doc_id < 2^31, got ', CAST(doc_id AS STRING))) "
+                "0 <= doc_id < 2^39 and docs <= 16M tokens, got doc_id=', "
+                "CAST(doc_id AS STRING), ' n=', CAST(n AS STRING))) "
                 "AS BIGINT) END"
             ),
         )
@@ -2194,29 +2242,45 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
     c1 = p.groupBy("tok").agg(F.min("gid").alias("r"))
     r = p.join(c1, "tok").select("doc_id", "n", "pos", "gid", "r")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    g = 1
-    while 2 * g <= base:
-        # positions are contiguous 1..n per doc, so lead(g) == pos+g;
-        # 0 = "suffix ended" (real class ids are gids >= 1)
-        pr = r.withColumn("rb", F.lead("r", g, 0).over(w_doc))
-        cls = pr.groupBy("r", "rb").agg(F.min("gid").alias("r2"))
-        r = pr.join(cls, ["r", "rb"]).select(
+    for g, k in rounds:
+        # positions are contiguous 1..n per doc, so lead(i*g) == the
+        # rank at pos + i*g; 0 = "suffix ended" (real ids are >= 1);
+        # the k-1 shifted ranks stack into ONE window pass
+        keys = ["r"] + [f"k{i}" for i in range(1, k)]
+        pr = r.select(
+            "doc_id",
+            "n",
+            "pos",
+            "gid",
+            "r",
+            *[F.lead("r", i * g, 0).over(w_doc).alias(f"k{i}") for i in range(1, k)],
+        )
+        cls = pr.groupBy(*keys).agg(F.min("gid").alias("r2"))
+        r = pr.join(cls, keys).select(
             "doc_id", "n", "pos", "gid", F.col("r2").alias("r")
         )
-        g *= 2
-    f2 = F.lead("r", half, 0).over(w_doc) if half else F.col("r")
     win = (
-        r.withColumn("f2", f2)
+        r.select(
+            "doc_id",
+            "n",
+            "pos",
+            F.col("r").alias("f0"),
+            *[
+                F.lead("r", off, 0).over(w_doc).alias(f"f{i}")
+                for i, off in enumerate(offs[1:], start=1)
+            ],
+        )
         .filter(F.col("pos") + (L - 1) <= F.col("n"))
-        .select("doc_id", "pos", F.col("r").alias("f1"), "f2")
+        .drop("n")
     )
+    fkeys = [f"f{i}" for i in range(len(offs))]
     dup = (
-        win.groupBy("f1", "f2")
+        win.groupBy(*fkeys)
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
-        .select("f1", "f2")
+        .select(*fkeys)
     )
-    dw = win.join(dup, ["f1", "f2"], "left_semi").select("doc_id", "pos")
+    dw = win.join(dup, fkeys, "left_semi").select("doc_id", "pos")
     isl = dw.withColumn(
         "b",
         F.when(F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)).otherwise(
