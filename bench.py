@@ -237,6 +237,7 @@ EXTRA = [
     # round 9
     "d26_suffix_array_spans",   # prefix-doubling exact-substring dedup
     "s19_index_staleness_gate", # ANN index recall-decay/drift rebuild gate
+    "d27_exactsubstr_scrub",    # ExactSubstr keep-one-occurrence rewrite
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

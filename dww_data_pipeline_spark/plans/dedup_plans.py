@@ -2121,7 +2121,9 @@ def _d26_round_sql(g: int, k: int) -> str:
 )"""
 
 
-def _d26_oracle(L: int = _D26_L) -> str:
+def _d26_win_stages(L: int) -> tuple[str, str]:
+    """(CTE chain through ``win``, fingerprint key list) shared by the
+    d26 (span report) and d27 (scrub rewrite) oracles."""
     base, rounds, offs = _d26_schedule(L)
     round_sql = ",\n".join(_d26_round_sql(g, k) for g, k in rounds)
     toks = _SQL_TOKS
@@ -2134,8 +2136,7 @@ def _d26_oracle(L: int = _D26_L) -> str:
             f"AND o{i}.pos = a.pos + {off}"
         )
     fkeys = ", ".join(f"f{i}" for i in range(len(offs)))
-    return f"""
-WITH tl AS MATERIALIZED (
+    stages = f"""tl AS MATERIALIZED (
   SELECT doc_id, {toks} AS toks, len({toks}) AS n
   FROM documents WHERE len({toks}) >= {L}
 ), praw AS (
@@ -2155,7 +2156,14 @@ win AS MATERIALIZED (
   FROM r{base} a
 {chr(10).join(fjoins)}
   WHERE a.pos + {L - 1} <= a.n
-), dupf AS MATERIALIZED (
+)"""
+    return stages, fkeys
+
+
+def _d26_oracle(L: int = _D26_L) -> str:
+    stages, fkeys = _d26_win_stages(L)
+    return f"""
+WITH {stages}, dupf AS MATERIALIZED (
   SELECT {fkeys} FROM win GROUP BY {fkeys} HAVING COUNT(*) >= 2
 ), dw AS MATERIALIZED (
   SELECT win.doc_id, win.pos FROM win JOIN dupf USING ({fkeys})
@@ -2199,11 +2207,14 @@ def d26_suffix_array_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_array_spans(load_table(spark, sf_dir, "documents"))
 
 
-def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
-    """The d26 core over any (doc_id, text) relation — factored for
-    property testing against a pure-Python suffix array (the
-    substring_spans pattern). ``L`` is the min-match window width;
-    super-rounds rank blocks of base = 2^floor(log2 L) tokens."""
+def _suffix_window_classes(d: DataFrame, L: int):
+    """Shared d26/d27 stage: every valid length-``L`` window keyed by
+    its covering rank tuple — (win_df, fkeys) where win_df is
+    (doc_id, pos, f0..fk) and two windows are token-identical iff
+    their fkeys agree.  This is the suffix-rank machinery (radix-4
+    prefix doubling, class representatives = MIN(gid)); d26 reports
+    duplicated-window spans, d27 rewrites the corpus keeping one
+    occurrence per class."""
     from pyspark.sql import Window
 
     base, rounds, offs = _d26_schedule(L)
@@ -2273,7 +2284,18 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
         .filter(F.col("pos") + (L - 1) <= F.col("n"))
         .drop("n")
     )
-    fkeys = [f"f{i}" for i in range(len(offs))]
+    return win, [f"f{i}" for i in range(len(offs))]
+
+
+def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
+    """The d26 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python suffix array (the
+    substring_spans pattern). ``L`` is the min-match window width;
+    super-rounds rank blocks of base = the largest power of 4 <= L."""
+    from pyspark.sql import Window
+
+    win, fkeys = _suffix_window_classes(d, L)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     dup = (
         win.groupBy(*fkeys)
         .agg(F.count(F.lit(1)).alias("c"))
@@ -2299,4 +2321,164 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d27 — ExactSubstr SCRUB: d26's detection composed into the REWRITE
+# the published pipeline actually ships (Lee et al. 2107.06499 remove
+# duplicated substrings from the corpus, keeping one occurrence).
+#
+# Keeper rule: per duplicated-window CLASS (identical 50-token
+# content), the occurrence with the smallest (doc_id, pos) — i.e. the
+# smallest window gid — is the keeper; every other occurrence is a
+# scrub window.  A token position is removed iff it is covered by a
+# non-keeper duplicated window (so the keeper copy of every
+# duplicated substring survives; when distinct classes overlap, a
+# keeper window can still lose tokens to ANOTHER class's non-keeper
+# window — accepted and pinned in the property test, matching the
+# greedy span-removal the paper describes).  Docs shorter than L and
+# docs with no non-keeper windows pass through whole — the output is
+# a TOTAL corpus rewrite with d25's exact audit columns.
+#
+# Scale shape: d26's stages unchanged, plus ONE class aggregation
+# (count + MIN(gid), map-side partials — no per-class rank window, so
+# a boilerplate class flooding one key stays a partial-agg problem,
+# not a sort problem), one fkeys equi-join back, d20's gap-and-islands
+# over the scrub windows, one bounded per-doc span collect (disjoint
+# islands ≥ L+1 apart ⇒ ≤ len/(L+1) rows/doc — the SCALE.md rule),
+# and d25's pure-Column array-filter rewrite.  No new corpus-scale
+# term beyond d26.
+# ---------------------------------------------------------------------------
+
+
+def _d27_oracle(L: int = _D26_L) -> str:
+    stages, fkeys = _d26_win_stages(L)
+    return f"""
+WITH {stages}, cls AS MATERIALIZED (
+  SELECT {fkeys}, CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(doc_id * {_D26_GID} + pos) AS keeper_gid
+  FROM win GROUP BY {fkeys}
+), nk AS MATERIALIZED (
+  SELECT win.doc_id, win.pos
+  FROM win JOIN cls USING ({fkeys})
+  WHERE cls.c >= 2 AND win.doc_id * {_D26_GID} + win.pos <> cls.keeper_gid
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {L} THEN 0 ELSE 1 END AS b
+  FROM nk
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {L - 1} AS e
+  FROM isl GROUP BY doc_id, island
+), sp AS (
+  SELECT doc_id, list([s, e]) AS spans FROM spans GROUP BY doc_id
+), scrub AS MATERIALIZED (
+  SELECT b2.doc_id, b2.toks, s2.spans,
+         CASE WHEN s2.spans IS NULL THEN b2.toks
+              ELSE list_filter(b2.toks, (x, i) ->
+                     len(list_filter(s2.spans,
+                         sp2 -> i >= sp2[1] AND i <= sp2[2])) = 0)
+         END AS kept
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) b2
+  LEFT JOIN sp s2 USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       CAST(COALESCE(len(spans), 0) AS BIGINT) AS n_spans,
+       COALESCE(array_to_string(kept, ' '), '') AS scrubbed_text
+FROM scrub
+"""
+
+
+@register(
+    "d27_exactsubstr_scrub",
+    oracle=_d27_oracle(),
+    description="EXACTSUBSTR SCRUB (the rewrite the published "
+    "pipeline ships): d26's suffix-rank window classes, keeper = the "
+    "min-(doc_id, pos) occurrence per duplicated class, every token "
+    "covered by a NON-keeper duplicated window removed and the "
+    "surviving text reassembled — one copy of every duplicated "
+    "50-token substring survives, every document present (short and "
+    "clean docs pass through whole), exact per-doc audit integers "
+    "(d25's columns). One class aggregation (count + MIN(gid), "
+    "map-side partials — no per-class rank window, so hot "
+    "boilerplate classes stay a partial-agg problem), one equi-join "
+    "back, gap-and-islands, bounded span collect, pure-Column array "
+    "rewrite. Completes detection (d26) -> rewrite (d27) for the "
+    "published form, as d20 -> d25 does for the K-gram "
+    "approximation.",
+)
+def d27_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exactsubstr_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def exactsubstr_scrub(d: DataFrame, L: int = _D26_L) -> DataFrame:
+    """The d27 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python reference (the span_scrub
+    pattern)."""
+    from pyspark.sql import Window
+
+    win, fkeys = _suffix_window_classes(d, L)
+    gid = (F.col("doc_id").cast("long") * _D26_GID + F.col("pos")).alias("wgid")
+    cls = (
+        win.select(*fkeys, gid)
+        .groupBy(*fkeys)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("wgid").alias("keeper_gid"),
+        )
+        .filter(F.col("c") >= 2)
+        .select(*fkeys, "keeper_gid")
+    )
+    nk = (
+        win.select("doc_id", "pos", *fkeys, gid)
+        .join(cls, fkeys)
+        .filter(F.col("wgid") != F.col("keeper_gid"))
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nk.withColumn(
+        "b",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= L, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("b").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+    )
+    # bounded by construction: scrub islands are disjoint and >= L+1
+    # apart, so <= len/(L+1) rows per doc (the SCALE.md collect rule)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = d.select(
+        "doc_id", _spark_tokens(F.col("text")).alias("toks")
+    ).join(sp, "doc_id", "left")
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.exists(
+                F.col("spans"),
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 <= s["span_end"]),
+            ),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
     )

@@ -941,3 +941,62 @@ class TestSuffixArraySpansProperties:
             assert any(
                 d == did and s0 <= s and e0 >= e for d, s0, e0 in d20
             ), f"d26 span ({did},{s},{e}) not contained in any d20 span {d20}"
+
+
+def _ref_exactsubstr_scrub(docs: list[list[str]], L: int) -> list[tuple]:
+    """Sequential reference for d27: per duplicated length-L window
+    class, keep the min-(doc, pos) occurrence, remove every token
+    covered by the other occurrences; islands merge at gap <= L."""
+    wins: dict[tuple, list[tuple[int, int]]] = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - L + 1):
+            wins.setdefault(tuple(toks[i : i + L]), []).append((did, i + 1))
+    nk: dict[int, list[int]] = {did: [] for did in range(len(docs))}
+    for occ in wins.values():
+        if len(occ) >= 2:
+            for did, p in sorted(occ)[1:]:
+                nk[did].append(p)
+    out = []
+    for did, toks in enumerate(docs):
+        removed: set[int] = set()
+        n_spans = 0
+        prev = None
+        for p in sorted(set(nk[did])):
+            if prev is None or p - prev > L:
+                n_spans += 1
+            removed.update(range(p, p + L))
+            prev = p
+        kept = [t for i, t in enumerate(toks, start=1) if i not in removed]
+        out.append(
+            (did, len(toks), len(toks) - len(kept), n_spans, " ".join(kept))
+        )
+    return sorted(out)
+
+
+class TestExactSubstrScrubProperties:
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_matches_sequential_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in exactsubstr_scrub(df, L=6).collect())
+        assert got == _ref_exactsubstr_scrub(docs, 6)
+
+    def test_keeper_survives_whole_doc_duplicates(self, spark):
+        """Three identical docs: the lowest doc_id keeps its text, the
+        other two scrub to empty — 'all but one occurrence' exactly."""
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        text = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(7, text), (3, text), (9, text)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in exactsubstr_scrub(df, L=50).collect()}
+        assert rows[3]["n_removed"] == 0 and rows[3]["scrubbed_text"] == text
+        for did in (7, 9):
+            assert rows[did]["n_removed"] == 60
+            assert rows[did]["scrubbed_text"] == ""
