@@ -18,6 +18,15 @@ import pandas as pd
 
 def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # An in-memory DuckDB cannot spill (no temp dir) and defaults its
+    # memory limit to ~80% of RAM — while the 32-thread Spark JVM
+    # holds the same box.  The round-9 sweep hit hard "Out of Memory
+    # Error: Failed to allocate block" failures on oracles that pass
+    # green in isolation.  Cap the pool well below the JVM's share and
+    # give the allocator a spill path so a heavy MATERIALIZED chain
+    # degrades to disk instead of failing the sweep.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='24GB'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():

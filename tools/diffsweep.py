@@ -56,7 +56,6 @@ def sweep(sf_dirs: list[str]) -> dict:
         "sfs": {},
     }
     for sf_dir in sf_dirs:
-        con = duck_conn(sf_dir)
         t0 = time.perf_counter()
         ok = rows_only = 0
         fails: list[str] = []
@@ -72,13 +71,17 @@ def sweep(sf_dirs: list[str]) -> dict:
                 rows_only += 1
                 continue
             try:
+                # fresh connection per query: a long-lived sweep
+                # connection accumulates its buffer pool across 270+
+                # MATERIALIZED-heavy oracles and eventually fails hard
+                # allocations while the 32-thread Spark JVM holds the
+                # box (round-9 sweep: s16/pr1 OOM, green in isolation;
+                # duck_conn also caps memory_limit + enables spill)
+                con = duck_conn(sf_dir)
                 ddf = con.execute(q.oracle).df()
+                con.close()
             except Exception as e:  # noqa: BLE001
-                # One retry on a FRESH connection: the long-lived sweep
-                # connection can hit transient allocation failure while
-                # the 32-thread Spark JVM holds the box (observed once:
-                # DuckDB "Out of Memory Error ... 32768 bytes" on a
-                # query that passes green in isolation). Same audit
+                # One retry on another fresh connection.  Same audit
                 # discipline as run_spark_side: the first error is
                 # printed and recorded; a VALUE mismatch is computed
                 # downstream and never retried.
