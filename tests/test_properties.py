@@ -1000,3 +1000,29 @@ class TestExactSubstrScrubProperties:
         for did in (7, 9):
             assert rows[did]["n_removed"] == 60
             assert rows[did]["scrubbed_text"] == ""
+
+
+class TestSuffixSpansHostileSkew:
+    def test_one_boilerplate_class_floods_every_doc(self, spark):
+        """Hostile skew for the prefix-doubling class aggregation: ONE
+        16-token boilerplate block opens every document, so a single
+        rank class holds a constant fraction of all positions (the
+        AQE-skew-join scenario d26's header documents).  The operator
+        must still produce exactly the reference spans — correctness
+        under skew, not just completion."""
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        boiler = [f"b{i}" for i in range(16)]
+        docs = []
+        for d in range(40):
+            # unique tail per doc so only the boilerplate duplicates
+            docs.append(boiler + [f"u{d}_{i}" for i in range(20)])
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=8).collect())
+        assert got == _sa_ref_spans(docs, 8)
+        # the duplicated region is exactly the 16-token boilerplate:
+        # windows at pos 1..9 (width 8), merged span [1, 16], per doc
+        assert got == [(d, 1, 16, 16, 9) for d in range(40)]

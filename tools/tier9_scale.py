@@ -16,6 +16,7 @@ import time
 
 QUERIES = [
     "d26_suffix_array_spans",
+    "d27_exactsubstr_scrub",
     "s19_index_staleness_gate",
     "t25_tokenizer_fertility",
     "c1_curation_pipeline",
