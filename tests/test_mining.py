@@ -274,6 +274,39 @@ class TestTokenizerFertility:
             assert r["sum_bpe_tokens"] >= r["sum_ws_tokens"]
             assert r["chars_per_bpe_token"] <= r["chars_per_ws_token"]
 
+    def test_bpe_sums_reconcile_with_segmentation(self, spark, sf_dir):
+        """sum_bpe_tokens per (source, lang) must equal a driver-side
+        recount: per-word symbol counts from the trusted t33/t35
+        segmentation (pinned elsewhere against a sequential encoder)
+        applied to each group's word stream — pins the broadcast-join
+        aggregation itself, independent of the oracle."""
+        from pyspark.sql import functions as F
+
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _bpe_train_segmentation,
+        )
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        rows = {
+            (r["source"], r["lang"]): r["sum_bpe_tokens"]
+            for r in REGISTRY["t25_tokenizer_fertility"].spark(spark, sf_dir).collect()
+        }
+        _, seg = _bpe_train_segmentation(spark, sf_dir)
+        nsym = {
+            r["tok"]: len(r["seg"].strip().split(" "))
+            for r in seg.collect()
+        }
+        d = load_table(spark, sf_dir, "documents").select(
+            "source", "lang", spark_tokens(F.col("text")).alias("toks")
+        )
+        want: dict[tuple, int] = {}
+        for r in d.collect():
+            key = (r["source"], r["lang"])
+            want[key] = want.get(key, 0) + sum(nsym[t] for t in r["toks"])
+        # groups with zero words drop from the report (inner join)
+        assert rows == {k: v for k, v in want.items() if v > 0}
+
 
 class TestImageAhashDedup:
     def test_seed_classes_collapse_and_keepers_unique(self, spark, sf_dir):
