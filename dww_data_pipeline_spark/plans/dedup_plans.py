@@ -2051,8 +2051,9 @@ def span_scrub(d: DataFrame, K: int = _D20_K) -> DataFrame:
 # Rank VALUES never reach the output (only rank EQUALITY does), so
 # classes need a representative, not a dense ordering: the class id
 # is MIN(gid) over the class, where gid = doc_id * 2^24 + pos is the
-# unique global position id (domain: doc_id < 2^39, docs <= 16M
-# tokens — guarded with raise_error, never silent corruption).  That
+# unique global position id (domain: doc_id <= 2^39-2, docs <= 16M
+# tokens — guarded with raise_error, never silent corruption; the
+# last unit is reserved so max gid stays below 2^63).  That
 # makes every round pure hash shuffles — no global sort, no
 # single-partition window:
 #   * the pos+kg shifts are per-doc lead() windows (partition bounded
@@ -2073,7 +2074,7 @@ def span_scrub(d: DataFrame, K: int = _D20_K) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _D26_L = 50  # published min-match length (Lee et al. 2107.06499 §4.1)
-_D26_GID = 1 << 24  # gid stride: doc_id < 2^39, doc length <= 16M tokens
+_D26_GID = 1 << 24  # gid stride: doc_id <= 2^39-2, doc length <= 16M tokens
 
 
 def _d26_schedule(L: int) -> tuple[int, list[tuple[int, int]], list[int]]:
@@ -2235,16 +2236,18 @@ def _suffix_window_classes(d: DataFrame, L: int):
         )
         # class representative = MIN(gid); ids must be unique across
         # docs, so doc_id strides by 2^24 (docs <= 16M tokens,
-        # doc_id < 2^39) — fail loudly past the packing domain rather
-        # than silently corrupt rank classes
+        # doc_id <= 2^39-2: at doc_id = 2^39-1 with n = 2^24 the max
+        # gid is exactly 2^63, which wraps negative in non-ANSI Spark)
+        # — fail loudly past the packing domain rather than silently
+        # corrupt rank classes
         .withColumn(
             "gid",
             F.expr(
-                f"CASE WHEN doc_id BETWEEN 0 AND {(1 << 39) - 1} "
+                f"CASE WHEN doc_id BETWEEN 0 AND {(1 << 39) - 2} "
                 f"AND n <= {_D26_GID} "
                 f"THEN CAST(doc_id AS BIGINT) * {_D26_GID} + pos "
                 "ELSE CAST(raise_error(concat('d26 gid packing expects "
-                "0 <= doc_id < 2^39 and docs <= 16M tokens, got doc_id=', "
+                "0 <= doc_id <= 2^39-2 and docs <= 16M tokens, got doc_id=', "
                 "CAST(doc_id AS STRING), ' n=', CAST(n AS STRING))) "
                 "AS BIGINT) END"
             ),

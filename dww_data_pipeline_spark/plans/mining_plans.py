@@ -1135,12 +1135,16 @@ nsym AS MATERIALIZED (
   GROUP BY source, lang
 )
 SELECT base.source, base.lang, n_docs, sum_chars, sum_ws_tokens,
-       sum_bpe_tokens,
-       round(CAST(sum_chars AS DOUBLE)
-             / CAST(sum_ws_tokens AS DOUBLE), 6) AS chars_per_ws_token,
-       round(CAST(sum_chars AS DOUBLE)
-             / CAST(sum_bpe_tokens AS DOUBLE), 6) AS chars_per_bpe_token
-FROM base JOIN bpe USING (source, lang)
+       CAST(COALESCE(sum_bpe_tokens, 0) AS BIGINT) AS sum_bpe_tokens,
+       CASE WHEN sum_ws_tokens > 0
+            THEN round(CAST(sum_chars AS DOUBLE)
+                       / CAST(sum_ws_tokens AS DOUBLE), 6) END
+         AS chars_per_ws_token,
+       CASE WHEN COALESCE(sum_bpe_tokens, 0) > 0
+            THEN round(CAST(sum_chars AS DOUBLE)
+                       / CAST(sum_bpe_tokens AS DOUBLE), 6) END
+         AS chars_per_bpe_token
+FROM base LEFT JOIN bpe USING (source, lang)
 """
 
 
@@ -1183,22 +1187,31 @@ def t25_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.sum("n_sym").alias("sum_bpe_tokens"))
     )
-    return base.join(bpe, ["source", "lang"]).select(
+    # left join: a (source, lang) group whose documents contain zero
+    # tokens must stay visible (sum_bpe_tokens = 0, null fertility)
+    # rather than vanish from the report (round-9 advice)
+    bpe_sum = F.coalesce(F.col("sum_bpe_tokens"), F.lit(0).cast("long"))
+    return base.join(bpe, ["source", "lang"], "left").select(
         "source",
         "lang",
         "n_docs",
         "sum_chars",
         "sum_ws_tokens",
-        "sum_bpe_tokens",
-        F.round(
-            F.col("sum_chars").cast("double")
-            / F.col("sum_ws_tokens").cast("double"),
-            6,
+        bpe_sum.alias("sum_bpe_tokens"),
+        F.when(
+            F.col("sum_ws_tokens") > 0,
+            F.round(
+                F.col("sum_chars").cast("double")
+                / F.col("sum_ws_tokens").cast("double"),
+                6,
+            ),
         ).alias("chars_per_ws_token"),
-        F.round(
-            F.col("sum_chars").cast("double")
-            / F.col("sum_bpe_tokens").cast("double"),
-            6,
+        F.when(
+            bpe_sum > 0,
+            F.round(
+                F.col("sum_chars").cast("double") / bpe_sum.cast("double"),
+                6,
+            ),
         ).alias("chars_per_bpe_token"),
     )
 

@@ -1532,11 +1532,16 @@ def index_staleness_gate(
         .filter(F.col("rn") <= k)
         .select("s", "query_id", "vec_id")
     )
-    hits = (
+    # left-join onto the full step range: a step with ZERO recall hits
+    # (adversarial/low-recall data) must still emit a row with
+    # hits_at_k = 0, matching the oracle's LEFT JOIN (round-9 advice)
+    hits = steps.join(
         atop.join(ex, ["s", "query_id", "vec_id"], "left_semi")
         .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("hits_at_k"))
-    )
+        .agg(F.count(F.lit(1)).alias("hits_at_k")),
+        "s",
+        "left",
+    ).select("s", F.coalesce("hits_at_k", F.lit(0).cast("long")).alias("hits_at_k"))
     # drift leg: base histogram vs cumulative arrival histogram (dq4's
     # integer cross-product form on the index's own cell occupancy)
     bh = (

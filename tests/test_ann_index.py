@@ -348,3 +348,33 @@ class TestIndexStalenessGate:
         for s in range(1, 5):
             assert out[s]["l1_assign_drift"] == 1.0
             assert out[s]["rebuild"]
+
+    def test_zero_recall_steps_still_emit_rows(self, spark):
+        """Adversarial probe set: the frozen cells never contain any
+        assigned cluster, so every step has ZERO recall hits.  The
+        gate must still emit one row per step with hits_at_k = 0 and
+        rebuild = true (recall floor), matching the oracle's LEFT
+        JOIN (round-9 advice)."""
+        from dww_data_pipeline_spark.plans.selection_plans import (
+            index_staleness_gate,
+        )
+
+        rows = [(i, 0, [i, 0], 5) for i in range(6)]
+        rows += [(100 + s, s, [50 + s, 0], 5) for s in range(1, 4)]
+        assigned = spark.createDataFrame(
+            rows, "vec_id long, step int, vq array<long>, cluster int"
+        )
+        queries = spark.createDataFrame(
+            [(0, [0, 0], [1, 2])], "query_id long, qv array<long>, cells array<int>"
+        )
+        out = {
+            r["step"]: r
+            for r in index_staleness_gate(
+                assigned, queries, n_steps=3, k=2, n_queries=1
+            ).collect()
+        }
+        assert sorted(out) == [0, 1, 2, 3]
+        for s in range(4):
+            assert out[s]["hits_at_k"] == 0
+            assert out[s]["recall_at_k"] == 0.0
+            assert out[s]["rebuild"]

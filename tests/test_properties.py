@@ -1026,3 +1026,32 @@ class TestSuffixSpansHostileSkew:
         # the duplicated region is exactly the 16-token boilerplate:
         # windows at pos 1..9 (width 8), merged span [1, 16], per doc
         assert got == [(d, 1, 16, 16, 9) for d in range(40)]
+
+
+class TestGidPackingGuardBoundary:
+    """The d26 gid packing domain is doc_id <= 2^39-2: at 2^39-1 with a
+    maximal doc (n = 2^24) the gid doc_id*2^24 + pos reaches exactly
+    2^63 and would wrap negative in non-ANSI Spark (round-9 advice)."""
+
+    def test_max_in_domain_doc_id_computes(self, spark):
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        text = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [((1 << 39) - 2, text), (0, text)], "doc_id long, text string"
+        )
+        rows = suffix_array_spans(df, L=50).collect()
+        # both docs share every window — two full-coverage span rows
+        assert sorted(r["doc_id"] for r in rows) == [0, (1 << 39) - 2]
+
+    def test_out_of_domain_doc_id_raises(self, spark):
+        import pytest
+
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        text = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [((1 << 39) - 1, text), (0, text)], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="d26 gid packing"):
+            suffix_array_spans(df, L=50).collect()

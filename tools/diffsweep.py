@@ -78,8 +78,10 @@ def sweep(sf_dirs: list[str]) -> dict:
                 # box (round-9 sweep: s16/pr1 OOM, green in isolation;
                 # duck_conn also caps memory_limit + enables spill)
                 con = duck_conn(sf_dir)
-                ddf = con.execute(q.oracle).df()
-                con.close()
+                try:
+                    ddf = con.execute(q.oracle).df()
+                finally:
+                    con.close()
             except Exception as e:  # noqa: BLE001
                 # One retry on another fresh connection.  Same audit
                 # discipline as run_spark_side: the first error is
@@ -89,8 +91,10 @@ def sweep(sf_dirs: list[str]) -> dict:
                 print(f"RETRY(duck) {first}", flush=True)
                 try:
                     con2 = duck_conn(sf_dir)
-                    ddf = con2.execute(q.oracle).df()
-                    con2.close()
+                    try:
+                        ddf = con2.execute(q.oracle).df()
+                    finally:
+                        con2.close()
                     duck_retries.append(first)
                 except Exception as e2:  # noqa: BLE001
                     fails.append(f"{name}: duckdb error: {e2}")
@@ -114,7 +118,6 @@ def sweep(sf_dirs: list[str]) -> dict:
             f"{len(fails)} failures ({out['sfs'][sf]['wall_s']}s)",
             flush=True,
         )
-        con.close()
     out["all_green"] = all(not s["failures"] for s in out["sfs"].values())
     return out
 
