@@ -238,6 +238,9 @@ EXTRA = [
     "d26_suffix_array_spans",   # prefix-doubling exact-substring dedup
     "s19_index_staleness_gate", # ANN index recall-decay/drift rebuild gate
     "d27_exactsubstr_scrub",    # ExactSubstr keep-one-occurrence rewrite
+    # round 10
+    "t36_tokenizer_artifact_parity",   # persisted-tokenizer parity gate
+    "s20_tokenizer_staleness_gate",    # tokenizer OOV/fertility retrain gate
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

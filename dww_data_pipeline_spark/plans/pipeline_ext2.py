@@ -2872,11 +2872,13 @@ def _bpe_apply_merge(seg, left: str, right: str, merged: str):
     )
 
 
-def _bpe_oracle_stages() -> str:
+def _bpe_oracle_stages(where: str = "") -> str:
     """The DuckDB unroll of the training recurrence (seg0..seg16 with
     per-iteration pair counts p{it} and argmax b{it}), shared by the
-    t33 and t35 oracles.  Carries tok through every stage so the
-    encode oracle can key the final segmentation back to its word."""
+    t33/t35/t25/t36 oracles and (with ``where`` restricting the
+    training corpus to the base slice) s20's frozen-vocabulary leg.
+    Carries tok through every stage so the encode oracle can key the
+    final segmentation back to its word."""
     seg0 = (
         "' ' || array_to_string(list_transform(generate_series(1, "
         "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
@@ -2884,7 +2886,7 @@ def _bpe_oracle_stages() -> str:
     parts = [
         f"""words AS MATERIALIZED (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
-  FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents)
+  FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents{where})
   GROUP BY tok
 )""",
         f"seg0 AS MATERIALIZED (SELECT tok, n, {seg0} AS seg FROM words)",
@@ -3039,18 +3041,445 @@ def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# t36_tokenizer_artifact_parity — the PERSISTED tokenizer contract.
+#
+# Round 9's honest cost: every real-BPE consumer (t25, t35) re-runs
+# the 16-merge training loop in-query because no tokenizer artifact
+# existed.  sources/tokenizer_store.py is the artifact (train once ->
+# parquet merges + segmentation, the ann_index precedent); t36 is the
+# differential gate that the ARTIFACT PATH is exact: build the store,
+# load it back from disk, re-encode the corpus vocabulary with the
+# LOADED merge list, and emit order-independent exact fingerprints of
+# every leg.  The oracle computes the same fingerprints from the
+# in-query training recurrence (the 16 unrolled CTE stages), so ANY
+# divergence in persist -> load -> re-apply — a quoting bug in the
+# parquet round-trip, a rank-order slip in merge application, a
+# trimmed-sentinel mismatch — breaks the hash match.
+#
+# Fingerprints are SUMs of 32-bit md5 prefixes (the ev12 cross-engine
+# recipe: Spark conv(substring(md5 ..)) == DuckDB ('0x' || substr(md5
+# ..))::BIGINT) — order-independent, exact integers, no float drift.
+# reencode_hash == segmentation_hash additionally pins the t35
+# invariant THROUGH the artifact: rank-ordered greedy application of
+# the loaded merges reproduces the trainer's final state.
+#
+# Scale shape: one t33 training run (the one corpus-histogram
+# shuffle), one vocabulary-bounded store write + read-back, 16
+# vocabulary-bounded encode folds, and vocabulary-bounded hash
+# aggregations; the store lands in a fresh mkdtemp dir deleted after
+# the bounded 5-row result materializes (the ext_orc_roundtrip
+# discipline — concurrent runs never race on a shared path).
+# ---------------------------------------------------------------------------
+
+
+def _md5_32(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _t36_oracle() -> str:
+    mrows = "\nUNION ALL ".join(
+        f"SELECT {it} AS step, trim(pair) AS pair, "
+        f"replace(trim(pair), ' ', '') AS merged, n FROM b{it}"
+        for it in range(1, _BPE_TRAIN_MERGES + 1)
+    )
+    h_seg = (
+        "CAST(('0x' || substr(md5(tok || '|' || seg), 1, 8)) AS BIGINT)"
+    )
+    h_merge = (
+        "CAST(('0x' || substr(md5(CAST(step AS VARCHAR) || '|' || pair "
+        "|| '|' || merged || '|' || CAST(n AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    return f"""WITH {_bpe_oracle_stages()},
+final AS MATERIALIZED (
+  SELECT tok, n, trim(seg) AS seg,
+         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+  FROM seg{_BPE_TRAIN_MERGES}
+), mrows AS ({mrows})
+SELECT 'corpus_bpe_tokens' AS check_name,
+       CAST(SUM(n * n_sym) AS BIGINT) AS value FROM final
+UNION ALL
+SELECT 'merge_table_hash', CAST(SUM({h_merge}) AS BIGINT) FROM mrows
+UNION ALL
+SELECT 'n_words', CAST(COUNT(*) AS BIGINT) FROM final
+UNION ALL
+SELECT 'reencode_hash', CAST(SUM({h_seg}) AS BIGINT) FROM final
+UNION ALL
+SELECT 'segmentation_hash', CAST(SUM({h_seg}) AS BIGINT) FROM final"""
+
+
+@register(
+    "t36_tokenizer_artifact_parity",
+    oracle=_t36_oracle(),
+    description="PERSISTED TOKENIZER PARITY GATE: train the 16-merge "
+    "BPE tokenizer, persist it (sources/tokenizer_store.py — parquet "
+    "merge table + vocabulary segmentation, the ann_index artifact "
+    "precedent), load it back from disk, re-encode the corpus "
+    "vocabulary with the LOADED merge list, and fingerprint every "
+    "leg with order-independent 32-bit-md5 sums (merge table, "
+    "persisted segmentation, re-encoded segmentation, corpus BPE "
+    "token count, vocabulary size). The oracle re-derives the same "
+    "fingerprints from the in-query training recurrence, so any "
+    "persist/load/re-apply divergence breaks the hash match — "
+    "artifact-backed consumers (t25/t35 twins) inherit exactness "
+    "from this gate. reencode_hash == segmentation_hash pins the "
+    "train->apply closure THROUGH the artifact",
+)
+def t36_tokenizer_artifact_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+
+    from dww_data_pipeline_spark.sources import tokenizer_store as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dww_tokstore_parity_")
+    try:
+        ts.build_tokenizer_store(d, store, n_merges=_BPE_TRAIN_MERGES)
+        merges = ts.load_merge_list(spark, store)
+        seg = ts.load_segmentation(spark, store)
+        h_seg = _md5_32(F.concat_ws("|", "tok", "seg"))
+        agg = seg.agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sym")).alias("corpus_bpe_tokens"),
+            F.sum(h_seg).alias("segmentation_hash"),
+        ).collect()[0]
+        # bounded: n_merges rows; hashlib.md5 == Spark/DuckDB md5
+        merge_hash = sum(
+            int(
+                hashlib.md5(
+                    f"{r['step']}|{r['pair']}|{r['merged']}|{r['n']}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for r in spark.read.parquet(f"{store}/merges").collect()
+        )
+        vocab = d.select(
+            F.explode(spark_tokens(F.col("text"))).alias("tok")
+        ).distinct()
+        reenc = ts.encode_words(vocab, merges)
+        re_hash = reenc.agg(F.sum(h_seg).alias("h")).collect()[0]["h"]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    rows = [
+        ("corpus_bpe_tokens", int(agg["corpus_bpe_tokens"])),
+        ("merge_table_hash", int(merge_hash)),
+        ("n_words", int(agg["n_words"])),
+        ("reencode_hash", int(re_hash)),
+        ("segmentation_hash", int(agg["segmentation_hash"])),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
+# ---------------------------------------------------------------------------
+# s20_tokenizer_staleness_gate — the tokenizer LIFECYCLE decision.
+#
+# The missing production step between persisting a tokenizer
+# (sources/tokenizer_store.py, gated by t36) and trusting it: the
+# vocabulary is FROZEN at train time, so as documents keep arriving
+# the token distribution drifts — new scripts/domains produce
+# out-of-vocabulary words and fertility decay (more symbols per
+# character than the training corpus paid).  s20 measures both and
+# emits the retrain/keep decision as an oracle-checked quantity —
+# s19's index-lifecycle pattern transplanted onto the tokenizer.
+#
+# Deterministic lifecycle simulation on the documents table (the s19
+# split, verbatim): the BASE corpus is doc_id % 4 != 3 (the
+# tokenizer's training set); the remaining quarter ARRIVES in four
+# steps (step = (doc_id % 16)//4 + 1).  The tokenizer is trained on
+# BASE ONLY and frozen; arriving words segment via rank-ordered
+# greedy application of the frozen merge list (encode_words — OOV
+# words segment fine, BPE encoding is merge application, not a
+# lookup).  Per step s in 0..4 (cumulative arrivals with step <= s):
+#
+#   * OOV leg: corpus-weighted share of arriving word tokens absent
+#     from the frozen training vocabulary — exact integers;
+#   * fertility leg: chars-per-BPE-token of the arrived stream under
+#     the frozen tokenizer vs the training corpus' own fertility —
+#     drift compared by integer cross-multiply (DECIMAL(38,0) on
+#     both sides: chars x tokens products overflow BIGINT at 100 TB,
+#     the dq10 rule);
+#   * decision: retrain iff OOV share > 1/4 (4*oov > total) OR
+#     relative fertility drift > 1/8
+#     (8*|chars_a*toks_b - chars_b*bpe_a| > chars_b*bpe_a).
+#
+# Scale shape: ONE pass over the arriving slice builds its per-step
+# word histogram (the corpus-scale shuffle); everything after is
+# vocabulary-bounded — 16 encode folds over the arrived vocab, a
+# |steps|x|vocab| cumulative join (steps broadcast), a 5-row grid
+# left-joined so zero-arrival steps still emit rows (the s19
+# zero-hits rule).  The oracle re-derives the frozen tokenizer with
+# the 16 CTE training stages restricted to the base slice and
+# encodes the arrived vocabulary with 16 more fold stages.
+# ---------------------------------------------------------------------------
+
+_S20_STEPS = 4
+
+
+def tokenizer_staleness_gate(
+    base_seg: DataFrame,
+    arrived_words: DataFrame,
+    arrived_doc_counts: DataFrame,
+    merges: list[tuple[str, str]],
+    n_steps: int,
+) -> DataFrame:
+    """The s20 core over any frozen tokenizer — factored so the
+    artifact-parity pytest can feed it the PERSISTED store
+    (load_segmentation + load_merge_list) and require the identical
+    gate as the in-query-trained path.
+
+    ``base_seg``: the frozen vocabulary in store format
+    (tok, n, seg, n_sym — seg trimmed).  ``arrived_words``:
+    (step, tok, n) per-step word histogram of the arriving stream,
+    step in 1..n_steps.  ``arrived_doc_counts``: (step, n_docs).
+    ``merges``: the frozen merge list [(pair, merged)], trimmed.
+    Emits one row per cumulative step 0..n_steps."""
+    from dww_data_pipeline_spark.sources.tokenizer_store import encode_words
+
+    spark = base_seg.sparkSession
+    steps = spark.range(0, n_steps + 1).select(
+        F.col("id").cast("int").alias("s")
+    )
+    # frozen-tokenizer totals: one 1-row aggregate, cross-joined back
+    bt = base_seg.agg(
+        F.sum(F.col("n") * F.length("tok")).alias("chars_b"),
+        F.sum(F.col("n") * F.col("n_sym")).alias("toks_b"),
+    )
+    # arrived vocabulary, segmented by the FROZEN merge list
+    enc = encode_words(arrived_words.select("tok").distinct(), merges).select(
+        "tok", "n_sym"
+    )
+    arr = (
+        arrived_words.join(F.broadcast(enc), "tok")
+        .join(
+            base_seg.select("tok", F.lit(1).alias("in_vocab")), "tok", "left"
+        )
+        .join(F.broadcast(steps), F.col("step") <= F.col("s"))
+    )
+    cum = arr.groupBy("s").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+        F.sum(F.col("n") * F.length("tok")).alias("chars_a"),
+        F.sum(F.col("n") * F.col("n_sym")).alias("bpe_a"),
+    )
+    docs = (
+        steps.join(
+            arrived_doc_counts, F.col("step") <= F.col("s"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"))
+    )
+    z = F.lit(0).cast("long")
+    full = (
+        steps.join(cum, "s", "left")
+        .select(
+            "s",
+            F.coalesce("n_tokens", z).alias("n_tokens"),
+            F.coalesce("oov_tokens", z).alias("oov_tokens"),
+            F.coalesce("chars_a", z).alias("chars_a"),
+            F.coalesce("bpe_a", z).alias("bpe_a"),
+        )
+        .join(docs, "s")
+        .crossJoin(F.broadcast(bt))
+    )
+    dec = "decimal(38,0)"
+    drift_num = F.abs(
+        F.col("chars_a").cast(dec) * F.col("toks_b")
+        - F.col("chars_b").cast(dec) * F.col("bpe_a")
+    )
+    return full.select(
+        F.col("s").cast("long").alias("step"),
+        F.col("n_docs").alias("n_docs_arrived"),
+        F.col("n_tokens").alias("n_tokens_arrived"),
+        "oov_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("oov_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+        F.col("chars_a").alias("chars_arrived"),
+        F.col("bpe_a").alias("bpe_tokens_arrived"),
+        F.when(
+            F.col("bpe_a") > 0,
+            F.round(
+                F.col("chars_a").cast("double") / F.col("bpe_a").cast("double"),
+                6,
+            ),
+        ).alias("fertility_arrived"),
+        F.round(
+            F.col("chars_b").cast("double") / F.col("toks_b").cast("double"), 6
+        ).alias("fertility_base"),
+        (
+            (4 * F.col("oov_tokens") > F.col("n_tokens"))
+            | (
+                (F.col("bpe_a") > 0)
+                & (
+                    F.lit(8).cast(dec) * drift_num
+                    > F.col("chars_b").cast(dec) * F.col("bpe_a")
+                )
+            )
+        ).alias("retrain"),
+    )
+
+
+def _s20_oracle() -> str:
+    seg0 = (
+        "' ' || array_to_string(list_transform(generate_series(1, "
+        "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
+    )
+    aseg: list[str] = [
+        f"aseg0 AS MATERIALIZED (SELECT tok, {seg0} AS seg FROM av)"
+    ]
+    for it in range(1, _BPE_TRAIN_MERGES + 1):
+        aseg.append(
+            f"""aseg{it} AS MATERIALIZED (
+  SELECT s.tok,
+         list_reduce(
+           list_prepend(' ', string_split(trim(s.seg), ' ')),
+           (acc, x) -> CASE
+             WHEN x = b.rb AND ends_with(acc, ' ' || b.la || ' ')
+             THEN substr(acc, 1, len(acc) - len(b.la) - 1) || b.m || ' '
+             ELSE acc || x || ' ' END) AS seg
+  FROM aseg{it - 1} s CROSS JOIN b{it} b
+)"""
+        )
+    aseg_sql = ",\n".join(aseg)
+    return f"""WITH {_bpe_oracle_stages(" WHERE doc_id % 4 != 3")},
+aw AS MATERIALIZED (
+  SELECT CAST((doc_id % 16) // 4 AS INT) + 1 AS step, tok,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok
+        FROM documents WHERE doc_id % 4 = 3)
+  GROUP BY 1, 2
+), adc AS (
+  SELECT CAST((doc_id % 16) // 4 AS INT) + 1 AS step,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % 4 = 3 GROUP BY 1
+), av AS MATERIALIZED (SELECT DISTINCT tok FROM aw),
+{aseg_sql},
+aenc AS MATERIALIZED (
+  SELECT tok,
+         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+  FROM aseg{_BPE_TRAIN_MERGES}
+), bt AS (
+  SELECT CAST(SUM(n * len(tok)) AS BIGINT) AS chars_b,
+         CAST(SUM(n * len(string_split(trim(seg), ' '))) AS BIGINT) AS toks_b
+  FROM seg{_BPE_TRAIN_MERGES}
+), steps AS (
+  SELECT CAST(unnest(generate_series(0, {_S20_STEPS})) AS INT) AS s
+), cum AS (
+  SELECT st.s,
+         CAST(COALESCE(SUM(aw.n), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN w.tok IS NULL THEN aw.n
+                                ELSE 0 END), 0) AS BIGINT) AS oov_tokens,
+         CAST(COALESCE(SUM(aw.n * len(aw.tok)), 0) AS BIGINT) AS chars_a,
+         CAST(COALESCE(SUM(aw.n * e.n_sym), 0) AS BIGINT) AS bpe_a
+  FROM steps st
+  LEFT JOIN aw ON aw.step <= st.s
+  LEFT JOIN aenc e ON e.tok = aw.tok
+  LEFT JOIN words w ON w.tok = aw.tok
+  GROUP BY st.s
+), cd AS (
+  SELECT st.s, CAST(COALESCE(SUM(adc.n_docs), 0) AS BIGINT) AS n_docs
+  FROM steps st LEFT JOIN adc ON adc.step <= st.s GROUP BY st.s
+)
+SELECT CAST(c.s AS BIGINT) AS step,
+       cd.n_docs AS n_docs_arrived,
+       c.n_tokens AS n_tokens_arrived,
+       c.oov_tokens,
+       CASE WHEN c.n_tokens > 0
+            THEN round(CAST(c.oov_tokens AS DOUBLE) / c.n_tokens, 6)
+            ELSE 0.0 END AS oov_rate,
+       c.chars_a AS chars_arrived,
+       c.bpe_a AS bpe_tokens_arrived,
+       CASE WHEN c.bpe_a > 0
+            THEN round(CAST(c.chars_a AS DOUBLE) / c.bpe_a, 6) END
+         AS fertility_arrived,
+       round(CAST(bt.chars_b AS DOUBLE) / bt.toks_b, 6) AS fertility_base,
+       (4 * c.oov_tokens > c.n_tokens) OR
+       (c.bpe_a > 0 AND
+        8 * abs(CAST(c.chars_a AS DECIMAL(38,0)) * bt.toks_b
+                - CAST(bt.chars_b AS DECIMAL(38,0)) * c.bpe_a)
+          > CAST(bt.chars_b AS DECIMAL(38,0)) * c.bpe_a) AS retrain
+FROM cum c JOIN cd ON cd.s = c.s CROSS JOIN bt"""
+
+
+@register(
+    "s20_tokenizer_staleness_gate",
+    oracle=_s20_oracle(),
+    description="TOKENIZER STALENESS GATE (s19's lifecycle pattern on "
+    "the frozen tokenizer): train on the base slice (doc_id%4!=3), "
+    "freeze; the remaining quarter arrives in 4 steps. Per cumulative "
+    "step: corpus-weighted OOV share of arriving word tokens vs the "
+    "frozen vocabulary, fertility of the arrived stream under the "
+    "frozen merge list (rank-ordered greedy encode — OOV words "
+    "segment by merge application, not lookup) vs the training "
+    "corpus' own fertility, and the retrain/keep decision (OOV > 1/4 "
+    "OR relative fertility drift > 1/8, integer cross-multiplies in "
+    "DECIMAL(38,0) — chars x tokens overflows BIGINT at 100 TB). One "
+    "corpus pass builds the arriving word histogram; everything else "
+    "is vocabulary-bounded (16 encode folds, steps-grid joins); "
+    "zero-arrival steps still emit rows (the s19 zero-hits rule). "
+    "Oracle re-derives the frozen tokenizer with base-restricted CTE "
+    "training stages + 16 arrived-vocab encode stages",
+)
+def s20_tokenizer_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base_docs = d.filter(F.col("doc_id") % 4 != 3)
+    merges_raw, seg_raw = bpe_train_segmentation_df(base_docs)
+    base_seg = seg_raw.select(
+        "tok",
+        "n",
+        F.trim(F.col("seg")).alias("seg"),
+        F.size(F.split(F.trim(F.col("seg")), " ")).cast("long").alias("n_sym"),
+    )
+    merges = [(p.strip(), m.strip()) for p, m, _ in merges_raw]
+    arr_docs = d.filter(F.col("doc_id") % 4 == 3).withColumn(
+        "step", F.expr("CAST((doc_id % 16) DIV 4 AS INT) + 1")
+    )
+    arrived_words = (
+        arr_docs.select("step", F.explode(spark_tokens(F.col("text"))).alias("tok"))
+        .groupBy("step", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    arrived_doc_counts = arr_docs.groupBy("step").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return tokenizer_staleness_gate(
+        base_seg, arrived_words, arrived_doc_counts, merges, _S20_STEPS
+    )
+
+
 def _bpe_train_segmentation(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
-    """The 16-merge BPE training loop shared by t33 (the merge table)
-    and t35 (the encode pass).  Returns ``(merges, seg)`` where
-    ``merges`` is the learned [(sentinel pair, sentinel merged, count)]
-    list and ``seg`` is the corpus word histogram (tok, n, seg) in its
-    FINAL segmentation — which is by construction what rank-ordered
-    greedy application of the merge list produces on the training
-    corpus, i.e. the encoded corpus.  ``seg`` is localCheckpointed
+    """The 16-merge training loop over the full documents table —
+    the registered t33/t35/t25 path (see ``bpe_train_segmentation_df``
+    for the DataFrame core the tokenizer store and the s20 staleness
+    gate train through)."""
+    return bpe_train_segmentation_df(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_train_segmentation_df(
+    d: DataFrame, n_merges: int = _BPE_TRAIN_MERGES
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """The BPE training loop shared by t33 (the merge table), t35
+    (the encode pass), the persisted tokenizer store, and s20's
+    frozen-vocabulary training leg.  ``d`` is any (doc_id, text, ...)
+    corpus slice.  Returns ``(merges, seg)`` where ``merges`` is the
+    learned [(sentinel pair, sentinel merged, count)] list and ``seg``
+    is the corpus word histogram (tok, n, seg) in its FINAL
+    segmentation — which is by construction what rank-ordered greedy
+    application of the merge list produces on the training corpus,
+    i.e. the encoded corpus.  ``seg`` is localCheckpointed
     (vocabulary-bounded), independent of the unpersisted histogram."""
-    d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
@@ -3069,7 +3498,7 @@ def _bpe_train_segmentation(
         words.count()  # materialize the histogram once
         seg = words
         merges: list[tuple[str, str, int]] = []
-        for it in range(1, _BPE_TRAIN_MERGES + 1):
+        for it in range(1, n_merges + 1):
             syms = "split(trim(seg), ' ')"
             pairs = (
                 seg.filter(F.expr(f"size({syms}) >= 2"))
@@ -3090,7 +3519,7 @@ def _bpe_train_segmentation(
             if not best:
                 raise ValueError(
                     f"t33: vocabulary exhausted after {it - 1} merges "
-                    f"(need {_BPE_TRAIN_MERGES}) — corpus too small"
+                    f"(need {n_merges}) — corpus too small"
                 )
             pair, n = best[0]["pair"], int(best[0]["n"])
             merged = " " + pair.strip().replace(" ", "") + " "

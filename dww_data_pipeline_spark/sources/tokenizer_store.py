@@ -1,0 +1,226 @@
+"""Persisted BPE tokenizer — train once, apply many.
+
+t33 trains the 16-merge tokenizer in-query, which is the right shape
+for the training query itself but the wrong one for every DOWNSTREAM
+consumer: round 9's t25 rewire made the fertility report re-run the
+full training loop (16 argmax rounds over the word histogram) on
+every call.  A production tokenizer is an ARTIFACT — trained once,
+versioned, loaded by everything that tokenizes (the
+``sources/ann_index.py`` precedent: the IVF quantizer trains once and
+serves from parquet).  This module is that path:
+
+* ``build_tokenizer_store``: run the t33 training loop
+  (``plans.pipeline_ext2.bpe_train_segmentation_df``) over a corpus
+  slice and write
+
+      <dir>/merges/          n_merges rows: (step, pair, merged, n)
+      <dir>/segmentation/    vocabulary: (tok, n, seg, n_sym)
+
+  Both tables are VOCABULARY-BOUNDED (the t33 two-phase rule: the
+  corpus collapses to its word histogram once), so the artifact is
+  KB-to-MB scale even on a 100 TB corpus — one coalesced merge file,
+  one small segmentation write.
+
+* ``load_merge_list`` / ``load_segmentation``: read the artifact
+  back.  The merge list is a bounded collect (n_merges rows — the
+  e7/pr1 bounded-artifact discipline); the segmentation is a
+  DataFrame sized for ``F.broadcast`` onto an exploded token stream
+  (how t25's artifact-backed variant joins it — no corpus-side
+  shuffle).
+
+* ``encode_words``: segment ANY word column with a LOADED merge list
+  — the frozen-tokenizer encode path.  Novel (out-of-vocabulary)
+  words segment correctly because BPE encoding is merge-list
+  application, not a vocabulary lookup: each learned merge applies
+  in rank order as one exact greedy fold (merge, then skip).  This
+  is what s20's staleness gate runs over ARRIVING docs the frozen
+  tokenizer has never seen.
+
+* ``fertility_from_store`` / ``encode_top_from_store``: the
+  artifact-backed twins of t25 and t35 — broadcast the loaded
+  (tok, n_sym) table instead of re-training; OOV words fall back to
+  ``encode_words`` over the (bounded) novel vocabulary.
+
+Rebuilds follow the lake discipline: write to a fresh directory and
+swap (``sources.maintenance``); the s20 staleness gate is the
+oracle-checked decision of WHEN to do that.
+
+No reference counterpart (the reference has no tokenizer); this is
+north-star LLM-pipeline infrastructure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_tokenizer_store(
+    docs: DataFrame, out_dir: str, n_merges: int = 16
+) -> int:
+    """Train the BPE tokenizer on ``docs`` (any (text, ...) corpus
+    slice) and persist it under ``out_dir``.  Returns the number of
+    merges written."""
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        bpe_train_segmentation_df,
+    )
+
+    merges, seg = bpe_train_segmentation_df(docs, n_merges=n_merges)
+    spark = docs.sparkSession
+    mrows = [
+        (it + 1, p.strip(), m.strip(), n) for it, (p, m, n) in enumerate(merges)
+    ]
+    spark.createDataFrame(
+        mrows, "step long, pair string, merged string, n long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "merges"))
+    seg.select(
+        "tok",
+        "n",
+        F.trim(F.col("seg")).alias("seg"),
+        F.size(F.split(F.trim(F.col("seg")), " ")).cast("long").alias("n_sym"),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "segmentation"))
+    return len(mrows)
+
+
+def load_merge_list(spark: SparkSession, store_dir: str) -> list[tuple[str, str]]:
+    """The learned merge list in rank order, as [(pair, merged)] with
+    trimmed single-space pairs (``"a b"``).  Bounded collect —
+    n_merges rows."""
+    rows = sorted(
+        spark.read.parquet(os.path.join(store_dir, "merges")).collect(),
+        key=lambda r: r["step"],
+    )
+    if not rows:
+        raise ValueError(f"empty merge table under {store_dir}")
+    return [(r["pair"], r["merged"]) for r in rows]
+
+
+def load_segmentation(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The persisted training-corpus vocabulary:
+    (tok, n, seg, n_sym), seg trimmed single-space."""
+    return spark.read.parquet(os.path.join(store_dir, "segmentation"))
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment the ``tok`` column of ``words`` with a loaded merge
+    list: character seg0, then each merge in rank order as one exact
+    greedy fold (``_bpe_apply_merge`` — merge, then skip).  Returns
+    ``words`` plus (seg, n_sym); other columns pass through.
+
+    ``words`` must be vocabulary-scale (distinct words, not the raw
+    token stream) — each fold localCheckpoints to keep plan depth at
+    one fold per job, the t33 discipline."""
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _bpe_apply_merge
+
+    passthrough = [c for c in words.columns if c != "tok"]
+    seg0 = F.expr(
+        "concat(' ', array_join(transform(sequence(1, length(tok)), "
+        "i -> substring(tok, i, 1)), ' '), ' ')"
+    )
+    cur = words.select("tok", *passthrough, seg0.alias("seg"))
+    for pair, merged in merges:
+        la, rb = pair.split(" ")
+        cur = cur.select(
+            "tok",
+            *passthrough,
+            _bpe_apply_merge(F.col("seg"), la, rb, merged).alias("seg"),
+        ).localCheckpoint()
+    return cur.select(
+        "tok",
+        *passthrough,
+        F.trim(F.col("seg")).alias("seg"),
+        F.size(F.split(F.trim(F.col("seg")), " ")).cast("long").alias("n_sym"),
+    )
+
+
+def _nsym_with_oov(
+    corpus_words: DataFrame, spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(tok, n_sym) covering every word in ``corpus_words`` (a
+    distinct ``tok`` column): in-vocabulary words read their symbol
+    count from the persisted segmentation; novel words encode on the
+    fly with the loaded merge list (the OOV vocabulary is bounded by
+    the corpus vocabulary, so the encode folds stay
+    vocabulary-scale)."""
+    nsym = load_segmentation(spark, store_dir).select("tok", "n_sym")
+    oov = corpus_words.join(nsym.select("tok"), "tok", "left_anti")
+    enc = encode_words(oov, load_merge_list(spark, store_dir)).select(
+        "tok", "n_sym"
+    )
+    return nsym.unionByName(enc)
+
+
+def fertility_from_store(
+    docs: DataFrame, spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """t25's artifact-backed twin: the fertility report with the
+    token denominator served from the PERSISTED tokenizer instead of
+    an in-query training run.  The vocabulary-bounded (tok, n_sym)
+    table broadcasts onto the exploded word stream — one corpus-term
+    shuffle total, zero training work per call."""
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    corpus_vocab = docs.select(
+        F.explode(spark_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    nsym = _nsym_with_oov(corpus_vocab, spark, store_dir)
+    base = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.size(spark_tokens(F.col("text")))).alias("sum_ws_tokens"),
+    )
+    bpe = (
+        docs.select(
+            "source", "lang", F.explode(spark_tokens(F.col("text"))).alias("tok")
+        )
+        .join(F.broadcast(nsym), "tok")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_sym").alias("sum_bpe_tokens"))
+    )
+    bpe_sum = F.coalesce(F.col("sum_bpe_tokens"), F.lit(0).cast("long"))
+    return base.join(bpe, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws_tokens",
+        bpe_sum.alias("sum_bpe_tokens"),
+        F.when(
+            F.col("sum_ws_tokens") > 0,
+            F.round(
+                F.col("sum_chars").cast("double")
+                / F.col("sum_ws_tokens").cast("double"),
+                6,
+            ),
+        ).alias("chars_per_ws_token"),
+        F.when(
+            bpe_sum > 0,
+            F.round(
+                F.col("sum_chars").cast("double") / bpe_sum.cast("double"), 6
+            ),
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def encode_top_from_store(
+    spark: SparkSession, store_dir: str, topk: int = 500
+) -> DataFrame:
+    """t35's artifact-backed twin: the top-k encoded-vocabulary view
+    read straight from the persisted segmentation — no training, no
+    encode folds.  TakeOrdered + driver-side ranks on the bounded
+    artifact (the global-window discipline)."""
+    rows = (
+        load_segmentation(spark, store_dir)
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(topk)
+        .collect()
+    )
+    out = [
+        (i + 1, r["tok"], r["n"], r["seg"], r["n_sym"])
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out, "rank long, tok string, n long, seg string, n_sym long"
+    )
