@@ -241,6 +241,7 @@ EXTRA = [
     # round 10
     "t36_tokenizer_artifact_parity",   # persisted-tokenizer parity gate
     "s20_tokenizer_staleness_gate",    # tokenizer OOV/fertility retrain gate
+    "c4_curation_exactsubstr",         # curation flow w/ published ExactSubstr
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

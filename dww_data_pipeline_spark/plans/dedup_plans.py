@@ -2122,9 +2122,10 @@ def _d26_round_sql(g: int, k: int) -> str:
 )"""
 
 
-def _d26_win_stages(L: int) -> tuple[str, str]:
+def _d26_win_stages(L: int, src: str = "documents") -> tuple[str, str]:
     """(CTE chain through ``win``, fingerprint key list) shared by the
-    d26 (span report) and d27 (scrub rewrite) oracles."""
+    d26 (span report) and d27 (scrub rewrite) oracles; ``src`` scopes
+    the corpus (c4 embeds these stages over its kept-docs CTE)."""
     base, rounds, offs = _d26_schedule(L)
     round_sql = ",\n".join(_d26_round_sql(g, k) for g, k in rounds)
     toks = _SQL_TOKS
@@ -2139,7 +2140,7 @@ def _d26_win_stages(L: int) -> tuple[str, str]:
     fkeys = ", ".join(f"f{i}" for i in range(len(offs)))
     stages = f"""tl AS MATERIALIZED (
   SELECT doc_id, {toks} AS toks, len({toks}) AS n
-  FROM documents WHERE len({toks}) >= {L}
+  FROM {src} WHERE len({toks}) >= {L}
 ), praw AS (
   SELECT doc_id, n, CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos,
          unnest(toks) AS tok
@@ -2355,10 +2356,13 @@ def suffix_array_spans(d: DataFrame, L: int = _D26_L) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _d27_oracle(L: int = _D26_L) -> str:
-    stages, fkeys = _d26_win_stages(L)
-    return f"""
-WITH {stages}, cls AS MATERIALIZED (
+def _d27_scrub_stages(L: int = _D26_L, src: str = "documents") -> str:
+    """The full ExactSubstr scrub CTE chain (through ``scrub``) over
+    any source relation — d27's own oracle uses ``documents``; c4
+    embeds it over its kept-docs CTE (the c1 composition
+    discipline)."""
+    stages, fkeys = _d26_win_stages(L, src=src)
+    return f"""{stages}, cls AS MATERIALIZED (
   SELECT {fkeys}, CAST(COUNT(*) AS BIGINT) AS c,
          MIN(doc_id * {_D26_GID} + pos) AS keeper_gid
   FROM win GROUP BY {fkeys}
@@ -2388,9 +2392,14 @@ WITH {stages}, cls AS MATERIALIZED (
                      len(list_filter(s2.spans,
                          sp2 -> i >= sp2[1] AND i <= sp2[2])) = 0)
          END AS kept
-  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) b2
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}) b2
   LEFT JOIN sp s2 USING (doc_id)
-)
+)"""
+
+
+def _d27_oracle(L: int = _D26_L) -> str:
+    return f"""
+WITH {_d27_scrub_stages(L)}
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,

@@ -1156,9 +1156,17 @@ def _c1_attach_oracle() -> None:
     "differential check verifies the composition itself.",
 )
 def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import span_scrub
+
+    return _curation_pipeline(spark, sf_dir, span_scrub)
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str, scrub_fn) -> DataFrame:
+    """The shared c1/c4 flow: t13 gate -> d1 fingerprint dedup -> t21
+    shards, with the kept-corpus rewrite stage pluggable — c1 ships
+    d25's K-gram span scrub, c4 the published ExactSubstr (d27)."""
     from pyspark.sql import Window
 
-    from dww_data_pipeline_spark.plans.dedup_plans import span_scrub
     from dww_data_pipeline_spark.plans.text_plans import (
         t13_corpus_filter_decision,
     )
@@ -1181,7 +1189,7 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_keeper"))
         .select("doc_id", "text")
     )
-    scrub = span_scrub(kept).select(
+    scrub = scrub_fn(kept).select(
         "doc_id", "n_removed", "n_spans", "scrubbed_text"
     )
     shard = (
@@ -1218,6 +1226,102 @@ def c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _c1_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
+# c4_curation_exactsubstr — c1 with the PUBLISHED rewrite stage.
+#
+# c1's scrub is d25's K-gram approximation (duplicated K-grams,
+# cross-doc only); the published curation pipeline (Lee et al.
+# 2107.06499) ships ExactSubstr — keep ONE occurrence of every
+# duplicated >= L-token substring, within- or cross-doc.  c4 is the
+# identical gate -> dedup -> shard flow with the rewrite stage being
+# d27's suffix-rank scrub SCOPED TO THE KEPT CORPUS (spans are
+# detected among surviving documents — what a training run would
+# actually ingest twice), emitting the same audit integers, so the
+# two flows differ ONLY in the scrub semantics and a corpus owner can
+# diff them span-by-span.
+#
+# Scale shape: c1's gate/dedup/shard stages unchanged; the rewrite is
+# d27's (suffix ranks by prefix doubling over the kept corpus — no
+# new corpus-scale term beyond d26's two super-rounds).  The oracle
+# embeds t13's registered SQL and d27's full scrub chain scoped to
+# the keptdocs CTE (the c1 embedding discipline), so the differential
+# check covers the composition.
+# ---------------------------------------------------------------------------
+
+
+def _c4_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import text_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.dedup_plans import _d27_scrub_stages
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    t13 = REGISTRY["t13_corpus_filter_decision"].oracle
+    q = REGISTRY["c4_curation_exactsubstr"]
+    oracle = f"""
+    WITH gate AS MATERIALIZED ({t13}),
+    surv AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+      WHERE g.keep
+    ),
+    dedup AS MATERIALIZED (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+      FROM surv
+    ),
+    keptdocs AS MATERIALIZED (
+      SELECT s.doc_id, s.text
+      FROM surv s JOIN dedup dd ON dd.doc_id = s.doc_id
+      WHERE dd.is_keeper
+    ),
+    {_d27_scrub_stages(src="keptdocs")}
+    SELECT d.doc_id,
+           CASE WHEN NOT g.keep THEN 'filtered'
+                WHEN NOT dd.is_keeper THEN 'duplicate'
+                ELSE 'kept' END AS status,
+           CAST(CASE WHEN g.keep AND dd.is_keeper
+                     THEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 16
+                     ELSE -1 END AS BIGINT) AS shard,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(sc.toks) - len(sc.kept), 0) AS BIGINT)
+             AS n_removed,
+           CAST(COALESCE(len(sc.spans), 0) AS BIGINT) AS n_spans,
+           CASE WHEN g.keep AND dd.is_keeper
+                THEN COALESCE(array_to_string(sc.kept, ' '), '')
+                ELSE '' END AS scrubbed_text
+    FROM documents d
+    JOIN gate g ON g.doc_id = d.doc_id
+    LEFT JOIN dedup dd ON dd.doc_id = d.doc_id
+    LEFT JOIN scrub sc ON sc.doc_id = d.doc_id
+    """
+    REGISTRY["c4_curation_exactsubstr"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "c4_curation_exactsubstr",
+    oracle=None,  # attached below — embeds t13's oracle + d27's stages
+    description="END-TO-END CURATION with the PUBLISHED rewrite (Lee "
+    "et al. ExactSubstr): c1's gate -> fingerprint dedup -> shard "
+    "flow unchanged, but every kept document is scrubbed by d27's "
+    "suffix-rank keep-one-occurrence rewrite run over the KEPT "
+    "corpus — duplicated >= 50-token substrings (within- or "
+    "cross-doc, the paper's definition) survive exactly once, with "
+    "the same exact audit integers as c1, so the K-gram and "
+    "published scrubs diff span-by-span. Oracle embeds t13's "
+    "registered SQL plus d27's full scrub chain scoped to the "
+    "keptdocs CTE — the differential check covers the composition.",
+)
+def c4_curation_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+    return _curation_pipeline(spark, sf_dir, exactsubstr_scrub)
+
+
+_c4_attach_oracle()
 
 
 # ---------------------------------------------------------------------------

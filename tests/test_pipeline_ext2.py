@@ -1201,6 +1201,59 @@ class TestPkUniqueness:
         assert agg["n_rows"] == agg["n_keys"] + 1
 
 
+class TestCurationExactSubstr:
+    def test_scrub_independent_stages_match_c1(self, spark, sf_dir):
+        """c4 differs from c1 ONLY in the rewrite stage: disposition,
+        shard, and token counts (scrub-independent) must agree row
+        for row."""
+        c1 = {
+            r["doc_id"]: r
+            for r in REGISTRY["c1_curation_pipeline"].spark(spark, sf_dir).collect()
+        }
+        c4 = {
+            r["doc_id"]: r
+            for r in REGISTRY["c4_curation_exactsubstr"].spark(spark, sf_dir).collect()
+        }
+        assert set(c1) == set(c4)
+        for did in c1:
+            assert (c1[did]["status"], c1[did]["shard"], c1[did]["n_tokens"]) == (
+                c4[did]["status"],
+                c4[did]["shard"],
+                c4[did]["n_tokens"],
+            ), did
+
+    def test_rewrite_stage_is_d27_over_kept_corpus(self, spark, sf_dir):
+        """c4's scrub columns for kept docs equal d27's core run over
+        exactly the kept corpus — the composition IS the published
+        ExactSubstr scoped to survivors."""
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        c4 = {
+            r["doc_id"]: r
+            for r in REGISTRY["c4_curation_exactsubstr"].spark(spark, sf_dir).collect()
+        }
+        kept_ids = [did for did, r in c4.items() if r["status"] == "kept"]
+        assert kept_ids
+        kept = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isin(kept_ids)
+        )
+        want = {r["doc_id"]: r for r in exactsubstr_scrub(kept).collect()}
+        for did in kept_ids:
+            assert (
+                c4[did]["n_removed"],
+                c4[did]["n_spans"],
+                c4[did]["scrubbed_text"],
+            ) == (
+                want[did]["n_removed"],
+                want[did]["n_spans"],
+                want[did]["scrubbed_text"],
+            ), did
+        # non-kept docs carry zero scrub work and empty rewrite text
+        for did, r in c4.items():
+            if r["status"] != "kept":
+                assert r["scrubbed_text"] == ""
+
+
 class TestDataCard:
     def test_card_reconciles_with_components(self, spark, sf_dir):
         card = REGISTRY["c2_data_card"].spark(spark, sf_dir).collect()[0]
