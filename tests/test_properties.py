@@ -1028,6 +1028,139 @@ class TestSuffixSpansHostileSkew:
         assert got == [(d, 1, 16, 16, 9) for d in range(40)]
 
 
+class TestSuffixSpansGeneralL:
+    """_d26_schedule claims general L but round-9 tests pinned L=50
+    only (round-9 verdict #4).  L=5 and L=13 exercise base-4
+    schedules with overlapping covering offsets ([0,1] and [0,4,8,9]);
+    L=100 exercises a THREE-super-round schedule (base 64, offsets
+    [0,36] — the covering block overlap just above a power of 4);
+    exact-length-L docs pin the one-window boundary."""
+
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_L5_matches_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=5).collect())
+        assert got == _sa_ref_spans(docs, 5)
+
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_L13_matches_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=13).collect())
+        assert got == _sa_ref_spans(docs, 13)
+
+    def test_L100_three_round_schedule(self, spark):
+        """Deterministic corpus big enough for L=100: a 120-token
+        block shared at different offsets plus an exact-length-100
+        duplicated pair (the doc == one window edge) and one clean
+        doc.  Checked against the pure-Python suffix array."""
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        shared = [f"s{i}" for i in range(120)]
+        exact = [f"e{i}" for i in range(100)]
+        docs = [
+            [f"a{i}" for i in range(15)] + shared + [f"b{i}" for i in range(7)],
+            [f"c{i}" for i in range(40)] + shared,
+            exact,
+            exact,
+            [f"z{i}" for i in range(110)],  # long but unique: no spans
+        ]
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=100).collect())
+        assert got == _sa_ref_spans(docs, 100)
+        docs_with_spans = {r[0] for r in got}
+        assert docs_with_spans == {0, 1, 2, 3}
+        # the exact-length docs are one whole-doc window each
+        assert (2, 1, 100, 100, 1) in got and (3, 1, 100, 100, 1) in got
+
+    def test_exact_length_L_doc_single_window(self, spark):
+        """A doc of exactly length L duplicated elsewhere yields the
+        single span (1, L) with one window — the pos+L-1 <= n
+        boundary at equality, for an overlapping-offsets L."""
+        from dww_data_pipeline_spark.plans.dedup_plans import suffix_array_spans
+
+        toks = [f"w{i}" for i in range(13)]
+        df = spark.createDataFrame(
+            [
+                (0, " ".join(toks)),
+                (1, " ".join([f"p{i}" for i in range(5)] + toks)),
+                (2, " ".join(f"q{i}" for i in range(13))),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in suffix_array_spans(df, L=13).collect())
+        assert got == [(0, 1, 13, 13, 1), (1, 6, 18, 13, 1)]
+
+
+class TestExactSubstrScrubGeneralL:
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_L5_matches_sequential_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in exactsubstr_scrub(df, L=5).collect())
+        assert got == _ref_exactsubstr_scrub(docs, 5)
+
+    @settings(**_SETTINGS)
+    @given(_D26_DOCS)
+    def test_L13_matches_sequential_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in exactsubstr_scrub(df, L=13).collect())
+        assert got == _ref_exactsubstr_scrub(docs, 13)
+
+    def test_L100_keeper_discipline(self, spark):
+        """Three-super-round scrub: the lowest-(doc, pos) occurrence
+        of the shared 120-token block keeps its text; the other
+        occurrence scrubs the covered positions; the exact-length
+        duplicate pair keeps only the lower doc_id."""
+        from dww_data_pipeline_spark.plans.dedup_plans import exactsubstr_scrub
+
+        shared = [f"s{i}" for i in range(120)]
+        exact = [f"e{i}" for i in range(100)]
+        docs = [
+            [f"a{i}" for i in range(15)] + shared,
+            [f"c{i}" for i in range(40)] + shared + [f"d{i}" for i in range(5)],
+            exact,
+            exact,
+        ]
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = sorted(tuple(r) for r in exactsubstr_scrub(df, L=100).collect())
+        assert got == _ref_exactsubstr_scrub(docs, 100)
+        rows = {r[0]: r for r in got}
+        # doc0 holds the min-(doc,pos) occurrence: nothing removed
+        assert rows[0][2] == 0
+        # doc1 loses exactly the shared block, tail survives
+        assert rows[1][2] == 120 and rows[1][4].startswith("c0 ")
+        # exact pair: doc2 keeps, doc3 scrubs to empty
+        assert rows[2][2] == 0 and rows[3][2] == 100 and rows[3][4] == ""
+
+
 class TestGidPackingGuardBoundary:
     """The d26 gid packing domain is doc_id <= 2^39-2: at 2^39-1 with a
     maximal doc (n = 2^24) the gid doc_id*2^24 + pos reaches exactly
