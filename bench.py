@@ -242,6 +242,7 @@ EXTRA = [
     "t36_tokenizer_artifact_parity",   # persisted-tokenizer parity gate
     "s20_tokenizer_staleness_gate",    # tokenizer OOV/fertility retrain gate
     "c4_curation_exactsubstr",         # curation flow w/ published ExactSubstr
+    "st17_stream_contamination_gate",  # exact-substring contamination at ingest
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

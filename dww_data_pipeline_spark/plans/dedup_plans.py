@@ -2494,3 +2494,172 @@ def exactsubstr_scrub(d: DataFrame, L: int = _D26_L) -> DataFrame:
         F.coalesce(F.size("spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st17_stream_contamination_gate — exact-substring contamination at
+# ingest (batch core).
+#
+# d26's duplicated window classes are CORPUS-GLOBAL state a streaming
+# ingest can check arrivals against: a document arriving with a
+# 50-token window that is already duplicated inside the corpus is
+# carrying known boilerplate/benchmark text (the published
+# ExactSubstr contamination use — t20's gate in exact-substring form,
+# as st13 is d11's in fingerprint form).  The corpus side runs d26's
+# suffix-rank machinery (content never hashes corpus-wide); only the
+# DUPLICATED classes — a bounded set, one keeper occurrence each —
+# reconstruct their window text and fingerprint it.  That fingerprint
+# set broadcasts; each arriving document hashes its own windows
+# (ingest-sized) and semi-joins.
+#
+# The oracle derives the duplicated classes DIRECTLY by content
+# grouping (md5 of every corpus window, HAVING COUNT >= 2) — a
+# construction entirely independent of the engine's prefix doubling,
+# so the differential check pins the rank machinery against the
+# semantic definition, not against itself.
+#
+# Scale shape: corpus work is exactly d26's (two super-rounds, no
+# global sort) + one bounded keeper join/slice; the broadcast set is
+# |duplicated classes|; batch work is one window hash + one broadcast
+# semi-join per micro-batch.  Zero-window and clean docs still emit
+# rows (the s19 zero-hits rule).
+# ---------------------------------------------------------------------------
+
+
+def exact_contamination_fingerprints(
+    corpus: DataFrame, L: int = _D26_L
+) -> DataFrame:
+    """md5 fingerprints (column ``w``) of every duplicated length-L
+    window class in ``corpus`` — the broadcastable corpus-global state
+    of the contamination gate.  One row per class (rank classes are
+    content-distinct by the d26 invariant): the keeper occurrence
+    (MIN gid) reconstructs the window text via one doc_id join + one
+    array slice."""
+    win, fkeys = _suffix_window_classes(corpus, L)
+    gid = (F.col("doc_id").cast("long") * _D26_GID + F.col("pos")).alias("wgid")
+    keep = (
+        win.select(*fkeys, gid)
+        .groupBy(*fkeys)
+        .agg(F.count(F.lit(1)).alias("c"), F.min("wgid").alias("keeper_gid"))
+        .filter(F.col("c") >= 2)
+        .select(
+            F.expr(f"CAST(keeper_gid DIV {_D26_GID} AS BIGINT)").alias("doc_id"),
+            (F.col("keeper_gid") % _D26_GID).cast("int").alias("pos"),
+        )
+    )
+    tl = corpus.select("doc_id", _spark_tokens(F.col("text")).alias("toks"))
+    return keep.join(tl, "doc_id").select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), F.lit(L)))
+        ).alias("w")
+    )
+
+
+def exact_contamination_gate(
+    batch_docs: DataFrame, fingerprints: DataFrame, L: int = _D26_L
+) -> DataFrame:
+    """Flag every ``batch_docs`` row whose text carries a window in
+    the corpus' duplicated-class ``fingerprints`` set.  Emits one row
+    per batch document — (doc_id, n_windows, n_contaminated,
+    first_hit_pos, contaminated) — clean and short docs included."""
+    b = batch_docs.select(
+        "doc_id", _spark_tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    wins = F.when(
+        F.col("n") >= L,
+        F.expr(
+            f"transform(sequence(1, n - {L - 1}), i -> "
+            f"struct(i AS pos, md5(concat_ws(' ', slice(toks, i, {L}))) AS w))"
+        ),
+    ).otherwise(F.expr("array()"))
+    hits = (
+        b.select("doc_id", F.explode(wins).alias("win"))
+        .select("doc_id", F.col("win.pos").alias("pos"), F.col("win.w").alias("w"))
+        .join(F.broadcast(fingerprints), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.min("pos").cast("long").alias("first_hit_pos"),
+        )
+    )
+    return (
+        b.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("n") - (L - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            "first_hit_pos",
+            (F.coalesce("n_contaminated", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _st17_oracle(mod: int = 5, L: int = _D26_L) -> str:
+    toks = _SQL_TOKS
+    return f"""
+WITH tl AS MATERIALIZED (
+  SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents
+), cw AS (
+  SELECT md5(array_to_string(list_slice(toks, i, i + {L - 1}), ' ')) AS w
+  FROM (SELECT * FROM tl WHERE doc_id % {mod} <> 0 AND n >= {L}) c
+  CROSS JOIN LATERAL unnest(generate_series(1, n - {L - 1})) AS t(i)
+), dupw AS MATERIALIZED (
+  SELECT w FROM cw GROUP BY w HAVING COUNT(*) >= 2
+), bw AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(toks, i, i + {L - 1}), ' ')) AS w
+  FROM (SELECT * FROM tl WHERE doc_id % {mod} = 0 AND n >= {L}) b
+  CROSS JOIN LATERAL unnest(generate_series(1, n - {L - 1})) AS t(i)
+), hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+         CAST(MIN(i) AS BIGINT) AS first_hit_pos
+  FROM bw JOIN dupw USING (w) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(t.n - {L - 1}, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       h.first_hit_pos,
+       COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+FROM tl t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % {mod} = 0
+"""
+
+
+@register(
+    "st17_stream_contamination_gate",
+    oracle=_st17_oracle(),
+    description="EXACT-SUBSTRING CONTAMINATION GATE at ingest, batch "
+    "core: the corpus (doc_id % 5 != 0) computes its duplicated "
+    "50-token window classes with d26's suffix-rank machinery, only "
+    "the duplicated classes (bounded) reconstruct + md5-fingerprint "
+    "their keeper window, and every arriving document (doc_id % 5 == "
+    "0 models the live feed) hashes its own windows and broadcast-"
+    "joins the set — docs carrying known duplicated/boilerplate text "
+    "are flagged with exact hit counts and the first hit position; "
+    "clean and short docs still emit rows. The streaming twin "
+    "(streaming/contamination_ingest.stream_contamination_gate) "
+    "drains micro-batches against the once-built cached fingerprint "
+    "set; flags depend only on the fixed corpus so the union of "
+    "micro-batch outputs equals this batch answer for ANY chopping "
+    "(parity pytest). Oracle derives duplicated classes DIRECTLY by "
+    "content grouping — independent of the prefix-doubling "
+    "construction, so the differential check pins the rank machinery "
+    "against the semantic definition (published ExactSubstr "
+    "contamination use; t20's gate in exact-substring form)",
+)
+def st17_stream_contamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = exact_contamination_fingerprints(
+        d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    )
+    return exact_contamination_gate(
+        d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"), fps
+    )

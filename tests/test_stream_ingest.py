@@ -382,3 +382,101 @@ class TestStreamCusum:
             "alarm_neg",
         ]
         assert 0 < mid.count() <= len(batch_ans)
+
+
+class TestStreamContaminationGate:
+    """Contamination-at-ingest (streaming/contamination_ingest.py) ==
+    the st17 batch core, for a multi-micro-batch chopping of the feed.
+
+    Flags depend only on the fixed corpus fingerprint set, so the
+    union of per-micro-batch outputs must equal the one-shot batch
+    answer regardless of chopping — including out-of-id-order file
+    arrival."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, docs, tmp_path):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            exact_contamination_fingerprints,
+            exact_contamination_gate,
+        )
+        from dww_data_pipeline_spark.streaming.contamination_ingest import (
+            stream_contamination_gate,
+        )
+
+        feed = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+        fps = exact_contamination_fingerprints(corpus)
+        batch_ans = sorted(
+            tuple(r) for r in exact_contamination_gate(feed, fps).collect()
+        )
+        assert batch_ans  # non-vacuous feed
+        # the sf0.001 split really contains contaminated arrivals
+        assert any(t[4] for t in batch_ans), "split yields no hits"
+        assert any(not t[4] for t in batch_ans)
+
+        src = str(tmp_path / "src")
+        for i in range(3):
+            feed.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "flags")
+        q = stream_contamination_gate(
+            sdf, corpus, out, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        q.fingerprints.unpersist()
+
+        import glob as _glob
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3  # really micro-batched
+        streamed = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "batch=*")
+        ).select(
+            "doc_id", "n_windows", "n_contaminated", "first_hit_pos",
+            "contaminated",
+        )
+        assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
+
+    def test_planted_contamination_flagged(self, spark):
+        """A synthetic arrival carrying a corpus-duplicated 50-token
+        block is flagged with the exact window count and first
+        position; a clean arrival is not."""
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            exact_contamination_fingerprints,
+            exact_contamination_gate,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(50))
+        corpus = spark.createDataFrame(
+            [
+                (1, boiler + " " + " ".join(f"x{i}" for i in range(10))),
+                (2, " ".join(f"y{i}" for i in range(10)) + " " + boiler),
+                (3, " ".join(f"z{i}" for i in range(60))),
+            ],
+            "doc_id long, text string",
+        )
+        fps = exact_contamination_fingerprints(corpus)
+        arriving = spark.createDataFrame(
+            [
+                (100, " ".join(f"p{i}" for i in range(5)) + " " + boiler),
+                (101, " ".join(f"q{i}" for i in range(70))),
+                (102, "short doc"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in exact_contamination_gate(arriving, fps).collect()
+        }
+        assert rows[100]["contaminated"]
+        assert rows[100]["n_contaminated"] == 1
+        assert rows[100]["first_hit_pos"] == 6
+        assert not rows[101]["contaminated"] and rows[101]["n_windows"] == 21
+        assert not rows[102]["contaminated"] and rows[102]["n_windows"] == 0
+        assert rows[102]["first_hit_pos"] is None
