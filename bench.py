@@ -327,6 +327,23 @@ _CALIBRATION_REF = {
 }
 
 
+def normalized_ratios(
+    timings: dict[str, float], drift: float, prev: dict
+) -> dict[str, float]:
+    """Per-query drift-normalized ratios vs a previous BENCH_LOCAL
+    artifact.  The previous artifact's per-query timings are stored
+    RAW; dividing only this round's side by drift left a constant
+    bias equal to the previous box's drift (round-8 advice) — so BOTH
+    sides normalize by their own recorded calibration.  Unit-tested
+    in tests/test_bench_math.py (round-9 verdict #7)."""
+    prev_drift = prev.get("calibration", {}).get("drift", 1.0) or 1.0
+    return {
+        n: round((timings[n] / drift) / (prev["queries"][n] / prev_drift), 3)
+        for n in timings
+        if n in prev.get("queries", {}) and prev["queries"][n] > 0
+    }
+
+
 def _prev_bench_local() -> dict | None:
     """Newest BENCH_LOCAL_r{N}.json with N below the current round —
     the reference for per-query drift-normalized ratios."""
@@ -407,18 +424,7 @@ def main() -> None:
         # near 1.0 after dividing out the box drift is noise.
         prev = _prev_bench_local()
         if prev:
-            # The previous artifact's per-query timings are stored RAW;
-            # dividing only this round's side by drift left a constant
-            # bias equal to the previous box's drift (round-8 advice).
-            # Normalize BOTH sides by their own recorded calibration.
-            prev_drift = prev.get("calibration", {}).get("drift", 1.0) or 1.0
-            out["ratios_normalized"] = {
-                n: round(
-                    (timings[n] / drift) / (prev["queries"][n] / prev_drift), 3
-                )
-                for n in timings
-                if n in prev.get("queries", {}) and prev["queries"][n] > 0
-            }
+            out["ratios_normalized"] = normalized_ratios(timings, drift, prev)
             out["ratios_normalized_ref"] = prev["_path"]
     print(json.dumps(out))
     # Durable copy of the full min-of-3 per-query dict (the stdout tail
