@@ -2367,7 +2367,27 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
     distance 1, without the quadratic compare (FastSS blocking +
     length-bucket fallback for strings > _J15_MAX_DEL_LEN chars).
     Columns: name_a < name_b, dist."""
-    c = df.select(F.col(col).alias("c_name"))
+    variants = _j15_variants(df.select(F.col(col).alias("c_name")))
+    a = variants.select(F.col("c_name").alias("name_a"), "key")
+    b = variants.select(F.col("c_name").alias("name_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= 1).select(
+        "name_a", "name_b", dist.cast("long").alias("dist")
+    )
+
+
+def _j15_variants(c: DataFrame) -> DataFrame:
+    """The FastSS blocking relation: DISTINCT (c_name, key) variant
+    pairs — deletion neighborhood for short strings, length buckets
+    above _J15_MAX_DEL_LEN.  Factored so tools/j15_candidate_study.py
+    measures the bucket-size distribution of exactly the keys the
+    join uses."""
     short = c.filter(F.length("c_name") <= _J15_MAX_DEL_LEN)
     long_ = c.filter(F.length("c_name") >= _J15_MAX_DEL_LEN)
     del_keys = short.select(
@@ -2395,19 +2415,7 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
             )
         ).alias("key"),
     )
-    variants = del_keys.unionByName(len_keys).distinct()
-    a = variants.select(F.col("c_name").alias("name_a"), "key")
-    b = variants.select(F.col("c_name").alias("name_b"), "key")
-    cand = (
-        a.join(b, "key")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-    )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return cand.filter(dist <= 1).select(
-        "name_a", "name_b", dist.cast("long").alias("dist")
-    )
+    return del_keys.unionByName(len_keys).distinct()
 
 
 @register(
