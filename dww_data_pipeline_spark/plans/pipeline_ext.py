@@ -685,3 +685,134 @@ def ext_delete_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_report(e_marked, "events", F.col("_t").isNotNull()))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# t38_temperature_mixture — temperature-based language sampling in its
+# PUBLISHED form (exponentiated language sampling, Conneau et al.
+# 1911.02116 XLM-R §5.1 / Raffel et al. mT5: q_l ∝ n_l^alpha), the
+# data-mixing step multilingual pretraining runs between corpus stats
+# and admission. t16 admits at CONFIGURED per-topic rates; here the
+# rates are DERIVED from the corpus itself — the smoothing that
+# up-samples tail languages and down-samples the head.
+#
+# alpha = 1/2 deliberately: sqrt is correctly-rounded IEEE in both
+# engines, so the smoothed masses are bit-identical cross-engine,
+# where pow(x, 0.3) is libm-dependent in its last ulp (the d24
+# float-boundary caveat, avoided here at design time). Everything
+# after the one sqrt is exact BIGINT math:
+#   s_l        = floor(sqrt(n_l) * 1e6)            (micro-quantized mass)
+#   q_micro_l  = s_l * 1e6 DIV sum(s)              (mixture weight, micro)
+#   rate_micro = min(1e6, q_micro * (N DIV 2) DIV n_l)
+#   admit doc  iff u32 * 1e6 < rate_micro * 2^32   (u32 = md5-derived)
+# so the admission decision is a pure integer compare — reproducible
+# across runs, engines, and partitionings (the t9/t24 argument).
+#
+# Scale shape: two corpus scans (column-pruned to doc_id+lang) — the
+# stats pass is a map-side-combinable count to a |langs|-row table,
+# the admission pass broadcasts that table back; no corpus-side
+# shuffle beyond the tiny lang count, no floats in the decision.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t38_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), masses AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro,
+             SUM(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) OVER () AS s_total,
+             SUM(n_docs) OVER () AS n_total
+      FROM counts
+    ), rates AS (
+      SELECT lang, n_docs,
+             (s_micro * 1000000) // s_total AS q_micro,
+             least(1000000,
+                   (((s_micro * 1000000) // s_total) * (n_total // 2)) // n_docs
+             ) AS rate_micro
+      FROM masses
+    ), adm AS (
+      SELECT d.lang, COUNT(*) AS n_adm
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(('0x' || substr(md5('t38|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) * 1000000 < r.rate_micro * 4294967296
+      GROUP BY d.lang
+    )
+    SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.q_micro AS BIGINT) AS q_micro,
+           CAST(r.rate_micro AS BIGINT) AS rate_micro,
+           CAST(COALESCE(a.n_adm, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN adm a ON a.lang = r.lang
+    """,
+    description="TEMPERATURE-BASED LANGUAGE MIXTURE, published form "
+    "(exponentiated sampling q_l ∝ n_l^α, XLM-R / mT5; α = 1/2 so the "
+    "one irrational step is IEEE-exact sqrt, not libm-dependent pow): "
+    "per-language corpus counts → micro-quantized smoothed mixture "
+    "weights → integer admission rates targeting half the corpus, "
+    "capped at 1 — tail languages up-sampled, head down-sampled — "
+    "with the per-doc admission a pure int64 hash compare (t9/t24 "
+    "discipline: no RNG, no floats in the decision). Two column-pruned "
+    "scans: a map-side-combinable |langs|-row count, then admission "
+    "against the BROADCAST rate table; zero corpus-side shuffle.",
+)
+def t38_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
+
+
+def temperature_mixture(d: DataFrame) -> DataFrame:
+    """The t38 core over any (doc_id, lang) relation — factored for
+    direct testing of the exact integer rate math against a
+    pure-Python reference."""
+    from pyspark.sql import Window
+
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    s_micro = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * 1000000
+    ).cast("long")
+    w = Window.partitionBy()  # |langs| rows — tiny by construction
+    masses = counts.select(
+        "lang",
+        "n_docs",
+        s_micro.alias("s_micro"),
+        F.sum(s_micro).over(w).alias("s_total"),
+        F.sum("n_docs").over(w).alias("n_total"),
+    )
+    rates = masses.select(
+        "lang",
+        "n_docs",
+        F.expr("(s_micro * 1000000) DIV s_total").alias("q_micro"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "(((s_micro * 1000000) DIV s_total) * (n_total DIV 2))"
+                " DIV n_docs"
+            ),
+        ).alias("rate_micro"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("t38|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    adm = (
+        d.select("lang", u32.alias("_u"))
+        .join(F.broadcast(rates.select("lang", "rate_micro")), "lang")
+        .filter(F.col("_u") * 1000000 < F.col("rate_micro") * 4294967296)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_adm"))
+    )
+    return rates.join(adm, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "q_micro",
+        "rate_micro",
+        F.coalesce(F.col("n_adm"), F.lit(0)).cast("long").alias("n_sampled"),
+    )

@@ -1163,3 +1163,304 @@ def t21_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("shard_pos").alias("content_sig"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t37 — the Gopher repetition rule set in its PUBLISHED form (Rae et
+# al. 2112.11446 "Scaling Language Models: ... Gopher", Table A1).
+# t8 measures one within-document repetition signal (distinct/total
+# shingles); the published MassiveText filter ships NINE: the
+# character fraction of the single most frequent {2,3,4}-gram and the
+# character fraction COVERED by any duplicated {5..10}-gram, each
+# with its own threshold.  A document is kept only when every signal
+# is at or under its published bound.
+#
+# Exact cross-engine contract (both sides implement THIS, stated
+# here because the paper leaves tie-breaks and char accounting
+# unspecified; public reimplementations differ in the same places):
+#   * tokens = whitespace split; T = sum of token char lengths
+#     (inter-token spaces excluded from all numerators and T);
+#   * top n-gram = first by (count DESC, gram char length DESC,
+#     gram ASC); top_frac = count * gram_char_len / T;
+#   * dup coverage = token positions covered by ANY occurrence of an
+#     n-gram whose within-doc count >= 2, counted once per position;
+#     dup_frac = covered token chars / T;
+#   * fractions round to 6 dp (integer-derived doubles — identical
+#     in both engines); docs shorter than n tokens score 0.0.
+#
+# Scale shape: ZERO shuffle — every signal is a per-row Column
+# expression over one bound token array (the d20 explode barrier), so
+# the operator is embarrassingly parallel and pipelines into the
+# scan.  Per-doc cost is O(distinct-grams x grams) string compares,
+# bounded by document length — no corpus-side state, no joins, the
+# ideal 100 TB quality-filter shape.  The oracle computes the same
+# nine signals relationally (per-doc explode + group + window).
+# ---------------------------------------------------------------------------
+
+_T37_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_T37_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+_T37_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _t37_oracle() -> str:
+    grams = []
+    tops = []
+    covs = []
+    for n in sorted(_T37_TOP) + sorted(_T37_DUP):
+        grams.append(f"""
+g{n} AS (
+  SELECT b.doc_id, s,
+         array_to_string(list_slice(b.toks, s, s + {n - 1}), ' ') AS gram
+  FROM base b, unnest(generate_series(1, len(b.toks) - {n - 1})) AS u(s)
+  WHERE len(b.toks) >= {n}
+), c{n} AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gram
+)""")
+    for n in sorted(_T37_TOP):
+        tops.append(f"""
+top{n} AS (
+  SELECT doc_id, cnt * (length(gram) - {n - 1}) AS chars FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY cnt DESC, length(gram) - {n - 1} DESC, gram) AS rn
+    FROM c{n}
+  ) WHERE rn = 1
+)""")
+    for n in sorted(_T37_DUP):
+        covs.append(f"""
+cov{n} AS (
+  SELECT doc_id, SUM(length(toks[p])) AS chars FROM (
+    SELECT DISTINCT g.doc_id, u.p
+    FROM g{n} g
+    JOIN c{n} c ON g.doc_id = c.doc_id AND g.gram = c.gram AND c.cnt >= 2,
+    unnest(generate_series(g.s, g.s + {n - 1})) AS u(p)
+  ) v JOIN base USING (doc_id)
+  GROUP BY doc_id
+)""")
+    top_cols = ",\n       ".join(
+        f"round(CAST(COALESCE(top{n}.chars, 0) AS DOUBLE) / b.t, 6)"
+        f" AS top_{n}gram_frac"
+        for n in sorted(_T37_TOP)
+    )
+    cov_cols = ",\n       ".join(
+        f"round(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / b.t, 6)"
+        f" AS dup_{n}gram_frac"
+        for n in sorted(_T37_DUP)
+    )
+    keep = " AND ".join(
+        [
+            f"round(CAST(COALESCE(top{n}.chars, 0) AS DOUBLE) / b.t, 6)"
+            f" <= {thr}"
+            for n, thr in sorted(_T37_TOP.items())
+        ]
+        + [
+            f"round(CAST(COALESCE(cov{n}.chars, 0) AS DOUBLE) / b.t, 6)"
+            f" <= {thr}"
+            for n, thr in sorted(_T37_DUP.items())
+        ]
+    )
+    joins = "\n".join(
+        f"LEFT JOIN top{n} ON top{n}.doc_id = b.doc_id"
+        for n in sorted(_T37_TOP)
+    ) + "\n" + "\n".join(
+        f"LEFT JOIN cov{n} ON cov{n}.doc_id = b.doc_id"
+        for n in sorted(_T37_DUP)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_T37_SQL_TOKS} AS toks,
+         list_sum(list_transform({_T37_SQL_TOKS}, x -> length(x))) AS t
+  FROM documents
+),{",".join(grams)},{",".join(tops)},{",".join(covs)}
+SELECT b.doc_id,
+       {top_cols},
+       {cov_cols},
+       CAST(CASE WHEN b.t > 0 AND {keep} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b
+{joins}
+"""
+
+
+def _t37_grams(toks, n: int):
+    """Contiguous word n-grams of a bound token array (d20's
+    arrays_zip-of-slices construction — no explode, no shuffle)."""
+    m = F.size(toks) - (n - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    return F.when(m > 0, F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition(d: DataFrame) -> DataFrame:
+    """The t37 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python reference (the synthetic
+    corpus has no within-doc >=5-gram repeats, so the dup_* nonzero
+    path is pinned by tests/test_properties.py, not the oracle).
+
+    Staged behind explode barriers: Catalyst's CollapseProject would
+    otherwise re-inline the gram arrays into every one of the nine
+    signals and the expression tree explodes combinatorially (measured:
+    analysis alone hangs). Each stage materializes its arrays once —
+    tokens+lengths, then the eight gram arrays, then the per-n
+    mode-struct / duplicate-flag arrays — so every signal reads plain
+    column references and per-row cost stays O(grams x distinct-grams),
+    bounded by document length.
+    """
+    ns_top = sorted(_T37_TOP)
+    ns_dup = sorted(_T37_DUP)
+
+    # stage 1: token array + char total + per-token lengths
+    b1 = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    tx.tokens(F.col("text")).alias("toks"),
+                )
+            )
+        ).alias("s1"),
+    ).select(
+        "doc_id",
+        F.aggregate(
+            F.col("s1.toks"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("t"),
+        F.transform(F.col("s1.toks"), lambda x: F.length(x)).alias("lens"),
+        F.col("s1.toks").alias("toks"),
+    )
+
+    # stage 2: the eight gram arrays, materialized once
+    b2 = b1.select(
+        "doc_id",
+        "t",
+        "lens",
+        F.explode(
+            F.array(
+                F.struct(
+                    *[
+                        _t37_grams(F.col("toks"), n).alias(f"g{n}")
+                        for n in ns_top + ns_dup
+                    ]
+                )
+            )
+        ).alias("gs"),
+    )
+
+    # stage 3: per-n mode struct (count, char-len, gram) for the top
+    # signals; per-start duplicate flags for the coverage signals
+    def _best(n: int):
+        g = F.col(f"gs.g{n}")
+        return F.array_max(
+            F.transform(
+                F.array_distinct(g),
+                lambda gr: F.struct(
+                    F.size(F.filter(g, lambda x: x == gr)).alias("cnt"),
+                    (F.length(gr) - (n - 1)).alias("len"),
+                    gr.alias("gram"),
+                ),
+            )
+        )
+
+    def _flags(n: int):
+        g = F.col(f"gs.g{n}")
+        return F.transform(
+            g, lambda gr: F.size(F.filter(g, lambda x: x == gr)) >= 2
+        )
+
+    b3 = b2.select(
+        "doc_id",
+        "t",
+        "lens",
+        F.explode(
+            F.array(
+                F.struct(
+                    *[_best(n).alias(f"best{n}") for n in ns_top],
+                    *[_flags(n).alias(f"f{n}") for n in ns_dup],
+                )
+            )
+        ).alias("x"),
+    )
+
+    # stage 4: the nine fractions + the published-threshold gate
+    cols = []
+    keep = F.col("t") > 0
+    for n, thr in sorted(_T37_TOP.items()):
+        best = F.col(f"x.best{n}")
+        frac = F.round(
+            F.coalesce(
+                F.when(
+                    F.col("t") > 0,
+                    (best["cnt"] * best["len"]).cast("double") / F.col("t"),
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        cols.append(frac.alias(f"top_{n}gram_frac"))
+        keep = keep & (frac <= F.lit(thr))
+    for n, thr in sorted(_T37_DUP.items()):
+        flags = F.col(f"x.f{n}")
+        m = F.size(flags)
+        # 0-indexed token position p is covered iff some duplicated
+        # n-gram starts at 1-indexed s in [p-n+2, p+1] ∩ [1, m]
+        covered = F.transform(
+            F.col("lens"),
+            lambda ln, p: F.when(
+                F.exists(
+                    F.slice(
+                        flags,
+                        F.greatest(p - (n - 2), F.lit(1)),
+                        # clamp: trailing positions have p+1 > m
+                        F.greatest(
+                            F.least(p + 1, m)
+                            - F.greatest(p - (n - 2), F.lit(1))
+                            + 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda b: b,
+                ),
+                ln,
+            ).otherwise(F.lit(0)),
+        )
+        chars = F.aggregate(
+            covered, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        frac = F.round(
+            F.coalesce(
+                F.when(F.col("t") > 0, chars.cast("double") / F.col("t")),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        cols.append(frac.alias(f"dup_{n}gram_frac"))
+        keep = keep & (frac <= F.lit(thr))
+    return b3.select(
+        "doc_id",
+        *cols,
+        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+@register(
+    "t37_gopher_repetition",
+    oracle=_t37_oracle(),
+    description="GOPHER REPETITION RULE SET, published form (Rae et al. "
+    "2112.11446 Table A1 / MassiveText): per document the char fraction "
+    "of the single most frequent {2,3,4}-gram and the char fraction "
+    "COVERED by duplicated {5..10}-grams, each against its published "
+    "threshold (0.20/0.18/0.16; 0.15 down to 0.10), keep = all nine "
+    "pass. Exact contract in the module header (tie-breaks and char "
+    "accounting stated; fractions are integer-derived doubles rounded "
+    "to 6dp). Scale shape: ZERO shuffle — nine per-row Column signals "
+    "over one bound token array (explode barrier), cost bounded by "
+    "doc length, pipelines into the scan; the corpus never pairs or "
+    "aggregates (north-star quality scoring; t8 is the one-signal "
+    "ancestor)",
+)
+def t37_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition(load_table(spark, sf_dir, "documents"))

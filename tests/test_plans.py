@@ -172,6 +172,21 @@ class TestLateRound3PlanDiscipline:
         plan = _plan(spark, sf_dir, "t16_mixture_sample")
         assert "Exchange" not in plan
 
+    def test_gopher_repetition_zero_shuffle(self, spark, sf_dir):
+        # t37: nine per-row array signals over one scan — NO exchange,
+        # no join, no aggregate; the ideal quality-filter shape
+        plan = _plan(spark, sf_dir, "t37_gopher_repetition")
+        assert "Exchange" not in plan
+
+    def test_temperature_mixture_broadcasts_rates(self, spark, sf_dir):
+        # t38: the |langs|-row rate table broadcasts onto the corpus
+        # admission scan; the only hash exchanges are the tiny lang
+        # aggregates, never a corpus-side sort-merge join
+        plan = _plan(spark, sf_dir, "t38_temperature_mixture")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_topic_buckets_single_tiny_shuffle(self, spark, sf_dir):
         # t15's only exchange is the final per-topic aggregate
         plan = _plan(spark, sf_dir, "t15_topic_buckets")

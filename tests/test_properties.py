@@ -1188,3 +1188,183 @@ class TestGidPackingGuardBoundary:
         )
         with pytest.raises(Exception, match="d26 gid packing"):
             suffix_array_spans(df, L=50).collect()
+
+
+# ---------------------------------------------------------------------------
+# t37 — Gopher repetition rule set vs a pure-Python reference.  The
+# synthetic parquet corpus has no within-doc >=5-gram repeats, so the
+# oracle differential only exercises the top_{2,3,4} path; the dup_*
+# coverage path gets its non-degenerate evidence HERE, on corpora
+# drawn from a 4-word alphabet (dense repeats) plus deterministic
+# hostile shapes (exact tandem repeats, doc shorter than n, empty-ish
+# docs).
+# ---------------------------------------------------------------------------
+
+_T37_WORDS = ["aa", "b", "ccc", "dd"]
+_T37_DOCS = st.lists(
+    st.lists(st.sampled_from(_T37_WORDS), min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark/DuckDB ROUND semantics (HALF_UP), not Python banker's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _gopher_ref(docs):
+    """Pure-Python t37: the module-header contract, independently."""
+    from collections import Counter
+
+    from dww_data_pipeline_spark.plans.text_plans import _T37_DUP, _T37_TOP
+
+    out = {}
+    for did, toks in docs:
+        T = sum(len(x) for x in toks)
+        sig = []
+        keep = T > 0
+        for n, thr in sorted(_T37_TOP.items()):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if grams and T:
+                c = Counter(grams)
+                best = sorted(
+                    c.items(),
+                    key=lambda kv: (-kv[1], -(len(kv[0]) - (n - 1)), kv[0]),
+                )[0]
+                frac = _round6_half_up(
+                    best[1] * (len(best[0]) - (n - 1)) / T
+                )
+            else:
+                frac = 0.0
+            sig.append(frac)
+            keep = keep and frac <= thr
+        for n, thr in sorted(_T37_DUP.items()):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    covered.update(range(i, i + n))
+            frac = (
+                _round6_half_up(sum(len(toks[p]) for p in covered) / T)
+                if T
+                else 0.0
+            )
+            sig.append(frac)
+            keep = keep and frac <= thr
+        out[did] = tuple(sig) + (1 if keep else 0,)
+    return out
+
+
+class TestGopherRepetition:
+    @settings(**_SETTINGS)
+    @given(_T37_DOCS)
+    def test_matches_python_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.text_plans import gopher_repetition
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: tuple(r)[1:] for r in gopher_repetition(df).collect()
+        }
+        assert got == _gopher_ref(list(enumerate(docs)))
+
+    def test_tandem_repeat_floods_every_dup_signal(self, spark):
+        """A doc that is one 5-token phrase repeated 8x: every dup_n
+        with n <= 10 covers ALL positions (any 10-gram repeats too),
+        so all six coverage fractions are exactly 1.0 and the doc is
+        dropped; a unique-token doc of the same length passes."""
+        from dww_data_pipeline_spark.plans.text_plans import gopher_repetition
+
+        phrase = ["p0", "p1", "p2", "p3", "p4"]
+        docs = [(0, " ".join(phrase * 8)), (1, " ".join(f"u{i}" for i in range(40)))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+        for n in (5, 6, 7, 8, 9, 10):
+            assert got[0][f"dup_{n}gram_frac"] == 1.0
+            assert got[1][f"dup_{n}gram_frac"] == 0.0
+        assert got[0]["keep"] == 0 and got[1]["keep"] == 1
+
+    def test_docs_shorter_than_n_score_zero(self, spark):
+        from dww_data_pipeline_spark.plans.text_plans import gopher_repetition
+
+        df = spark.createDataFrame(
+            [(0, "one"), (1, "one two three four")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+        assert got[0]["top_2gram_frac"] == 0.0
+        assert got[0]["dup_5gram_frac"] == 0.0
+        assert got[1]["dup_5gram_frac"] == 0.0  # only 4 tokens
+        assert got[0]["keep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# t38 — temperature mixture: the exact integer rate math vs a
+# pure-Python fold (sqrt + floor-to-micro + integer DIV + the u32
+# hash admission), on a skewed synthetic corpus where head/tail
+# re-weighting actually moves the rates.
+# ---------------------------------------------------------------------------
+
+
+def _t38_ref(lang_counts: dict[str, int]):
+    import hashlib
+    import math
+
+    s = {
+        lang: math.floor(math.sqrt(float(n)) * 1000000)
+        for lang, n in lang_counts.items()
+    }
+    s_total = sum(s.values())
+    n_total = sum(lang_counts.values())
+    out = {}
+    for lang, n in lang_counts.items():
+        q = (s[lang] * 1000000) // s_total
+        rate = min(1000000, (q * (n_total // 2)) // n)
+        out[lang] = (n, q, rate)
+    return out, n_total
+
+
+class TestTemperatureMixture:
+    def test_rate_math_matches_python(self, spark):
+        import hashlib
+
+        from dww_data_pipeline_spark.plans.pipeline_ext import temperature_mixture
+
+        counts = {"head": 400, "mid": 60, "tail": 9}
+        rows, did = [], 0
+        for lang, n in counts.items():
+            for _ in range(n):
+                rows.append((did, lang))
+                did += 1
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {r["lang"]: r for r in temperature_mixture(df).collect()}
+        ref, _ = _t38_ref(counts)
+        for lang, (n, q, rate) in ref.items():
+            assert got[lang]["n_docs"] == n
+            assert got[lang]["q_micro"] == q
+            assert got[lang]["rate_micro"] == rate
+            n_adm = sum(
+                1
+                for d, l in rows
+                if l == lang
+                and int(hashlib.md5(f"t38|{d}".encode()).hexdigest()[:8], 16)
+                * 1000000
+                < rate * 4294967296
+            )
+            assert got[lang]["n_sampled"] == n_adm
+
+    def test_tail_up_head_down(self, spark):
+        """The published smoothing property: the tail language's
+        admission rate strictly exceeds the head's, and the head's
+        mixture share shrinks vs its corpus share."""
+        from dww_data_pipeline_spark.plans.pipeline_ext import temperature_mixture
+
+        rows = [(i, "head" if i < 900 else "tail") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = {r["lang"]: r for r in temperature_mixture(df).collect()}
+        assert got["tail"]["rate_micro"] > got["head"]["rate_micro"]
+        assert got["head"]["q_micro"] < 900_000  # corpus share was 90%
+        assert got["tail"]["q_micro"] > 100_000
