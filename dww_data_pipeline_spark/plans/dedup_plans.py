@@ -2663,3 +2663,183 @@ def st17_stream_contamination_gate(
     return exact_contamination_gate(
         d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"), fps
     )
+
+
+# ---------------------------------------------------------------------------
+# s21 — graph-walk ANN in its PUBLISHED form (Navigable Small World
+# greedy beam search, Malkov et al. 2014 — the paradigm behind HNSW
+# and every production graph index). The s-family already covers the
+# other three ANN paradigms (IVF s2/s11, PQ s10, LSH s4-s7); this is
+# the missing fourth: answer a query by WALKING the s6 kNN graph from
+# a fixed entry vertex, expanding the current beam's neighbors, and
+# keeping the best-B candidates by exact cosine — never scanning the
+# corpus per query.
+#
+# Determinism contract: entry = MIN(vec_id); a fixed THREE expansion
+# rounds (not convergence-tested — bounded plans, the e7/pr1 fixed-
+# iteration discipline); beam B = 8 and final k = 5 ranked by
+# (round(cos,6) DESC, vec_id) — the rounded-cos tie-break every
+# s-query uses, so both engines rank identical doubles.
+#
+# Scale shape: the beam is O(|queries| x B) rows and BROADCASTS onto
+# the edge table each round (edge side never re-partitions: 3 semi
+# joins on src), candidates join the vector table by vec_id for
+# scoring — per round ONE broadcast join against edges + one equi
+# join against vectors, no cartesian, no corpus scan per query pair.
+# On a cluster the edge/vector tables bucket by src/vec_id so every
+# round is shuffle-free on the big side; the walk's work is
+# O(rounds x B x degree) vector reads per query — independent of
+# corpus size, which is the published point of graph ANN.
+# ---------------------------------------------------------------------------
+
+_S21_BEAM = 8
+_S21_K = 5
+_S21_ROUNDS = 3
+_SQL_COS_Q = _SQL_COS.replace("b.v", "b.qv")
+
+
+def _s21_oracle() -> str:
+    rounds = []
+    prev = "b0"
+    for r in range(1, _S21_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN edges ed ON ed.src = b.vec_id
+), s{r} AS (
+  SELECT c.query_id, c.vec_id, round({_SQL_COS_Q}, 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM c{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), b{r} AS (
+  SELECT query_id, vec_id FROM s{r} WHERE rn <= {_S21_BEAM}
+)""")
+        prev = f"b{r}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+  FROM embeddings
+), eg AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM eg
+  ) WHERE rn <= 3
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)
+), b0 AS (
+  SELECT q.query_id, (SELECT MIN(vec_id) FROM e) AS vec_id FROM q
+),{",".join(rounds)}
+SELECT query_id, vec_id, cos, rn AS rank
+FROM s{_S21_ROUNDS} WHERE rn <= {_S21_K}
+"""
+
+
+@register(
+    "s21_graph_ann_walk",
+    oracle=_s21_oracle(),
+    description="GRAPH-WALK ANN, published form (NSW greedy beam "
+    "search, Malkov et al. 2014 — the paradigm under HNSW; the "
+    "s-family's missing fourth next to IVF/PQ/LSH): per query, start "
+    "at the MIN(vec_id) entry vertex and run 3 fixed expansion rounds "
+    "over s6's kNN graph, each round scoring beam ∪ neighbors by exact "
+    "cosine and keeping the best 8 (rounded-cos + vec_id tie-break); "
+    "emit the final top-5. Per round the O(|q|x8) beam BROADCASTS onto "
+    "the edge table and candidates equi-join the vector table — work "
+    "per query is O(rounds x beam x degree) vector reads, independent "
+    "of corpus size (the published point of graph ANN); no cartesian, "
+    "no per-query corpus scan (north-star similarity search)",
+)
+def s21_graph_ann_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket("embedding").alias("bucket"),
+    )
+    return graph_ann_walk(e, knn_edges_cached(spark, sf_dir), (0, 1, 2))
+
+
+_KNN_EDGE_MEMO: dict = {}
+
+
+def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s6's kNN edge list, localCheckpoint-materialized ONCE per
+    (application, sf_dir) — the walk reads it every round and without
+    materialization the corpus-scale edge derivation re-executes per
+    round AND the iterative lineage compounds (the lsh_pairs_cached /
+    supplier_transition_edges materialized-view rule)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _KNN_EDGE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket("embedding").alias("bucket"),
+    )
+    edges = (
+        bucket_knn_arrow(e, "vec_id", "embedding", "bucket", k=3)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    _KNN_EDGE_MEMO[key] = edges
+    return edges
+
+
+def graph_ann_walk(
+    e: DataFrame, edges: DataFrame, query_ids=(0, 1, 2)
+) -> DataFrame:
+    """The s21 core over any (vec_id, embedding[, bucket]) relation and
+    (src, dst) edge list — factored for property testing against a
+    pure-Python walk. The beam is localCheckpoint-materialized between
+    rounds (O(|q| x beam) rows — bounded) so the iterative lineage
+    stays flat instead of compounding per round."""
+    from pyspark.sql import Window
+
+    vecs = e.select("vec_id", "embedding")
+    q = vecs.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    entry = vecs.agg(F.min("vec_id").alias("vec_id"))
+    beam = q.select("query_id").crossJoin(F.broadcast(entry))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    scored = None
+    for rnd in range(_S21_ROUNDS):
+        neighbors = edges.join(
+            F.broadcast(
+                beam.select("query_id", F.col("vec_id").alias("src"))
+            ),
+            "src",
+        ).select("query_id", F.col("dst").alias("vec_id"))
+        cand = beam.select("query_id", "vec_id").union(neighbors).distinct()
+        scored = (
+            cand.join(vecs, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias(
+                    "cos"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+        )
+        if rnd < _S21_ROUNDS - 1:
+            # bounded eager materialization: <= |q| x beam rows
+            beam = (
+                scored.filter(F.col("rn") <= _S21_BEAM)
+                .select("query_id", "vec_id")
+                .localCheckpoint()
+            )
+    return scored.filter(F.col("rn") <= _S21_K).select(
+        "query_id", "vec_id", "cos", F.col("rn").alias("rank")
+    )

@@ -187,6 +187,17 @@ class TestLateRound3PlanDiscipline:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_graph_ann_walk_broadcasts_beam(self, spark, sf_dir):
+        # s21: every round's beam broadcasts onto the edge/vector
+        # tables; the only nested loop is the 1-row entry cross join
+        plan = _plan(spark, sf_dir, "s21_graph_ann_walk")
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # earlier rounds are localCheckpoint-materialized, so the
+        # visible segment is the FINAL round: edges + vectors + query
+        # joins, all broadcast
+        assert plan.count("BroadcastHashJoin") >= 3
+
     def test_topic_buckets_single_tiny_shuffle(self, spark, sf_dir):
         # t15's only exchange is the final per-topic aggregate
         plan = _plan(spark, sf_dir, "t15_topic_buckets")

@@ -1368,3 +1368,117 @@ class TestTemperatureMixture:
         assert got["tail"]["rate_micro"] > got["head"]["rate_micro"]
         assert got["head"]["q_micro"] < 900_000  # corpus share was 90%
         assert got["tail"]["q_micro"] > 100_000
+
+
+# ---------------------------------------------------------------------------
+# s21 — graph-walk ANN vs a pure-Python walk of the same contract
+# (entry = MIN(vec_id), 3 rounds, beam 8, rank by rounded-cos DESC
+# then vec_id), on explicit small graphs where the greedy walk's
+# partial reachability actually matters (chain graphs: 3 rounds from
+# vertex 0 cannot reach the far end — the bounded-round semantics,
+# not an approximation bug).
+# ---------------------------------------------------------------------------
+
+
+def _s21_ref(vectors, edges, query_ids, rounds=3, beam=8, k=5):
+    import math
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na = na + float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb = nb + float(y) * float(y)
+        return _round6_half_up(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    entry = min(vectors)
+    out = []
+    for qid in query_ids:
+        qv = vectors[qid]
+        beam_set = [entry]
+        ranked = []
+        for _ in range(rounds):
+            cand = set(beam_set)
+            for v in beam_set:
+                cand.update(adj.get(v, []))
+            ranked = sorted(
+                ((cos(vectors[v], qv), v) for v in cand),
+                key=lambda cv: (-cv[0], cv[1]),
+            )
+            beam_set = [v for _, v in ranked[:beam]]
+        for rank, (c, v) in enumerate(ranked[:k], start=1):
+            out.append((qid, v, c, rank))
+    return sorted(out)
+
+
+class TestGraphAnnWalk:
+    def _run(self, spark, vectors, edges, query_ids):
+        from dww_data_pipeline_spark.plans.dedup_plans import graph_ann_walk
+
+        e = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vectors.items()],
+            "vec_id long, embedding array<float>",
+        )
+        ed = spark.createDataFrame(list(edges), "src long, dst long")
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+            for r in graph_ann_walk(e, ed, query_ids).collect()
+        )
+        # float32 ingestion: the reference must see the same float32-
+        # truncated values Spark's array<float> stores
+        import struct
+
+        f32 = {
+            i: [struct.unpack("f", struct.pack("f", float(x)))[0] for x in v]
+            for i, v in vectors.items()
+        }
+        assert got == _s21_ref(f32, edges, query_ids)
+
+    def test_chain_graph_bounded_reach(self, spark):
+        """v_i on a slow arc so each vertex's neighbors are adjacent
+        indices; query = far end.  3 rounds from vertex 0 reach only
+        part of the chain — the walk must return the best REACHED
+        set, exactly as the python walk does."""
+        import math
+
+        n = 14
+        vectors = {
+            i: [math.cos(i * 0.18), math.sin(i * 0.18), 1.0] for i in range(n)
+        }
+        edges = set()
+        for i in range(n):
+            for j in (i - 1, i + 1, i + 2):
+                if 0 <= j < n and j != i:
+                    edges.add((i, j))
+        self._run(spark, vectors, edges, (n - 1,))
+
+    def test_disconnected_island_unreachable(self, spark):
+        """An isolated clique holds the true nearest neighbors; the
+        walk can only ever return vertices from the entry component."""
+        vectors = {
+            0: [1.0, 0.0],
+            1: [0.9, 0.1],
+            2: [0.8, 0.2],
+            # island — closest to the query but unreachable
+            10: [0.0, 1.0],
+            11: [0.05, 1.0],
+        }
+        edges = {(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)}
+        self._run(spark, vectors, edges, (10,))
+
+    def test_hub_graph_full_reach(self, spark):
+        """Star topology: everything is 2 hops from the entry, so the
+        walk's top-5 equals the brute-force top-5."""
+        vectors = {i: [1.0 + 0.1 * i, float(i % 3)] for i in range(9)}
+        edges = set()
+        for i in range(1, 9):
+            edges.add((0, i))
+            edges.add((i, 0))
+        self._run(spark, vectors, edges, (4,))
