@@ -243,6 +243,10 @@ EXTRA = [
     "s20_tokenizer_staleness_gate",    # tokenizer OOV/fertility retrain gate
     "c4_curation_exactsubstr",         # curation flow w/ published ExactSubstr
     "st17_stream_contamination_gate",  # exact-substring contamination at ingest
+    "t37_gopher_repetition",           # Gopher nine-signal repetition gate
+    "t38_temperature_mixture",         # alpha-smoothed language mixture rates
+    "s21_graph_ann_walk",              # NSW beam-search graph ANN
+    "c5_curation_quality_stack",       # stacked gate funnel (t13 -> t37 -> dedup)
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

@@ -1325,6 +1325,131 @@ _c4_attach_oracle()
 
 
 # ---------------------------------------------------------------------------
+# c5_curation_quality_stack — the STACKED quality gate the published
+# web-corpus pipelines ship (FineWeb / RefinedWeb / MassiveText
+# ordering): heuristic quality gate (t13), THEN the Gopher repetition
+# rule set (t37), THEN exact dedup among the survivors — each document
+# gets the FIRST stage that rejected it as its disposition, so the
+# output is simultaneously the surviving corpus manifest and the
+# per-stage attrition audit (the published pipelines report exactly
+# this funnel).  c1/c4 end detection->rewrite; c5 is the gate-stack
+# complement: which rule kills how much, before any rewrite runs.
+#
+# Scale shape: t13's stages (one token-model shuffle + one scan) plus
+# t37's (ZERO shuffle, per-row signals) plus d1's fingerprint dedup
+# (16-byte keys, text never shuffles) and the t21 shard arithmetic —
+# the composition adds doc_id-keyed joins only, no new corpus-scale
+# term.  The oracle embeds t13's AND t37's registered SQL as CTEs
+# (the c1 embedding discipline), so the differential check covers the
+# composition itself.
+# ---------------------------------------------------------------------------
+
+
+def _c5_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans import text_plans  # noqa: F401
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    t13 = REGISTRY["t13_corpus_filter_decision"].oracle
+    t37 = REGISTRY["t37_gopher_repetition"].oracle
+    q = REGISTRY["c5_curation_quality_stack"]
+    oracle = f"""
+    WITH gate1 AS MATERIALIZED ({t13}),
+    gate2 AS MATERIALIZED ({t37}),
+    surv AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN gate1 g1 ON g1.doc_id = d.doc_id
+      JOIN gate2 g2 ON g2.doc_id = d.doc_id
+      WHERE g1.keep AND g2.keep = 1
+    ),
+    dedup AS MATERIALIZED (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+      FROM surv
+    )
+    SELECT d.doc_id,
+           CASE WHEN NOT g1.keep THEN 'filtered_quality'
+                WHEN g2.keep = 0 THEN 'filtered_repetition'
+                WHEN NOT dd.is_keeper THEN 'duplicate'
+                ELSE 'kept' END AS status,
+           CAST(CASE WHEN g1.keep AND g2.keep = 1 AND dd.is_keeper
+                     THEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 16
+                     ELSE -1 END AS BIGINT) AS shard,
+           CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN gate1 g1 ON g1.doc_id = d.doc_id
+    JOIN gate2 g2 ON g2.doc_id = d.doc_id
+    LEFT JOIN dedup dd ON dd.doc_id = d.doc_id
+    """
+    REGISTRY["c5_curation_quality_stack"] = Query(
+        name=q.name, spark=q.spark, oracle=oracle, description=q.description
+    )
+
+
+@register(
+    "c5_curation_quality_stack",
+    oracle=None,  # attached below — embeds t13's AND t37's oracles
+    description="STACKED QUALITY-GATE CURATION (the FineWeb/RefinedWeb/"
+    "MassiveText funnel): heuristic gate (t13) -> Gopher repetition "
+    "rule set (t37) -> exact dedup among survivors -> t21 shard; every "
+    "document is labeled by the FIRST stage that rejected it "
+    "('filtered_quality' / 'filtered_repetition' / 'duplicate' / "
+    "'kept'), so one call emits the surviving manifest AND the "
+    "per-stage attrition funnel the published pipelines report. "
+    "Composition adds doc_id-keyed joins only: t13's one small "
+    "shuffle, t37's zero, 16-byte fingerprint dedup; the oracle "
+    "embeds both gates' registered SQL (c1 discipline) so the "
+    "differential check covers the composition.",
+)
+def c5_curation_quality_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.text_plans import (
+        gopher_repetition,
+        t13_corpus_filter_decision,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g1 = t13_corpus_filter_decision(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep1")
+    )
+    g2 = gopher_repetition(d).select(
+        "doc_id", (F.col("keep") == 1).alias("keep2")
+    )
+    j = d.join(g1, "doc_id").join(g2, "doc_id")
+    surv = j.filter(F.col("keep1") & F.col("keep2")).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    dedup = surv.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return j.join(dedup, "doc_id", "left").select(
+        "doc_id",
+        F.when(~F.col("keep1"), F.lit("filtered_quality"))
+        .when(~F.col("keep2"), F.lit("filtered_repetition"))
+        .when(~F.col("is_keeper"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(F.col("keep1") & F.col("keep2") & F.col("is_keeper"), shard)
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("shard"),
+        F.size(spark_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+_c5_attach_oracle()
+
+
+# ---------------------------------------------------------------------------
 # s11_ivfpq_topk — IVF + PQ (IVFADC): the canonical billion-scale ANN.
 #
 # The two scale levers COMPOSED (Jegou et al. 2011, the layout behind

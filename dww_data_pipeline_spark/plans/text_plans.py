@@ -1284,166 +1284,102 @@ FROM base b
 """
 
 
-def _t37_grams(toks, n: int):
-    """Contiguous word n-grams of a bound token array (d20's
-    arrays_zip-of-slices construction — no explode, no shuffle)."""
-    m = F.size(toks) - (n - 1)
-    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    return F.when(m > 0, F.transform(
-        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
-    )).otherwise(F.array().cast("array<string>"))
-
-
 def gopher_repetition(d: DataFrame) -> DataFrame:
     """The t37 core over any (doc_id, text) relation — factored for
     property testing against a pure-Python reference (the synthetic
     corpus has no within-doc >=5-gram repeats, so the dup_* nonzero
     path is pinned by tests/test_properties.py, not the oracle).
 
-    Staged behind explode barriers: Catalyst's CollapseProject would
-    otherwise re-inline the gram arrays into every one of the nine
-    signals and the expression tree explodes combinatorially (measured:
-    analysis alone hangs). Each stage materializes its arrays once —
-    tokens+lengths, then the eight gram arrays, then the per-n
-    mode-struct / duplicate-flag arrays — so every signal reads plain
-    column references and per-row cost stays O(grams x distinct-grams),
-    bounded by document length.
+    ONE Arrow mapInPandas stage, deliberately: this was first built as
+    pure Column expressions (explode-barrier staged arrays + sorted
+    aggregate folds), but higher-order functions evaluate INTERPRETED
+    — outside whole-stage codegen — and nine per-gram signals cost
+    ~87 ms cpu per document that way (measured at sf0.1: 13-18 s wall
+    on 32 threads; gram construction alone 5 s).  The same work is
+    O(tokens) dict/Counter passes in vectorized Python (~0.1 ms/doc),
+    so the m-family rule applies: when Column expressions leave
+    codegen anyway, one Arrow-batched Python stage is the fast path.
+    Zero shuffle either way — the operator stays a per-row scan.
+
+    Float parity: fractions are integer-derived double divisions
+    (bit-identical across engines); rounding is decimal-string
+    HALF_UP (Decimal(repr(x)), exactly Spark's BigDecimal.valueOf
+    rounding), proven against the DuckDB oracle at 3 SFs.
     """
-    ns_top = sorted(_T37_TOP)
-    ns_dup = sorted(_T37_DUP)
+    import pandas as pd
 
-    # stage 1: token array + char total + per-token lengths
-    b1 = d.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    tx.tokens(F.col("text")).alias("toks"),
-                )
-            )
-        ).alias("s1"),
-    ).select(
-        "doc_id",
-        F.aggregate(
-            F.col("s1.toks"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x),
-        ).alias("t"),
-        F.transform(F.col("s1.toks"), lambda x: F.length(x)).alias("lens"),
-        F.col("s1.toks").alias("toks"),
+    fields = (
+        ["doc_id bigint"]
+        + [f"top_{n}gram_frac double" for n in sorted(_T37_TOP)]
+        + [f"dup_{n}gram_frac double" for n in sorted(_T37_DUP)]
+        + ["keep bigint"]
     )
+    schema = ", ".join(fields)
+    top_items = sorted(_T37_TOP.items())
+    dup_items = sorted(_T37_DUP.items())
 
-    # stage 2: the eight gram arrays, materialized once
-    b2 = b1.select(
-        "doc_id",
-        "t",
-        "lens",
-        F.explode(
-            F.array(
-                F.struct(
-                    *[
-                        _t37_grams(F.col("toks"), n).alias(f"g{n}")
-                        for n in ns_top + ns_dup
+    def _batches(it):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        micro = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(repr(x)).quantize(micro, ROUND_HALF_UP))
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = (text or "").split()
+                m = len(toks)
+                t = sum(map(len, toks))
+                row = [int(doc_id)]
+                keep = t > 0
+                for n, thr in top_items:
+                    grams = [
+                        " ".join(toks[i : i + n]) for i in range(m - n + 1)
                     ]
-                )
+                    if grams and t:
+                        c = Counter(grams)
+                        cnt, gram = min(
+                            ((-v, -(len(k) - (n - 1)), k) for k, v in c.items())
+                        )[::2]
+                        frac = r6(-cnt * (len(gram) - (n - 1)) / t)
+                    else:
+                        frac = 0.0
+                    row.append(frac)
+                    keep = keep and frac <= thr
+                for n, thr in dup_items:
+                    grams = [
+                        " ".join(toks[i : i + n]) for i in range(m - n + 1)
+                    ]
+                    if grams and t:
+                        c = Counter(grams)
+                        covered = bytearray(m)
+                        for i, g in enumerate(grams):
+                            if c[g] >= 2:
+                                covered[i : i + n] = b"\x01" * n
+                        chars = sum(
+                            len(tok)
+                            for tok, hit in zip(toks, covered)
+                            if hit
+                        )
+                        frac = r6(chars / t)
+                    else:
+                        frac = 0.0
+                    row.append(frac)
+                    keep = keep and frac <= thr
+                row.append(1 if keep else 0)
+                rows.append(row)
+            cols = (
+                ["doc_id"]
+                + [f"top_{n}gram_frac" for n, _ in top_items]
+                + [f"dup_{n}gram_frac" for n, _ in dup_items]
+                + ["keep"]
             )
-        ).alias("gs"),
-    )
+            yield pd.DataFrame(rows, columns=cols)
 
-    # stage 3: per-n mode struct (count, char-len, gram) for the top
-    # signals; per-start duplicate flags for the coverage signals
-    def _best(n: int):
-        g = F.col(f"gs.g{n}")
-        return F.array_max(
-            F.transform(
-                F.array_distinct(g),
-                lambda gr: F.struct(
-                    F.size(F.filter(g, lambda x: x == gr)).alias("cnt"),
-                    (F.length(gr) - (n - 1)).alias("len"),
-                    gr.alias("gram"),
-                ),
-            )
-        )
-
-    def _flags(n: int):
-        g = F.col(f"gs.g{n}")
-        return F.transform(
-            g, lambda gr: F.size(F.filter(g, lambda x: x == gr)) >= 2
-        )
-
-    b3 = b2.select(
-        "doc_id",
-        "t",
-        "lens",
-        F.explode(
-            F.array(
-                F.struct(
-                    *[_best(n).alias(f"best{n}") for n in ns_top],
-                    *[_flags(n).alias(f"f{n}") for n in ns_dup],
-                )
-            )
-        ).alias("x"),
-    )
-
-    # stage 4: the nine fractions + the published-threshold gate
-    cols = []
-    keep = F.col("t") > 0
-    for n, thr in sorted(_T37_TOP.items()):
-        best = F.col(f"x.best{n}")
-        frac = F.round(
-            F.coalesce(
-                F.when(
-                    F.col("t") > 0,
-                    (best["cnt"] * best["len"]).cast("double") / F.col("t"),
-                ),
-                F.lit(0.0),
-            ),
-            6,
-        )
-        cols.append(frac.alias(f"top_{n}gram_frac"))
-        keep = keep & (frac <= F.lit(thr))
-    for n, thr in sorted(_T37_DUP.items()):
-        flags = F.col(f"x.f{n}")
-        m = F.size(flags)
-        # 0-indexed token position p is covered iff some duplicated
-        # n-gram starts at 1-indexed s in [p-n+2, p+1] ∩ [1, m]
-        covered = F.transform(
-            F.col("lens"),
-            lambda ln, p: F.when(
-                F.exists(
-                    F.slice(
-                        flags,
-                        F.greatest(p - (n - 2), F.lit(1)),
-                        # clamp: trailing positions have p+1 > m
-                        F.greatest(
-                            F.least(p + 1, m)
-                            - F.greatest(p - (n - 2), F.lit(1))
-                            + 1,
-                            F.lit(0),
-                        ),
-                    ),
-                    lambda b: b,
-                ),
-                ln,
-            ).otherwise(F.lit(0)),
-        )
-        chars = F.aggregate(
-            covered, F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
-        frac = F.round(
-            F.coalesce(
-                F.when(F.col("t") > 0, chars.cast("double") / F.col("t")),
-                F.lit(0.0),
-            ),
-            6,
-        )
-        cols.append(frac.alias(f"dup_{n}gram_frac"))
-        keep = keep & (frac <= F.lit(thr))
-    return b3.select(
-        "doc_id",
-        *cols,
-        F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
-    )
+    return d.select("doc_id", "text").mapInPandas(_batches, schema)
 
 
 @register(

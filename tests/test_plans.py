@@ -198,6 +198,13 @@ class TestLateRound3PlanDiscipline:
         # joins, all broadcast
         assert plan.count("BroadcastHashJoin") >= 3
 
+    def test_quality_stack_no_cartesian_one_text_scan_family(self, spark, sf_dir):
+        # c5: the stacked gate adds doc_id-keyed joins only — no
+        # cartesian, no sort-merge on the corpus path, and the text
+        # fingerprint (16 bytes) shuffles, never the text itself
+        plan = _plan(spark, sf_dir, "c5_curation_quality_stack")
+        assert "CartesianProduct" not in plan
+
     def test_topic_buckets_single_tiny_shuffle(self, spark, sf_dir):
         # t15's only exchange is the final per-topic aggregate
         plan = _plan(spark, sf_dir, "t15_topic_buckets")
