@@ -247,6 +247,7 @@ EXTRA = [
     "t38_temperature_mixture",         # alpha-smoothed language mixture rates
     "s21_graph_ann_walk",              # NSW beam-search graph ANN
     "c5_curation_quality_stack",       # stacked gate funnel (t13 -> t37 -> dedup)
+    "st18_stream_mixture_admission",   # frozen-mixture admission at ingest
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

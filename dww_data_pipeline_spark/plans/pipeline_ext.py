@@ -767,6 +767,27 @@ def temperature_mixture(d: DataFrame) -> DataFrame:
     """The t38 core over any (doc_id, lang) relation — factored for
     direct testing of the exact integer rate math against a
     pure-Python reference."""
+    rates = mixture_rates(d)
+    adm = (
+        mixture_admission_flags(d, rates)
+        .filter(F.col("admitted") == 1)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_adm"))
+    )
+    return rates.join(adm, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "q_micro",
+        "rate_micro",
+        F.coalesce(F.col("n_adm"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+def mixture_rates(d: DataFrame) -> DataFrame:
+    """t38's exact integer rate derivation over any (doc_id, lang)
+    relation: (lang, n_docs, q_micro, rate_micro).  Factored so the
+    streaming ingest (streaming/mixture_ingest.py) can freeze rates
+    from the existing corpus and admit arrivals against them."""
     from pyspark.sql import Window
 
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -781,7 +802,7 @@ def temperature_mixture(d: DataFrame) -> DataFrame:
         F.sum(s_micro).over(w).alias("s_total"),
         F.sum("n_docs").over(w).alias("n_total"),
     )
-    rates = masses.select(
+    return masses.select(
         "lang",
         "n_docs",
         F.expr("(s_micro * 1000000) DIV s_total").alias("q_micro"),
@@ -793,6 +814,14 @@ def temperature_mixture(d: DataFrame) -> DataFrame:
             ),
         ).alias("rate_micro"),
     )
+
+
+def mixture_admission_flags(d: DataFrame, rates: DataFrame) -> DataFrame:
+    """Per-doc admission decision against a (lang, rate_micro) table:
+    (doc_id, lang, admitted) — the pure int64 hash compare, rates
+    BROADCAST.  Docs whose lang has no rate row are rejected
+    (admitted = 0): a frozen mixture admits nothing it has never
+    seen, and the batch twin covers exactly this path."""
     u32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("t38|"), F.col("doc_id").cast("string"))),
@@ -802,17 +831,122 @@ def temperature_mixture(d: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("long")
-    adm = (
-        d.select("lang", u32.alias("_u"))
-        .join(F.broadcast(rates.select("lang", "rate_micro")), "lang")
-        .filter(F.col("_u") * 1000000 < F.col("rate_micro") * 4294967296)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_adm"))
+    return (
+        d.select("doc_id", "lang", u32.alias("_u"))
+        .join(
+            F.broadcast(rates.select("lang", "rate_micro")), "lang", "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("rate_micro").isNotNull()
+                & (F.col("_u") * 1000000 < F.col("rate_micro") * 4294967296),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("admitted"),
+        )
     )
-    return rates.join(adm, "lang", "left").select(
-        "lang",
-        "n_docs",
-        "q_micro",
-        "rate_micro",
-        F.coalesce(F.col("n_adm"), F.lit(0)).cast("long").alias("n_sampled"),
+
+
+# ---------------------------------------------------------------------------
+# st18_stream_mixture_admission — t38's streaming twin: temperature-
+# mixture admission AT INGEST.  The mixture rates are FROZEN from the
+# existing corpus (doc_id % 5 != 0, the st13/st17 snapshot
+# convention) and arriving documents (doc_id % 5 == 0) are admitted
+# per micro-batch against the frozen rate table — the production form
+# of data mixing: the mixture design is a corpus-level decision,
+# arrivals must not perturb it batch-by-batch.  Admission depends
+# only on the frozen corpus state (arrivals never re-derive rates —
+# the st13 contract), so the union of micro-batch outputs equals the
+# one-shot batch answer for ANY stream chopping; the parity test in
+# tests/test_stream_ingest.py asserts exactly that, and
+# streaming/mixture_ingest.py runs the same flags via foreachBatch.
+#
+# Scale shape: one map-side-combinable |langs|-row count over the
+# corpus ONCE per run (cached in the streaming module); per
+# micro-batch ONE broadcast join + integer hash compare per row —
+# batch-proportional cost, zero corpus re-reads, zero shuffle of
+# arrivals beyond the final tiny per-lang aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "st18_stream_mixture_admission",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 5 <> 0
+    ), arr AS (
+      SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+    ), counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM base GROUP BY lang
+    ), masses AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s_micro,
+             SUM(CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)) OVER () AS s_total,
+             SUM(n_docs) OVER () AS n_total
+      FROM counts
+    ), rates AS (
+      SELECT lang, n_docs,
+             least(1000000,
+                   (((s_micro * 1000000) // s_total) * (n_total // 2)) // n_docs
+             ) AS rate_micro
+      FROM masses
+    ), flags AS (
+      SELECT a.doc_id, a.lang,
+             CASE WHEN r.rate_micro IS NOT NULL
+                       AND CAST(('0x' || substr(md5('t38|' ||
+                                 CAST(a.doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) * 1000000
+                           < r.rate_micro * 4294967296
+                  THEN 1 ELSE 0 END AS admitted
+      FROM arr a LEFT JOIN rates r ON r.lang = a.lang
+    ), agg AS (
+      SELECT lang, COUNT(*) AS n_arriving, SUM(admitted) AS n_admitted
+      FROM flags GROUP BY lang
+    )
+    SELECT COALESCE(r.lang, g.lang) AS lang,
+           CAST(COALESCE(r.n_docs, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(r.rate_micro, 0) AS BIGINT) AS rate_micro,
+           CAST(COALESCE(g.n_arriving, 0) AS BIGINT) AS n_arriving,
+           CAST(COALESCE(g.n_admitted, 0) AS BIGINT) AS n_admitted
+    FROM rates r FULL OUTER JOIN agg g ON g.lang = r.lang
+    """,
+    description="TEMPERATURE-MIXTURE ADMISSION AT INGEST (t38's "
+    "streaming twin, streaming/mixture_ingest.py): rates frozen from "
+    "the existing corpus (doc_id % 5 != 0), arriving docs admitted "
+    "per micro-batch by the pure int64 hash compare against the "
+    "BROADCAST frozen rate table — the mixture design never drifts "
+    "batch-to-batch (st13 contract: flags depend only on corpus "
+    "state, so stream chopping is irrelevant and union-of-batches == "
+    "one-shot batch, parity-tested). Per-lang report: base counts, "
+    "frozen rate, arriving and admitted counts (zero-arrival langs "
+    "emit rows — the s19 rule). One |langs|-row corpus count once "
+    "per run; per batch one broadcast join, no corpus re-read.",
+)
+def st18_stream_mixture_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    arr = d.filter(F.col("doc_id") % 5 == 0)
+    rates = mixture_rates(base)
+    agg = (
+        mixture_admission_flags(arr, rates)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_arriving"),
+            F.sum("admitted").alias("n_admitted"),
+        )
+    )
+    return (
+        rates.select("lang", "n_docs", "rate_micro")
+        .join(agg, "lang", "full")
+        .select(
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("rate_micro", F.lit(0)).cast("long").alias("rate_micro"),
+            F.coalesce("n_arriving", F.lit(0)).cast("long").alias("n_arriving"),
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+        )
     )

@@ -480,3 +480,84 @@ class TestStreamContaminationGate:
         assert not rows[101]["contaminated"] and rows[101]["n_windows"] == 21
         assert not rows[102]["contaminated"] and rows[102]["n_windows"] == 0
         assert rows[102]["first_hit_pos"] is None
+
+
+class TestStreamMixtureAdmission:
+    """Mixture-admission-at-ingest (streaming/mixture_ingest.py) ==
+    the st18 batch core, for a multi-micro-batch chopping of the feed.
+
+    Rates are frozen from the corpus split, so the union of
+    per-micro-batch flags must equal the one-shot batch answer
+    regardless of chopping."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, tmp_path):
+        from dww_data_pipeline_spark.plans.pipeline_ext import (
+            mixture_admission_flags,
+            mixture_rates,
+        )
+        from dww_data_pipeline_spark.streaming.mixture_ingest import (
+            stream_mixture_admission,
+        )
+
+        # the module docs fixture drops lang — read it here
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        feed = d.filter(F.col("doc_id") % 5 == 0)
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+
+        rates = mixture_rates(corpus)
+        batch_ans = sorted(
+            tuple(r) for r in mixture_admission_flags(feed, rates).collect()
+        )
+        assert batch_ans
+        assert any(t[2] == 1 for t in batch_ans), "no admissions in split"
+        assert any(t[2] == 0 for t in batch_ans), "no rejections in split"
+
+        src = str(tmp_path / "src")
+        for i in range(3):
+            feed.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "flags")
+        q = stream_mixture_admission(
+            sdf, corpus, out, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+        q.rates.unpersist()
+
+        import glob as _glob
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3  # really micro-batched
+        streamed = spark.read.option("basePath", out).parquet(
+            os.path.join(out, "batch=*")
+        ).select("doc_id", "lang", "admitted")
+        assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
+
+    def test_unseen_lang_rejected(self, spark):
+        """A frozen mixture admits nothing it has never seen: arrivals
+        in a language absent from the corpus are rejected outright."""
+        from dww_data_pipeline_spark.plans.pipeline_ext import (
+            mixture_admission_flags,
+            mixture_rates,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "en") for i in range(50)], "doc_id long, lang string"
+        )
+        arrivals = spark.createDataFrame(
+            [(100, "xx"), (101, "en")], "doc_id long, lang string"
+        )
+        flags = {
+            r["doc_id"]: r["admitted"]
+            for r in mixture_admission_flags(
+                arrivals, mixture_rates(corpus)
+            ).collect()
+        }
+        assert flags[100] == 0
