@@ -248,6 +248,7 @@ EXTRA = [
     "s21_graph_ann_walk",              # NSW beam-search graph ANN
     "c5_curation_quality_stack",       # stacked gate funnel (t13 -> t37 -> dedup)
     "st18_stream_mixture_admission",   # frozen-mixture admission at ingest
+    "d28_ppjoin_exact",                # prefix-filtered EXACT similarity join
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

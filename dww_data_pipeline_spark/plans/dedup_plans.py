@@ -2843,3 +2843,155 @@ def graph_ann_walk(
     return scored.filter(F.col("rn") <= _S21_K).select(
         "query_id", "vec_id", "cos", F.col("rn").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d28 — EXACT similarity self-join with PREFIX FILTERING, published
+# form (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al.
+# WWW'08).  d18's ground truth is the brute-force shingle-sharing
+# pair join — "the thing LSH exists to avoid", affordable only on a
+# sampled slice.  Prefix filtering is the published EXACT fix: order
+# every document's distinct shingles by global rarity (df ASC,
+# shingle ASC — any consistent total order is correct, rarity makes
+# it cheap); for Jaccard >= 1/2 a pair must share a shingle within
+# BOTH documents' first floor(n/2)+1 shingles (the prefix-filtering
+# lemma with prefix length |x| - ceil(t|x|) + 1), so candidate
+# generation joins only the RARE-end prefixes and the exact
+# verification runs on that bounded candidate set.  Same integer
+# identity as d18 (jac >= 1/2 <=> 3|A∩B| >= |A|+|B|): the result is
+# d18's truth set, computed scalably — and the pytest asserts that
+# equality outright.
+#
+# Scale shape: one shingle-df aggregation (map-side partials), one
+# doc-partitioned window (bounded by doc length) for the rarity
+# ranks, a prefix-shingle equi-join whose per-key fan-out is the
+# PREFIX bucket (a shingle joins only docs where it falls in the
+# rarest half — the published candidate bound, Σ prefix-bucket²
+# instead of Σ bucket²), and a pair-keyed exact verify.  No
+# cartesian, no LSH approximation, no all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d28_ppjoin_exact",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+    ),
+    dfreq AS MATERIALIZED (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+    ),
+    ranked AS MATERIALIZED (
+      SELECT sh.doc_id, sh.s,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY dfreq.df, sh.s) AS rn,
+             COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+      FROM sh JOIN dfreq ON dfreq.s = sh.s
+    ),
+    prefix AS MATERIALIZED (
+      SELECT doc_id, s FROM ranked WHERE rn <= n // 2 + 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+      SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b, i.ni, sa.n AS na, sb.n AS nb,
+           round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 6) AS jac
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE 3 * i.ni >= sa.n + sb.n
+    """,
+    description="EXACT SIMILARITY SELF-JOIN with prefix filtering, "
+    "published form (AllPairs Bayardo et al. WWW'07 / PPJoin Xiao et "
+    "al.): distinct 3-word shingles per doc ordered by global rarity "
+    "(df ASC, shingle ASC); Jaccard >= 1/2 pairs MUST share a shingle "
+    "within both docs' first floor(n/2)+1 (the prefix-filtering "
+    "lemma), so candidates join only the rare-end prefixes "
+    "(Σ prefix-bucket², not Σ bucket²) and the exact verify "
+    "(3|A∩B| >= |A|+|B|, d18's integer identity) runs on that "
+    "bounded set. Result == d18's brute-force truth set, computed "
+    "scalably — pytest asserts the equality; no LSH approximation "
+    "anywhere (north-star dedup: the exact-join scale path)",
+)
+def d28_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppjoin_exact(load_table(spark, sf_dir, "documents"))
+
+
+def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
+    """The d28 core over any (doc_id, text) relation — factored for
+    property testing against brute-force Python Jaccard."""
+    from pyspark.sql import Window
+
+    from dww_data_pipeline_spark.plans.text_exprs import exploded_kgrams
+
+    sh = (
+        exploded_kgrams(d.select("doc_id", "text"), "text", k,
+                        carry=("doc_id",), out="s")
+        .select("doc_id", "s")
+        .distinct()
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.floor(F.col("n") / 2) + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b_sh = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+            ),
+            "id_b",
+        )
+        .filter(3 * F.col("ni") >= F.col("na") + F.col("nb"))
+        .select(
+            "id_a",
+            "id_b",
+            "ni",
+            "na",
+            "nb",
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni")),
+                6,
+            ).alias("jac"),
+        )
+    )

@@ -205,6 +205,13 @@ class TestLateRound3PlanDiscipline:
         plan = _plan(spark, sf_dir, "c5_curation_quality_stack")
         assert "CartesianProduct" not in plan
 
+    def test_ppjoin_no_cartesian_prefix_pruned(self, spark, sf_dir):
+        # d28: candidate generation is an equi-join on prefix shingles
+        # — never a cartesian/nested-loop pair enumeration
+        plan = _plan(spark, sf_dir, "d28_ppjoin_exact")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_topic_buckets_single_tiny_shuffle(self, spark, sf_dir):
         # t15's only exchange is the final per-topic aggregate
         plan = _plan(spark, sf_dir, "t15_topic_buckets")
