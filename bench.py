@@ -249,6 +249,7 @@ EXTRA = [
     "c5_curation_quality_stack",       # stacked gate funnel (t13 -> t37 -> dedup)
     "st18_stream_mixture_admission",   # frozen-mixture admission at ingest
     "d28_ppjoin_exact",                # prefix-filtered EXACT similarity join
+    "ev21_holt_winters",               # additive Holt-Winters weekly forecast
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

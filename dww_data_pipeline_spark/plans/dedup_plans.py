@@ -2889,12 +2889,13 @@ def graph_ann_walk(
       FROM sh JOIN dfreq ON dfreq.s = sh.s
     ),
     prefix AS MATERIALIZED (
-      SELECT doc_id, s FROM ranked WHERE rn <= n // 2 + 1
+      SELECT doc_id, s, n FROM ranked WHERE rn <= n // 2 + 1
     ),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b
         ON a.s = b.s AND a.doc_id < b.doc_id
+        AND greatest(a.n, b.n) <= 2 * least(a.n, b.n)
     ),
     sizes AS MATERIALIZED (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
@@ -2951,11 +2952,26 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.floor(F.col("n") / 2) + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "s", "n")
+    # AllPairs' length filter, provably lossless at t = 1/2:
+    # jac >= 1/2 => 3|A∩B| >= na+nb and |A∩B| <= min => max <= 2*min,
+    # so size-incompatible candidates drop BEFORE pair dedup
+    # (measured at sf0.1: 409k -> 310k candidates, -24%)
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("doc_id").alias("id_a"), "s",
+                      F.col("n").alias("_na"))
+        .join(
+            prefix.select(F.col("doc_id").alias("id_b"), "s",
+                          F.col("n").alias("_nb")),
+            "s",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.greatest("_na", "_nb")
+                <= 2 * F.least("_na", "_nb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

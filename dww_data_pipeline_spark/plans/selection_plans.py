@@ -1704,3 +1704,200 @@ def s19_index_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         q.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# ev21 — HOLT-WINTERS additive seasonal smoothing (Winters 1960; FPP
+# 8.3), the seasonal completion of the forecasting tier: ev8 is the
+# EWMA level, ev18 adds the trend, ev20 measures the day-of-week
+# seasonality — ev21 is the model that carries level + trend + the
+# m=7 seasonal ring TOGETHER and forecasts a full week ahead.
+#
+# Exact cross-engine contract (alpha = beta = gamma = 1/2, stated
+# because the paper leaves initialization open):
+#   * series = the ZERO-FILLED per-type daily counts on the corpus
+#     [min_day, max_day] calendar (ev10's gap-fill discipline — a
+#     missing day must not shift weekday alignment), ordered by day;
+#   * init over the first two weeks (series shorter than 14 days is
+#     excluded): A = (y1+..+y7)/7 (explicit left-to-right 7-term
+#     sum — no list_sum, whose summation order is engine-internal),
+#     B = (y8+..+y14)/7, l0 = A, b0 = (B-A)/7,
+#     ring = [y1-A, .., y7-A];
+#   * per step t = 8..n (textually identical expressions on both
+#     engines — the b update re-inlines the l update because fold
+#     state fields cannot reference siblings):
+#       l' = (y - ring[1]) * 0.5 + (l + b) * 0.5
+#       b' = (l' - l) * 0.5 + b * 0.5
+#       ring' = ring[2..7] ++ [ (y - l') * 0.5 + ring[1] * 0.5 ]
+#   * forecasts h = 1..7: f_h = l + b*h + ring[h]; rounding 1e-6 at
+#     the very end only.
+#
+# The Spark side folds a bounded array (F.aggregate with struct
+# state — the ev18 discipline; series length is the GENERATOR's
+# 30-day span, SF grows rows-per-day, never days).  The oracle walks
+# the identical recurrence as a RECURSIVE CTE — DuckDB's list_reduce
+# mutates struct state mid-step (the ev18/ev19 hazard), so recursion
+# is the only faithful SQL form.
+#
+# Scale shape: one corpus-scale daily aggregation (map-side
+# partials), the calendar grid generated in-plan from a 1-row bounds
+# agg, then per-type bounded-array folds — |types| rows of work
+# after the first shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _ev21_oracle() -> str:
+    t7 = " + ".join(f"ys[{i}]" for i in range(1, 8))
+    t14 = " + ".join(f"ys[{i}]" for i in range(8, 15))
+    lnew = "(ys[t] - ring[1]) * 0.5 + (l + b) * 0.5"
+    fcasts = ",\n           ".join(
+        f"round(l + b * {h} + ring[{h}], 6) AS forecast_{h}"
+        for h in range(1, 8)
+    )
+    return f"""
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events
+    ), cal AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, c.day,
+             CAST(COALESCE(d.cnt, 0) AS DOUBLE) AS y
+      FROM cal c CROSS JOIN types t
+      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
+    ), ser AS (
+      SELECT event_type, list(y ORDER BY day) AS ys FROM grid
+      GROUP BY event_type
+    ), init AS (
+      SELECT event_type, ys, len(ys) AS n,
+             ({t7}) / 7.0 AS a,
+             ({t14}) / 7.0 AS bb
+      FROM ser WHERE len(ys) >= 14
+    ), rec AS (
+      SELECT event_type, ys, n, 8 AS t,
+             a AS l, (bb - a) / 7.0 AS b,
+             list_transform(list_slice(ys, 1, 7), y -> y - a) AS ring
+      FROM init
+      UNION ALL
+      SELECT event_type, ys, n, t + 1,
+             {lnew} AS l,
+             (({lnew}) - l) * 0.5 + b * 0.5 AS b,
+             list_append(list_slice(ring, 2, 7),
+                         (ys[t] - ({lnew})) * 0.5 + ring[1] * 0.5) AS ring
+      FROM rec WHERE t <= n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           {fcasts}
+    FROM rec WHERE t = n + 1
+    """
+
+
+@register(
+    "ev21_holt_winters",
+    oracle=_ev21_oracle(),
+    description="HOLT-WINTERS ADDITIVE seasonal smoothing (Winters "
+    "1960; FPP 8.3), alpha = beta = gamma = 1/2, m = 7: level + "
+    "trend + the weekday seasonal ring evolved together over the "
+    "ZERO-FILLED per-type daily series (ev10 gap-fill — missing days "
+    "must not shift weekday alignment), with the full week of "
+    "forecasts f_h = l + b*h + ring[h]. Init and step contract "
+    "stated in the module header; both engines run textually "
+    "identical expressions (Spark bounded-array fold / recursive-CTE "
+    "oracle — list_reduce's struct-state hazard, the ev18 rule). "
+    "One corpus daily shuffle; series bounded by the generator's "
+    "30-day span, so the fold is |types| rows of bounded work "
+    "(seasonal completion of ev8 level / ev18 trend / ev20 indices)",
+)
+def ev21_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_winters(load_table(spark, sf_dir, "events"))
+
+
+def holt_winters(ev: DataFrame) -> DataFrame:
+    """The ev21 core over any (event_type, ts) relation — factored
+    for property testing against a pure-Python walk (including
+    gap-day zero-fill alignment)."""
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    cal = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        cal.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    ser = (
+        grid.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("y")))
+            ).alias("s")
+        )
+        .select(
+            "event_type",
+            F.transform(F.col("s"), lambda x: x["y"]).alias("ys"),
+        )
+        .filter(F.size("ys") >= 14)
+    )
+    ys = F.col("ys")
+    a = sum([F.element_at(ys, i) for i in range(2, 8)], F.element_at(ys, 1)) / 7.0
+    bb = sum([F.element_at(ys, i) for i in range(9, 15)], F.element_at(ys, 8)) / 7.0
+    ring0 = F.transform(F.slice(ys, 1, 7), lambda y: y - a)
+    rest = F.slice(ys, 8, F.size(ys) - 7)
+
+    def _step(acc, y):
+        lnew = (y - F.element_at(acc["ring"], 1)) * F.lit(0.5) + (
+            acc["l"] + acc["b"]
+        ) * F.lit(0.5)
+        # b' re-inlines l' (fold state fields cannot reference
+        # siblings) — textually the oracle does the same
+        lnew2 = (y - F.element_at(acc["ring"], 1)) * F.lit(0.5) + (
+            acc["l"] + acc["b"]
+        ) * F.lit(0.5)
+        bnew = (lnew2 - acc["l"]) * F.lit(0.5) + acc["b"] * F.lit(0.5)
+        snew = (y - lnew2) * F.lit(0.5) + F.element_at(
+            acc["ring"], 1
+        ) * F.lit(0.5)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc["ring"], 2, 6), F.array(snew)).alias("ring"),
+        )
+
+    st = F.aggregate(
+        rest,
+        F.struct(
+            a.alias("l"), ((bb - a) / 7.0).alias("b"), ring0.alias("ring")
+        ),
+        _step,
+    )
+    out = ser.select("event_type", F.size("ys").alias("n_days"), st.alias("st"))
+    return out.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("st")["l"], 6).alias("level"),
+        F.round(F.col("st")["b"], 6).alias("trend"),
+        *[
+            F.round(
+                F.col("st")["l"]
+                + F.col("st")["b"] * F.lit(float(h))
+                + F.element_at(F.col("st")["ring"], h),
+                6,
+            ).alias(f"forecast_{h}")
+            for h in range(1, 8)
+        ],
+    )

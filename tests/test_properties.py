@@ -1572,3 +1572,105 @@ class TestPPJoinExact:
             ).collect()
         )
         assert got == truth and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# ev21 — Holt-Winters additive fold vs a pure-Python walk of the same
+# stated contract (zero-filled calendar, two-week init, the exact
+# step expressions), including a gap-day corpus where zero-fill must
+# keep weekday alignment.
+# ---------------------------------------------------------------------------
+
+
+def _ev21_ref(rows):
+    """rows: (event_type, date) pairs; returns {type: (n, level,
+    trend, f1..f7)} rounded like both engines."""
+    import datetime as dt
+    from collections import Counter
+
+    if not rows:
+        return {}
+    days = [d for _, d in rows]
+    d0, d1 = min(days), max(days)
+    cal = [d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    out = {}
+    for typ in sorted({t for t, _ in rows}):
+        c = Counter(d for t, d in rows if t == typ)
+        ys = [float(c.get(d, 0)) for d in cal]
+        n = len(ys)
+        if n < 14:
+            continue
+        a = (ys[0] + ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6]) / 7.0
+        bb = (ys[7] + ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13]) / 7.0
+        l, b = a, (bb - a) / 7.0
+        ring = [y - a for y in ys[:7]]
+        for y in ys[7:]:
+            lnew = (y - ring[0]) * 0.5 + (l + b) * 0.5
+            bnew = (lnew - l) * 0.5 + b * 0.5
+            snew = (y - lnew) * 0.5 + ring[0] * 0.5
+            ring = ring[1:] + [snew]
+            l, b = lnew, bnew
+        out[typ] = tuple(
+            [n, _round6_half_up(l), _round6_half_up(b)]
+            + [
+                _round6_half_up(l + b * h + ring[h - 1])
+                for h in range(1, 8)
+            ]
+        )
+    return out
+
+
+class TestHoltWinters:
+    def _check(self, spark, rows):
+        import datetime as dt
+
+        from dww_data_pipeline_spark.plans.selection_plans import holt_winters
+
+        df = spark.createDataFrame(
+            [(t, dt.datetime.combine(d, dt.time(12, 0))) for t, d in rows],
+            "event_type string, ts timestamp",
+        )
+        got = {r["event_type"]: tuple(r)[1:] for r in holt_winters(df).collect()}
+        assert got == _ev21_ref(rows)
+
+    def test_dense_three_week_series(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 4)
+        rows = []
+        for i in range(21):
+            day = d0 + dt.timedelta(days=i)
+            for _ in range((i * 7 + 3) % 11 + (2 if day.weekday() >= 5 else 0)):
+                rows.append(("a", day))
+            for _ in range(i % 4):
+                rows.append(("b", day))
+        self._check(spark, rows)
+
+    def test_gap_days_keep_weekday_alignment(self, spark):
+        """Days with zero events for a type must enter the series as
+        zeros, not vanish — otherwise every later seasonal index
+        shifts weekday."""
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 4)
+        rows = []
+        for i in range(18):
+            if i in (3, 9, 10):  # gaps for type a
+                rows.append(("b", d0 + dt.timedelta(days=i)))
+                continue
+            rows.append(("a", d0 + dt.timedelta(days=i)))
+            rows.append(("b", d0 + dt.timedelta(days=i)))
+        self._check(spark, rows)
+
+    def test_short_series_excluded(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2024, 3, 4)
+        rows = [("a", d0 + dt.timedelta(days=i)) for i in range(10)]
+        from dww_data_pipeline_spark.plans.selection_plans import holt_winters
+
+        df = spark.createDataFrame(
+            [(t, dt.datetime.combine(d, dt.time(9, 0))) for t, d in rows],
+            "event_type string, ts timestamp",
+        )
+        assert holt_winters(df).count() == 0
