@@ -2697,6 +2697,15 @@ _S21_K = 5
 _S21_ROUNDS = 3
 _SQL_COS_Q = _SQL_COS.replace("b.v", "b.qv")
 
+# Cross-engine parity caveat (r10 advice): the oracle re-derives s6's
+# kNN edges in DuckDB, so parity rests on numpy-gemm cosine and DuckDB
+# list_sum cosine agreeing after 6dp rounding — the s6 precedent, and
+# it has held across every differential run.  Unlike s6, though, the
+# walk AMPLIFIES: one flipped kNN edge at a .0000005 summation-order
+# boundary changes reachability for every later round, so a future
+# parity failure here most likely means a rounding-boundary edge, not
+# a walk bug — diff the two engines' edge tables first.
+
 
 def _s21_oracle() -> str:
     rounds = []
@@ -2766,7 +2775,21 @@ def s21_graph_ann_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ann_walk(e, knn_edges_cached(spark, sf_dir), (0, 1, 2))
 
 
+# Staleness contract: keyed on (applicationId, sf_dir) and NEVER
+# evicted, so the memo assumes the parquet under sf_dir is immutable
+# for the life of the application — true for the driver/bench/test
+# fixtures (testdata is read-only) and for any sane lakehouse layout
+# (new data lands in NEW directories). A long session that rewrites
+# parquet in place under the same path must call
+# clear_knn_edge_memo() (tests do, via the fixture teardown rule).
 _KNN_EDGE_MEMO: dict = {}
+
+
+def clear_knn_edge_memo() -> None:
+    """Drop memoized edge lists (and their checkpoint refs) — the
+    escape hatch for sessions that rewrite parquet under a memoized
+    sf_dir in place."""
+    _KNN_EDGE_MEMO.clear()
 
 
 def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2914,17 +2937,19 @@ def graph_ann_walk(
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE 3 * i.ni >= sa.n + sb.n
     """,
-    description="EXACT SIMILARITY SELF-JOIN with prefix filtering, "
-    "published form (AllPairs Bayardo et al. WWW'07 / PPJoin Xiao et "
-    "al.): distinct 3-word shingles per doc ordered by global rarity "
-    "(df ASC, shingle ASC); Jaccard >= 1/2 pairs MUST share a shingle "
-    "within both docs' first floor(n/2)+1 (the prefix-filtering "
-    "lemma), so candidates join only the rare-end prefixes "
-    "(Σ prefix-bucket², not Σ bucket²) and the exact verify "
-    "(3|A∩B| >= |A|+|B|, d18's integer identity) runs on that "
-    "bounded set. Result == d18's brute-force truth set, computed "
-    "scalably — pytest asserts the equality; no LSH approximation "
-    "anywhere (north-star dedup: the exact-join scale path)",
+    description="EXACT SIMILARITY SELF-JOIN, full PPJoin (Xiao et al. "
+    "WWW'08: prefix + length + positional filters): distinct 3-word "
+    "shingles per doc ordered by global rarity (df ASC, shingle ASC); "
+    "Jaccard >= 1/2 pairs MUST share a shingle within both docs' "
+    "first floor(n/2)+1 (prefix-filtering lemma), size-incompatible "
+    "pairs (max > 2*min) drop pre-shuffle, and the positional filter "
+    "prunes pairs whose best-possible overlap min(i,j)+min(na-i,nb-j) "
+    "(minimized over shared prefix tokens) misses ceil((na+nb)/3). "
+    "Sizes ride the candidate aggregate, so the exact verify "
+    "(3|A∩B| >= |A|+|B|, d18's integer identity) needs no join back "
+    "to a per-doc table — no unbounded broadcast at 100 TB. Result == "
+    "d18's brute-force truth set — pytest asserts the equality; no "
+    "LSH approximation anywhere (north-star: the exact-join scale path)",
 )
 def d28_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_exact(load_table(spark, sf_dir, "documents"))
@@ -2952,51 +2977,59 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.floor(F.col("n") / 2) + 1
-    ).select("doc_id", "s", "n")
+    ).select("doc_id", "s", "rn", "n")
     # AllPairs' length filter, provably lossless at t = 1/2:
     # jac >= 1/2 => 3|A∩B| >= na+nb and |A∩B| <= min => max <= 2*min,
     # so size-incompatible candidates drop BEFORE pair dedup
-    # (measured at sf0.1: 409k -> 310k candidates, -24%)
+    # (measured at sf0.1: 409,103 -> 309,803 candidates, -24%; the
+    # positional filter below trims that to 308,474).
+    # PPJoin's positional filter (Xiao et al. WWW'08 §3.2), set-oriented
+    # form: a shared prefix token at ranks (i, j) bounds the overlap —
+    # common tokens strictly before it (in the shared global df-ASC,
+    # shingle-ASC order) number at most min(i-1, j-1), and the token
+    # itself plus common tokens after it at most 1 + min(na-i, nb-j),
+    # so |A∩B| <= min(i, j) + min(na-i, nb-j). A true pair (overlap >=
+    # ceil((na+nb)/3)) satisfies that bound at EVERY shared token, so
+    # filtering on the per-pair MIN of the bound is lossless — and the
+    # min-aggregate replaces the old distinct() at the same shuffle.
+    # na/nb ride through the aggregate (functionally dependent on the
+    # ids), so the final verify needs NO join back to a per-document
+    # sizes table — at 100 TB that join was an unbounded broadcast.
     cand = (
         prefix.select(F.col("doc_id").alias("id_a"), "s",
-                      F.col("n").alias("_na"))
+                      F.col("rn").alias("_ra"), F.col("n").alias("na"))
         .join(
             prefix.select(F.col("doc_id").alias("id_b"), "s",
-                          F.col("n").alias("_nb")),
+                          F.col("rn").alias("_rb"), F.col("n").alias("nb")),
             "s",
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (
-                F.greatest("_na", "_nb")
-                <= 2 * F.least("_na", "_nb")
+                F.greatest("na", "nb")
+                <= 2 * F.least("na", "nb")
             )
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .withColumn(
+            "_ub",
+            F.least("_ra", "_rb")
+            + F.least(F.col("na") - F.col("_ra"), F.col("nb") - F.col("_rb")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.min("_ub").alias("_min_ub"))
+        .filter(3 * F.col("_min_ub") >= F.col("na") + F.col("nb"))
+        .select("id_a", "id_b", "na", "nb")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a_sh = sh.select(F.col("doc_id").alias("id_a"), "s")
     b_sh = sh.select(F.col("doc_id").alias("id_b"), "s")
     inter = (
         cand.join(a_sh, "id_a")
         .join(b_sh, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("ni"))
     )
     return (
-        inter.join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-            ),
-            "id_b",
-        )
+        inter
         .filter(3 * F.col("ni") >= F.col("na") + F.col("nb"))
         .select(
             "id_a",

@@ -1300,6 +1300,38 @@ class TestGopherRepetition:
         assert got[1]["dup_5gram_frac"] == 0.0  # only 4 tokens
         assert got[0]["keep"] == 1
 
+    def test_empty_doc_oracle_parity(self, spark):
+        """r10 advice (medium): DuckDB's list_sum over an empty token
+        list is NULL, so an empty / whitespace-only / NULL-text doc
+        used to emit NULL fracs oracle-side while the engine emits the
+        contract's 0.0 — a latent differential the real corpus never
+        exercises (it has no such doc).  Pin the oracle's COALESCE +
+        CASE guard differentially on a synthetic corpus that does."""
+        import duckdb
+
+        from dww_data_pipeline_spark.plans.text_plans import (
+            _t37_oracle,
+            gopher_repetition,
+        )
+
+        docs = [(0, ""), (1, "   "), (2, None),
+                (3, "a b c a b c a b c a b")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: tuple(r)[1:] for r in gopher_repetition(df).collect()
+        }
+        for i in (0, 1, 2):
+            assert got[i] == (0.0,) * 9 + (0,)  # the stated 0.0 contract
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        want = {
+            row[0]: tuple(row)[1:]
+            for row in con.execute(_t37_oracle()).fetchall()
+        }
+        con.close()
+        assert got == want
+
 
 # ---------------------------------------------------------------------------
 # t38 — temperature mixture: the exact integer rate math vs a
