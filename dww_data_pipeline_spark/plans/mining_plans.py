@@ -1216,6 +1216,33 @@ def t25_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t25b_fertility_from_store",
+    oracle=_T25_ORACLE,
+    description="TOKENIZER FERTILITY FROM THE PERSISTED STORE — t25's "
+    "artifact-backed twin, the path a production pipeline actually "
+    "runs: the (tok, n_sym) table comes from the persisted tokenizer "
+    "(sources/tokenizer_store.py, exactness inherited from the t36 "
+    "parity gate) and BROADCASTS onto the exploded word stream; OOV "
+    "words encode on the fly with the loaded merge list (none here — "
+    "the store is trained on this corpus — but the path is live and "
+    "pytest-pinned on novel words). The store is built at most once "
+    "per (application, sf_dir) — the session memo stands in for the "
+    "lake's pre-existing artifact, so every call after the first is "
+    "pure load + apply with ZERO training work, exactly the "
+    "production ratio. Same oracle as t25: identical output, served "
+    "from the artifact",
+)
+def t25b_fertility_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.sources import tokenizer_store as ts
+
+    return ts.fertility_from_store(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        ts.tokenizer_store_cached(spark, sf_dir),
+    )
+
+
 # ---------------------------------------------------------------------------
 # ev5 — daily-volume anomaly report (z-scores from exact moments).
 #

@@ -3109,29 +3109,32 @@ def _bpe_apply_merge(seg, left: str, right: str, merged: str):
     )
 
 
-def _bpe_oracle_stages(where: str = "") -> str:
+def _bpe_oracle_stages(where: str = "", prefix: str = "") -> str:
     """The DuckDB unroll of the training recurrence (seg0..seg16 with
     per-iteration pair counts p{it} and argmax b{it}), shared by the
     t33/t35/t25/t36 oracles and (with ``where`` restricting the
     training corpus to the base slice) s20's frozen-vocabulary leg.
     Carries tok through every stage so the encode oracle can key the
-    final segmentation back to its word."""
+    final segmentation back to its word.  ``prefix`` renames every
+    CTE ({prefix}words, {prefix}seg{it}, ...) so one oracle can unroll
+    TWO tokenizers (c6 trains base + full in a single statement)."""
+    q = prefix
     seg0 = (
         "' ' || array_to_string(list_transform(generate_series(1, "
         "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
     )
     parts = [
-        f"""words AS MATERIALIZED (
+        f"""{q}words AS MATERIALIZED (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
   FROM (SELECT unnest({SQL_TOKS}) AS tok FROM documents{where})
   GROUP BY tok
 )""",
-        f"seg0 AS MATERIALIZED (SELECT tok, n, {seg0} AS seg FROM words)",
+        f"{q}seg0 AS MATERIALIZED (SELECT tok, n, {seg0} AS seg FROM {q}words)",
     ]
     for it in range(1, _BPE_TRAIN_MERGES + 1):
-        prev = f"seg{it - 1}"
+        prev = f"{q}seg{it - 1}"
         parts += [
-            f"""p{it} AS (
+            f"""{q}p{it} AS (
   SELECT ' ' || syms[i] || ' ' || syms[i + 1] || ' ' AS pair,
          CAST(SUM(n) AS BIGINT) AS n
   FROM (SELECT n, string_split(trim(seg), ' ') AS syms FROM {prev})
@@ -3139,14 +3142,14 @@ def _bpe_oracle_stages(where: str = "") -> str:
   WHERE len(syms) >= 2
   GROUP BY 1
 )""",
-            f"""b{it} AS MATERIALIZED (
+            f"""{q}b{it} AS MATERIALIZED (
   SELECT pair, n,
          string_split(trim(pair), ' ')[1] AS la,
          string_split(trim(pair), ' ')[2] AS rb,
          replace(trim(pair), ' ', '') AS m
-  FROM p{it} ORDER BY n DESC, pair LIMIT 1
+  FROM {q}p{it} ORDER BY n DESC, pair LIMIT 1
 )""",
-            f"""seg{it} AS MATERIALIZED (
+            f"""{q}seg{it} AS MATERIALIZED (
   SELECT s.tok, s.n,
          list_reduce(
            list_prepend(' ', string_split(trim(s.seg), ' ')),
@@ -3154,9 +3157,36 @@ def _bpe_oracle_stages(where: str = "") -> str:
              WHEN x = b.rb AND ends_with(acc, ' ' || b.la || ' ')
              THEN substr(acc, 1, len(acc) - len(b.la) - 1) || b.m || ' '
              ELSE acc || x || ' ' END) AS seg
-  FROM {prev} s CROSS JOIN b{it} b
+  FROM {prev} s CROSS JOIN {q}b{it} b
 )""",
         ]
+    return ",\n".join(parts)
+
+
+def _bpe_encode_stages(src: str, out: str, merge_prefix: str = "") -> str:
+    """DuckDB unroll of FROZEN-merge-list encoding: CTEs {out}0 ..
+    {out}N segment the distinct ``tok`` column of CTE ``src`` by
+    rank-ordered greedy application of the merges learned in
+    {merge_prefix}b1..bN — the oracle twin of
+    ``sources.tokenizer_store.encode_words`` (shared by s20 and c6)."""
+    seg0 = (
+        "' ' || array_to_string(list_transform(generate_series(1, "
+        "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
+    )
+    parts = [f"{out}0 AS MATERIALIZED (SELECT tok, {seg0} AS seg FROM {src})"]
+    for it in range(1, _BPE_TRAIN_MERGES + 1):
+        parts.append(
+            f"""{out}{it} AS MATERIALIZED (
+  SELECT s.tok,
+         list_reduce(
+           list_prepend(' ', string_split(trim(s.seg), ' ')),
+           (acc, x) -> CASE
+             WHEN x = b.rb AND ends_with(acc, ' ' || b.la || ' ')
+             THEN substr(acc, 1, len(acc) - len(b.la) - 1) || b.m || ' '
+             ELSE acc || x || ' ' END) AS seg
+  FROM {out}{it - 1} s CROSS JOIN {merge_prefix}b{it} b
+)"""
+        )
     return ",\n".join(parts)
 
 
@@ -3567,27 +3597,7 @@ def tokenizer_staleness_gate(
 
 
 def _s20_oracle() -> str:
-    seg0 = (
-        "' ' || array_to_string(list_transform(generate_series(1, "
-        "len(tok)), i -> substr(tok, i, 1)), ' ') || ' '"
-    )
-    aseg: list[str] = [
-        f"aseg0 AS MATERIALIZED (SELECT tok, {seg0} AS seg FROM av)"
-    ]
-    for it in range(1, _BPE_TRAIN_MERGES + 1):
-        aseg.append(
-            f"""aseg{it} AS MATERIALIZED (
-  SELECT s.tok,
-         list_reduce(
-           list_prepend(' ', string_split(trim(s.seg), ' ')),
-           (acc, x) -> CASE
-             WHEN x = b.rb AND ends_with(acc, ' ' || b.la || ' ')
-             THEN substr(acc, 1, len(acc) - len(b.la) - 1) || b.m || ' '
-             ELSE acc || x || ' ' END) AS seg
-  FROM aseg{it - 1} s CROSS JOIN b{it} b
-)"""
-        )
-    aseg_sql = ",\n".join(aseg)
+    aseg_sql = _bpe_encode_stages("av", "aseg")
     return f"""WITH {_bpe_oracle_stages(" WHERE doc_id % 4 != 3")},
 aw AS MATERIALIZED (
   SELECT CAST((doc_id % 16) // 4 AS INT) + 1 AS step, tok,
@@ -3678,6 +3688,17 @@ def s20_tokenizer_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(F.col("seg")), " ")).cast("long").alias("n_sym"),
     )
     merges = [(p.strip(), m.strip()) for p, m, _ in merges_raw]
+    arrived_words, arrived_doc_counts = _s20_arrivals(d)
+    return tokenizer_staleness_gate(
+        base_seg, arrived_words, arrived_doc_counts, merges, _S20_STEPS
+    )
+
+
+def _s20_arrivals(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The s20 lifecycle simulation's arriving stream, as the gate's
+    input shapes: the doc_id%4==3 quarter arrives in 4 steps; returns
+    ((step, tok, n) word histogram, (step, n_docs)) — shared by s20
+    and c6."""
     arr_docs = d.filter(F.col("doc_id") % 4 == 3).withColumn(
         "step", F.expr("CAST((doc_id % 16) DIV 4 AS INT) + 1")
     )
@@ -3689,9 +3710,169 @@ def s20_tokenizer_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrived_doc_counts = arr_docs.groupBy("step").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    return tokenizer_staleness_gate(
-        base_seg, arrived_words, arrived_doc_counts, merges, _S20_STEPS
-    )
+    return arrived_words, arrived_doc_counts
+
+
+# ---------------------------------------------------------------------------
+# c6_tokenizer_lifecycle — gate -> rebuild -> swap, CLOSED.
+#
+# s20 emits the retrain/keep decision and sources/tokenizer_store.py
+# has the artifact + swap discipline, but until now nothing COMPOSED
+# them (the r10 verdict's gap #3: "the lifecycle is measured but not
+# closed" — tokenizer_store.py documented the rebuild as manual).
+# c6 is the closure, the c4 composition discipline applied to
+# s20 + t36: build the frozen store on the base slice (doc_id%4!=3),
+# run the staleness gate over the arriving quarter WITH THE PERSISTED
+# ARTIFACT (loaded segmentation + merge list — not an in-query
+# retrain), and on a retrain verdict train a fresh store over the
+# full corpus and swap it in atomically (sources.maintenance.swap_dir
+# — two renames, rollback on failure, readers never see a
+# half-written store).  The emitted rows prove the WHOLE flow:
+# pre/post vocabulary fingerprints (order-independent 32-bit-md5
+# sums, the t36 recipe), the gate quantities the decision was made
+# from, and the decision/swap bits themselves.  post hash == pre hash
+# exactly when the verdict was keep; == the full-corpus trainer's
+# hash exactly when it was retrain — so the oracle (which unrolls
+# BOTH tokenizers: base-trained via the WHERE-restricted CTE stages,
+# full-trained via the prefixed ones) catches a swap that didn't
+# happen, swapped the wrong artifact, or corrupted it.
+#
+# Scale shape: two t33 training runs at most (base always, full only
+# on retrain — each one corpus-histogram shuffle, then vocabulary-
+# bounded folds), 16 vocabulary-bounded encode folds for the gate,
+# and bounded collects only (the 5-row gate table, 1-row hash
+# aggregates).  The stores are KB-scale artifacts in mkdtemp dirs
+# deleted after the 9-row result materializes.
+# ---------------------------------------------------------------------------
+
+
+def _c6_oracle() -> str:
+    h = "CAST(('0x' || substr(md5(tok || '|' || trim(seg)), 1, 8)) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    return f"""WITH {_bpe_oracle_stages(" WHERE doc_id % 4 != 3")},
+{_bpe_oracle_stages(prefix="f")},
+aw AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({SQL_TOKS}) AS tok
+        FROM documents WHERE doc_id % 4 = 3)
+  GROUP BY tok
+), av AS MATERIALIZED (SELECT DISTINCT tok FROM aw),
+{_bpe_encode_stages("av", "aenc_s")},
+aenc AS MATERIALIZED (
+  SELECT tok,
+         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+  FROM aenc_s{_BPE_TRAIN_MERGES}
+), bt AS (
+  SELECT CAST(SUM(n * len(tok)) AS BIGINT) AS chars_b,
+         CAST(SUM(n * len(string_split(trim(seg), ' '))) AS BIGINT) AS toks_b
+  FROM seg{_BPE_TRAIN_MERGES}
+), tot AS (
+  SELECT CAST(COALESCE(SUM(aw.n), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN w.tok IS NULL THEN aw.n
+                                ELSE 0 END), 0) AS BIGINT) AS oov_tokens,
+         CAST(COALESCE(SUM(aw.n * len(aw.tok)), 0) AS BIGINT) AS chars_a,
+         CAST(COALESCE(SUM(aw.n * e.n_sym), 0) AS BIGINT) AS bpe_a
+  FROM aw
+  LEFT JOIN aenc e ON e.tok = aw.tok
+  LEFT JOIN words w ON w.tok = aw.tok
+), dec AS (
+  SELECT t.*,
+         ((4 * t.oov_tokens > t.n_tokens) OR
+          (t.bpe_a > 0 AND
+           8 * abs(CAST(t.chars_a AS {dec}) * bt.toks_b
+                   - CAST(bt.chars_b AS {dec}) * t.bpe_a)
+             > CAST(bt.chars_b AS {dec}) * t.bpe_a)) AS retrain
+  FROM tot t CROSS JOIN bt
+), preh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS words, CAST(SUM({h}) AS BIGINT) AS hsh
+  FROM seg{_BPE_TRAIN_MERGES}
+), posth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS words, CAST(SUM({h}) AS BIGINT) AS hsh
+  FROM fseg{_BPE_TRAIN_MERGES}
+)
+SELECT check_name, value FROM (
+  SELECT 'gate_bpe_tokens_arrived' AS check_name, bpe_a AS value FROM dec
+  UNION ALL SELECT 'gate_n_tokens_arrived', n_tokens FROM dec
+  UNION ALL SELECT 'gate_oov_tokens', oov_tokens FROM dec
+  UNION ALL SELECT 'post_segmentation_hash',
+    (SELECT CASE WHEN d.retrain THEN posth.hsh ELSE preh.hsh END
+     FROM preh, posth) FROM dec d
+  UNION ALL SELECT 'post_vocab_words',
+    (SELECT CASE WHEN d.retrain THEN posth.words ELSE preh.words END
+     FROM preh, posth) FROM dec d
+  UNION ALL SELECT 'pre_segmentation_hash', hsh FROM preh
+  UNION ALL SELECT 'pre_vocab_words', words FROM preh
+  UNION ALL SELECT 'retrain', CAST(CASE WHEN retrain THEN 1 ELSE 0 END
+                                   AS BIGINT) FROM dec
+  UNION ALL SELECT 'swapped', CAST(CASE WHEN retrain THEN 1 ELSE 0 END
+                                   AS BIGINT) FROM dec
+)"""
+
+
+@register(
+    "c6_tokenizer_lifecycle",
+    oracle=_c6_oracle(),
+    description="TOKENIZER LIFECYCLE, CLOSED (gate -> rebuild -> "
+    "swap — the c4 composition discipline on s20 + t36): build the "
+    "frozen store on the base slice (doc_id%4!=3), run s20's "
+    "staleness gate over the arriving quarter with the PERSISTED "
+    "artifact (loaded segmentation + merge list), and on a retrain "
+    "verdict train a fresh store over the full corpus and swap it in "
+    "atomically (sources.maintenance.swap_dir — rollback on failure, "
+    "readers never see a half-written store). Emits the gate "
+    "quantities, the decision/swap bits, and pre/post vocabulary "
+    "fingerprints (order-independent 32-bit-md5 sums, the t36 "
+    "recipe): post == pre iff keep, post == the full-corpus "
+    "trainer's hash iff retrain, so the oracle (which unrolls BOTH "
+    "tokenizers) catches a missing, wrong, or corrupted swap",
+)
+def c6_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dww_data_pipeline_spark.sources import tokenizer_store as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    h_seg = _md5_32(F.concat_ws("|", "tok", "seg"))
+
+    def _fingerprint(store: str):
+        # bounded: 1-row aggregate over the vocabulary-scale artifact
+        r = (
+            ts.load_segmentation(spark, store)
+            .agg(F.count(F.lit(1)).alias("words"), F.sum(h_seg).alias("hsh"))
+            .collect()[0]
+        )
+        return int(r["words"]), int(r["hsh"])
+
+    store = tempfile.mkdtemp(prefix="dww_tokstore_lc_")
+    try:
+        ts.build_tokenizer_store(
+            d.filter(F.col("doc_id") % 4 != 3), store,
+            n_merges=_BPE_TRAIN_MERGES,
+        )
+        pre_words, pre_hash = _fingerprint(store)
+        arrived_words, arrived_doc_counts = _s20_arrivals(d)
+        res = ts.tokenizer_lifecycle_tick(
+            spark, store, arrived_words, arrived_doc_counts,
+            retrain_corpus=d, n_steps=_S20_STEPS,
+            n_merges=_BPE_TRAIN_MERGES,
+        )
+        post_words, post_hash = _fingerprint(store)
+        final = max(res["gate"], key=lambda r: r["step"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    rows = [
+        ("gate_bpe_tokens_arrived", int(final["bpe_tokens_arrived"])),
+        ("gate_n_tokens_arrived", int(final["n_tokens_arrived"])),
+        ("gate_oov_tokens", int(final["oov_tokens"])),
+        ("post_segmentation_hash", post_hash),
+        ("post_vocab_words", post_words),
+        ("pre_segmentation_hash", pre_hash),
+        ("pre_vocab_words", pre_words),
+        ("retrain", int(res["retrain"])),
+        ("swapped", int(res["swapped"])),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
 
 
 def _bpe_train_segmentation(

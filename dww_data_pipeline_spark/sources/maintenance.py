@@ -65,7 +65,6 @@ def compact_parquet_dir(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     # repartition (round-robin), not coalesce: coalesce(n) merges
     # whole input partitions and can leave the skew it was meant to
     # remove
@@ -74,15 +73,28 @@ def compact_parquet_dir(
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)  # never leak the temp dir
         raise
+    swap_dir(path, tmp)
+    files_after, _ = dir_stats(path)
+    return files_before, files_after
+
+
+def swap_dir(path: str, new_dir: str) -> None:
+    """Replace directory ``path`` with ``new_dir`` by two renames with
+    rollback — the staged-rebuild swap every artifact in the lake uses
+    (compaction above, tokenizer-store rebuilds, ANN index rebuilds).
+    A reader never observes a PARTIAL directory; the sub-millisecond
+    not-found window between the renames is the same one
+    compact_parquet_dir documents (POSIX has no atomic directory
+    exchange — production routes readers through a manifest pointer
+    or a table format to close it)."""
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     try:
-        os.rename(tmp, path)
+        os.rename(new_dir, path)
     except OSError:
         os.rename(old, path)  # roll back the swap
         raise
     shutil.rmtree(old)
-    files_after, _ = dir_stats(path)
-    return files_before, files_after
 
 
 def write_dynamic_partitions(

@@ -51,7 +51,10 @@ north-star LLM-pipeline infrastructure.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,6 +85,49 @@ def build_tokenizer_store(
         F.size(F.split(F.trim(F.col("seg")), " ")).cast("long").alias("n_sym"),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "segmentation"))
     return len(mrows)
+
+
+# Session-scoped persisted stores: in production the tokenizer
+# artifact PRE-EXISTS its consumers (trained by a scheduled job,
+# versioned in the lake); a standalone registered query has no lake,
+# so the memo is the stand-in — the FIRST t25b/t35b-style call per
+# (application, sf_dir) pays the one training run and every later
+# call is pure load + apply, exactly the production ratio.  Same
+# staleness contract as plans.dedup_plans._KNN_EDGE_MEMO: sf_dir is
+# assumed immutable for the application's life (true for the
+# read-only test fixtures); clear_store_memo() is the escape hatch.
+_STORE_MEMO: dict = {}
+
+
+def clear_store_memo() -> None:
+    """Delete memoized store directories and forget them."""
+    for path in _STORE_MEMO.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _STORE_MEMO.clear()
+
+
+atexit.register(clear_store_memo)
+
+
+def tokenizer_store_cached(
+    spark: SparkSession, sf_dir: str, n_merges: int = 16
+) -> str:
+    """Path to a persisted tokenizer trained on ``sf_dir``'s documents
+    table, built at most once per (application, sf_dir, n_merges) into
+    a temp directory that lives until clear_store_memo()/interpreter
+    exit."""
+    from dww_data_pipeline_spark.sources.catalog import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    cached = _STORE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    store = tempfile.mkdtemp(prefix="dww_tokstore_")
+    build_tokenizer_store(
+        load_table(spark, sf_dir, "documents"), store, n_merges=n_merges
+    )
+    _STORE_MEMO[key] = store
+    return store
 
 
 def load_merge_list(spark: SparkSession, store_dir: str) -> list[tuple[str, str]]:
@@ -224,3 +270,59 @@ def encode_top_from_store(
     return spark.createDataFrame(
         out, "rank long, tok string, n long, seg string, n_sym long"
     )
+
+
+def tokenizer_lifecycle_tick(
+    spark: SparkSession,
+    store_dir: str,
+    arrived_words: DataFrame,
+    arrived_doc_counts: DataFrame,
+    retrain_corpus: DataFrame,
+    n_steps: int = 4,
+    n_merges: int = 16,
+) -> dict:
+    """Close the tokenizer lifecycle: gate -> (on a retrain verdict)
+    rebuild -> swap — the c4 composition discipline applied to
+    s20 + t36.  Runs s20's staleness gate with the PERSISTED tokenizer
+    at ``store_dir`` (loaded segmentation + merge list, not an
+    in-query retrain); if the final cumulative step's decision is
+    retrain, trains a fresh store over ``retrain_corpus`` into a
+    sibling temp directory and swaps it in atomically
+    (``sources.maintenance.swap_dir`` — readers never observe a
+    half-written store).  On a keep verdict the store is untouched.
+
+    ``arrived_words``: (step, tok, n) per-step word histogram of the
+    arriving stream; ``arrived_doc_counts``: (step, n_docs) — the s20
+    shapes.  Returns {"retrain", "swapped", "gate"} where gate is the
+    bounded (n_steps + 1)-row decision table as Rows.
+
+    Scale shape: the gate is s20's (one corpus-scale pass over the
+    arriving slice upstream of this call, vocabulary-bounded encode
+    folds inside); the rebuild is one t33 training run; the swap is
+    two renames.  Nothing here holds corpus-scale data on the driver
+    — the gate table is n_steps + 1 rows.
+    """
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        tokenizer_staleness_gate,
+    )
+    from dww_data_pipeline_spark.sources.maintenance import swap_dir
+
+    gate = tokenizer_staleness_gate(
+        load_segmentation(spark, store_dir),
+        arrived_words,
+        arrived_doc_counts,
+        load_merge_list(spark, store_dir),
+        n_steps,
+    ).collect()  # bounded: n_steps + 1 rows
+    final = max(gate, key=lambda r: r["step"])
+    swapped = False
+    if final["retrain"]:
+        tmp = tempfile.mkdtemp(prefix="dww_tokstore_rebuild_")
+        try:
+            build_tokenizer_store(retrain_corpus, tmp, n_merges=n_merges)
+            swap_dir(store_dir, tmp)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        swapped = True
+    return {"retrain": bool(final["retrain"]), "swapped": swapped, "gate": gate}

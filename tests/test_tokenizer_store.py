@@ -240,3 +240,103 @@ class TestStalenessGateFromStore:
             assert out[s]["retrain"]
         assert out[1]["n_docs_arrived"] == 2
         assert out[2]["n_docs_arrived"] == 5
+
+class TestLifecycleTick:
+    """c6's core: gate -> rebuild -> swap, exercised for real on a
+    synthetic corpus where each verdict is forced."""
+
+    def _fingerprint(self, spark, path):
+        return sorted(
+            (r["tok"], r["n"], r["seg"], r["n_sym"])
+            for r in load_segmentation(spark, path).collect()
+        )
+
+    def test_retrain_verdict_swaps_and_repasses_parity(self, spark):
+        """Arrivals in an unseen script force retrain; the tick must
+        actually rebuild over the retrain corpus and swap it in, and
+        the SWAPPED store must re-pass the t36 parity closure:
+        re-encoding the vocabulary with the LOADED merge list
+        reproduces the persisted segmentation exactly."""
+        from dww_data_pipeline_spark.sources.tokenizer_store import (
+            tokenizer_lifecycle_tick,
+        )
+
+        base_docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        arrived_docs = spark.createDataFrame(
+            [(100 + i, "zqxv vexq zqzq xvxv") for i in range(4)],
+            "doc_id long, text string",
+        )
+        full = base_docs.unionByName(arrived_docs)
+        words = spark.createDataFrame(
+            [(1, "zqxv", 8), (1, "vexq", 4), (2, "zqzq", 4)],
+            "step int, tok string, n long",
+        )
+        counts = spark.createDataFrame(
+            [(1, 2), (2, 2)], "step int, n_docs long"
+        )
+        path = tempfile.mkdtemp(prefix="dww_tokstore_tick_")
+        try:
+            build_tokenizer_store(base_docs, path)
+            before = self._fingerprint(spark, path)
+            res = tokenizer_lifecycle_tick(
+                spark, path, words, counts, retrain_corpus=full, n_steps=2
+            )
+            assert res["retrain"] and res["swapped"]
+            after = self._fingerprint(spark, path)
+            assert after != before  # the artifact actually changed
+            # the swapped store IS the full-corpus trainer's state
+            ref = tempfile.mkdtemp(prefix="dww_tokstore_ref_")
+            try:
+                build_tokenizer_store(full, ref)
+                assert after == self._fingerprint(spark, ref)
+            finally:
+                shutil.rmtree(ref, ignore_errors=True)
+            # t36 parity closure THROUGH the swapped artifact
+            merges = load_merge_list(spark, path)
+            reenc = {
+                r["tok"]: (r["seg"], r["n_sym"])
+                for r in encode_words(
+                    load_segmentation(spark, path).select("tok"), merges
+                ).collect()
+            }
+            assert reenc == {t: (s, ns) for t, _n, s, ns in after}
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def test_keep_verdict_leaves_store_untouched(self, spark):
+        """In-vocabulary arrivals with matching fertility: keep — the
+        tick must not rewrite or swap anything."""
+        from dww_data_pipeline_spark.sources.tokenizer_store import (
+            tokenizer_lifecycle_tick,
+        )
+
+        base_docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        # arrivals = the training distribution itself: zero OOV,
+        # identical fertility, so both gate legs say keep
+        words = spark.createDataFrame(
+            [(1, w, 8) for w in
+             ("the", "quick", "brown", "fox", "jumps",
+              "over", "lazy", "dog")],
+            "step int, tok string, n long",
+        )
+        counts = spark.createDataFrame([(1, 8)], "step int, n_docs long")
+        path = tempfile.mkdtemp(prefix="dww_tokstore_keep_")
+        try:
+            build_tokenizer_store(base_docs, path)
+            before = self._fingerprint(spark, path)
+            res = tokenizer_lifecycle_tick(
+                spark, path, words, counts,
+                retrain_corpus=base_docs, n_steps=1,
+            )
+            assert not res["retrain"] and not res["swapped"]
+            assert self._fingerprint(spark, path) == before
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
