@@ -2792,13 +2792,21 @@ def clear_knn_edge_memo() -> None:
     _KNN_EDGE_MEMO.clear()
 
 
-def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_edges_cached(
+    spark: SparkSession, sf_dir: str, coarse_mod: int | None = None
+) -> DataFrame:
     """s6's kNN edge list, localCheckpoint-materialized ONCE per
-    (application, sf_dir) — the walk reads it every round and without
-    materialization the corpus-scale edge derivation re-executes per
-    round AND the iterative lineage compounds (the lsh_pairs_cached /
-    supplier_transition_edges materialized-view rule)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    (application, sf_dir, layer) — the walk reads it every round and
+    without materialization the corpus-scale edge derivation
+    re-executes per round AND the iterative lineage compounds (the
+    lsh_pairs_cached / supplier_transition_edges materialized-view
+    rule).
+
+    ``coarse_mod``: restrict the graph to vec_id % coarse_mod == 0 —
+    s22's deterministic coarse layer (the published HNSW level
+    assignment is random with P(level>=k) = 2^-k; every-Nth-id is the
+    deterministic analogue at the same 1/N density)."""
+    key = (spark.sparkContext.applicationId, sf_dir, coarse_mod)
     cached = _KNN_EDGE_MEMO.get(key)
     if cached is not None:
         return cached
@@ -2809,6 +2817,8 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _spark_lsh_bucket("embedding").alias("bucket"),
     )
+    if coarse_mod is not None:
+        e = e.filter(F.col("vec_id") % coarse_mod == 0)
     edges = (
         bucket_knn_arrow(e, "vec_id", "embedding", "bucket", k=3)
         .select("src", "dst")
@@ -2819,24 +2829,37 @@ def knn_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_ann_walk(
-    e: DataFrame, edges: DataFrame, query_ids=(0, 1, 2)
+    e: DataFrame,
+    edges: DataFrame,
+    query_ids=(0, 1, 2),
+    seeds: DataFrame | None = None,
+    rounds: int = _S21_ROUNDS,
+    beam_width: int = _S21_BEAM,
+    k: int = _S21_K,
 ) -> DataFrame:
     """The s21 core over any (vec_id, embedding[, bucket]) relation and
     (src, dst) edge list — factored for property testing against a
     pure-Python walk. The beam is localCheckpoint-materialized between
     rounds (O(|q| x beam) rows — bounded) so the iterative lineage
-    stays flat instead of compounding per round."""
+    stays flat instead of compounding per round.
+
+    ``seeds`` (query_id, vec_id) overrides the default global
+    MIN(vec_id) entry vertex — how s22's HNSW descent chains layers:
+    the coarse layer's winner per query seeds the base-layer beam."""
     from pyspark.sql import Window
 
     vecs = e.select("vec_id", "embedding")
     q = vecs.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    entry = vecs.agg(F.min("vec_id").alias("vec_id"))
-    beam = q.select("query_id").crossJoin(F.broadcast(entry))
+    if seeds is None:
+        entry = vecs.agg(F.min("vec_id").alias("vec_id"))
+        beam = q.select("query_id").crossJoin(F.broadcast(entry))
+    else:
+        beam = seeds.select("query_id", "vec_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
     scored = None
-    for rnd in range(_S21_ROUNDS):
+    for rnd in range(rounds):
         neighbors = edges.join(
             F.broadcast(
                 beam.select("query_id", F.col("vec_id").alias("src"))
@@ -2856,15 +2879,176 @@ def graph_ann_walk(
             )
             .withColumn("rn", F.row_number().over(w))
         )
-        if rnd < _S21_ROUNDS - 1:
+        if rnd < rounds - 1:
             # bounded eager materialization: <= |q| x beam rows
             beam = (
-                scored.filter(F.col("rn") <= _S21_BEAM)
+                scored.filter(F.col("rn") <= beam_width)
                 .select("query_id", "vec_id")
                 .localCheckpoint()
             )
-    return scored.filter(F.col("rn") <= _S21_K).select(
+    return scored.filter(F.col("rn") <= k).select(
         "query_id", "vec_id", "cos", F.col("rn").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s22 — HNSW-style HIERARCHICAL ENTRY-POINT DESCENT (Malkov & Yashunin
+# 2016) on top of s21's single-layer NSW walk: a sparse COARSE layer
+# (every 16th vec_id — the deterministic analogue of HNSW's random
+# level assignment, which keeps a vertex at level >= k with
+# probability 2^-k; 1/16 density == level-4) is walked first from its
+# own MIN(vec_id) entry with a narrow beam, and its per-query WINNER
+# seeds the base-layer beam — so the expensive base walk starts near
+# the query instead of at a fixed global entry.  That is the whole
+# point of the hierarchy: the coarse walk's work is corpus/16-scale
+# per round, and the base walk needs fewer/cheaper rounds to reach
+# the query's neighborhood (the published log-scaling argument).
+#
+# Layer graphs are the same published form as s21: each layer's kNN
+# edges come from bucket_knn_arrow over that layer's vertices (k=3,
+# LSH-bucketed — never all-pairs).  The walk core is graph_ann_walk
+# verbatim with the seed parameter; the same determinism contract
+# (rounded-cos DESC, vec_id ASC tie-break, fixed rounds) makes the
+# result exactly reproducible cross-engine, and the same
+# amplification caveat noted above s21 applies to BOTH layers.
+#
+# Scale shape: coarse edge build is 1/16 of the base build; per query
+# the two walks cost O(rounds x beam x degree) vector reads total —
+# corpus-size-independent; beams broadcast onto edge tables
+# (O(|q| x beam) rows), candidates equi-join the vector table.
+# ---------------------------------------------------------------------------
+
+_S22_COARSE_MOD = 16
+_S22_COARSE_ROUNDS = 2
+_S22_COARSE_BEAM = 4
+
+
+def _s22_oracle() -> str:
+    stages = []
+    # coarse walk: 2 rounds, beam 4, over cedges; entry = MIN coarse id
+    prev = "cb0"
+    for r in range(1, _S22_COARSE_ROUNDS + 1):
+        stages.append(f"""
+cc{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN cedges ed ON ed.src = b.vec_id
+), cs{r} AS (
+  SELECT c.query_id, c.vec_id,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM cc{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), cb{r} AS (
+  SELECT query_id, vec_id FROM cs{r} WHERE rn <= {_S22_COARSE_BEAM}
+)""")
+        prev = f"cb{r}"
+    # base walk: 3 rounds, beam 8, seeded by the coarse winner
+    stages.append(f"""
+b0 AS (
+  SELECT query_id, vec_id FROM cs{_S22_COARSE_ROUNDS} WHERE rn <= 1
+)""")
+    prev = "b0"
+    for r in range(1, _S21_ROUNDS + 1):
+        stages.append(f"""
+c{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN edges ed ON ed.src = b.vec_id
+), s{r} AS (
+  SELECT c.query_id, c.vec_id, round({_SQL_COS_Q}, 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM c{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), b{r} AS (
+  SELECT query_id, vec_id FROM s{r} WHERE rn <= {_S21_BEAM}
+)""")
+        prev = f"b{r}"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+  FROM embeddings
+), eg AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM eg
+  ) WHERE rn <= 3
+), ce AS (
+  SELECT * FROM e WHERE vec_id % {_S22_COARSE_MOD} = 0
+), ceg AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
+  FROM ce a JOIN ce b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), cedges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM ceg
+  ) WHERE rn <= 3
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)
+), cb0 AS (
+  SELECT q.query_id, (SELECT MIN(vec_id) FROM ce) AS vec_id FROM q
+),{",".join(stages)}
+SELECT query_id, vec_id, cos, rn AS rank
+FROM s{_S21_ROUNDS} WHERE rn <= {_S21_K}
+"""
+
+
+@register(
+    "s22_hnsw_descent",
+    oracle=_s22_oracle(),
+    description="HNSW-STYLE HIERARCHICAL DESCENT (Malkov & Yashunin "
+    "2016) over s21's NSW walk: a sparse coarse layer (every 16th "
+    "vec_id — the deterministic analogue of HNSW's 2^-k level "
+    "assignment at level-4 density, with its own LSH-bucketed kNN "
+    "edges) is walked first (2 rounds, beam 4) from ITS MIN(vec_id) "
+    "entry; the per-query coarse winner seeds the base-layer walk "
+    "(3 rounds, beam 8, top-5) — the expensive layer starts near the "
+    "query instead of at a fixed global entry, the published "
+    "log-scaling argument. Same determinism contract as s21 "
+    "(rounded-cos + vec_id tie-breaks, fixed rounds), same "
+    "broadcast-beam plan shape: per-query work is "
+    "O(rounds x beam x degree) on both layers, corpus-size-"
+    "independent (north-star similarity search)",
+)
+def s22_hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket("embedding").alias("bucket"),
+    )
+    qids = (0, 1, 2)
+    coarse_entry = e.filter(
+        F.col("vec_id") % _S22_COARSE_MOD == 0
+    ).agg(F.min("vec_id").alias("vec_id"))
+    coarse_seeds = (
+        e.filter(F.col("vec_id").isin(*qids))
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(coarse_entry))
+    )
+    coarse = graph_ann_walk(
+        e,
+        knn_edges_cached(spark, sf_dir, coarse_mod=_S22_COARSE_MOD),
+        qids,
+        seeds=coarse_seeds,
+        rounds=_S22_COARSE_ROUNDS,
+        beam_width=_S22_COARSE_BEAM,
+        k=1,
+    )
+    return graph_ann_walk(
+        e,
+        knn_edges_cached(spark, sf_dir),
+        qids,
+        seeds=coarse.select("query_id", "vec_id"),
     )
 
 
