@@ -334,6 +334,25 @@ _CALIBRATION_REF = {
 }
 
 
+def runs_for(name: str, prev: dict | None, base: int = 3, extra: int = 5) -> int:
+    """Min-of-N run count per query (round-10 verdict ask #8): the
+    sub-second tail (s9/ext_bloom/ev10/ev18...) swung 1.3-1.8×
+    normalized between rounds purely from scheduler variance — a
+    0.5 s query is mostly JVM job-submission jitter, and min-of-3
+    doesn't damp it.  Queries whose PREVIOUS round's recorded raw
+    time was under 1 s run min-of-``extra`` instead of
+    min-of-``base``; the marginal cost is bounded (2 extra runs x
+    <1 s x ~60 queries ≈ +2 min) precisely because the rule only
+    fires on sub-second queries.  Unit-tested in
+    tests/test_bench_math.py."""
+    if prev is None:
+        return base
+    t = prev.get("queries", {}).get(name)
+    if t is not None and 0 < t < 1.0:
+        return extra
+    return base
+
+
 def normalized_ratios(
     timings: dict[str, float], drift: float, prev: dict
 ) -> dict[str, float]:
@@ -384,12 +403,15 @@ def main() -> None:
     # trees), which is amortized away in any real deployment, and the
     # min-of-3 damps hypervisor/noisy-neighbor variance that hits
     # many-small-job queries (iterative components, streaming twins)
-    # hardest — observed ±40% between otherwise-identical runs
+    # hardest — observed ±40% between otherwise-identical runs.
+    # Sub-second queries (per LAST round's artifact) get min-of-5:
+    # their wall is mostly job-submission jitter (see runs_for).
+    prev_for_runs = _prev_bench_local()
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTRA:
         q = queries[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs_for(name, prev_for_runs)):
             t0 = time.perf_counter()
             q(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -429,10 +451,11 @@ def main() -> None:
         # local artifact (round-7 verdict ask #7): "which queries
         # really regressed" becomes a zero-effort read — anything
         # near 1.0 after dividing out the box drift is noise.
-        prev = _prev_bench_local()
-        if prev:
-            out["ratios_normalized"] = normalized_ratios(timings, drift, prev)
-            out["ratios_normalized_ref"] = prev["_path"]
+        if prev_for_runs:
+            out["ratios_normalized"] = normalized_ratios(
+                timings, drift, prev_for_runs
+            )
+            out["ratios_normalized_ref"] = prev_for_runs["_path"]
     print(json.dumps(out))
     # Durable copy of the full min-of-3 per-query dict (the stdout tail
     # truncates it) — committed each round for round-over-round diffs.

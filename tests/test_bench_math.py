@@ -58,3 +58,26 @@ class TestNormalizedRatios:
             _prev({"zero": 0.0, "ok": 2.0}, 1.0),
         )
         assert out == {"ok": 0.5}
+
+
+from bench import runs_for  # noqa: E402
+
+
+class TestRunsFor:
+    """Round-10 verdict #8: sub-second queries (per the previous
+    round's artifact) run min-of-5; everything else min-of-3."""
+
+    def test_subsecond_gets_extra_runs(self):
+        assert runs_for("q", {"queries": {"q": 0.55}}) == 5
+
+    def test_second_and_above_stay_at_base(self):
+        assert runs_for("q", {"queries": {"q": 1.0}}) == 3
+        assert runs_for("q", {"queries": {"q": 12.5}}) == 3
+
+    def test_no_previous_artifact_or_entry_stays_at_base(self):
+        assert runs_for("q", None) == 3
+        assert runs_for("q", {"queries": {}}) == 3
+
+    def test_zero_or_negative_prev_time_stays_at_base(self):
+        # a 0.0 entry means "never really measured" — don't quintuple it
+        assert runs_for("q", {"queries": {"q": 0.0}}) == 3
