@@ -3875,6 +3875,207 @@ def c6_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "check_name string, value long")
 
 
+# ---------------------------------------------------------------------------
+# st19_stream_tokenizer_oov — s20's streaming twin: tokenizer-drift
+# monitoring AT INGEST.  s20 is the cumulative lifecycle GATE (and c6
+# closes its rebuild); st19 is the per-micro-batch MONITOR a
+# production ingest runs continuously: each arriving batch gets
+# OOV/fertility drift metrics under the FROZEN persisted tokenizer
+# (never an in-stream retrain — the mixture-design discipline of
+# st18 applied to the vocabulary).  Per-document metrics depend only
+# on the frozen store and the document itself (the st13 contract), so
+# union-of-batches == one-shot batch for ANY stream chopping —
+# tests/test_stream_ingest.py asserts it, and
+# streaming/tokenizer_ingest.py runs the same per-doc rows via
+# foreachBatch.  The registered query simulates the arrival (s20's
+# doc_id%4==3 quarter in 4 steps, each step = one micro-batch) and
+# aggregates the per-doc rows per batch, with the per-batch alarm bit
+# (s20's thresholds applied batch-locally: OOV share > 1/4 OR
+# relative fertility drift > 1/8, DECIMAL(38,0) cross-multiplies).
+#
+# Scale shape: per batch one explode + two BROADCAST joins against
+# KB-scale store tables + 16 vocabulary-bounded encode folds over the
+# batch's NOVEL words; the steps grid (4 rows) left-joins so
+# zero-arrival batches still emit rows (the s19 rule).  The oracle
+# re-derives the frozen tokenizer with base-restricted CTE stages and
+# encodes the arrived vocabulary with 16 more fold stages — per STEP,
+# not cumulative (the one structural difference from s20's oracle).
+# ---------------------------------------------------------------------------
+
+
+def _st19_oracle() -> str:
+    dec = "DECIMAL(38,0)"
+    return f"""WITH {_bpe_oracle_stages(" WHERE doc_id % 4 != 3")},
+aw AS MATERIALIZED (
+  SELECT CAST((doc_id % 16) // 4 AS INT) + 1 AS step, tok,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest({SQL_TOKS}) AS tok
+        FROM documents WHERE doc_id % 4 = 3)
+  GROUP BY 1, 2
+), adc AS (
+  SELECT CAST((doc_id % 16) // 4 AS INT) + 1 AS step,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % 4 = 3 GROUP BY 1
+), av AS MATERIALIZED (SELECT DISTINCT tok FROM aw),
+{_bpe_encode_stages("av", "aseg")},
+aenc AS MATERIALIZED (
+  SELECT tok,
+         CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sym
+  FROM aseg{_BPE_TRAIN_MERGES}
+), bt AS (
+  SELECT CAST(SUM(n * len(tok)) AS BIGINT) AS chars_b,
+         CAST(SUM(n * len(string_split(trim(seg), ' '))) AS BIGINT) AS toks_b
+  FROM seg{_BPE_TRAIN_MERGES}
+), steps AS (
+  SELECT CAST(unnest(generate_series(1, {_S20_STEPS})) AS INT) AS s
+), per AS (
+  SELECT st.s,
+         CAST(COALESCE(SUM(aw.n), 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN w.tok IS NULL THEN aw.n
+                                ELSE 0 END), 0) AS BIGINT) AS oov_tokens,
+         CAST(COALESCE(SUM(aw.n * len(aw.tok)), 0) AS BIGINT) AS chars,
+         CAST(COALESCE(SUM(aw.n * e.n_sym), 0) AS BIGINT) AS bpe_tokens
+  FROM steps st
+  LEFT JOIN aw ON aw.step = st.s
+  LEFT JOIN aenc e ON e.tok = aw.tok
+  LEFT JOIN words w ON w.tok = aw.tok
+  GROUP BY st.s
+), cd AS (
+  SELECT st.s, CAST(COALESCE(SUM(adc.n_docs), 0) AS BIGINT) AS n_docs
+  FROM steps st LEFT JOIN adc ON adc.step = st.s GROUP BY st.s
+)
+SELECT CAST(p.s AS BIGINT) AS batch,
+       cd.n_docs, p.n_tokens, p.oov_tokens,
+       CASE WHEN p.n_tokens > 0
+            THEN round(CAST(p.oov_tokens AS DOUBLE) / p.n_tokens, 6)
+            ELSE 0.0 END AS oov_rate,
+       p.chars, p.bpe_tokens,
+       CASE WHEN p.bpe_tokens > 0
+            THEN round(CAST(p.chars AS DOUBLE) / p.bpe_tokens, 6) END
+         AS fertility_batch,
+       round(CAST(bt.chars_b AS DOUBLE) / bt.toks_b, 6) AS fertility_base,
+       (4 * p.oov_tokens > p.n_tokens) OR
+       (p.bpe_tokens > 0 AND
+        8 * abs(CAST(p.chars AS {dec}) * bt.toks_b
+                - CAST(bt.chars_b AS {dec}) * p.bpe_tokens)
+          > CAST(bt.chars_b AS {dec}) * p.bpe_tokens) AS alarm
+FROM per p JOIN cd ON cd.s = p.s CROSS JOIN bt"""
+
+
+@register(
+    "st19_stream_tokenizer_oov",
+    oracle=_st19_oracle(),
+    description="TOKENIZER-DRIFT MONITORING AT INGEST (s20's "
+    "streaming twin, streaming/tokenizer_ingest.py): the frozen "
+    "persisted tokenizer scores each arriving micro-batch (s20's "
+    "doc_id%4==3 quarter in 4 steps, each step = one batch) — "
+    "per-batch OOV share, exact char/BPE-token sums, fertility vs "
+    "the frozen training corpus, and the per-batch alarm bit (s20's "
+    "thresholds batch-locally: OOV > 1/4 OR fertility drift > 1/8, "
+    "DECIMAL(38,0) cross-multiplies). Per-doc metrics depend only on "
+    "the frozen store (st13 contract: union-of-batches == one-shot "
+    "batch for any chopping, parity-tested). Per batch: one explode "
+    "+ two broadcast joins + 16 vocabulary-bounded encode folds over "
+    "NOVEL words only; zero-arrival batches still emit rows",
+)
+def st19_stream_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dww_data_pipeline_spark.sources import tokenizer_store as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="dww_tokstore_st19_")
+    try:
+        ts.build_tokenizer_store(
+            d.filter(F.col("doc_id") % 4 != 3), store,
+            n_merges=_BPE_TRAIN_MERGES,
+        )
+        arr = d.filter(F.col("doc_id") % 4 == 3)
+        per_doc = ts.frozen_oov_doc_metrics(
+            arr.select("doc_id", "text"), spark, store
+        ).withColumn("batch", F.expr("CAST((doc_id % 16) DIV 4 AS INT) + 1"))
+        bt = ts.load_segmentation(spark, store).agg(
+            F.sum(F.col("n") * F.length("tok")).alias("chars_b"),
+            F.sum(F.col("n") * F.col("n_sym")).alias("toks_b"),
+        )
+        steps = spark.range(1, _S20_STEPS + 1).select(
+            F.col("id").cast("int").alias("batch")
+        )
+        z = F.lit(0).cast("long")
+        per = (
+            steps.join(
+                per_doc.groupBy("batch").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("oov_tokens").alias("oov_tokens"),
+                    F.sum("chars").alias("chars"),
+                    F.sum("bpe_tokens").alias("bpe_tokens"),
+                ),
+                "batch",
+                "left",
+            )
+            .select(
+                "batch",
+                F.coalesce("n_docs", z).alias("n_docs"),
+                F.coalesce("n_tokens", z).alias("n_tokens"),
+                F.coalesce("oov_tokens", z).alias("oov_tokens"),
+                F.coalesce("chars", z).alias("chars"),
+                F.coalesce("bpe_tokens", z).alias("bpe_tokens"),
+            )
+            .crossJoin(F.broadcast(bt))
+        )
+        dec = "decimal(38,0)"
+        drift_num = F.abs(
+            F.col("chars").cast(dec) * F.col("toks_b")
+            - F.col("chars_b").cast(dec) * F.col("bpe_tokens")
+        )
+        out = per.select(
+            F.col("batch").cast("long").alias("batch"),
+            "n_docs",
+            "n_tokens",
+            "oov_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("oov_tokens").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("oov_rate"),
+            "chars",
+            "bpe_tokens",
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.round(
+                    F.col("chars").cast("double")
+                    / F.col("bpe_tokens").cast("double"),
+                    6,
+                ),
+            ).alias("fertility_batch"),
+            F.round(
+                F.col("chars_b").cast("double")
+                / F.col("toks_b").cast("double"),
+                6,
+            ).alias("fertility_base"),
+            (
+                (4 * F.col("oov_tokens") > F.col("n_tokens"))
+                | (
+                    (F.col("bpe_tokens") > 0)
+                    & (
+                        F.lit(8).cast(dec) * drift_num
+                        > F.col("chars_b").cast(dec) * F.col("bpe_tokens")
+                    )
+                )
+            ).alias("alarm"),
+        )
+        # materialize before the temp store is deleted: 4 bounded rows
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def _bpe_train_segmentation(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:

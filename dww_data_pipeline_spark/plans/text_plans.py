@@ -1404,3 +1404,156 @@ def gopher_repetition(d: DataFrame) -> DataFrame:
 )
 def t37_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t39 — C4 LINE-LEVEL QUALITY RULES, published form (Raffel et al.
+# 1910.10683 §2.2 — the rule set that produced C4 from Common Crawl;
+# t37's Gopher rules are its document-level sibling).  Exact contract:
+#
+#   * lines = text split on \n (the synthetic corpus is single-line,
+#     so the multi-line paths are pinned by pytest on planted docs —
+#     the t37 dup-signal precedent);
+#   * a line is KEPT iff (C4 verbatim) it has >= 5 whitespace words,
+#     ends in terminal punctuation (. ! ? or a closing quote " ')
+#     after right-trim, and does not contain the word "javascript"
+#     (case-insensitive);
+#   * page flags (C4 verbatim): contains "lorem ipsum"
+#     (case-insensitive); contains a curly bracket "{";
+#   * keep = n_kept_lines >= 3 AND NOT lorem AND NOT curly — C4's
+#     "fewer than 3 sentences" gate with its own retained-line
+#     approximation of sentences (the paper filters lines, then
+#     requires 3 sentences; retained lines ARE its sentence proxy);
+#   * ratios are integer-derived doubles rounded to 6 dp; empty /
+#     whitespace-only / NULL text scores 0 everywhere and keep=0
+#     (the t37 empty-doc contract).
+#
+# Scale shape: ZERO shuffle — every signal is a per-row Column
+# expression over the line array (a handful of per-LINE predicates,
+# NOT t37's per-gram quadratic work, so interpreted-HOF overhead is
+# O(lines) and measured-negligible; the t37 Arrow rewrite rule does
+# not trigger).  Pipelines into the scan; the corpus never pairs or
+# aggregates.  The oracle computes the same signals with DuckDB list
+# lambdas over the same split.
+# ---------------------------------------------------------------------------
+
+_T39_TERMINALS = "('.', '!', '?', '\"', '''')"
+
+
+def _t39_oracle() -> str:
+    words = "list_filter(regexp_split_to_array(trim(l), '\\s+'), w -> w <> '')"
+    kept = (
+        f"list_filter(lines, l -> len({words}) >= 5"
+        f" AND right(rtrim(l), 1) IN {_T39_TERMINALS}"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         COALESCE(string_split(text, chr(10)), []) AS lines,
+         contains(lower(COALESCE(text, '')), 'lorem ipsum') AS has_lorem,
+         contains(COALESCE(text, ''), '{{') AS has_curly
+  FROM documents
+), sig AS (
+  SELECT doc_id, has_lorem, has_curly,
+         CAST(len(list_filter(lines, l -> trim(l) <> '')) AS BIGINT)
+           AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(lines,
+             l -> len({words}))), 0) AS BIGINT) AS n_words,
+         CAST(len({kept}) AS BIGINT) AS n_kept_lines,
+         CAST(COALESCE(list_sum(list_transform({kept},
+             l -> len({words}))), 0) AS BIGINT) AS n_kept_words
+  FROM base
+)
+SELECT doc_id, n_lines, n_words, n_kept_lines, n_kept_words,
+       CASE WHEN n_lines > 0
+            THEN round(CAST(n_kept_lines AS DOUBLE) / n_lines, 6)
+            ELSE 0.0 END AS kept_line_frac,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_kept_words AS DOUBLE) / n_words, 6)
+            ELSE 0.0 END AS kept_word_frac,
+       has_lorem, has_curly,
+       CAST(CASE WHEN n_kept_lines >= 3 AND NOT has_lorem
+                      AND NOT has_curly
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig
+"""
+
+
+def c4_line_rules(d: DataFrame) -> DataFrame:
+    """The t39 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python reference (the planted
+    multi-line/lorem/curly paths live there; the parquet corpus is
+    single-line)."""
+    words = "filter(split(trim(l), '\\\\s+'), w -> w != '')"
+    kept = (
+        f"filter(lines, l -> size({words}) >= 5"
+        f" AND substring(rtrim(l), -1, 1) IN {_T39_TERMINALS}"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    sig = d.select(
+        "doc_id",
+        F.expr("coalesce(split(text, '\\n'), array())").alias("lines"),
+        F.expr("contains(lower(coalesce(text, '')), 'lorem ipsum')").alias(
+            "has_lorem"
+        ),
+        F.expr("contains(coalesce(text, ''), '{')").alias("has_curly"),
+    ).select(
+        "doc_id",
+        "has_lorem",
+        "has_curly",
+        F.expr("cast(size(filter(lines, l -> trim(l) != '')) as bigint)").alias(
+            "n_lines"
+        ),
+        F.expr(
+            f"cast(coalesce(aggregate(transform(lines, l -> size({words})), "
+            "0L, (a, x) -> a + x), 0L) as bigint)"
+        ).alias("n_words"),
+        F.expr(f"cast(size({kept}) as bigint)").alias("n_kept_lines"),
+        F.expr(
+            f"cast(coalesce(aggregate(transform({kept}, l -> size({words})), "
+            "0L, (a, x) -> a + x), 0L) as bigint)"
+        ).alias("n_kept_words"),
+    )
+    z = F.lit(0.0)
+    return sig.select(
+        "doc_id",
+        "n_lines",
+        "n_words",
+        "n_kept_lines",
+        "n_kept_words",
+        F.when(
+            F.col("n_lines") > 0,
+            F.round(F.col("n_kept_lines").cast("double") / F.col("n_lines"), 6),
+        ).otherwise(z).alias("kept_line_frac"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_kept_words").cast("double") / F.col("n_words"), 6),
+        ).otherwise(z).alias("kept_word_frac"),
+        "has_lorem",
+        "has_curly",
+        (
+            (F.col("n_kept_lines") >= 3)
+            & ~F.col("has_lorem")
+            & ~F.col("has_curly")
+        ).cast("bigint").alias("keep"),
+    )
+
+
+@register(
+    "t39_c4_line_rules",
+    oracle=_t39_oracle(),
+    description="C4 LINE-LEVEL QUALITY RULES, published form (Raffel "
+    "et al. 1910.10683 §2.2 — the rule set that built C4; t37's "
+    "Gopher set is the document-level sibling): a line is kept iff "
+    ">= 5 whitespace words AND terminal-punctuation ending (./!/?/"
+    "closing quote) AND no 'javascript'; page flags lorem-ipsum and "
+    "curly-bracket; keep = >= 3 kept lines AND neither flag. Emits "
+    "exact integer line/word counts, 6dp kept fractions, flags, and "
+    "the keep bit. Scale shape: ZERO shuffle — per-row Column "
+    "expressions over the line array (O(lines) per doc, not t37's "
+    "per-gram work, so the Arrow-rewrite rule does not trigger), "
+    "pipelines into the scan (north-star quality scoring)",
+)
+def t39_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_line_rules(load_table(spark, sf_dir, "documents"))

@@ -326,3 +326,53 @@ def tokenizer_lifecycle_tick(
             raise
         swapped = True
     return {"retrain": bool(final["retrain"]), "swapped": swapped, "gate": gate}
+
+
+def frozen_oov_doc_metrics(
+    docs: DataFrame, spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """Per-document tokenizer-drift metrics under the FROZEN persisted
+    tokenizer: (doc_id, n_tokens, oov_tokens, chars, bpe_tokens).
+
+    The st13/st17/st18 contract, applied to the tokenizer: every
+    number depends only on the frozen store and the document itself —
+    never on what else is in the batch — so a streaming ingest can
+    compute these per micro-batch and the union over ANY chopping
+    equals the one-shot batch answer (tests/test_stream_ingest.py
+    asserts it; the st19 registered query aggregates these per step).
+
+    Scale shape: one batch-proportional explode + two BROADCAST joins
+    (the vocabulary-bounded (tok, n_sym) table and the frozen vocab
+    flags), then a per-doc aggregate; OOV words encode with the
+    loaded merge list over the batch's (bounded) novel vocabulary.
+    Zero-token docs still emit rows (all zeros — the s19 rule)."""
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(spark_tokens(F.col("text"))).alias("tok")
+    )
+    nsym = _nsym_with_oov(toks.select("tok").distinct(), spark, store_dir)
+    in_vocab = load_segmentation(spark, store_dir).select(
+        "tok", F.lit(1).alias("in_vocab")
+    )
+    z = F.lit(0).cast("long")
+    per_doc = (
+        toks.join(F.broadcast(nsym), "tok")
+        .join(F.broadcast(in_vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_tokens"),
+            F.sum(F.length("tok")).cast("long").alias("chars"),
+            F.sum("n_sym").cast("long").alias("bpe_tokens"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", z).alias("n_tokens"),
+        F.coalesce("oov_tokens", z).alias("oov_tokens"),
+        F.coalesce("chars", z).alias("chars"),
+        F.coalesce("bpe_tokens", z).alias("bpe_tokens"),
+    )

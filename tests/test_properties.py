@@ -1706,3 +1706,108 @@ class TestHoltWinters:
             "event_type string, ts timestamp",
         )
         assert holt_winters(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# t39 — C4 line rules vs a pure-Python reference AND the DuckDB
+# oracle on planted docs: the parquet corpus is single-line, so the
+# multi-line / lorem / curly / javascript / empty paths live here
+# (the t37 precedent).
+# ---------------------------------------------------------------------------
+
+_T39_LINE_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "Javascript",
+                   "lorem", "ipsum", "{x}", "end."]
+
+
+def _t39_ref(docs):
+    import re
+
+    out = {}
+    for doc_id, text in docs:
+        t = text or ""
+        lines = t.split("\n") if t != "" else []
+        has_lorem = "lorem ipsum" in t.lower()
+        has_curly = "{" in t
+        words = lambda l: [w for w in re.split(r"\s+", l.strip()) if w]  # noqa: E731
+        kept = [
+            l for l in lines
+            if len(words(l)) >= 5
+            and l.rstrip()[-1:] in (".", "!", "?", '"', "'")
+            and "javascript" not in l.lower()
+        ]
+        n_lines = sum(1 for l in lines if l.strip() != "")
+        n_words = sum(len(words(l)) for l in lines)
+        n_kept = len(kept)
+        n_kept_words = sum(len(words(l)) for l in kept)
+        out[doc_id] = (
+            n_lines, n_words, n_kept, n_kept_words,
+            _round6_half_up(n_kept / n_lines) if n_lines else 0.0,
+            _round6_half_up(n_kept_words / n_words) if n_words else 0.0,
+            has_lorem, has_curly,
+            int(n_kept >= 3 and not has_lorem and not has_curly),
+        )
+    return out
+
+
+_T39_DOCS = st.lists(
+    st.lists(  # doc = list of lines
+        st.lists(st.sampled_from(_T39_LINE_WORDS), min_size=0, max_size=8)
+        .map(" ".join),
+        min_size=0,
+        max_size=6,
+    ).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestC4LineRules:
+    @settings(**_SETTINGS)
+    @given(_T39_DOCS)
+    def test_matches_python_reference(self, spark, docs):
+        from dww_data_pipeline_spark.plans.text_plans import c4_line_rules
+
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: tuple(r)[1:] for r in c4_line_rules(df).collect()}
+        assert got == _t39_ref(rows)
+
+    def test_planted_paths_oracle_parity(self, spark):
+        """Multi-line keeps, lorem/curly kills, javascript line drop,
+        empty/NULL zero — engine vs the registered DuckDB oracle."""
+        import duckdb
+
+        from dww_data_pipeline_spark.plans.text_plans import (
+            _t39_oracle,
+            c4_line_rules,
+        )
+
+        good = "alpha beta gamma delta eps."
+        docs = [
+            (0, f"{good}\n{good}\n{good}"),              # 3 kept -> keep
+            (1, f"{good}\n{good}"),                      # 2 kept -> drop
+            (2, f"{good}\n{good}\n{good}\nLorem Ipsum"), # lorem kills
+            (3, f"{good}\n{good}\n{good}\nx {{y}}"),     # curly kills
+            (4, f"{good}\nalpha beta gamma delta Javascript."),  # js line
+            (5, "alpha beta gamma delta"),               # no terminal punct
+            (6, ""),
+            (7, "   "),
+            (8, None),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: tuple(r)[1:] for r in c4_line_rules(df).collect()}
+        assert got[0][-1] == 1 and got[1][-1] == 0
+        assert got[2][6] and got[2][-1] == 0       # has_lorem
+        assert got[3][7] and got[3][-1] == 0       # has_curly
+        assert got[4][2] == 1                       # js line dropped
+        for i in (6, 7, 8):
+            assert got[i] == (0, 0, 0, 0, 0.0, 0.0, False, False, 0)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        want = {
+            row[0]: tuple(row)[1:]
+            for row in con.execute(_t39_oracle()).fetchall()
+        }
+        con.close()
+        assert got == want

@@ -561,3 +561,101 @@ class TestStreamMixtureAdmission:
             ).collect()
         }
         assert flags[100] == 0
+
+
+class TestStreamTokenizerOov:
+    """Tokenizer-drift-at-ingest (streaming/tokenizer_ingest.py) ==
+    the st19 per-doc core, for a multi-micro-batch chopping of the
+    feed.  Metrics are frozen-store functions of each document alone,
+    so the union of per-micro-batch rows must equal the one-shot
+    batch answer regardless of chopping."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, tmp_path):
+        import shutil
+        import tempfile
+
+        from dww_data_pipeline_spark.sources.tokenizer_store import (
+            build_tokenizer_store,
+            frozen_oov_doc_metrics,
+        )
+        from dww_data_pipeline_spark.streaming.tokenizer_ingest import (
+            stream_tokenizer_oov,
+        )
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        feed = d.filter(F.col("doc_id") % 4 == 3)
+        base = d.filter(F.col("doc_id") % 4 != 3)
+
+        store = tempfile.mkdtemp(prefix="dww_tokstore_st19test_")
+        try:
+            build_tokenizer_store(base, store)
+            batch_ans = sorted(
+                tuple(r)
+                for r in frozen_oov_doc_metrics(feed, spark, store).collect()
+            )
+            assert batch_ans
+            assert any(t[1] > 0 for t in batch_ans), "no tokens in feed"
+
+            src = str(tmp_path / "src")
+            for i in range(3):
+                feed.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                    f"{src}/f{i}"
+                )
+            sdf = (
+                spark.readStream.schema(feed.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/f*")
+            )
+            out = str(tmp_path / "metrics")
+            q = stream_tokenizer_oov(
+                sdf, store, out, checkpoint=str(tmp_path / "ckpt")
+            )
+            q.awaitTermination(300)
+
+            import glob as _glob
+
+            batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+            assert len(batch_dirs) >= 3  # really micro-batched
+            streamed = spark.read.option("basePath", out).parquet(
+                os.path.join(out, "batch=*")
+            ).select("doc_id", "n_tokens", "oov_tokens", "chars", "bpe_tokens")
+            assert sorted(tuple(r) for r in streamed.collect()) == batch_ans
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    def test_oov_words_counted_and_zero_token_docs_emit(self, spark):
+        import shutil
+        import tempfile
+
+        from dww_data_pipeline_spark.sources.tokenizer_store import (
+            build_tokenizer_store,
+            frozen_oov_doc_metrics,
+        )
+
+        base = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        store = tempfile.mkdtemp(prefix="dww_tokstore_oovdoc_")
+        try:
+            build_tokenizer_store(base, store)
+            arrivals = spark.createDataFrame(
+                [(100, "the quick zzyzxq"), (101, ""), (102, None)],
+                "doc_id long, text string",
+            )
+            got = {
+                r["doc_id"]: tuple(r)[1:]
+                for r in frozen_oov_doc_metrics(
+                    arrivals, spark, store
+                ).collect()
+            }
+            n_tokens, oov, chars, bpe = got[100]
+            assert n_tokens == 3 and oov == 1 and chars == len("thequickzzyzxq")
+            assert bpe >= 3  # OOV word segments into >= 1 symbol
+            assert got[101] == (0, 0, 0, 0)
+            assert got[102] == (0, 0, 0, 0)
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
