@@ -1811,3 +1811,61 @@ class TestC4LineRules:
         }
         con.close()
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# s23 — NN-Descent: the paper's convergence measure as an invariant.
+# ---------------------------------------------------------------------------
+
+
+class TestNnDescent:
+    def test_per_vertex_topk_cos_monotone_and_connectivity_improves(
+        self, spark, sf_dir
+    ):
+        """Current edges are always candidates, so each vertex's top-k
+        cosine sum must be non-decreasing round-over-round (Dong et
+        al.'s convergence measure); and the ring+stride scaffold must
+        fix the measured bucket-graph disconnection — the final graph
+        reaches the whole corpus from vertex 0 (undirected)."""
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _spark_lsh_bucket,
+            nn_descent_edges,
+        )
+        from dww_data_pipeline_spark.sources.catalog import load_table
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            _spark_lsh_bucket("embedding").alias("bucket"),
+        )
+        n = e.count()
+        rounds = nn_descent_edges(e)
+        per_round_sums = []
+        for _r, edges in rounds:
+            per_round_sums.append(
+                {
+                    row["src"]: row["s"]
+                    for row in edges.groupBy("src")
+                    .agg(F.sum(F.round(F.col("cos") * 1e6, 0)).alias("s"))
+                    .collect()
+                }
+            )
+        for prev, cur in zip(per_round_sums, per_round_sums[1:]):
+            for src, s in prev.items():
+                assert cur[src] >= s, f"vertex {src} regressed"
+        assert per_round_sums[0] != per_round_sums[-1], "no improvement at all"
+        # undirected reachability from vertex 0 over the final graph
+        adj: dict[int, set] = {}
+        for row in rounds[-1][1].collect():
+            adj.setdefault(row["src"], set()).add(row["dst"])
+            adj.setdefault(row["dst"], set()).add(row["src"])
+        seen, frontier = {0}, [0]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        assert len(seen) == n, f"still disconnected: {len(seen)}/{n}"
