@@ -3293,6 +3293,106 @@ def s23_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s24 — the NSW walk SERVED FROM the NN-Descent-refined graph: the
+# construction(s23) -> serving(s21) composition, which is how the
+# published graph-ANN stack actually deploys (build the kNN graph
+# with NN-Descent, then answer queries with greedy beam search over
+# it).  Same walk contract as s21 (entry = MIN(vec_id), 3 rounds,
+# beam 8, top-5, rounded-cos + vec_id tie-breaks); the only change is
+# the edge table — s23's round-2 graph instead of the raw bucket-kNN
+# graph.  Measured effect on this corpus (r11 recall study): the
+# refined graph is CONNECTED (the scaffold fixes the 19/500
+# bucket-component trap) and walk recall@5 rises 0.133 -> 0.200 —
+# still low in absolute terms because uniform-random 64-dim
+# embeddings aren't navigable (SCALE.md r11 section), but the lift is
+# the composition working exactly as published.
+#
+# Scale shape: the graph build is s23's (memoized per application x
+# sf_dir, localCheckpoint-materialized — the knn_edges_cached rule);
+# the walk is s21's O(rounds x beam x degree) per query.
+# ---------------------------------------------------------------------------
+
+
+def nn_descent_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s23's final-round edge list, built at most once per
+    (application, sf_dir) — same memo/staleness contract as
+    knn_edges_cached above."""
+    key = (spark.sparkContext.applicationId, sf_dir, "nn_descent")
+    cached = _KNN_EDGE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket("embedding").alias("bucket"),
+    )
+    edges = nn_descent_edges(e)[-1][1].select("src", "dst").localCheckpoint()
+    _KNN_EDGE_MEMO[key] = edges
+    return edges
+
+
+def _s24_oracle() -> str:
+    # s23's construction CTEs end at r2; reuse everything up to the
+    # final SELECT, then run s21's walk over r2's edges.
+    construction = _s23_oracle().split("SELECT * FROM (")[0].rstrip().rstrip(",")
+    rounds = []
+    prev = "b0"
+    for r in range(1, _S21_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN walk_edges ed ON ed.src = b.vec_id
+), s{r} AS (
+  SELECT c.query_id, c.vec_id, round({_SQL_COS_Q}, 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM c{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), b{r} AS (
+  SELECT query_id, vec_id FROM s{r} WHERE rn <= {_S21_BEAM}
+)""")
+        prev = f"b{r}"
+    return f"""{construction},
+walk_edges AS (SELECT src, dst FROM r{_S23_ROUNDS}),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)
+), b0 AS (
+  SELECT q.query_id, (SELECT MIN(vec_id) FROM e) AS vec_id FROM q
+),{",".join(rounds)}
+SELECT query_id, vec_id, cos, rn AS rank
+FROM s{_S21_ROUNDS} WHERE rn <= {_S21_K}
+"""
+
+
+@register(
+    "s24_graph_ann_refined",
+    oracle=_s24_oracle(),
+    description="NSW WALK OVER THE NN-DESCENT GRAPH — the "
+    "construction(s23) -> serving(s21) composition, the published "
+    "graph-ANN deployment shape: s23's round-2 refined edge list "
+    "(connected — the scaffold fixes the measured 19/500 bucket-"
+    "component trap) replaces the raw bucket-kNN graph under the "
+    "IDENTICAL s21 walk contract (MIN(vec_id) entry, 3 rounds, beam "
+    "8, top-5, rounded-cos tie-breaks). Measured recall@5 lift on "
+    "this corpus: 0.133 -> 0.200 (uniform-random 64-dim embeddings "
+    "cap it — SCALE.md r11). Oracle chains s23's construction CTEs "
+    "into s21's walk CTEs, so the whole composed recurrence is "
+    "differentially proven. Graph build memoized per application x "
+    "sf_dir; per-query walk cost unchanged",
+)
+def s24_graph_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_lsh_bucket("embedding").alias("bucket"),
+    )
+    return graph_ann_walk(e, nn_descent_edges_cached(spark, sf_dir), (0, 1, 2))
+
+
+# ---------------------------------------------------------------------------
 # d28 — EXACT similarity self-join with PREFIX FILTERING, published
 # form (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al.
 # WWW'08).  d18's ground truth is the brute-force shingle-sharing

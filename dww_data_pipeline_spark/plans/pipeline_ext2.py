@@ -3308,6 +3308,42 @@ def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t35b_encode_top_from_store",
+    oracle=None,  # attached below — t35's oracle verbatim
+    description="BPE ENCODED VOCABULARY FROM THE PERSISTED STORE — "
+    "t35's artifact-backed twin, the path a production pipeline "
+    "actually runs: the top-500 encoded-vocabulary view reads "
+    "straight from the persisted segmentation (exactness inherited "
+    "from the t36 parity gate) — no training loop, no encode folds, "
+    "one TakeOrdered on the KB-scale artifact. The store is built at "
+    "most once per (application, sf_dir) — the session memo stands "
+    "in for the lake's pre-existing artifact (the t25b discipline). "
+    "Same oracle as t35: identical output, served from the artifact",
+)
+def t35b_encode_top_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dww_data_pipeline_spark.sources import tokenizer_store as ts
+
+    return ts.encode_top_from_store(
+        spark, ts.tokenizer_store_cached(spark, sf_dir), topk=_BPE_ENCODE_TOPK
+    )
+
+
+def _t35b_attach_oracle() -> None:
+    from dww_data_pipeline_spark.plans.registry import REGISTRY, Query
+
+    q = REGISTRY["t35b_encode_top_from_store"]
+    REGISTRY["t35b_encode_top_from_store"] = Query(
+        name=q.name,
+        spark=q.spark,
+        oracle=REGISTRY["t35_bpe_encode"].oracle,
+        description=q.description,
+    )
+
+
+_t35b_attach_oracle()
+
+
 # ---------------------------------------------------------------------------
 # t36_tokenizer_artifact_parity — the PERSISTED tokenizer contract.
 #
