@@ -20,8 +20,13 @@ QUERIES = [
     "st17_stream_contamination_gate",
     "d28_ppjoin_exact",
     "s22_hnsw_descent",
+    "s23_nn_descent",
+    "s24_graph_ann_refined",
     "c6_tokenizer_lifecycle",
     "t25b_fertility_from_store",
+    "t35b_encode_top_from_store",
+    "st19_stream_tokenizer_oov",
+    "t39_c4_line_rules",
     "t37_gopher_repetition",
     "t38_temperature_mixture",
     "s21_graph_ann_walk",
