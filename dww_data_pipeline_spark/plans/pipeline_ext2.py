@@ -1644,6 +1644,35 @@ def _pq_code_expr_rv(book: list[list[int]], off: int) -> str:
     return _code_expr(book, off, _PQ_SUB, "rv")
 
 
+def _coarse_quantizer_stages(src: str, prefix: str) -> str:
+    """DuckDB unroll of ``_train_coarse`` over CTE ``src`` (vec_id,
+    vq): {p}cinit (k lowest vec_ids), {p}ca0 (init assignment),
+    {p}cs (per-cluster integer sums), {p}cc (one round-half-up Lloyd
+    update) — the exact-integer coarse quantizer shared by the
+    s19 oracle's frozen leg and c8's pre/post rebuild fingerprints."""
+    p = prefix
+    csums = ", ".join(f"SUM(t.vq[{i + 1}]) AS s{i}" for i in range(64))
+    cupd = ", ".join(f"(2 * s.s{i} + s.n) // (2 * s.n)" for i in range(64))
+    return f"""{p}cinit AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vq AS cv
+  FROM (SELECT vec_id, vq FROM {src} ORDER BY vec_id LIMIT {_IVF_K})
+), {p}ca0 AS MATERIALIZED (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT t.vec_id, c.j,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('t.vq', 'c.cv')}, c.j) AS rn
+    FROM {src} t CROSS JOIN {p}cinit c
+  ) WHERE rn = 1
+), {p}cs AS MATERIALIZED (
+  SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n, {csums}
+  FROM {p}ca0 a JOIN {src} t ON t.vec_id = a.vec_id GROUP BY a.cluster
+), {p}cc AS MATERIALIZED (
+  SELECT p.j, CASE WHEN s.cluster IS NULL THEN p.cv
+                   ELSE list_value({cupd}) END AS cv
+  FROM {p}cinit p LEFT JOIN {p}cs s ON s.cluster = p.j
+)"""
+
+
 def _train_coarse(vq: DataFrame) -> list[list[int]]:
     """Exact-integer coarse quantizer shared by s11 (IVF+PQ) and s2
     (IVF-Flat): k=_IVF_K, init = the k lowest vec_ids, ONE Lloyd

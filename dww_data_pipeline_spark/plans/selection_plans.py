@@ -1707,6 +1707,141 @@ def s19_index_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c8_ann_index_lifecycle — gate -> rebuild -> swap, CLOSED (the c6
+# composition discipline applied to the SECOND artifact).  s19 emits
+# the rebuild/keep decision and sources/ann_index.py persists the
+# exact-integer coarse quantizer; c8 composes them: build the store
+# on the base corpus (vec_id%4!=3), run s19's gate with the LOADED
+# quantizer (assignment and the frozen probe panel both derive from
+# the artifact — never an in-query retrain), and on a rebuild verdict
+# train a fresh quantizer over the FULL corpus and swap it in
+# atomically (sources.maintenance.swap_dir).  Emitted rows prove the
+# whole flow: the gate quantities the decision was made from, the
+# decision/swap bits, and pre/post quantizer fingerprints
+# (order-independent 32-bit-md5 sums over 'j|c0,c1,...' — the t36
+# recipe): post == pre iff keep, == the full-corpus trainer's hash
+# iff rebuild, so the oracle (which embeds s19's ENTIRE oracle for
+# the decision and unrolls BOTH quantizers via the prefixed CTE
+# generator) catches a missing, wrong, or corrupted swap.
+#
+# Scale shape: s19's gate (one frozen-centroid corpus pass + bounded
+# histogram shuffles + the |Q|-bounded exact-truth probe) plus at
+# most one more _train_coarse run (one partial-agg shuffle, k x 64
+# integer collect); the artifact is KB-scale; the swap is two
+# renames.  Bounded collects only (5-row gate, k-row fingerprints).
+# ---------------------------------------------------------------------------
+
+
+def _c8_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _PQ_VQ_DUCK,
+        _coarse_quantizer_stages,
+    )
+
+    h = (
+        "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || "
+        "array_to_string(list_transform(cv, x -> CAST(x AS VARCHAR)), ',')"
+        "), 1, 8)) AS BIGINT)"
+    )
+    return f"""WITH s19g AS MATERIALIZED ({_s19_oracle()}),
+q2 AS MATERIALIZED (
+  SELECT vec_id, {_PQ_VQ_DUCK} AS vq FROM embeddings
+), qb2 AS MATERIALIZED (
+  SELECT vec_id, vq FROM q2 WHERE vec_id % 4 != 3
+),
+{_coarse_quantizer_stages("qb2", "p")},
+{_coarse_quantizer_stages("q2", "f")},
+dec AS (
+  SELECT rebuild, hits_at_k, drift_num, n_vectors
+  FROM s19g WHERE step = {_S19_STEPS}
+), preh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM({h}) AS BIGINT) AS hsh
+  FROM pcc
+), posth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM({h}) AS BIGINT) AS hsh
+  FROM fcc
+)
+SELECT check_name, value FROM (
+  SELECT 'gate_drift_num' AS check_name, drift_num AS value FROM dec
+  UNION ALL SELECT 'gate_hits_at_k', hits_at_k FROM dec
+  UNION ALL SELECT 'gate_n_vectors', n_vectors FROM dec
+  UNION ALL SELECT 'post_centroid_hash',
+    (SELECT CASE WHEN d.rebuild THEN posth.hsh ELSE preh.hsh END
+     FROM preh, posth) FROM dec d
+  UNION ALL SELECT 'pre_centroid_hash', (SELECT hsh FROM preh) FROM dec
+  UNION ALL SELECT 'rebuild',
+    CAST(CASE WHEN rebuild THEN 1 ELSE 0 END AS BIGINT) FROM dec
+  UNION ALL SELECT 'swapped',
+    CAST(CASE WHEN rebuild THEN 1 ELSE 0 END AS BIGINT) FROM dec
+)"""
+
+
+@register(
+    "c8_ann_index_lifecycle",
+    oracle=_c8_oracle(),
+    description="ANN-INDEX LIFECYCLE, CLOSED (gate -> rebuild -> swap "
+    "— the c6 composition discipline on s19 + the persisted "
+    "exact-integer coarse quantizer): build the quantizer store on "
+    "the base corpus (vec_id%4!=3), run s19's staleness gate with "
+    "the LOADED artifact (assignment + frozen probe panel from disk, "
+    "never an in-query retrain), and on a rebuild verdict train a "
+    "fresh quantizer over the full corpus and swap it in atomically "
+    "(sources.maintenance.swap_dir — rollback on failure). Emits the "
+    "gate quantities, decision/swap bits, and pre/post quantizer "
+    "fingerprints (32-bit-md5 sums, the t36 recipe): post == pre iff "
+    "keep, == the full-corpus trainer's hash iff rebuild — the "
+    "oracle embeds s19's entire oracle for the decision and unrolls "
+    "BOTH quantizers, so a missing, wrong, or corrupted swap breaks "
+    "the hash match",
+)
+def c8_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import _PQ_VQ_SPARK
+    from dww_data_pipeline_spark.sources import ann_index as ai
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(_PQ_VQ_SPARK).alias("vq"),
+        F.expr(
+            "CASE WHEN vec_id % 4 = 3 "
+            "THEN CAST((vec_id % 16) div 4 AS INT) + 1 ELSE 0 END"
+        ).alias("step"),
+    ).persist()
+    store = tempfile.mkdtemp(prefix="dww_coarse_lc_")
+    try:
+        ai.build_coarse_store(
+            q.filter(F.col("step") == 0).select("vec_id", "vq"), store
+        )
+        pre_hash = ai.coarse_centroid_fingerprint(
+            ai.load_coarse_centroids(spark, store)
+        )
+        res = ai.coarse_index_lifecycle_tick(
+            spark, store, q, retrain_vq=q.select("vec_id", "vq"),
+            n_steps=_S19_STEPS,
+        )
+        post_hash = ai.coarse_centroid_fingerprint(
+            ai.load_coarse_centroids(spark, store)
+        )
+        final = max(res["gate"], key=lambda r: r["step"])
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        q.unpersist(blocking=False)
+    rows = [
+        ("gate_drift_num", int(final["drift_num"])),
+        ("gate_hits_at_k", int(final["hits_at_k"])),
+        ("gate_n_vectors", int(final["n_vectors"])),
+        ("post_centroid_hash", post_hash),
+        ("pre_centroid_hash", pre_hash),
+        ("rebuild", int(res["rebuild"])),
+        ("swapped", int(res["swapped"])),
+    ]
+    return spark.createDataFrame(rows, "check_name string, value long")
+
+
+# ---------------------------------------------------------------------------
 # ev21 — HOLT-WINTERS additive seasonal smoothing (Winters 1960; FPP
 # 8.3), the seasonal completion of the forecasting tier: ev8 is the
 # EWMA level, ev18 adds the trend, ev20 measures the day-of-week

@@ -378,3 +378,84 @@ class TestIndexStalenessGate:
             assert out[s]["hits_at_k"] == 0
             assert out[s]["recall_at_k"] == 0.0
             assert out[s]["rebuild"]
+
+
+class TestCoarseIndexLifecycle:
+    """c8's core: gate -> rebuild -> swap on the persisted
+    exact-integer quantizer, each verdict forced on a planted corpus."""
+
+    def _q(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, vq array<long>, step int"
+        )
+
+    def _fingerprint(self, spark, store):
+        from dww_data_pipeline_spark.sources.ann_index import (
+            coarse_centroid_fingerprint,
+            load_coarse_centroids,
+        )
+
+        return coarse_centroid_fingerprint(
+            load_coarse_centroids(spark, store)
+        )
+
+    def test_planted_drift_forces_rebuild_and_swap(self, spark, tmp_path):
+        """Base spread over four clear cells; every arrival lands in
+        one cell -> assignment drift > 1/2 -> rebuild. The swapped
+        store must be the full-corpus trainer's state."""
+        from dww_data_pipeline_spark.sources.ann_index import (
+            build_coarse_store,
+            coarse_index_lifecycle_tick,
+        )
+
+        base = [
+            (i, [100 * (i % 4)] * 64, 0) for i in range(16)
+        ]
+        # a NEW pattern (500), nearest to cell 3 (300): drift
+        # concentrates there AND the full-corpus retrain moves that
+        # centroid, so the swap is observable in the fingerprint
+        arrivals = [
+            (100 + i, [500] * 64, 1 + (i % 2)) for i in range(8)
+        ]
+        q = self._q(spark, base + arrivals)
+        store = str(tmp_path / "coarse")
+        build_coarse_store(
+            q.filter("step = 0").select("vec_id", "vq"), store
+        )
+        pre = self._fingerprint(spark, store)
+        res = coarse_index_lifecycle_tick(
+            spark, store, q,
+            retrain_vq=q.select("vec_id", "vq"), n_steps=2,
+        )
+        assert res["rebuild"] and res["swapped"]
+        post = self._fingerprint(spark, store)
+        assert post != pre
+        ref = str(tmp_path / "ref")
+        build_coarse_store(q.select("vec_id", "vq"), ref)
+        assert post == self._fingerprint(spark, ref)
+
+    def test_in_distribution_arrivals_keep(self, spark, tmp_path):
+        """Arrivals mirroring the base distribution: drift stays low,
+        probe-limited recall stays perfect (clear clusters), so the
+        verdict is keep and the store is untouched."""
+        from dww_data_pipeline_spark.sources.ann_index import (
+            build_coarse_store,
+            coarse_index_lifecycle_tick,
+        )
+
+        base = [(i, [100 * (i % 4)] * 64, 0) for i in range(16)]
+        arrivals = [
+            (100 + i, [100 * (i % 4)] * 64, 1 + (i % 2)) for i in range(8)
+        ]
+        q = self._q(spark, base + arrivals)
+        store = str(tmp_path / "coarse")
+        build_coarse_store(
+            q.filter("step = 0").select("vec_id", "vq"), store
+        )
+        pre = self._fingerprint(spark, store)
+        res = coarse_index_lifecycle_tick(
+            spark, store, q,
+            retrain_vq=q.select("vec_id", "vq"), n_steps=2,
+        )
+        assert not res["rebuild"] and not res["swapped"]
+        assert self._fingerprint(spark, store) == pre
