@@ -250,6 +250,16 @@ EXTRA = [
     "st18_stream_mixture_admission",   # frozen-mixture admission at ingest
     "d28_ppjoin_exact",                # prefix-filtered EXACT similarity join
     "ev21_holt_winters",               # additive Holt-Winters weekly forecast
+    # round 11
+    "c6_tokenizer_lifecycle",          # tokenizer gate -> rebuild -> swap
+    "c8_ann_index_lifecycle",          # quantizer gate -> rebuild -> swap
+    "t25b_fertility_from_store",       # artifact-served fertility (production path)
+    "t35b_encode_top_from_store",      # artifact-served encoded vocabulary
+    "st19_stream_tokenizer_oov",       # tokenizer-drift monitor at ingest
+    "t39_c4_line_rules",               # C4 line-level quality rules
+    "s22_hnsw_descent",                # hierarchical entry-point descent
+    "s23_nn_descent",                  # NN-Descent kNN-graph construction
+    "s24_graph_ann_refined",           # walk served from the refined graph
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced
