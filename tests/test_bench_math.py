@@ -81,3 +81,80 @@ class TestRunsFor:
     def test_zero_or_negative_prev_time_stays_at_base(self):
         # a 0.0 entry means "never really measured" — don't quintuple it
         assert runs_for("q", {"queries": {"q": 0.0}}) == 3
+
+
+from bench import (  # noqa: E402
+    _CALIBRATION_PANEL,
+    _PANEL_QUERIES,
+    HEADLINE_B,
+    query_drifts,
+    shape_drifts,
+    shape_of,
+)
+
+
+class TestCalibrationPanelV2:
+    """Round-11 verdict ask #1: per-shape drift from a frozen 8-query
+    panel, each query normalized by ITS shape's drift."""
+
+    def test_panel_spans_seven_shapes_with_eight_queries(self):
+        assert len(_CALIBRATION_PANEL) == 7
+        assert len(_PANEL_QUERIES) == 8
+
+    def test_panel_queries_run_min_of_five(self):
+        for name in _PANEL_QUERIES:
+            # even with a previous artifact recording them as slow
+            assert runs_for(name, {"queries": {name: 5.0}}) == 5
+
+    def test_shape_of_panel_members(self):
+        assert shape_of("a1_pricing_summary") == "default"  # scan=median
+        assert shape_of("m4_audio_features") == "arrow_python"
+        assert shape_of("st1_tumbling_window") == "streaming_sim"
+        assert shape_of("d6_dup_components") == "iterative"
+        assert shape_of("t33_bpe_train") == "compute_fold"
+        assert shape_of("w1_jumps") == "window"
+
+    def test_shape_of_families(self):
+        assert shape_of("m10_decode_audit") == "arrow_python"
+        assert shape_of("st19_stream_tokenizer_oov") == "streaming_sim"
+        assert shape_of("e9_power_iteration_pc1") == "iterative"
+        assert shape_of("t20_contamination_share") == "compute_fold"
+        # names that merely start with m/st but aren't those families
+        assert shape_of("merge_something") == "default"
+        assert shape_of("star_join") == "default"
+        assert shape_of("q3_shipping_priority") == "default"
+
+    def test_shape_drifts_geomean_and_missing_members(self):
+        timings = {"j1_star_join": 4.0, "d2_minhash_lsh_pairs": 0.0,
+                   "w1_jumps": 1.052}
+        d = shape_drifts(timings)
+        # d2 has no valid timing -> shuffle_join uses j1 alone
+        assert d["shuffle_join"] == round(4.0 / 1.897, 3)
+        assert d["window"] == 2.0
+        assert "arrow_python" not in d  # m4 absent entirely
+
+    def test_query_drifts_use_shape_else_median(self):
+        drifts = {"arrow_python": 4.0, "window": 1.0, "scan_agg": 2.0}
+        qd = query_drifts({"m4_audio_features", "w1_jumps", "unknown_q"},
+                          drifts)
+        assert qd["m4_audio_features"] == 4.0
+        assert qd["w1_jumps"] == 1.0
+        assert qd["unknown_q"] == 2.0  # median of {4,1,2}
+
+    def test_normalized_ratios_per_query_both_sides(self):
+        """Current side divides by its query_drift entry; prev side by
+        its recorded query_drift, falling back to scalar drift."""
+        prev = {
+            "queries": {"a": 1.0, "b": 1.0},
+            "calibration": {"drift": 0.5},
+            "query_drift": {"a": 2.0},  # b falls back to scalar
+            "_path": "synthetic",
+        }
+        out = normalized_ratios({"a": 4.0, "b": 4.0}, {"a": 2.0, "b": 1.0},
+                                prev)
+        # a: (4/2)/(1/2)=4.0 ; b: (4/1)/(1/0.5)=2.0
+        assert out == {"a": 4.0, "b": 2.0}
+
+    def test_headline_b_is_frozen_seven(self):
+        assert len(HEADLINE_B) == 7
+        assert "d28_ppjoin_exact" in HEADLINE_B
