@@ -2036,3 +2036,254 @@ def holt_winters(ev: DataFrame) -> DataFrame:
             for h in range(1, 8)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# st20_stream_ann_drift — s19/c8's streaming twin: ANN-index staleness
+# monitoring AT INGEST (round-11 verdict ask #7; the st19 pattern
+# applied to the SECOND artifact).  s19 is the cumulative lifecycle
+# GATE (and c8 closes its rebuild); st20 is the per-micro-batch
+# MONITOR a production vector ingest runs continuously: each arriving
+# batch is assigned to cells under the FROZEN persisted coarse
+# quantizer (sources/ann_index.py store — never an in-stream retrain,
+# streaming/ann_ingest.py's contract), and the batch's cell-occupancy
+# histogram is compared to the base corpus' histogram — batch-LOCAL
+# L1 assignment drift in dq4's integer cross-product form, plus the
+# batch's most-loaded cell, plus s19's drift threshold (> 1/2,
+# integer cross-multiplied) applied batch-locally as the alarm bit.
+#
+# Batch locality: each vector's cell depends only on the frozen
+# centroids and the vector itself (the st13 contract), so
+# union-of-batches == one-shot batch for ANY stream chopping —
+# tests/test_stream_ingest.py asserts it against
+# streaming/ann_ingest.py's real foreachBatch path
+# (stream_coarse_drift_monitor), and the registered query aggregates
+# the identical per-row core.
+#
+# Scale shape: ONE narrow projection per arriving vector (argmin over
+# k literal centroids — whole-stage codegen, no shuffle), then a
+# (batch, cell)-bounded histogram shuffle; the base histogram is one
+# corpus-pass aggregate reused across batches; the batches grid
+# (4 rows x k cells) left-joins so zero-arrival batches still emit
+# rows (the s19 rule).  Bounded collects: none beyond the store's
+# k x 64-integer centroid load.
+# ---------------------------------------------------------------------------
+
+
+def _st20_oracle() -> str:
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _PQ_VQ_DUCK,
+        _coarse_quantizer_stages,
+        _ivfpq_coarse_d2_sql,
+    )
+
+    return f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, {_PQ_VQ_DUCK} AS vq,
+         CASE WHEN vec_id % 4 = 3
+              THEN CAST((vec_id % 16) // 4 AS INT) + 1 ELSE 0 END AS batch
+  FROM embeddings
+), qb AS MATERIALIZED (SELECT vec_id, vq FROM q WHERE batch = 0),
+{_coarse_quantizer_stages("qb", "p")},
+caf AS MATERIALIZED (
+  SELECT vec_id, batch, j AS cluster FROM (
+    SELECT q.vec_id, q.batch, c.j,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_ivfpq_coarse_d2_sql('q.vq', 'c.cv')}, c.j) AS rn
+    FROM q CROSS JOIN pcc c
+  ) WHERE rn = 1
+), bh AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS a
+  FROM caf WHERE batch = 0 GROUP BY cluster
+), n1t AS (SELECT CAST(SUM(a) AS BIGINT) AS n1 FROM bh),
+batches AS (
+  SELECT CAST(unnest(generate_series(1, {_S19_STEPS})) AS INT) AS s
+), ah AS (
+  SELECT batch AS s, cluster, CAST(COUNT(*) AS BIGINT) AS b
+  FROM caf WHERE batch >= 1 GROUP BY batch, cluster
+), grid AS (
+  SELECT st.s, c.j AS cluster FROM batches st CROSS JOIN pcc c
+), jd AS (
+  SELECT g.s, g.cluster, COALESCE(bh.a, 0) AS a, COALESCE(ah.b, 0) AS b
+  FROM grid g LEFT JOIN bh ON bh.cluster = g.cluster
+  LEFT JOIN ah ON ah.s = g.s AND ah.cluster = g.cluster
+), tot AS (
+  SELECT s, CAST(SUM(b) AS BIGINT) AS n2 FROM jd GROUP BY s
+), drift AS (
+  SELECT jd.s,
+         CAST(SUM(abs(jd.a * t.n2 - jd.b * n1t.n1)) AS BIGINT) AS drift_num,
+         t.n2, n1t.n1
+  FROM jd JOIN tot t ON t.s = jd.s CROSS JOIN n1t
+  GROUP BY jd.s, t.n2, n1t.n1
+), topc AS (
+  SELECT s, cluster, b FROM (
+    SELECT s, cluster, b,
+           row_number() OVER (PARTITION BY s
+                              ORDER BY b DESC, cluster) AS rn
+    FROM jd
+  ) WHERE rn = 1
+)
+SELECT CAST(d.s AS BIGINT) AS batch,
+       d.n2 AS n_arrived,
+       d.drift_num,
+       CASE WHEN d.n2 = 0 THEN 0.0
+            ELSE round(CAST(d.drift_num AS DOUBLE)
+                       / (CAST(d.n1 AS DOUBLE) * CAST(d.n2 AS DOUBLE)), 6)
+       END AS l1_assign_drift,
+       CASE WHEN d.n2 = 0 THEN NULL
+            ELSE CAST(t.cluster AS BIGINT) END AS top_cell,
+       CASE WHEN d.n2 = 0 THEN NULL
+            ELSE round(CAST(t.b AS DOUBLE) / d.n2, 6) END AS top_share,
+       d.n2 > 0 AND 2 * d.drift_num > d.n1 * d.n2 AS alarm
+FROM drift d JOIN topc t ON t.s = d.s"""
+
+
+def batch_assignment_drift(
+    assigned: DataFrame, n_batches: int, n_cells: int
+) -> DataFrame:
+    """The st20 core over any pre-assigned corpus — factored so the
+    streaming parity test can feed it streaming/ann_ingest.py's
+    per-batch assignment segments and require the identical monitor
+    rows as the batch-assembled corpus.
+
+    ``assigned``: (vec_id, batch, cluster) with batch 0 = the base
+    corpus the frozen quantizer was trained on, 1..n_batches = the
+    arriving micro-batches.  Emits one row per batch (zero-arrival
+    batches included) with the batch-LOCAL integer L1 occupancy
+    drift vs base, the most-loaded cell, and the alarm bit."""
+    spark = assigned.sparkSession
+    batches = spark.range(1, n_batches + 1).select(
+        F.col("id").cast("int").alias("s")
+    )
+    cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cluster"))
+    bh = (
+        assigned.filter(F.col("batch") == 0)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    ah = (
+        assigned.filter(F.col("batch") >= 1)
+        .groupBy(F.col("batch").alias("s"), "cluster")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    z = F.lit(0).cast("long")
+    grid = batches.crossJoin(F.broadcast(cells))
+    jd = (
+        grid.join(bh, "cluster", "left")
+        .join(ah, ["s", "cluster"], "left")
+        .select(
+            "s",
+            "cluster",
+            F.coalesce("a", z).alias("a"),
+            F.coalesce("b", z).alias("b"),
+        )
+    )
+    n1 = bh.agg(F.sum("a").cast("long").alias("n1"))
+    tot = jd.groupBy("s").agg(F.sum("b").cast("long").alias("n2"))
+    drift = (
+        jd.join(tot, "s")
+        .crossJoin(F.broadcast(n1))
+        .groupBy("s", "n2", "n1")
+        .agg(
+            F.sum(
+                F.abs(F.col("a") * F.col("n2") - F.col("b") * F.col("n1"))
+            ).alias("drift_num")
+        )
+    )
+    wt = Window.partitionBy("s").orderBy(F.col("b").desc(), F.col("cluster"))
+    topc = (
+        jd.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("s", F.col("cluster").alias("top_cluster"), F.col("b").alias("top_b"))
+    )
+    dbl = "double"
+    return (
+        drift.join(topc, "s")
+        .select(
+            F.col("s").cast("long").alias("batch"),
+            F.col("n2").alias("n_arrived"),
+            F.col("drift_num").cast("long").alias("drift_num"),
+            F.when(F.col("n2") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("drift_num").cast(dbl)
+                    / (F.col("n1").cast(dbl) * F.col("n2").cast(dbl)),
+                    6,
+                )
+            )
+            .alias("l1_assign_drift"),
+            F.when(F.col("n2") == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("top_cluster").cast("long"))
+            .alias("top_cell"),
+            F.when(F.col("n2") == 0, F.lit(None).cast(dbl))
+            .otherwise(F.round(F.col("top_b").cast(dbl) / F.col("n2").cast(dbl), 6))
+            .alias("top_share"),
+            (
+                (F.col("n2") > 0)
+                & (F.lit(2) * F.col("drift_num") > F.col("n1") * F.col("n2"))
+            ).alias("alarm"),
+        )
+    )
+
+
+@register(
+    "st20_stream_ann_drift",
+    oracle=_st20_oracle(),
+    description="ANN-INDEX STALENESS MONITORING AT INGEST (s19/c8's "
+    "streaming twin, streaming/ann_ingest.py's "
+    "stream_coarse_drift_monitor): the frozen PERSISTED coarse "
+    "quantizer (sources/ann_index.py store, built on the base "
+    "three-quarters and loaded — never an in-query or in-stream "
+    "retrain) assigns each arriving micro-batch (s19's vec_id%4==3 "
+    "quarter in 4 steps, each step = one batch) to cells; per batch "
+    "— batch-LOCAL, the st19 difference from s19's cumulative gate — "
+    "the cell-occupancy histogram vs the base corpus' histogram as "
+    "integer cross-product L1 drift, the most-loaded cell + its "
+    "share, and s19's drift threshold (> 1/2, integer "
+    "cross-multiplied) batch-locally as the alarm. Per-vector cells "
+    "depend only on the frozen store (st13 contract: "
+    "union-of-batches == one-shot for any chopping, parity-tested "
+    "against the real foreachBatch path). Per batch: one "
+    "codegen-folded argmin projection + one (batch, cell)-bounded "
+    "histogram shuffle; zero-arrival batches still emit rows",
+)
+def st20_stream_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _IVF_K,
+        _PQ_VQ_SPARK,
+        _ivfpq_coarse_expr,
+    )
+    from dww_data_pipeline_spark.sources.ann_index import (
+        build_coarse_store,
+        load_coarse_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(_PQ_VQ_SPARK).alias("vq"),
+        F.expr(
+            "CASE WHEN vec_id % 4 = 3 "
+            "THEN CAST((vec_id % 16) div 4 AS INT) + 1 ELSE 0 END"
+        ).alias("batch"),
+    )
+    store = tempfile.mkdtemp(prefix="dww_coarse_st20_")
+    try:
+        build_coarse_store(
+            q.filter(F.col("batch") == 0).select("vec_id", "vq"), store
+        )
+        ccents = load_coarse_centroids(spark, store)
+        assigned = q.select(
+            "vec_id",
+            "batch",
+            F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+        )
+        out = batch_assignment_drift(
+            assigned, n_batches=_S19_STEPS, n_cells=_IVF_K
+        )
+        # 4 monitor rows; materialize before the store dir is removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -132,3 +132,72 @@ def compact_ann_delta(
     shutil.rmtree(old)
     shutil.rmtree(delta_root)
     return len(delta_dirs)
+
+
+def coarse_assign_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ccents: list[list[int]],
+    out_path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """One micro-batch of the st20 drift monitor: assign each arriving
+    (vec_id, vq) row — ``vq`` is the exact-integer embedding, the
+    column _ivfpq_coarse_expr folds over — to its cell under the
+    vector to its cell under the FROZEN persisted exact-integer
+    quantizer (sources/ann_index.py's store — never an in-stream
+    retrain) and overwrite this batch's assignment segment.  Each
+    row's cell depends only on the frozen centroids and the vector
+    itself (the st13 contract), so the union of per-batch rows equals
+    the one-shot batch assignment for ANY stream chopping — the
+    parity test asserts it, and the registered st20 query aggregates
+    the identical per-row core into per-batch drift metrics."""
+    from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+        _ivfpq_coarse_expr,
+    )
+
+    assigned = batch_df.select(
+        F.col(id_col),
+        F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={batch_id}")
+    )
+
+
+def stream_coarse_drift_monitor(
+    stream_vq: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+):
+    """Attach frozen-quantizer cell assignment to a streaming
+    (vec_id, vq) DataFrame — the ANN analog of
+    tokenizer_ingest.stream_tokenizer_oov (the st19 pattern applied
+    to the s19/c8 lifecycle).  The monitor ASSIGNS; the staleness
+    thresholds and the rebuild decision stay outside the stream
+    (s19's gate / c8's lifecycle): ingest monitors, the lifecycle
+    decides.  Returns the started query (availableNow — drain then
+    stop).  Centroids load once per run (k x 64 integers, bounded).
+
+    Per-batch cost: one narrow projection per arriving vector (the
+    argmin over k literal centroids folds into whole-stage codegen);
+    zero corpus re-reads, zero store mutation, per-batch overwrite
+    segments so crash-replays converge."""
+    from dww_data_pipeline_spark.sources.ann_index import (
+        load_coarse_centroids,
+    )
+
+    spark = stream_vq.sparkSession
+    ccents = load_coarse_centroids(spark, store_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        coarse_assign_batch(batch_df, batch_id, ccents, out_path, id_col)
+
+    return (
+        stream_vq.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

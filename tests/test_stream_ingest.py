@@ -659,3 +659,157 @@ class TestStreamTokenizerOov:
             assert got[102] == (0, 0, 0, 0)
         finally:
             shutil.rmtree(store, ignore_errors=True)
+
+
+class TestStreamCoarseDrift:
+    """ANN-staleness monitoring at ingest (streaming/ann_ingest.py's
+    stream_coarse_drift_monitor) == the st20 per-vector core, for a
+    multi-micro-batch chopping of the feed.  A vector's cell depends
+    only on the frozen persisted quantizer and the vector itself, so
+    the union of per-micro-batch assignment rows must equal the
+    one-shot batch assignment regardless of chopping — and feeding
+    the streamed segments into st20's factored monitor yields the
+    identical drift rows as the batch-assembled corpus."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, tmp_path):
+        import glob as _glob
+        import shutil
+        import tempfile
+
+        from dww_data_pipeline_spark.plans.pipeline_ext2 import (
+            _IVF_K,
+            _PQ_VQ_SPARK,
+            _ivfpq_coarse_expr,
+        )
+        from dww_data_pipeline_spark.plans.selection_plans import (
+            _S19_STEPS,
+            batch_assignment_drift,
+        )
+        from dww_data_pipeline_spark.sources.ann_index import (
+            build_coarse_store,
+            load_coarse_centroids,
+        )
+        from dww_data_pipeline_spark.streaming.ann_ingest import (
+            stream_coarse_drift_monitor,
+        )
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = e.select(
+            "vec_id",
+            F.expr(_PQ_VQ_SPARK).alias("vq"),
+            F.expr(
+                "CASE WHEN vec_id % 4 = 3 "
+                "THEN CAST((vec_id % 16) div 4 AS INT) + 1 ELSE 0 END"
+            ).alias("batch"),
+        )
+        base = q.filter(F.col("batch") == 0)
+        feed = q.filter(F.col("batch") >= 1)
+
+        store = tempfile.mkdtemp(prefix="dww_coarse_st20test_")
+        try:
+            build_coarse_store(base.select("vec_id", "vq"), store)
+            ccents = load_coarse_centroids(spark, store)
+            one_shot = sorted(
+                (int(r["vec_id"]), int(r["cluster"]))
+                for r in feed.select(
+                    "vec_id",
+                    F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+                ).collect()
+            )
+            assert one_shot
+
+            src = str(tmp_path / "src")
+            feed_io = feed.select("vec_id", "vq")
+            for i in range(3):
+                feed_io.filter(F.col("vec_id") % 3 == i).coalesce(
+                    1
+                ).write.parquet(f"{src}/f{i}")
+            sdf = (
+                spark.readStream.schema(feed_io.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/f*")
+            )
+            out = str(tmp_path / "assign")
+            sq = stream_coarse_drift_monitor(
+                sdf, store, out, checkpoint=str(tmp_path / "ckpt")
+            )
+            sq.awaitTermination(300)
+
+            batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+            assert len(batch_dirs) >= 3  # really micro-batched
+            streamed = spark.read.option("basePath", out).parquet(
+                os.path.join(out, "batch=*")
+            )
+            assert (
+                sorted(
+                    (int(r["vec_id"]), int(r["cluster"]))
+                    for r in streamed.select("vec_id", "cluster").collect()
+                )
+                == one_shot
+            )
+
+            # the factored monitor over the STREAMED segments (mapped
+            # back to arrival steps) == over the batch-assembled corpus
+            arrival_step = F.expr(
+                "CAST((vec_id % 16) div 4 AS INT) + 1"
+            ).alias("batch")
+            from_stream = streamed.select(
+                "vec_id", arrival_step, "cluster"
+            ).unionByName(
+                base.select(
+                    "vec_id",
+                    F.lit(0).cast("int").alias("batch"),
+                    F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+                )
+            )
+            from_batch = q.select(
+                "vec_id",
+                "batch",
+                F.expr(_ivfpq_coarse_expr(ccents)).alias("cluster"),
+            )
+            rows_stream = sorted(
+                tuple(r)
+                for r in batch_assignment_drift(
+                    from_stream, _S19_STEPS, _IVF_K
+                ).collect()
+            )
+            rows_batch = sorted(
+                tuple(r)
+                for r in batch_assignment_drift(
+                    from_batch, _S19_STEPS, _IVF_K
+                ).collect()
+            )
+            assert rows_stream == rows_batch
+            assert len(rows_batch) == _S19_STEPS
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    def test_zero_arrival_batch_emits_row(self, spark):
+        from dww_data_pipeline_spark.plans.selection_plans import (
+            batch_assignment_drift,
+        )
+
+        assigned = spark.createDataFrame(
+            # base: 3 vectors in cell 0, 1 in cell 1; batch 1 arrives
+            # all-cell-1 (maximal reshuffle), batches 2-3 arrive empty
+            [(0, 0, 0), (1, 0, 0), (2, 0, 0), (3, 0, 1),
+             (10, 1, 1), (11, 1, 1)],
+            "vec_id long, batch int, cluster int",
+        )
+        rows = {
+            r["batch"]: r
+            for r in batch_assignment_drift(assigned, 3, 2).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        # batch 1: a=(3,1), b=(0,2), n1=4, n2=2
+        # drift = |3*2-0*4| + |1*2-2*4| = 6 + 6 = 12 > n1*n2/2 -> alarm
+        r1 = rows[1]
+        assert r1["n_arrived"] == 2 and r1["drift_num"] == 12
+        assert r1["alarm"] is True
+        assert r1["top_cell"] == 1 and r1["top_share"] == 1.0
+        # zero-arrival batches still emit, un-alarmed, null top cell
+        for b in (2, 3):
+            r = rows[b]
+            assert r["n_arrived"] == 0 and r["drift_num"] == 0
+            assert r["alarm"] is False and r["top_cell"] is None
+            assert r["l1_assign_drift"] == 0.0
