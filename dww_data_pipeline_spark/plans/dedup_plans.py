@@ -3577,3 +3577,306 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
             ).alias("jac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s25 — CLUSTERED-CORPUS RECALL GATE (round-11 verdict ask #6): the
+# r11 recall study (SCALE.md) honestly measured every graph-ANN
+# variant capped at recall@5 = 0.20 on this corpus — because the
+# driver's embeddings are uniform-random, and published NSW/HNSW
+# recall (>0.9) is measured on CLUSTERED data.  s25 converts that
+# negative into a positive, oracle-checked contract: derive a
+# deterministic clustered embedding table IN-QUERY (planted centroids
+# + per-vector jitter from pure integer hash arithmetic over vec_id —
+# bit-identical in DuckDB), serve it with the scaffolded graph walk,
+# and GATE recall@5 >= 4/5 for the fixed query panel.
+#
+# Two measured facts pin the design (tools/s25_proto.py):
+#   * on cleanly-separated clusters the raw bucket-kNN graph — and
+#     the NN-Descent-REFINED graph, whose top-k pruning deletes
+#     cross-cluster edges — are cluster-disconnected: the s21/s22
+#     walks recover only the entry vertex's cluster (recall 0.33 =
+#     exactly the one planted cluster containing the entry).  This
+#     is the published HNSW separated-cluster failure mode, and the
+#     measured reason Malkov's Algorithm 4 keeps diverse edges.
+#   * the navigable object is s23's SCAFFOLDED graph (bucket-kNN ∪
+#     ring+stride, the deterministic random-init stand-in): ring
+#     edges cross clusters, the greedy beam surfs them, recall@5 =
+#     1.00 / 1.00 / 0.93 at n = 500/500/2000 under s21's exact
+#     3-round contract, 1.00 everywhere at 4 rounds.
+#
+# Contract: s21's walk determinism (MIN(vec_id) entry, beam 8, top-5,
+# rounded-cos DESC + vec_id ASC tie-breaks) over the scaffold graph,
+# with FOUR fixed rounds (one more than s21 — the published log-N
+# growth of walk length, pinned with margin for the 64x SCALE
+# multiple).  Gate: 5 * total_hits >= 4 * |Q| * k (integer
+# cross-multiply — recall floor 0.8, no float compare).
+#
+# Scale shape: the derivation is a narrow per-row projection (no
+# shuffle); scaffold build = s6's bucket-kNN + a 3-stride explode
+# semi-joined to existing ids; the walk is O(rounds x beam x degree)
+# vector reads per query, corpus-size-independent; the exact-truth
+# leg is the |Q|-bounded calibration probe (s15/s19's verification
+# shape — |Q| x N, linear, never N²).  Integer vectors (|x| <= 1200,
+# 64 dims) keep every dot product exact in doubles, so cross-engine
+# cosine parity is exact rather than rounding-boundary-dependent.
+# ---------------------------------------------------------------------------
+
+_S25_C = 8          # planted clusters
+_S25_CMOD = 11      # cluster = (vec_id % 11) % 8 — odd modulus so the
+                    # ring strides and any every-Nth coarse subset span
+                    # all clusters (a pure mod-C assignment would align
+                    # with power-of-two strides)
+_S25_JITTER = 401   # jitter range ±200 vs centroid coordinates ±1000:
+                    # clusters are tight but 6dp-cosine-discriminable
+_S25_ROUNDS = 4
+_S25_QIDS = (0, 1, 2)
+
+def _s25_centroids() -> list[list[int]]:
+    """Planted centroids: ±1000 sign corners from md5 (the
+    _rademacher_signs literal-folding recipe — hashlib.md5 here ==
+    SQL md5 in any engine, but both sides use the PYTHON-folded
+    literals so no SQL hashing happens at all).  Measured max
+    cross-cluster |cos| = 0.28 vs within-cluster ~0.96; the first
+    LCG-style arithmetic recipe left two centroids at cos 0.99 —
+    sign corners are the deterministic recipe that actually
+    separates (tools/s25_proto.py)."""
+    import hashlib
+
+    return [
+        [
+            1000
+            if int(hashlib.md5(f"{c}_{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1000
+            for d in range(_EMBED_DIM)
+        ]
+        for c in range(_S25_C)
+    ]
+
+
+def _s25_cent_spark() -> str:
+    arr = "array(" + ", ".join(
+        "array(" + ", ".join(str(x) for x in row) + ")"
+        for row in _s25_centroids()
+    ) + ")"
+    return (
+        f"element_at(element_at({arr}, "
+        f"CAST((vec_id % {_S25_CMOD}) % {_S25_C} AS INT) + 1), d + 1)"
+    )
+
+
+def _s25_cent_duck() -> str:
+    arr = "[" + ", ".join(
+        "[" + ", ".join(str(x) for x in row) + "]"
+        for row in _s25_centroids()
+    ) + "]"
+    return f"({arr})[((vec_id % {_S25_CMOD}) % {_S25_C}) + 1][d + 1]"
+
+
+_S25_JIT = f"((vec_id * 69069 + d * 9973) % {_S25_JITTER}) - {_S25_JITTER // 2}"
+
+
+def clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic clustered embedding table, derived from the
+    embeddings table's vec_ids by integer hash arithmetic (planted
+    centroid per cluster + per-vector jitter) — reproducible verbatim
+    in the DuckDB oracle, exact in doubles."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return e.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, 63), d -> "
+            f"CAST(({_s25_cent_spark()}) + ({_S25_JIT}) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+
+
+def scaffolded_edges(ec: DataFrame, n: int) -> DataFrame:
+    """s23's init graph — bucket-kNN(k=3) ∪ the ring+stride scaffold —
+    WITHOUT the NN-Descent top-k re-pruning (which deletes the
+    cross-cluster edges on separated clusters; see the s25 header).
+    ``n``: corpus size (the ring modulus, one bounded collect at the
+    caller)."""
+    from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
+
+    ring = (
+        ec.select(
+            F.col("vec_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("vec_id") + s) % n for s in _S23_STRIDES])
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .join(ec.select(F.col("vec_id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    knn = bucket_knn_arrow(ec, "vec_id", "embedding", "bucket", k=3).select(
+        "src", "dst"
+    )
+    return knn.union(ring).distinct().localCheckpoint()
+
+
+def _s25_oracle() -> str:
+    strides = ", ".join(str(s) for s in _S23_STRIDES)
+    nq_k = len(_S25_QIDS) * _S21_K
+    qids = ", ".join(str(q) for q in _S25_QIDS)
+    rounds = []
+    prev = "b0"
+    for r in range(1, _S25_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN edges ed ON ed.src = b.vec_id
+), s{r} AS (
+  SELECT c.query_id, c.vec_id, round({_SQL_COS_Q}, 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM c{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), b{r} AS (
+  SELECT query_id, vec_id FROM s{r} WHERE rn <= {_S21_BEAM}
+)""")
+        prev = f"b{r}"
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(0, 63), d ->
+           CAST(({_s25_cent_duck()}) + ({_S25_JIT}) AS DOUBLE)) AS v
+  FROM embeddings
+), e AS MATERIALIZED (
+  SELECT vec_id, v, {_sql_lsh_bucket("v")} AS bucket FROM ev
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+eg AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), bknn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+    FROM eg
+  ) WHERE rn <= 3
+), ring AS (
+  SELECT g.vec_id AS src, (g.vec_id + u.s) % nn.n AS dst
+  FROM e g CROSS JOIN nn, unnest([{strides}]) AS u(s)
+), ring_ok AS (
+  SELECT r.src, r.dst FROM ring r JOIN e x ON x.vec_id = r.dst
+  WHERE r.src <> r.dst
+), edges AS (
+  SELECT src, dst FROM bknn UNION SELECT src, dst FROM ring_ok
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})
+), b0 AS (
+  SELECT q.query_id, (SELECT MIN(vec_id) FROM e) AS vec_id FROM q
+),{",".join(rounds)},
+wtop AS (
+  SELECT query_id, vec_id FROM s{_S25_ROUNDS} WHERE rn <= {_S21_K}
+), ex AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT b.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY b.query_id
+             ORDER BY round({_SQL_COS_Q}, 6) DESC, a.vec_id) AS rn
+    FROM e a CROSS JOIN q b
+  ) WHERE rn <= {_S21_K}
+), hits AS (
+  SELECT t.query_id, CAST(COUNT(w.vec_id) AS BIGINT) AS hits_at_k
+  FROM ex t LEFT JOIN wtop w
+    ON w.query_id = t.query_id AND w.vec_id = t.vec_id
+  GROUP BY t.query_id
+), total AS (
+  SELECT CAST(SUM(hits_at_k) AS BIGINT) AS total_hits FROM hits
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id,
+       h.hits_at_k,
+       round(CAST(h.hits_at_k AS DOUBLE) / {_S21_K}, 6) AS recall_at_k,
+       t.total_hits,
+       round(CAST(t.total_hits AS DOUBLE) / {nq_k}, 6) AS recall_overall,
+       5 * t.total_hits >= 4 * {nq_k} AS gate_pass
+FROM hits h CROSS JOIN total t"""
+
+
+@register(
+    "s25_clustered_recall_gate",
+    oracle=_s25_oracle(),
+    description="CLUSTERED-CORPUS RECALL GATE (positive proof of the "
+    "published graph-ANN navigability claim the r11 study could not "
+    "show on uniform-random embeddings): a deterministic clustered "
+    "corpus (8 planted integer centroids + per-vector jitter, pure "
+    "hash arithmetic over vec_id — derived identically in the "
+    "oracle, exact in doubles) is served by the NSW walk over s23's "
+    "SCAFFOLDED graph (bucket-kNN ∪ ring+stride; measured: the raw "
+    "bucket-kNN graph AND the NN-Descent-refined graph are cluster-"
+    "disconnected on separated clusters — recall 0.33 = the entry's "
+    "cluster only, the published HNSW separated-cluster failure mode "
+    "— while ring edges restore navigability). s21's determinism "
+    "contract with 4 fixed rounds (log-N margin); exact truth from "
+    "the |Q|-bounded calibration probe (s15/s19 shape); gate = "
+    "integer cross-multiplied recall floor 5*hits >= 4*|Q|*k (0.8). "
+    "Measured recall@5: 1.00/1.00/0.93 at the three SFs under 3 "
+    "rounds, 1.00 under the pinned 4 (north-star similarity search)",
+)
+def s25_clustered_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ec = clustered_corpus(spark, sf_dir).withColumn(
+        "bucket", _spark_lsh_bucket("embedding")
+    )
+    n = ec.count()  # bounded collect: one long (the ring modulus)
+    edges = scaffolded_edges(ec, n)
+    walk = graph_ann_walk(
+        ec, edges, _S25_QIDS, rounds=_S25_ROUNDS
+    ).select("query_id", "vec_id")
+    from pyspark.sql import Window
+
+    q = ec.filter(F.col("vec_id").isin(*_S25_QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    ex = (
+        ec.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _S21_K)
+        .select("query_id", "vec_id")
+    )
+    # left join from the truth grid so a zero-hit query still emits
+    hits = (
+        q.select("query_id")
+        .join(
+            ex.join(walk, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits_at_k"),
+        )
+    )
+    nq_k = len(_S25_QIDS) * _S21_K
+    total = hits.agg(F.sum("hits_at_k").cast("long").alias("total_hits"))
+    dbl = "double"
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "hits_at_k",
+            F.round(
+                F.col("hits_at_k").cast(dbl) / F.lit(float(_S21_K)), 6
+            ).alias("recall_at_k"),
+            "total_hits",
+            F.round(
+                F.col("total_hits").cast(dbl) / F.lit(float(nq_k)), 6
+            ).alias("recall_overall"),
+            (F.lit(5) * F.col("total_hits") >= F.lit(4 * nq_k)).alias(
+                "gate_pass"
+            ),
+        )
+    )

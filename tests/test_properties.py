@@ -1869,3 +1869,108 @@ class TestNnDescent:
                         nxt.append(v)
             frontier = nxt
         assert len(seen) == n, f"still disconnected: {len(seen)}/{n}"
+
+
+# s25 — clustered-corpus recall gate: the planted-cluster derivation
+# and the navigability claim it exists to prove.
+
+
+class TestS25ClusteredRecall:
+    def test_gate_passes_and_corpus_is_clustered(self, spark):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _S25_C,
+            _S25_CMOD,
+            clustered_corpus,
+            s25_clustered_recall_gate,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = s25_clustered_recall_gate(spark, sf_dir).collect()
+        assert len(rows) == 3
+        assert all(r["gate_pass"] for r in rows)
+        assert all(r["recall_at_k"] >= 0.8 for r in rows)
+        # the derivation really plants clusters: within-cluster cosine
+        # far above cross-cluster for a deterministic sample
+        import math
+
+        ec = {
+            r["vec_id"]: r["embedding"]
+            for r in clustered_corpus(spark, sf_dir)
+            .filter(F.col("vec_id") < 40)
+            .collect()
+        }
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb)
+
+        def cl(v):
+            return (v % _S25_CMOD) % _S25_C
+
+        within, cross = [], []
+        ids = sorted(ec)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    (within if cl(i) == cl(j) else cross).append(
+                        cos(ec[i], ec[j])
+                    )
+        assert within and cross
+        assert min(within) > max(cross) + 0.1
+
+    def test_scaffold_restores_cross_cluster_reachability(self, spark):
+        """The measured design fact: bucket-kNN alone is cluster-
+        disconnected on the planted corpus (the walk finds only the
+        entry's cluster); the ring scaffold restores navigability."""
+        from dww_data_pipeline_spark.operators.similarity import (
+            bucket_knn_arrow,
+        )
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _S25_ROUNDS,
+            _spark_lsh_bucket,
+            clustered_corpus,
+            graph_ann_walk,
+            scaffolded_edges,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        ec = clustered_corpus(spark, sf_dir).withColumn(
+            "bucket", _spark_lsh_bucket("embedding")
+        )
+        n = ec.count()
+        bare = (
+            bucket_knn_arrow(ec, "vec_id", "embedding", "bucket", k=3)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        got_bare = {
+            (r["query_id"], r["vec_id"])
+            for r in graph_ann_walk(
+                ec, bare, (0, 1, 2), rounds=_S25_ROUNDS
+            ).collect()
+        }
+        # queries 1 and 2 live in other clusters; the bare-graph walk
+        # cannot reach them, so their "top-5" stays in cluster 0
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _S25_C,
+            _S25_CMOD,
+        )
+
+        def cl(v):
+            return (v % _S25_CMOD) % _S25_C
+
+        assert all(cl(v) == 0 for _, v in got_bare)
+        scaff = scaffolded_edges(ec, n)
+        got_scaff = {
+            (q, v)
+            for q, v in (
+                (r["query_id"], r["vec_id"])
+                for r in graph_ann_walk(
+                    ec, scaff, (0, 1, 2), rounds=_S25_ROUNDS
+                ).collect()
+            )
+        }
+        # with the scaffold every query's results land in ITS cluster
+        assert all(cl(v) == cl(q) for q, v in got_scaff)
