@@ -1161,7 +1161,10 @@ FROM base LEFT JOIN bpe USING (source, lang)
     "shuffle); one |source|x|lang|-bounded partial-agg shuffle per "
     "aggregate; integer sums, two final divisions (north-star text "
     "analysis; oracle unrolls the same 16 CTE training stages as "
-    "t33/t35)",
+    "t33/t35). NOTE: this entry TRAINS IN-QUERY as its standalone "
+    "contract; the PRODUCTION path is t25b_fertility_from_store, "
+    "which serves the identical report from the persisted tokenizer "
+    "artifact at ~3x less wall (train once, apply many)",
 )
 def t25_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dww_data_pipeline_spark.plans.pipeline_ext2 import (

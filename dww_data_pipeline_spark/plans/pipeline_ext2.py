@@ -3246,7 +3246,11 @@ def _t33_oracle() -> str:
     "histogram shuffle; each iteration is vocabulary-bounded plus a "
     "1-row argmax (e7/pr1 bounded-artifact discipline). The oracle "
     "unrolls the identical recurrence as 16 CTE stages (tokenizer "
-    "training tier: t25 fertility, t30 one step, t33 the loop).",
+    "training tier: t25 fertility, t30 one step, t33 the loop). "
+    "NOTE: training runs ONCE in production — "
+    "sources/tokenizer_store.py persists this loop's artifact and "
+    "t25b/t35b serve from it; this entry is the trainer itself, so "
+    "its wall IS the train-once cost, not a serving cost.",
 )
 def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _bpe_train_segmentation(spark, sf_dir)
@@ -3308,7 +3312,10 @@ FROM (
     "segmentation state, pinned in pytest against a sequential "
     "encoder. Same two-phase vocabulary-bounded shape as t33 plus "
     "one vocabulary-sized rank window; the oracle unrolls the "
-    "identical 16 CTE stages and reads seg16.",
+    "identical 16 CTE stages and reads seg16. NOTE: this entry "
+    "RE-TRAINS IN-QUERY as its standalone contract; the PRODUCTION "
+    "path is t35b_encode_top_from_store, which serves the identical "
+    "result from the persisted artifact at ~13x less wall",
 )
 def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seg = _bpe_train_segmentation(spark, sf_dir)
