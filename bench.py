@@ -260,6 +260,9 @@ EXTRA = [
     "s22_hnsw_descent",                # hierarchical entry-point descent
     "s23_nn_descent",                  # NN-Descent kNN-graph construction
     "s24_graph_ann_refined",           # walk served from the refined graph
+    "st20_stream_ann_drift",           # ANN-staleness monitor at ingest
+    "s25_clustered_recall_gate",       # clustered-corpus recall proof
+    "t40_sequence_packing",            # greedy context-window packing
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

@@ -3691,23 +3691,46 @@ def clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def scaffolded_edges(ec: DataFrame, n: int) -> DataFrame:
+_S25_PROBE = 2048  # probe-corpus bound: the gate samples the derived
+# corpus down to <= ~this many vectors (deterministic stride on
+# vec_id), so the graph build is bounded by the PROBE size, never the
+# corpus — the s9/s15/s19 fixed-calibration-probe discipline.  The
+# bound matters: the first s25 built bucket-global kNN over the FULL
+# derived corpus, and on clustered data every cluster shares one LSH
+# bucket, so the per-bucket brute force was Σ bucket² = O(N²/C) —
+# measured 47x wall at 16x data.  A 512-id blocking fix bounded the
+# build but destroyed navigability (in-cluster LONG edges are what
+# the greedy walk ascends; recall fell 0.93 -> 0.27 at n=2000).  A
+# recall GATE needs a representative clustered corpus, not the whole
+# lake — serving at scale is s22/s24's job.
+
+
+def scaffolded_edges(
+    ec: DataFrame, n: int, rank_col: str = "vec_id"
+) -> DataFrame:
     """s23's init graph — bucket-kNN(k=3) ∪ the ring+stride scaffold —
     WITHOUT the NN-Descent top-k re-pruning (which deletes the
     cross-cluster edges on separated clusters; see the s25 header).
-    ``n``: corpus size (the ring modulus, one bounded collect at the
-    caller)."""
+    ``n``: relation size (the ring modulus, one bounded collect at
+    the caller).  ``rank_col``: the DENSE 0..n-1 rank the ring
+    strides over — vec_id itself when ids are dense, a row_number
+    rank when the relation is a stride-sample of a sparse id space
+    (the ring then never loses edges to missing ids).  Intended for
+    BOUNDED relations (s25 feeds it the <= _S25_PROBE-row probe
+    sample): the kNN leg is per-bucket brute force, quadratic in the
+    largest bucket."""
     from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
 
+    ids = ec.select(F.col(rank_col).alias("_dr"), F.col("vec_id").alias("dst"))
     ring = (
         ec.select(
             F.col("vec_id").alias("src"),
             F.explode(
-                F.array(*[(F.col("vec_id") + s) % n for s in _S23_STRIDES])
-            ).alias("dst"),
+                F.array(*[(F.col(rank_col) + s) % n for s in _S23_STRIDES])
+            ).alias("_dr"),
         )
+        .join(ids, "_dr")
         .filter(F.col("src") != F.col("dst"))
-        .join(ec.select(F.col("vec_id").alias("dst")), "dst")
         .select("src", "dst")
     )
     knn = bucket_knn_arrow(ec, "vec_id", "embedding", "bucket", k=3).select(
@@ -3746,9 +3769,14 @@ WITH ev AS MATERIALIZED (
          list_transform(generate_series(0, 63), d ->
            CAST(({_s25_cent_duck()}) + ({_S25_JIT}) AS DOUBLE)) AS v
   FROM embeddings
-), e AS MATERIALIZED (
-  SELECT vec_id, v, {_sql_lsh_bucket("v")} AS bucket FROM ev
-), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+mm AS (SELECT GREATEST(1, n // {_S25_PROBE}) AS m FROM nn),
+e AS MATERIALIZED (
+  SELECT vec_id, v, {_sql_lsh_bucket("v")} AS bucket,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rnk
+  FROM ev CROSS JOIN mm
+  WHERE vec_id % m = 0 OR vec_id IN ({qids})
+), ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
 eg AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
@@ -3759,11 +3787,11 @@ eg AS (
     FROM eg
   ) WHERE rn <= 3
 ), ring AS (
-  SELECT g.vec_id AS src, (g.vec_id + u.s) % nn.n AS dst
-  FROM e g CROSS JOIN nn, unnest([{strides}]) AS u(s)
+  SELECT g.vec_id AS src, (g.rnk + u.s) % ns.n AS dr
+  FROM e g CROSS JOIN ns, unnest([{strides}]) AS u(s)
 ), ring_ok AS (
-  SELECT r.src, r.dst FROM ring r JOIN e x ON x.vec_id = r.dst
-  WHERE r.src <> r.dst
+  SELECT r.src, x.vec_id AS dst FROM ring r JOIN e x ON x.rnk = r.dr
+  WHERE r.src <> x.vec_id
 ), edges AS (
   SELECT src, dst FROM bknn UNION SELECT src, dst FROM ring_ok
 ), q AS (
@@ -3810,23 +3838,46 @@ FROM hits h CROSS JOIN total t"""
     "bucket-kNN graph AND the NN-Descent-refined graph are cluster-"
     "disconnected on separated clusters — recall 0.33 = the entry's "
     "cluster only, the published HNSW separated-cluster failure mode "
-    "— while ring edges restore navigability). s21's determinism "
+    "— while ring edges restore navigability). The WHOLE gate is a "
+    "bounded calibration probe (the s9/s15/s19 discipline): the "
+    "derived corpus stride-samples to <= ~2048 vectors (query panel "
+    "always included; dense rank drives the ring so a sparse id "
+    "space loses no scaffold edges), so graph build AND walk are "
+    "probe-bounded, corpus-size-independent — the full-corpus build "
+    "measured 47x wall at 16x data (Σ bucket² on cluster-aligned "
+    "buckets) and an id-blocked build destroyed navigability "
+    "(0.93 -> 0.27: the walk ascends LONG in-cluster edges); "
+    "serving at scale stays s22/s24's job. s21's determinism "
     "contract with 4 fixed rounds (log-N margin); exact truth from "
-    "the |Q|-bounded calibration probe (s15/s19 shape); gate = "
-    "integer cross-multiplied recall floor 5*hits >= 4*|Q|*k (0.8). "
-    "Measured recall@5: 1.00/1.00/0.93 at the three SFs under 3 "
-    "rounds, 1.00 under the pinned 4 (north-star similarity search)",
+    "the probe corpus; gate = integer cross-multiplied recall floor "
+    "5*hits >= 4*|Q|*k (0.8). Measured recall@5: 1.00/1.00/0.93 at "
+    "the three SFs under 3 rounds, 1.00 under the pinned 4 "
+    "(north-star similarity search)",
 )
 def s25_clustered_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ec = clustered_corpus(spark, sf_dir).withColumn(
-        "bucket", _spark_lsh_bucket("embedding")
+    from pyspark.sql import Window
+
+    full = clustered_corpus(spark, sf_dir)
+    n_total = full.count()  # bounded collect: one long
+    m = max(1, n_total // _S25_PROBE)
+    # probe sample (always includes the query panel); the dense rank
+    # is a single-partition window over the <= ~_S25_PROBE-row sample
+    # — bounded by construction, the e7/pr1 discipline
+    ec = (
+        full.filter(
+            (F.col("vec_id") % m == 0) | F.col("vec_id").isin(*_S25_QIDS)
+        )
+        .withColumn("bucket", _spark_lsh_bucket("embedding"))
+        .withColumn(
+            "rnk",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long"),
+        )
     )
-    n = ec.count()  # bounded collect: one long (the ring modulus)
-    edges = scaffolded_edges(ec, n)
+    n = ec.count()  # bounded: probe-sample size (the ring modulus)
+    edges = scaffolded_edges(ec, n, rank_col="rnk")
     walk = graph_ann_walk(
         ec, edges, _S25_QIDS, rounds=_S25_ROUNDS
     ).select("query_id", "vec_id")
-    from pyspark.sql import Window
 
     q = ec.filter(F.col("vec_id").isin(*_S25_QIDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

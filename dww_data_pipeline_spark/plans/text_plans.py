@@ -1557,3 +1557,149 @@ def c4_line_rules(d: DataFrame) -> DataFrame:
 )
 def t39_c4_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_rules(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t40_sequence_packing — SEQUENCE PACKING for training batches: the
+# step between chunking (t7) and serving that every LLM data pipeline
+# runs — greedily pack documents into fixed-capacity context windows
+# so padding waste is measured and bounded (the T5/GPT pack-and-pad
+# discipline; see Krell et al. 2107.02027 for the published treatment
+# of packing efficiency).  Deterministic contract: documents stream
+# in doc_id order within each shard (shard = doc_id % 8 — the
+# parallel unit), capacity 256 whitespace tokens (the shared
+# spark_tokens/SQL_TOKS tokenizer), greedy NO-SPLIT first-fit on the
+# running window: a document that would overflow closes the bin and
+# opens the next; an oversize document (> capacity) occupies a bin
+# alone (flagged — the truncate-vs-split decision is downstream
+# policy, the packer only reports).  Emits one row per packed bin:
+# docs, exact token sum, 6dp fill rate, oversize flag.
+#
+# Spark shape: packing is inherently SEQUENTIAL per stream — the
+# published systems pack per worker shard — so the recurrence runs as
+# ONE Arrow-grouped applyInPandas over the shard key (never
+# row-at-a-time Python; the m-family/st5 grouped-Arrow discipline),
+# and shards are the scale-out axis: at 100 TB the shard count is
+# chosen so each shard's (doc_id, n) token-count list — two longs per
+# document, NOT the text — fits one executor's Arrow group; the text
+# column is pruned before the shuffle, so the grouped exchange moves
+# O(docs x 16 bytes), not the corpus.  The oracle replays the
+# identical recurrence as a recursive CTE per shard (the ev18/ev19
+# two-variable-recurrence discipline).
+# ---------------------------------------------------------------------------
+
+_T40_SHARDS = 8
+_T40_CAPACITY = 256
+
+
+def sequence_packing(
+    d: DataFrame,
+    n_shards: int = _T40_SHARDS,
+    capacity: int = _T40_CAPACITY,
+) -> DataFrame:
+    """The t40 core over any (doc_id, text) relation — factored for
+    property testing against a pure-Python packer."""
+    import pandas as pd
+
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.coalesce(F.size(spark_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        rows = []
+        bin_id, n_docs, fill, oversize = 0, 0, 0, False
+        for n in pdf["n"]:
+            n = int(n)
+            if bin_id == 0 or fill + n > capacity:
+                if bin_id > 0:
+                    rows.append((shard, bin_id, n_docs, fill, oversize))
+                bin_id += 1
+                n_docs, fill, oversize = 0, 0, False
+            n_docs += 1
+            fill += n
+            oversize = oversize or n > capacity
+        if bin_id > 0:
+            rows.append((shard, bin_id, n_docs, fill, oversize))
+        return pd.DataFrame(
+            rows,
+            columns=["shard", "bin_id", "n_docs", "tokens",
+                     "has_oversize"],
+        )
+
+    packed = toks.groupBy("shard").applyInPandas(
+        pack,
+        "shard long, bin_id long, n_docs long, tokens long, "
+        "has_oversize boolean",
+    )
+    # fill_rate as a JVM-side expression: Python's round() is
+    # banker's (0.8515625 -> .851562) while Spark/DuckDB round half
+    # away from zero (-> .851563) — keep the tie-sensitive division
+    # on the engines so both sides round identically
+    return packed.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / capacity, 6).alias(
+            "fill_rate"
+        ),
+        "has_oversize",
+    )
+
+
+def _t40_oracle() -> str:
+    from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS
+
+    c = _T40_CAPACITY
+    return f"""WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, doc_id % {_T40_SHARDS} AS shard,
+         COALESCE(len({SQL_TOKS}), 0) AS n,
+         CAST(row_number() OVER (PARTITION BY doc_id % {_T40_SHARDS}
+                                 ORDER BY doc_id) AS BIGINT) AS idx
+  FROM documents
+), rec AS (
+  SELECT shard, idx, n, CAST(1 AS BIGINT) AS bin, n AS fill
+  FROM toks WHERE idx = 1
+  UNION ALL
+  SELECT t.shard, t.idx, t.n,
+         CASE WHEN r.fill + t.n > {c} THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.fill + t.n > {c} THEN t.n ELSE r.fill + t.n END
+  FROM rec r JOIN toks t ON t.shard = r.shard AND t.idx = r.idx + 1
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       bin AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS tokens,
+       round(CAST(SUM(n) AS DOUBLE) / {c}, 6) AS fill_rate,
+       bool_or(n > {c}) AS has_oversize
+FROM rec GROUP BY shard, bin"""
+
+
+@register(
+    "t40_sequence_packing",
+    oracle=_t40_oracle(),
+    description="SEQUENCE PACKING for training batches (the T5/GPT "
+    "pack-and-pad step; packing-efficiency treatment per Krell et "
+    "al. 2107.02027): greedy NO-SPLIT packing of documents into "
+    "capacity-256 token windows, streaming in doc_id order within "
+    "each of 8 shards (the parallel unit); an overflowing document "
+    "closes the bin, an oversize one occupies a bin alone (flagged). "
+    "One row per bin: docs, exact token sum, 6dp fill rate. The "
+    "inherently-sequential recurrence runs as ONE Arrow-grouped "
+    "applyInPandas over (doc_id, token-count) pairs — text pruned "
+    "before the shuffle, so the grouped exchange moves O(docs x 16 "
+    "bytes); shards scale out and each shard's pair list is the "
+    "bounded Arrow group. Oracle replays the recurrence as a "
+    "recursive CTE per shard (ev18/ev19 discipline) — the whole "
+    "greedy state machine is differentially proven",
+)
+def t40_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing(load_table(spark, sf_dir, "documents"))

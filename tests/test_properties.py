@@ -1974,3 +1974,89 @@ class TestS25ClusteredRecall:
         }
         # with the scaffold every query's results land in ITS cluster
         assert all(cl(v) == cl(q) for q, v in got_scaff)
+
+
+# t40 — sequence packing vs a pure-Python greedy packer.
+
+
+class TestT40SequencePacking:
+    def _ref_pack(self, docs, n_shards=8, capacity=256):
+        """(doc_id, n_tokens) -> {(shard, bin_id): (n_docs, tokens,
+        oversize)} via the straight-line greedy recurrence."""
+        out = {}
+        by_shard = {}
+        for doc_id, n in sorted(docs):
+            by_shard.setdefault(doc_id % n_shards, []).append(n)
+        for shard, ns in by_shard.items():
+            bin_id, n_docs, fill, oversize = 0, 0, 0, False
+            for n in ns:
+                if bin_id == 0 or fill + n > capacity:
+                    if bin_id > 0:
+                        out[(shard, bin_id)] = (n_docs, fill, oversize)
+                    bin_id += 1
+                    n_docs, fill, oversize = 0, 0, False
+                n_docs += 1
+                fill += n
+                oversize = oversize or n > capacity
+            if bin_id > 0:
+                out[(shard, bin_id)] = (n_docs, fill, oversize)
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=0,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_matches_reference_packer(self, spark, docs):
+        from dww_data_pipeline_spark.plans.text_plans import (
+            sequence_packing,
+        )
+
+        rows = [(doc_id, " ".join(["w"] * n)) for doc_id, n in docs]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ) if rows else spark.createDataFrame([], "doc_id long, text string")
+        got = {
+            (r["shard"], r["bin_id"]): (
+                r["n_docs"], r["tokens"], r["has_oversize"]
+            )
+            for r in sequence_packing(d, capacity=30).collect()
+        }
+        assert got == self._ref_pack(docs, capacity=30)
+
+    def test_invariants_on_documents(self, spark):
+        """No bin overflows unless it holds a single oversize doc;
+        every doc is packed exactly once; bins are dense 1..B."""
+        from dww_data_pipeline_spark.plans.text_plans import (
+            _T40_CAPACITY,
+            t40_sequence_packing,
+        )
+
+        rows = t40_sequence_packing(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        n_docs_total = sum(r["n_docs"] for r in rows)
+        import collections
+
+        by_shard = collections.defaultdict(list)
+        for r in rows:
+            by_shard[r["shard"]].append(r)
+            if r["tokens"] > _T40_CAPACITY:
+                # only an oversize doc may overflow, and it sits alone
+                # with any zero-token companions — never two payloads
+                assert r["has_oversize"]
+        d = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        assert n_docs_total == d.count()
+        for shard, rs in by_shard.items():
+            bins = sorted(r["bin_id"] for r in rs)
+            assert bins == list(range(1, len(bins) + 1))
