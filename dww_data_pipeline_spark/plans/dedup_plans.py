@@ -3103,7 +3103,19 @@ def nn_descent_edges(
 ) -> list[tuple[int, DataFrame]]:
     """The s23 core: [(round, edges)] where edges is the top-k graph
     after that many NN-Descent rounds (round 0 = scored init).
-    ``e``: (vec_id, embedding, bucket)."""
+    ``e``: (vec_id, embedding, bucket).
+
+    Reverse-neighbor cap (the paper's sample-rate ρ, deterministic
+    form — round-12): the general neighborhood joins forward edges
+    with REVERSED edges, and reverse in-degree is unbounded — the
+    round-12 candidate study measured per-vertex candidates flat at
+    15 for 1x/16x data but 63 at 64x, where the sparse-id ring wrap
+    concentrates scaffold edges on base-block hub vertices and the
+    reverse join amplifies through them (SCALE_r12.json,
+    s23_candidates).  Each vertex therefore contributes only its
+    top-k reverse edges (cos DESC, partner ASC — ρk with ρ=1), which
+    restores the paper's O(N·k²) per-round bound regardless of
+    in-degree skew."""
     from pyspark.sql import Window
 
     from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
@@ -3152,10 +3164,14 @@ def nn_descent_edges(
 
     out = [(0, topk(init))]
     edges = out[0][1]
+    wrev = Window.partitionBy("dst").orderBy(F.desc("cos"), "src")
     for r in range(1, rounds + 1):
-        gen = edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        rev = (
+            edges.withColumn("rrn", F.row_number().over(wrev))
+            .filter(F.col("rrn") <= k)
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        gen = edges.select("src", "dst").union(rev)
         twohop = (
             gen.alias("a")
             .join(gen.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -3187,7 +3203,12 @@ FROM r0"""
 gen{r} AS (
   SELECT src, dst FROM r{r - 1}
   UNION ALL
-  SELECT dst AS src, src AS dst FROM r{r - 1}
+  SELECT dst AS src, src AS dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY dst
+             ORDER BY cos DESC, src) AS rrn
+    FROM r{r - 1}
+  ) WHERE rrn <= {_S23_K}
 ), cand{r} AS (
   SELECT src, dst FROM r{r - 1}
   UNION
@@ -3254,8 +3275,13 @@ SELECT * FROM ({" UNION ALL ".join(summaries)})
     "paper's random init pinned, and the piece that crosses LSH "
     "buckets: the r11 recall study measured the bucket graph "
     "disconnected, 19/500 reachable); per round candidates = current "
-    "∪ neighbors-of-neighbors over forward+reverse edges, exact "
-    "cosine, keep top-3 per vertex. Emits the per-round audit "
+    "∪ neighbors-of-neighbors over forward edges + REVERSE edges "
+    "capped at top-k per vertex (cos DESC — the paper's sample-rate "
+    "ρ in deterministic form; the r12 candidate study measured "
+    "per-vertex candidates 15/15/63 at 1x/16x/64x under the uncapped "
+    "reverse join — in-degree hubs amplify — and flat 15 with the "
+    "cap), exact cosine, keep top-3 per vertex. Emits the per-round "
+    "audit "
     "(n_edges, sum of round(cos,6)x1e6 — monotone non-decreasing per "
     "vertex since current edges stay candidates, pytest-asserted — "
     "and an md5 edge-set fingerprint), so init, the reverse join, "

@@ -42,6 +42,7 @@ TIER = [
     "t33_bpe_train",
     "st20_stream_ann_drift",
     "s25_clustered_recall_gate",
+    "t40_sequence_packing",
 ]
 
 MULTIPLES = [1, 16, 64]
@@ -107,10 +108,15 @@ def s23_candidate_counts(spark, sf_dir: str) -> list[dict]:
     edges = topk(init)
     rows.append({"round": 0, "n": n, "init_rows": init.count(),
                  "edges": edges.count()})
+    wrev = Window.partitionBy("dst").orderBy(F.desc("cos"), "src")
     for r in range(1, _S23_ROUNDS + 1):
-        gen = edges.select("src", "dst").union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # mirrors nn_descent_edges including the r12 reverse cap
+        rev = (
+            edges.withColumn("rrn", F.row_number().over(wrev))
+            .filter(F.col("rrn") <= _S23_K)
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        gen = edges.select("src", "dst").union(rev)
         twohop = (
             gen.alias("a")
             .join(gen.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -236,8 +242,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    out: dict = {"tier": {}, "s23_candidates": {}, "d28_stages": {}}
+    out: dict = {"tier": {}, "s23_candidates": {}, "d28_stages": {},
+                 "s23_candidates_capped": {}}
+    if os.path.exists(out_path):
+        # resume: keep rows already measured this round (the chain is
+        # re-entrant after a mid-run fix — e.g. the s25 probe rework)
+        with open(out_path) as f:
+            prior = json.load(f)
+        for k in out:
+            out[k].update(prior.get(k, {}))
     for name in TIER:
+        if name in out["tier"]:
+            print(json.dumps({"query": name, "skip": "already measured"}),
+                  flush=True)
+            continue
         rec: dict[str, float] = {}
         for m in MULTIPLES:
             best = float("inf")
@@ -259,13 +277,22 @@ def main() -> None:
             json.dump(out, f, indent=1, sort_keys=True)
 
     for m in MULTIPLES:
+        key = (
+            "s23_candidates_capped"
+            if f"{m}x" in out["s23_candidates"]
+            else "s23_candidates"
+        )
+        if f"{m}x" in out[key]:
+            continue
         rows = s23_candidate_counts(spark, dirs[m])
-        out["s23_candidates"][f"{m}x"] = rows
-        print(json.dumps({"s23_candidates": m, "rows": rows}), flush=True)
+        out[key][f"{m}x"] = rows
+        print(json.dumps({key: m, "rows": rows}), flush=True)
         with open(out_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
 
     for m in MULTIPLES:
+        if f"{m}x" in out["d28_stages"]:
+            continue
         rec = d28_stage_study(spark, dirs[m])
         out["d28_stages"][f"{m}x"] = rec
         print(json.dumps({"d28_stages": m, **rec}), flush=True)
