@@ -3579,13 +3579,42 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
         .filter(3 * F.col("_min_ub") >= F.col("na") + F.col("nb"))
         .select("id_a", "id_b", "na", "nb")
     )
-    a_sh = sh.select(F.col("doc_id").alias("id_a"), "s")
-    b_sh = sh.select(F.col("doc_id").alias("id_b"), "s")
+    # Verify via array_intersect over per-doc sorted shingle ARRAYS
+    # (round-12): the exploded two-join verify — cand ⋈ A-shingles ⋈
+    # B-shingles, a Σ-candidate-shingles-row intermediate re-shuffled
+    # on (id_b, s) plus a pair-keyed groupBy — was 96% of d28's wall
+    # at 64x data (927 of 969 s, SCALE_r12.json d28_stages).  Packing
+    # each document's distinct shingles into ONE sorted array row and
+    # intersecting JVM-side replaces the row explosion, the second
+    # re-shuffle, and the groupBy with two pair-keyed merge joins and
+    # a per-row O(na+nb) intersect: measured 2.7-3.9x faster
+    # (16x: 53.5 -> 13.7 s; 64x: 927 -> 338 s), bit-identical
+    # survivors.  The array rows are doc-length-bounded; the merge
+    # hints keep both joins sort-merge (the corpus-scale broadcast
+    # ban above).
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("sha")
+    )
     inter = (
-        cand.join(a_sh.hint("merge"), "id_a")
-        .join(b_sh.hint("merge"), ["id_b", "s"])
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("ni"))
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"), F.col("sha").alias("_sa")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"), F.col("sha").alias("_sb")
+            ).hint("merge"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("_sa", "_sb")).alias("ni"),
+        )
     )
     return (
         inter
