@@ -53,6 +53,9 @@ COLLECT_BOUNDED = {
     "=> <= len/(L+1) spans per doc by construction (d25's rule at L=50)",
     "ev21_holt_winters": "daily series per event_type <= the "
     "generator's 30-day span (ev18's bound; zero-filled calendar)",
+    "d28_ppjoin_exact": "per-doc sorted shingle array (r12 verify): "
+    "distinct shingles per doc <= doc token count by construction "
+    "(doc-length-bounded, the d14/d23 rule)",
 }
 
 
