@@ -263,6 +263,7 @@ EXTRA = [
     "st20_stream_ann_drift",           # ANN-staleness monitor at ingest
     "s25_clustered_recall_gate",       # clustered-corpus recall proof
     "t40_sequence_packing",            # greedy context-window packing
+    "st21_stream_packing",             # stateful packing at ingest
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

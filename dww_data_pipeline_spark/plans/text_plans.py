@@ -1611,28 +1611,20 @@ def sequence_packing(
         .alias("n"),
     )
 
+    from dww_data_pipeline_spark.streaming.pack_ingest import (
+        BIN_COLUMNS,
+        flush_state,
+        pack_chunk,
+    )
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         shard = int(pdf["shard"].iloc[0])
-        rows = []
-        bin_id, n_docs, fill, oversize = 0, 0, 0, False
-        for n in pdf["n"]:
-            n = int(n)
-            if bin_id == 0 or fill + n > capacity:
-                if bin_id > 0:
-                    rows.append((shard, bin_id, n_docs, fill, oversize))
-                bin_id += 1
-                n_docs, fill, oversize = 0, 0, False
-            n_docs += 1
-            fill += n
-            oversize = oversize or n > capacity
-        if bin_id > 0:
-            rows.append((shard, bin_id, n_docs, fill, oversize))
-        return pd.DataFrame(
-            rows,
-            columns=["shard", "bin_id", "n_docs", "tokens",
-                     "has_oversize"],
+        closed, state = pack_chunk(
+            [int(x) for x in pdf["n"]], None, capacity
         )
+        rows = [(shard, *b) for b in closed + flush_state(state)]
+        return pd.DataFrame(rows, columns=BIN_COLUMNS)
 
     packed = toks.groupBy("shard").applyInPandas(
         pack,
@@ -1703,3 +1695,96 @@ FROM rec GROUP BY shard, bin"""
 )
 def t40_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# st21_stream_packing — t40's STATEFUL streaming twin: sequence
+# packing at ingest.  Packing is order-sensitive by definition, so
+# its streaming form cannot be stateless-per-batch (the st13/st19/
+# st20 contract family) — the open bin must CARRY across
+# micro-batches, which is exactly the applyInPandasWithState
+# primitive (the st5 discipline; streaming/pack_ingest.py).  State
+# per shard is O(1): (bin_id, n_docs, fill, oversize) of the one
+# open bin.
+#
+# The registered query proves the carry recurrence: each shard's
+# ordered document stream is chopped into FOUR chunks and folded
+# chunk-by-chunk through pack_chunk with explicit carried state —
+# the same function the real stream runs per micro-batch — and the
+# result must be BIT-IDENTICAL to the one-shot pack, so the oracle
+# is t40's recursive CTE verbatim.  The chopping-parity pytest
+# additionally drives the real applyInPandasWithState path over a
+# file-source stream and asserts closed-bin equality.
+#
+# Scale shape: identical to t40 (one Arrow-grouped stage over
+# (doc_id, n) pairs, text pruned before the shuffle) plus the O(1)
+# per-shard state row; the chunk loop is inside the same Arrow
+# stage, so the chop adds zero extra shuffles.
+# ---------------------------------------------------------------------------
+
+_ST21_CHUNKS = 4
+
+
+@register(
+    "st21_stream_packing",
+    oracle=_t40_oracle(),
+    description="SEQUENCE PACKING AT INGEST (t40's stateful streaming "
+    "twin, streaming/pack_ingest.py): the greedy no-split packer's "
+    "open bin CARRIES across micro-batches via per-shard O(1) state "
+    "(applyInPandasWithState, the st5 discipline) — packing is "
+    "order-sensitive, so the stateless-per-batch st13 contract "
+    "cannot apply; each shard's ordered stream chopped into 4 "
+    "chunks folds through the carried recurrence and must emit "
+    "bit-identical bins to the one-shot pack (oracle = t40's "
+    "recursive CTE verbatim; the real foreachBatch path is "
+    "chopping-parity pytested). Same single-Arrow-stage shape as "
+    "t40; the chop adds zero shuffles",
+)
+def st21_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+    from dww_data_pipeline_spark.streaming.pack_ingest import (
+        BIN_COLUMNS,
+        flush_state,
+        pack_chunk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % _T40_SHARDS).alias("shard"),
+        F.coalesce(F.size(spark_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n"),
+    )
+
+    def pack4(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        ns = [int(x) for x in pdf["n"]]
+        state = None
+        closed = []
+        k = len(ns)
+        for c in range(_ST21_CHUNKS):
+            chunk = ns[c * k // _ST21_CHUNKS: (c + 1) * k // _ST21_CHUNKS]
+            got, state = pack_chunk(chunk, state, _T40_CAPACITY)
+            closed.extend(got)
+        rows = [(shard, *b) for b in closed + flush_state(state)]
+        return pd.DataFrame(rows, columns=BIN_COLUMNS)
+
+    packed = toks.groupBy("shard").applyInPandas(
+        pack4,
+        "shard long, bin_id long, n_docs long, tokens long, "
+        "has_oversize boolean",
+    )
+    return packed.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / _T40_CAPACITY, 6
+        ).alias("fill_rate"),
+        "has_oversize",
+    )

@@ -813,3 +813,98 @@ class TestStreamCoarseDrift:
             assert r["n_arrived"] == 0 and r["drift_num"] == 0
             assert r["alarm"] is False and r["top_cell"] is None
             assert r["l1_assign_drift"] == 0.0
+
+
+class TestStreamPacking:
+    """Sequence packing at ingest (streaming/pack_ingest.py) — the
+    stateful st21 core.  Packing is order-sensitive, so the open bin
+    must CARRY across micro-batches via applyInPandasWithState; the
+    stream emits a bin exactly once, when it closes, and the final
+    open bin per shard stays in state — so closed-stream output must
+    equal the one-shot bins minus each shard's last bin."""
+
+    def test_pack_chunk_chopping_invariance(self):
+        from dww_data_pipeline_spark.streaming.pack_ingest import (
+            flush_state,
+            pack_chunk,
+        )
+
+        ns = [5, 30, 1, 0, 29, 31, 2, 2, 40, 7, 30, 30, 30, 3]
+        one_shot, st = pack_chunk(ns, None, 30)
+        one_shot = one_shot + flush_state(st)
+        for cuts in [(3,), (1, 2, 5, 9), (7, 7), tuple(range(1, 14))]:
+            state, got = None, []
+            prev = 0
+            for c in list(cuts) + [len(ns)]:
+                closed, state = pack_chunk(ns[prev:c], state, 30)
+                got.extend(closed)
+                prev = c
+            assert got + flush_state(state) == one_shot, cuts
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, tmp_path):
+        from dww_data_pipeline_spark.plans.text_plans import (
+            _T40_CAPACITY,
+            _T40_SHARDS,
+            t40_sequence_packing,
+        )
+        from dww_data_pipeline_spark.plans.text_exprs import spark_tokens
+        from dww_data_pipeline_spark.streaming.pack_ingest import (
+            stream_sequence_packing,
+        )
+
+        one_shot = {
+            (r["shard"], r["bin_id"]): (
+                r["n_docs"], r["tokens"], r["has_oversize"]
+            )
+            for r in t40_sequence_packing(spark, SF_DIR).collect()
+        }
+        last_bin = {}
+        for shard, bin_id in one_shot:
+            last_bin[shard] = max(last_bin.get(shard, 0), bin_id)
+        expected_closed = {
+            k: v for k, v in one_shot.items() if k[1] < last_bin[k[0]]
+        }
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = d.select(
+            "doc_id",
+            (F.col("doc_id") % _T40_SHARDS).alias("shard"),
+            F.coalesce(F.size(spark_tokens(F.col("text"))), F.lit(0))
+            .cast("long")
+            .alias("n"),
+        )
+        # ordered arrival: file f0 holds the lowest doc_ids, f1 the
+        # next tercile, f2 the rest — drained one file per trigger
+        src = str(tmp_path / "src")
+        n_docs = toks.count()
+        ordered = toks.orderBy("doc_id").collect()
+        for i in range(3):
+            chunk = ordered[i * n_docs // 3: (i + 1) * n_docs // 3]
+            spark.createDataFrame(chunk, toks.schema).coalesce(
+                1
+            ).write.parquet(f"{src}/f{i}")
+        sdf = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "bins")
+        q = stream_sequence_packing(
+            sdf, str(tmp_path / "ckpt"), out, capacity=_T40_CAPACITY
+        )
+        q.awaitTermination(300)
+
+        import glob as _glob
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3  # really micro-batched
+        streamed = {
+            (r["shard"], r["bin_id"]): (
+                r["n_docs"], r["tokens"], r["has_oversize"]
+            )
+            for r in spark.read.option("basePath", out)
+            .parquet(os.path.join(out, "batch=*"))
+            .collect()
+        }
+        assert streamed == expected_closed
+        assert streamed  # non-degenerate: bins really closed mid-stream
