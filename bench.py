@@ -264,6 +264,8 @@ EXTRA = [
     "s25_clustered_recall_gate",       # clustered-corpus recall proof
     "t40_sequence_packing",            # greedy context-window packing
     "st21_stream_packing",             # stateful packing at ingest
+    "dq17_embedding_psi",              # embedding-distribution drift gate
+    "st22_stream_embedding_psi",       # per-batch PSI monitor
 ]
 
 # The bench-set rule (round-8 verdict ask #7), stated once and enforced

@@ -446,3 +446,236 @@ def e6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(q["capture_ok"])).alias("capture_ok"),
         F.lit(int(q["eig_residual_u"])).alias("eig_residual_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq17_embedding_psi — POPULATION STABILITY INDEX over embedding
+# space: the production drift gate between an embedding-dependent
+# artifact (ANN index, semantic-dedup clusters, quality classifier)
+# and the corpus it was built on.  dq4 monitors a scalar column's
+# distribution and s19/st20 monitor the coarse-quantizer's CELL
+# assignment; PSI monitors the embedding DISTRIBUTION itself,
+# per dimension: quantize each value into 16 fixed [-2,2) bins
+# (deterministic floor arithmetic — e2's discipline), histogram the
+# BASE corpus (vec_id%4!=3) vs the ARRIVED quarter, Laplace-smooth
+# (add-1), and psi_d = Σ_b (p_b - q_b)·ln(p_b/q_b) with the industry
+# alarm threshold 0.25 on the 6dp-rounded value.
+#
+# Float determinism: the 16 per-bin terms sum in BIN ORDER on both
+# engines (Spark: sort_array over the collected (bin, term) structs
+# then a left fold; DuckDB: list_sum over list(term ORDER BY bin)) —
+# IEEE addition is deterministic given identical operands and order,
+# so the only cross-engine surface is libm ln() itself (the t34/t22
+# entropy precedent, held across every differential run).
+#
+# Scale shape: ONE posexplode pass → (side, dim, bin) partial-agg
+# histogram (the shuffle carries <= 2·64·16 partial rows per
+# partition, never vectors); the 1024-cell grid and all PSI math are
+# dimension-bounded.  No collects.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 16
+_PSI_ALARM = 0.25
+
+
+def _psi_bin(col):
+    return (
+        F.least(
+            F.greatest(
+                F.floor((col.cast("double") + 2.0) * 4.0), F.lit(0)
+            ),
+            F.lit(_PSI_BINS - 1),
+        )
+    ).cast("long")
+
+
+_PSI_BIN_SQL = (
+    "CAST(least(greatest(floor((CAST({v} AS DOUBLE) + 2) * 4), 0), "
+    f"{_PSI_BINS - 1}) AS BIGINT)"
+)
+
+
+def embedding_bin_counts(e: DataFrame, side_col) -> DataFrame:
+    """(side, dim, bin, c) histogram of the quantized embedding table
+    — the shared core of dq17, st22, and the streaming monitor
+    (streaming/drift_ingest.py stream_embedding_bins).  ``side_col``
+    labels each vector's population (0 = base, 1+ = arrival group)."""
+    flat = e.select(
+        side_col.alias("side"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    return (
+        flat.select(
+            "side", "dim", _psi_bin(F.col("val")).alias("bin")
+        )
+        .groupBy("side", "dim", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame, n_dims: int = 64, alarm: float = _PSI_ALARM
+) -> DataFrame:
+    """Per-(side, dim) PSI of every arrival side (side >= 1) vs the
+    base histogram (side = 0), Laplace-smoothed, summed in bin order.
+    Emits (side, dim, psi, alarm)."""
+    spark = counts.sparkSession
+    sides = counts.filter(F.col("side") >= 1).select("side").distinct()
+    dims = spark.range(n_dims).select(F.col("id").cast("int").alias("dim"))
+    bins = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = sides.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(bins))
+    cb = counts.filter(F.col("side") == 0).select(
+        "dim", "bin", F.col("c").alias("cb")
+    )
+    ca = counts.filter(F.col("side") >= 1).select(
+        "side", "dim", "bin", F.col("c").alias("ca")
+    )
+    z = F.lit(0).cast("long")
+    pq = (
+        grid.join(cb, ["dim", "bin"], "left")
+        .join(ca, ["side", "dim", "bin"], "left")
+        .select(
+            "side",
+            "dim",
+            "bin",
+            F.coalesce("cb", z).alias("cb"),
+            F.coalesce("ca", z).alias("ca"),
+        )
+    )
+    td = pq.groupBy("side", "dim").agg(
+        F.sum("cb").alias("nb"), F.sum("ca").alias("na")
+    )
+    p = (F.col("cb") + 1.0) / (F.col("nb") + F.lit(float(_PSI_BINS)))
+    q = (F.col("ca") + 1.0) / (F.col("na") + F.lit(float(_PSI_BINS)))
+    term = (p - q) * F.log(p / q)
+    terms = (
+        pq.join(td, ["side", "dim"])
+        .select("side", "dim", "bin", term.alias("term"))
+        .groupBy("side", "dim")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bin", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s")
+        )
+    )
+    return terms.select(
+        "side",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("s", 6).alias("psi"),
+        (F.round("s", 6) > F.lit(alarm)).alias("alarm"),
+    )
+
+
+def _psi_oracle(side_sql: str, side_out: str) -> str:
+    """Shared dq17/st22 oracle body: ``side_sql`` labels each vector
+    (0 = base, >=1 = arrival group); emits ({side_out}, dim, psi,
+    alarm) for every side >= 1."""
+    v = _PSI_BIN_SQL.format(v="val")
+    b = _PSI_BINS
+    return f"""WITH flat AS (
+  SELECT {side_sql} AS side,
+         unnest(generate_series(0, 63)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+), cnt AS (
+  SELECT side, dim, {v} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM flat GROUP BY 1, 2, 3
+), sides AS (SELECT DISTINCT side FROM cnt WHERE side >= 1),
+grid AS (
+  SELECT s.side, d.d AS dim, bn.b AS bin
+  FROM sides s, unnest(generate_series(0, 63)) d(d),
+       unnest(generate_series(0, {b - 1})) bn(b)
+), pq AS (
+  SELECT g.side, g.dim, g.bin,
+         COALESCE(cb.c, 0) AS cb, COALESCE(ca.c, 0) AS ca
+  FROM grid g
+  LEFT JOIN cnt cb ON cb.side = 0 AND cb.dim = g.dim AND cb.bin = g.bin
+  LEFT JOIN cnt ca ON ca.side = g.side AND ca.dim = g.dim
+                  AND ca.bin = g.bin
+), td AS (
+  SELECT side, dim, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca) AS BIGINT) AS na
+  FROM pq GROUP BY side, dim
+), terms AS (
+  SELECT p.side, p.dim, p.bin,
+         ((p.cb + 1.0) / (t.nb + {b}.0) - (p.ca + 1.0) / (t.na + {b}.0))
+         * ln(((p.cb + 1.0) / (t.nb + {b}.0))
+              / ((p.ca + 1.0) / (t.na + {b}.0))) AS term
+  FROM pq p JOIN td t ON t.side = p.side AND t.dim = p.dim
+), psi AS (
+  SELECT side, dim,
+         list_sum(list(term ORDER BY bin)) AS s
+  FROM terms GROUP BY side, dim
+)
+SELECT CAST(side AS BIGINT) AS {side_out},
+       CAST(dim AS BIGINT) AS dim,
+       round(s, 6) AS psi,
+       round(s, 6) > {_PSI_ALARM} AS alarm
+FROM psi"""
+
+
+@register(
+    "dq17_embedding_psi",
+    oracle="SELECT dim, psi, alarm FROM ("
+    + _psi_oracle("CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END", "side")
+    + ")",
+    description="EMBEDDING-SPACE DRIFT GATE: per-dimension Population "
+    "Stability Index between the base corpus (vec_id%4!=3 — the "
+    "population every embedding-dependent artifact trained on) and "
+    "the arrived quarter — 16 fixed [-2,2) bins (e2's deterministic "
+    "floor arithmetic), add-1 Laplace smoothing, psi = "
+    "Σ(p-q)·ln(p/q) summed in BIN ORDER on both engines (ordered "
+    "fold / list_sum(list ORDER BY)), industry alarm at 0.25 on the "
+    "6dp value. Complements dq4 (scalar columns) and s19/st20 (cell "
+    "assignment) with the distribution itself. One posexplode pass "
+    "-> (side, dim, bin) partial-agg histogram; all PSI math is "
+    "dimension-bounded; no collects (north-star data-quality "
+    "monitoring)",
+)
+def dq17_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    counts = embedding_bin_counts(
+        e,
+        F.when(F.col("vec_id") % 4 == 3, 1).otherwise(0).cast("int"),
+    )
+    return psi_from_counts(counts).select("dim", "psi", "alarm")
+
+
+@register(
+    "st22_stream_embedding_psi",
+    oracle=_psi_oracle(
+        "CASE WHEN vec_id % 4 = 3 "
+        "THEN CAST((vec_id % 16) // 4 AS INT) + 1 ELSE 0 END",
+        "batch",
+    ),
+    description="EMBEDDING-PSI MONITORING AT INGEST (dq17's streaming "
+    "twin, the st19/st20 pattern applied to distribution drift): "
+    "each arriving micro-batch (s19's quarter in 4 steps) gets "
+    "per-dimension PSI vs the frozen base histogram, batch-LOCALLY — "
+    "per-vector (dim, bin) rows depend only on the fixed bin edges "
+    "and the vector itself (st13 contract: union-of-batches == "
+    "one-shot for any chopping, parity-tested against "
+    "streaming/drift_ingest.py's stream_embedding_bins foreachBatch "
+    "path), and per-batch histograms are additive over those rows. "
+    "Emits (batch, dim, psi, alarm) — 4x64 rows, same ordered-fold "
+    "float discipline as dq17",
+)
+def st22_stream_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    counts = embedding_bin_counts(
+        e,
+        F.expr(
+            "CASE WHEN vec_id % 4 = 3 "
+            "THEN CAST((vec_id % 16) DIV 4 AS INT) + 1 ELSE 0 END"
+        ),
+    )
+    return psi_from_counts(counts).withColumnRenamed("side", "batch").select(
+        "batch", "dim", "psi", "alarm"
+    )

@@ -80,3 +80,42 @@ def stream_cusum(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_embedding_bins(
+    stream_vectors: DataFrame,
+    out_path: str,
+    checkpoint: str,
+):
+    """Embedding-PSI monitoring at ingest (st22's module path — the
+    st19/st20 pattern for distribution drift): each micro-batch of
+    (vec_id, embedding) rows quantizes into the FIXED [-2,2) 16-bin
+    grid and writes its (dim, bin, c) histogram segment
+    (overwrite-on-replay).  Per-vector (dim, bin) rows depend only on
+    the fixed bin edges and the vector itself, and histograms are
+    additive — so re-aggregating the union of per-batch segments
+    equals the one-shot histogram for ANY stream chopping (the
+    parity test asserts it), and psi_from_counts turns accumulated
+    segments into the dq17/st22 gate rows downstream.  Per-batch
+    cost: one posexplode + a (dim, bin)-bounded partial agg (<= 1024
+    rows written per batch); zero corpus re-reads."""
+    import os
+
+    from dww_data_pipeline_spark.plans.corpus_plans import (
+        embedding_bin_counts,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = embedding_bin_counts(
+            batch_df, F.lit(1).cast("int")
+        ).select("dim", "bin", "c")
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    return (
+        stream_vectors.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

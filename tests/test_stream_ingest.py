@@ -908,3 +908,58 @@ class TestStreamPacking:
         }
         assert streamed == expected_closed
         assert streamed  # non-degenerate: bins really closed mid-stream
+
+
+class TestStreamEmbeddingBins:
+    """Embedding-PSI at ingest (streaming/drift_ingest.py's
+    stream_embedding_bins) == the st22 per-vector core: fixed-grid
+    (dim, bin) rows are chop-invariant and histograms are additive,
+    so re-aggregated per-batch segments equal the one-shot counts."""
+
+    def test_multi_microbatch_stream_equals_batch(self, spark, tmp_path):
+        import glob as _glob
+
+        from dww_data_pipeline_spark.plans.corpus_plans import (
+            embedding_bin_counts,
+        )
+        from dww_data_pipeline_spark.streaming.drift_ingest import (
+            stream_embedding_bins,
+        )
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        feed = e.filter(F.col("vec_id") % 4 == 3)
+        one_shot = {
+            (r["dim"], r["bin"]): r["c"]
+            for r in embedding_bin_counts(feed, F.lit(1).cast("int"))
+            .select("dim", "bin", "c")
+            .collect()
+        }
+        assert one_shot
+
+        src = str(tmp_path / "src")
+        for i in range(3):
+            feed.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        sdf = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        out = str(tmp_path / "bins")
+        q = stream_embedding_bins(sdf, out, str(tmp_path / "ckpt"))
+        q.awaitTermination(300)
+
+        batch_dirs = _glob.glob(os.path.join(out, "batch=*"))
+        assert len(batch_dirs) >= 3
+        streamed = {
+            (r["dim"], r["bin"]): r["c"]
+            for r in spark.read.option("basePath", out)
+            .parquet(os.path.join(out, "batch=*"))
+            .groupBy("dim", "bin")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+        assert streamed == one_shot
