@@ -418,6 +418,32 @@ _SHAPE_MEMBERS: dict[str, frozenset[str]] = {
         "w1_jumps", "w8_nested_documents", "o5_first_per_group",
         "a5_density",
     ]),
+    # r12 verdict #1: s4 (bucketed LSH join) was "unclassified" and
+    # normalized by the median drift while sitting in a family whose
+    # drift decouples (shuffle_join has its own panel pair).
+    "shuffle_join": frozenset([
+        "s4_ann_lsh_topk", "s5_ann_multiprobe_topk",
+    ]),
+    # r12 advice: st22 is a batch-registered posexplode+partial-agg
+    # (scan shape), not streaming-sim — the explicit "default" entry
+    # overrides the st-prefix rule in shape_of.
+    "default": frozenset([
+        "st22_stream_embedding_psi", "dq22_embedding_psi",
+    ]),
+}
+
+# r12 advice + verdict #1: merge late classifications into the
+# existing family sets (a dict literal with duplicate keys would
+# silently drop the earlier members — hence this explicit union):
+#  * st20 builds a k-means quantizer store per micro-batch → iterative
+#  * st21 is an Arrow-grouped stateful packing stage → arrow_python
+#  * ev21 is a per-key Holt-Winters recurrence fold → compute_fold
+_SHAPE_MEMBERS["iterative"] = _SHAPE_MEMBERS["iterative"] | {
+    "st20_stream_ann_drift",
+}
+_SHAPE_MEMBERS["arrow_python"] = frozenset({"st21_stream_packing"})
+_SHAPE_MEMBERS["compute_fold"] = _SHAPE_MEMBERS["compute_fold"] | {
+    "ev21_holt_winters",
 }
 
 
@@ -481,11 +507,14 @@ def runs_for(name: str, prev: dict | None, base: int = 3, extra: int = 5) -> int
     normalized between rounds purely from scheduler variance — a
     0.5 s query is mostly JVM job-submission jitter, and min-of-3
     doesn't damp it.  Queries whose PREVIOUS round's recorded raw
-    time was under 1 s run min-of-``extra`` instead of
-    min-of-``base``; the marginal cost is bounded (2 extra runs x
-    <1 s x ~60 queries ≈ +2 min) precisely because the rule only
-    fires on sub-second queries.  Unit-tested in
-    tests/test_bench_math.py."""
+    time was under 3 s run min-of-``extra`` instead of
+    min-of-``base``.  The threshold was 1 s through r12; the r12
+    verdict's two unexplained >2x swings (ev21 0.89→3.04 s, s4
+    0.76→2.51 s, zero code change, on a box with measured
+    multi-second kcompactd stalls) both sat in the 1–3 s tier the
+    sub-second rule didn't protect — so r13 extends it to <3 s
+    (marginal cost ~2 extra runs x ≤3 s x ~80 queries ≈ +8 min,
+    paid once per round).  Unit-tested in tests/test_bench_math.py."""
     if name in _PANEL_QUERIES:
         # calibration panel members always run min-of-5: the whole
         # round's normalization hangs off these eight measurements
@@ -493,7 +522,7 @@ def runs_for(name: str, prev: dict | None, base: int = 3, extra: int = 5) -> int
     if prev is None:
         return base
     t = prev.get("queries", {}).get(name)
-    if t is not None and 0 < t < 1.0:
+    if t is not None and 0 < t < 3.0:
         return extra
     return base
 
@@ -529,6 +558,40 @@ def normalized_ratios(
         )
         for n in timings
         if n in prev.get("queries", {}) and prev["queries"][n] > 0
+    }
+
+
+def box_probe(passes: int = 3) -> dict:
+    """Box-health preflight (r12 verdict #8): time a fixed ~100 ms
+    CPU+memory workload ``passes`` times and report the spread.
+
+    BENCHNOTES.md documents sporadic multi-second kcompactd/khugepaged
+    stalls on this VM (one e9 pass hit 35.1 s on an idle box); a
+    stalled window shows up here as ``spread`` >> 1, so contaminated
+    measurements are flagged AT MEASUREMENT TIME instead of at
+    judging.  Called by main() (recorded under ``box_probe`` in the
+    artifact) and standalone by tools/r13_measure_chain.sh, which
+    retries the chain when the pre-flight spread exceeds its
+    threshold."""
+    import numpy as np
+
+    # single-threaded, memory-bandwidth-bound (copy + reduce): BLAS
+    # matmul was tried first but multithreaded scheduling made the
+    # probe itself noisy (spreads up to 17x on an idle box); a copy
+    # loop is deterministic AND is exactly the access pattern that a
+    # kcompactd/khugepaged compaction stall degrades.
+    a = np.arange(12_000_000, dtype=np.float64)
+    float(a.copy().sum())  # untimed page-fault/allocator warmup
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(4):
+            s += float(a.copy().sum())
+        times.append(round(time.perf_counter() - t0, 4))
+    return {
+        "passes": times,
+        "spread": round(max(times) / max(min(times), 1e-9), 3),
     }
 
 
@@ -574,6 +637,7 @@ def main() -> None:
     # intersection).  Not used by the driver — full runs only.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     run_list = [q for q in HEADLINE + EXTRA if not only or q in only.split(",")]
+    probe_pre = box_probe()
     timings: dict[str, float] = {}
     for name in run_list:
         q = queries[name]
@@ -598,7 +662,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # box-health probes bracketing the run (r12 verdict #8): a
+        # spread >> 1 on either side marks the window stall-contaminated
+        "box_probe": {"pre": probe_pre, "post": box_probe()},
     }
+    if only:
+        # r12 advice: a filtered smoke run writes a PARTIAL headline sum
+        # — mark the artifact so it can never pass as a full recording
+        out["bench_only"] = only
     out["value_headline_b"] = round(
         sum(timings[n] for n in HEADLINE_B if n in timings), 3
     )

@@ -64,14 +64,21 @@ from bench import runs_for  # noqa: E402
 
 
 class TestRunsFor:
-    """Round-10 verdict #8: sub-second queries (per the previous
-    round's artifact) run min-of-5; everything else min-of-3."""
+    """Round-10 verdict #8 (sub-second min-of-5), extended by round-12
+    verdict #1: the whole <3 s tier runs min-of-5 — ev21/s4 swung >2x
+    in r12 from (presumed) single-pass stalls the 1 s threshold
+    didn't cover."""
 
     def test_subsecond_gets_extra_runs(self):
         assert runs_for("q", {"queries": {"q": 0.55}}) == 5
 
-    def test_second_and_above_stay_at_base(self):
-        assert runs_for("q", {"queries": {"q": 1.0}}) == 3
+    def test_one_to_three_second_tier_gets_extra_runs(self):
+        # the r12 ev21/s4 regression tier
+        assert runs_for("q", {"queries": {"q": 1.0}}) == 5
+        assert runs_for("q", {"queries": {"q": 2.51}}) == 5
+
+    def test_three_seconds_and_above_stay_at_base(self):
+        assert runs_for("q", {"queries": {"q": 3.0}}) == 3
         assert runs_for("q", {"queries": {"q": 12.5}}) == 3
 
     def test_no_previous_artifact_or_entry_stays_at_base(self):
@@ -123,6 +130,26 @@ class TestCalibrationPanelV2:
         assert shape_of("merge_something") == "default"
         assert shape_of("star_join") == "default"
         assert shape_of("q3_shipping_priority") == "default"
+
+    def test_r13_explicit_classifications(self):
+        # r12 verdict #1: the two unexplained >2x swings get shapes
+        assert shape_of("ev21_holt_winters") == "compute_fold"
+        assert shape_of("s4_ann_lsh_topk") == "shuffle_join"
+        # r12 advice: batch-registered st queries escape the st-prefix
+        # streaming_sim rule (st1's 0.308 divisor would inflate ~3x)
+        assert shape_of("st20_stream_ann_drift") == "iterative"
+        assert shape_of("st21_stream_packing") == "arrow_python"
+        assert shape_of("st22_stream_embedding_psi") == "default"
+        # the late-merge union must not have dropped earlier members
+        assert shape_of("d6_dup_components") == "iterative"
+        assert shape_of("t33_bpe_train") == "compute_fold"
+
+    def test_box_probe_shape(self):
+        from bench import box_probe
+
+        p = box_probe(passes=2)
+        assert len(p["passes"]) == 2
+        assert p["spread"] >= 1.0
 
     def test_shape_drifts_geomean_and_missing_members(self):
         timings = {"j1_star_join": 4.0, "d2_minhash_lsh_pairs": 0.0,
