@@ -264,7 +264,7 @@ EXTRA = [
     "s25_clustered_recall_gate",       # clustered-corpus recall proof
     "t40_sequence_packing",            # greedy context-window packing
     "st21_stream_packing",             # stateful packing at ingest
-    "dq17_embedding_psi",              # embedding-distribution drift gate
+    "dq22_embedding_psi",              # embedding-distribution drift gate (r12: dq17_embedding_psi)
     "st22_stream_embedding_psi",       # per-batch PSI monitor
 ]
 

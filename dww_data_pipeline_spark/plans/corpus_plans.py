@@ -449,7 +449,7 @@ def e6_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# dq17_embedding_psi — POPULATION STABILITY INDEX over embedding
+# dq22_embedding_psi — POPULATION STABILITY INDEX over embedding
 # space: the production drift gate between an embedding-dependent
 # artifact (ANN index, semantic-dedup clusters, quality classifier)
 # and the corpus it was built on.  dq4 monitors a scalar column's
@@ -497,7 +497,7 @@ _PSI_BIN_SQL = (
 
 def embedding_bin_counts(e: DataFrame, side_col) -> DataFrame:
     """(side, dim, bin, c) histogram of the quantized embedding table
-    — the shared core of dq17, st22, and the streaming monitor
+    — the shared core of dq22, st22, and the streaming monitor
     (streaming/drift_ingest.py stream_embedding_bins).  ``side_col``
     labels each vector's population (0 = base, 1+ = arrival group)."""
     flat = e.select(
@@ -574,7 +574,7 @@ def psi_from_counts(
 
 
 def _psi_oracle(side_sql: str, side_out: str) -> str:
-    """Shared dq17/st22 oracle body: ``side_sql`` labels each vector
+    """Shared dq22/st22 oracle body: ``side_sql`` labels each vector
     (0 = base, >=1 = arrival group); emits ({side_out}, dim, psi,
     alarm) for every side >= 1."""
     v = _PSI_BIN_SQL.format(v="val")
@@ -622,11 +622,13 @@ FROM psi"""
 
 
 @register(
-    "dq17_embedding_psi",
+    "dq22_embedding_psi",
     oracle="SELECT dim, psi, alarm FROM ("
     + _psi_oracle("CASE WHEN vec_id % 4 = 3 THEN 1 ELSE 0 END", "side")
     + ")",
-    description="EMBEDDING-SPACE DRIFT GATE: per-dimension Population "
+    description="EMBEDDING-SPACE DRIFT GATE (registered r12 as "
+    "dq17_embedding_psi; renamed r13 per advice — dq17 belongs to "
+    "dq17_pk_uniqueness): per-dimension Population "
     "Stability Index between the base corpus (vec_id%4!=3 — the "
     "population every embedding-dependent artifact trained on) and "
     "the arrived quarter — 16 fixed [-2,2) bins (e2's deterministic "
@@ -639,7 +641,7 @@ FROM psi"""
     "dimension-bounded; no collects (north-star data-quality "
     "monitoring)",
 )
-def dq17_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq22_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     counts = embedding_bin_counts(
         e,
@@ -655,7 +657,7 @@ def dq17_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THEN CAST((vec_id % 16) // 4 AS INT) + 1 ELSE 0 END",
         "batch",
     ),
-    description="EMBEDDING-PSI MONITORING AT INGEST (dq17's streaming "
+    description="EMBEDDING-PSI MONITORING AT INGEST (dq22's streaming "
     "twin, the st19/st20 pattern applied to distribution drift): "
     "each arriving micro-batch (s19's quarter in 4 steps) gets "
     "per-dimension PSI vs the frozen base histogram, batch-LOCALLY — "
@@ -665,7 +667,7 @@ def dq17_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming/drift_ingest.py's stream_embedding_bins foreachBatch "
     "path), and per-batch histograms are additive over those rows. "
     "Emits (batch, dim, psi, alarm) — 4x64 rows, same ordered-fold "
-    "float discipline as dq17",
+    "float discipline as dq22",
 )
 def st22_stream_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")

@@ -96,7 +96,7 @@ def stream_embedding_bins(
     additive — so re-aggregating the union of per-batch segments
     equals the one-shot histogram for ANY stream chopping (the
     parity test asserts it), and psi_from_counts turns accumulated
-    segments into the dq17/st22 gate rows downstream.  Per-batch
+    segments into the dq22/st22 gate rows downstream.  Per-batch
     cost: one posexplode + a (dim, bin)-bounded partial agg (<= 1024
     rows written per batch); zero corpus re-reads."""
     import os
