@@ -3495,6 +3495,12 @@ def s24_graph_ann_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs (max > 2*min) drop pre-shuffle, and the positional filter "
     "prunes pairs whose best-possible overlap min(i,j)+min(na-i,nb-j) "
     "(minimized over shared prefix tokens) misses ceil((na+nb)/3). "
+    "r13 adds the suffix filter (§3.3) in set-oriented form: the "
+    "partition-min overlap bound Σ min(|A_p|,|B_p|) over K=64 hash "
+    "partitions, precomputed per doc as a 64-int histogram — lossless "
+    "pruning of ~99.9% of surviving candidates BEFORE the verify's "
+    "array joins (the per-pair probe recursion would be row-at-a-time "
+    "Python; one hash partition applies the same lemma vectorized). "
     "Sizes ride the candidate aggregate, so the exact verify "
     "(3|A∩B| >= |A|+|B|, d18's integer identity) needs no join back "
     "to a per-doc table — no unbounded broadcast at 100 TB. Result == "
@@ -3579,6 +3585,69 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
         .filter(3 * F.col("_min_ub") >= F.col("na") + F.col("nb"))
         .select("id_a", "id_b", "na", "nb")
     )
+    # Suffix filter (round-13; PPJoin+, Xiao et al. WWW'08 §3.3), set-
+    # oriented form.  After the positional filter, 99.92% of the 19.7 M
+    # candidates at 64x data are still false positives and the exact
+    # verify below was 89% of the operator's wall (338 of ~379 s,
+    # SCALE_r12.json d28_stages) — almost all of it the shuffle of
+    # full ~5 KB shingle-string arrays through two pair-keyed merge
+    # joins.  The published suffix filter bounds a pair's overlap by
+    # partitioning the token order and summing per-partition count
+    # minima (|A∩B| = Σ_p |A_p ∩ B_p| <= Σ_p min(|A_p|,|B_p|)), probing
+    # recursively per pair.  The per-pair recursion is row-at-a-time
+    # logic (this repo's plan audit bans it, and 19.7 M Python
+    # recursions would cost more than the verify it replaces) — so the
+    # same lemma is applied ONCE, vectorized: partition the shingle
+    # space by hash into K=64 fixed buckets, precompute each doc's
+    # 64-int bucket-count histogram in one map-side-combinable pass,
+    # and prune any pair whose Σ min(ha_i, hb_i) cannot reach the
+    # ceil((na+nb)/3) overlap that jac >= 1/2 demands.  Lossless by
+    # the same argument as the published filter (every shared shingle
+    # lands in the same bucket on both sides); survivors are
+    # bit-identical.  The histograms are ~18x smaller than the string
+    # arrays (64 ints vs ~50-100 x ~17-char strings), so the two
+    # pair-keyed joins that carry them shuffle ~18x fewer bytes, and
+    # the expensive array joins below run only on the filter's
+    # survivors.  For this corpus (n_distinct-shingles <= ~100,
+    # E[bound] for an unrelated pair ~ n - 0.4*sqrt(2nK) << n*2/3)
+    # the bound prunes nearly every false positive.
+    _K = 64
+    _b = F.pmod(F.xxhash64("s"), F.lit(_K))
+    hists = (
+        sh.withColumn("_b", _b)
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col("_b") == i, F.lit(1)).otherwise(F.lit(0))
+                    ).cast("int")
+                    for i in range(_K)
+                ]
+            ).alias("hist")
+        )
+    )
+    _bound = F.aggregate(
+        F.zip_with("_ha", "_hb", lambda x, y: F.least(x, y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        cand.join(
+            hists.select(
+                F.col("doc_id").alias("id_a"), F.col("hist").alias("_ha")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            hists.select(
+                F.col("doc_id").alias("id_b"), F.col("hist").alias("_hb")
+            ).hint("merge"),
+            "id_b",
+        )
+        .filter(3 * _bound >= F.col("na") + F.col("nb"))
+        .select("id_a", "id_b", "na", "nb")
+    )
     # Verify via array_intersect over per-doc sorted shingle ARRAYS
     # (round-12): the exploded two-join verify — cand ⋈ A-shingles ⋈
     # B-shingles, a Σ-candidate-shingles-row intermediate re-shuffled
@@ -3589,9 +3658,11 @@ def ppjoin_exact(d: DataFrame, k: int = 3) -> DataFrame:
     # re-shuffle, and the groupBy with two pair-keyed merge joins and
     # a per-row O(na+nb) intersect: measured 2.7-3.9x faster
     # (16x: 53.5 -> 13.7 s; 64x: 927 -> 338 s), bit-identical
-    # survivors.  The array rows are doc-length-bounded; the merge
-    # hints keep both joins sort-merge (the corpus-scale broadcast
-    # ban above).
+    # survivors.  Since round 13 these joins see only the suffix
+    # filter's survivors (~0.1% of candidates), so the array shuffle
+    # is survivor-sized, not candidate-sized.  The array rows are
+    # doc-length-bounded; the merge hints keep both joins sort-merge
+    # (the corpus-scale broadcast ban above).
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("sha")
     )
