@@ -262,6 +262,7 @@ EXTRA = [
     "s24_graph_ann_refined",           # walk served from the refined graph
     "st20_stream_ann_drift",           # ANN-staleness monitor at ingest
     "s25_clustered_recall_gate",       # clustered-corpus recall proof
+    "s26_serving_clustered_recall",    # serving-scale clustered recall gate (r13)
     "t40_sequence_packing",            # greedy context-window packing
     "st21_stream_packing",             # stateful packing at ingest
     "dq22_embedding_psi",              # embedding-distribution drift gate (r12: dq17_embedding_psi)

@@ -3184,20 +3184,14 @@ def nn_descent_edges(
     return out
 
 
-def _s23_oracle() -> str:
+def _s23_construction() -> str:
+    """The NN-Descent construction CTE chain (``nn`` through
+    ``r{_S23_ROUNDS}``) over an ``e(vec_id, v, bucket)`` CTE the
+    caller supplies — shared verbatim by s23 (summaries), s24 (walk
+    over the refined graph), and s26 (walk over the refined graph ∪
+    scaffold on the clustered corpus)."""
     strides = ", ".join(str(s) for s in _S23_STRIDES)
-    h = (
-        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '|' || "
-        "CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)"
-    )
     stages = []
-    summaries = [
-        f"""SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_edges,
-       CAST(SUM(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT)
-         AS sum_cos_micro,
-       CAST(SUM({h}) AS BIGINT) AS edge_hash
-FROM r0"""
-    ]
     for r in range(1, _S23_ROUNDS + 1):
         stages.append(f"""
 gen{r} AS (
@@ -3224,17 +3218,7 @@ gen{r} AS (
     JOIN e b ON b.vec_id = c.dst
   ) WHERE rn <= {_S23_K}
 )""")
-        summaries.append(
-            f"""SELECT {r}, CAST(COUNT(*) AS BIGINT),
-       CAST(SUM(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT),
-       CAST(SUM({h}) AS BIGINT)
-FROM r{r}"""
-        )
-    return f"""
-WITH e AS (
-  SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
-  FROM embeddings
-), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    return f"""nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
 eg AS (
   SELECT a.vec_id AS src, b.vec_id AS dst, round({_SQL_COS}, 6) AS cos
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
@@ -3261,7 +3245,33 @@ eg AS (
     JOIN e a ON a.vec_id = c.src
     JOIN e b ON b.vec_id = c.dst
   ) WHERE rn <= {_S23_K}
-),{",".join(stages)}
+),{",".join(stages)}"""
+
+
+def _s23_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '|' || "
+        "CAST(dst AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    summaries = [
+        f"""SELECT 0 AS round, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cos_micro,
+       CAST(SUM({h}) AS BIGINT) AS edge_hash
+FROM r0"""
+    ]
+    for r in range(1, _S23_ROUNDS + 1):
+        summaries.append(
+            f"""SELECT {r}, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT),
+       CAST(SUM({h}) AS BIGINT)
+FROM r{r}"""
+        )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {_sql_lsh_bucket()} AS bucket
+  FROM embeddings
+), {_s23_construction()}
 SELECT * FROM ({" UNION ALL ".join(summaries)})
 """
 
@@ -4051,6 +4061,221 @@ def s25_clustered_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_hits",
             F.round(
                 F.col("total_hits").cast(dbl) / F.lit(float(nq_k)), 6
+            ).alias("recall_overall"),
+            (F.lit(5) * F.col("total_hits") >= F.lit(4 * nq_k)).alias(
+                "gate_pass"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s26 — SERVING-SCALE CLUSTERED RECALL GATE (round-13; the r12
+# verdict's "the paradigm is proven; the shipped index is not").  s25
+# gated the graph-ANN paradigm on a <= 2048-vector PROBE; s26 gates
+# the index you'd actually ship: the FULL-fixture clustered corpus
+# (same deterministic derivation, no probe sampling), built by the
+# PRODUCTION construction path (s23's capped NN-Descent), served by
+# the s21 walk contract.
+#
+# Measured first (tools/s26_proto.py, sf0.01 n=500 / sf0.1 n=2000):
+#   * s24 as-is (refined round-2 graph, 3-round walk):  recall 0.33 —
+#     NN-Descent's top-k pruning deletes the cross-cluster edges, so
+#     the served graph is cluster-disconnected at full fixture exactly
+#     as s25 measured on the probe.
+#   * s22 as-is (hierarchical descent, raw bucket-kNN both layers):
+#     recall 0.33 — the coarse layer inherits the same disconnection.
+#   * refined graph ∪ ring scaffold, 4-round walk: recall 0.93 / 1.00
+#     — the deterministic analogue of NSW/HNSW RETAINING the long
+#     links construction created (Malkov's select-diverse heuristic
+#     exists precisely because pure top-k-by-distance pruning
+#     disconnects separated clusters).
+#   * a per-bucket rank-window bounded init (candidates <= 2W):
+#     recall 0.60 / 0.27 — id-locality init destroys the in-cluster
+#     LONG edges the greedy ascent needs (the s25 id-blocking lesson,
+#     reconfirmed through the full descent pipeline).
+# So the REGISTERED serving index is refined ∪ scaffold — a zero-cost
+# union at build time (the scaffold already exists as the descent
+# init), and the piece whose absence is invisible on uniform-random
+# corpora but fatal on clustered ones.
+#
+# Scale shape: construction is s23's production build (capped descent
+# rounds are O(N·k²); the bucket-kNN INIT is per-bucket brute force,
+# and on a clustered corpus LSH buckets align with clusters, so the
+# init is the measured Σ bucket² hotspot — quadratic in cluster size;
+# SCALE.md r13 records the 1x/16x serving table and names the
+# published mitigation, incremental/partitioned insertion, as the
+# build-side frontier).  The walk is O(rounds x beam x degree) per
+# query; the exact-truth leg is |Q| x N (linear, 3 queries).
+# ---------------------------------------------------------------------------
+
+_S26_QIDS = (0, 1, 2)
+_S26_ROUNDS = 4  # s25's pinned log-N margin over _S21_ROUNDS
+
+
+def _s26_oracle() -> str:
+    nq_k = len(_S26_QIDS) * _S21_K
+    qids = ", ".join(str(q) for q in _S26_QIDS)
+    rounds = []
+    prev = "b0"
+    for r in range(1, _S26_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (
+  SELECT query_id, vec_id FROM {prev}
+  UNION
+  SELECT b.query_id, ed.dst AS vec_id
+  FROM {prev} b JOIN serve ed ON ed.src = b.vec_id
+), s{r} AS (
+  SELECT c.query_id, c.vec_id, round({_SQL_COS_Q}, 6) AS cos,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({_SQL_COS_Q}, 6) DESC, c.vec_id) AS rn
+  FROM c{r} c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN q b ON b.query_id = c.query_id
+), b{r} AS (
+  SELECT query_id, vec_id FROM s{r} WHERE rn <= {_S21_BEAM}
+)""")
+        prev = f"b{r}"
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(0, 63), d ->
+           CAST(({_s25_cent_duck()}) + ({_S25_JIT}) AS DOUBLE)) AS v
+  FROM embeddings
+), e AS MATERIALIZED (
+  SELECT vec_id, v, {_sql_lsh_bucket("v")} AS bucket FROM ev
+), {_s23_construction()},
+serve AS (
+  SELECT src, dst FROM r{_S23_ROUNDS}
+  UNION
+  SELECT src, dst FROM ring_ok
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qids})
+), b0 AS (
+  SELECT q.query_id, (SELECT MIN(vec_id) FROM e) AS vec_id FROM q
+),{",".join(rounds)},
+wtop AS (
+  SELECT query_id, vec_id FROM s{_S26_ROUNDS} WHERE rn <= {_S21_K}
+), ex AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT b.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY b.query_id
+             ORDER BY round({_SQL_COS_Q}, 6) DESC, a.vec_id) AS rn
+    FROM e a CROSS JOIN q b
+  ) WHERE rn <= {_S21_K}
+), hits AS (
+  SELECT t.query_id, CAST(COUNT(w.vec_id) AS BIGINT) AS hits_at_k
+  FROM ex t LEFT JOIN wtop w
+    ON w.query_id = t.query_id AND w.vec_id = t.vec_id
+  GROUP BY t.query_id
+), total AS (
+  SELECT CAST(SUM(hits_at_k) AS BIGINT) AS total_hits FROM hits
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id,
+       h.hits_at_k,
+       round(CAST(h.hits_at_k AS DOUBLE) / {_S21_K}, 6) AS recall_at_k,
+       t.total_hits,
+       round(CAST(t.total_hits AS DOUBLE) / {nq_k}, 6) AS recall_overall,
+       5 * t.total_hits >= 4 * {nq_k} AS gate_pass
+FROM hits h CROSS JOIN total t"""
+
+
+@register(
+    "s26_serving_clustered_recall",
+    oracle=_s26_oracle(),
+    description="SERVING-SCALE CLUSTERED RECALL GATE (r12 verdict #4 "
+    "— 's25 proves the paradigm; the shipped index is unproven'): the "
+    "FULL-fixture deterministic clustered corpus (s25's derivation, "
+    "NO probe sampling) is built by the PRODUCTION path — s23's "
+    "capped NN-Descent — and served by the s21 walk (MIN entry, beam "
+    "8, top-5, 4 rounds). Measured (tools/s26_proto.py): the s24/s22 "
+    "paths as shipped score recall 0.33 at full fixture (top-k "
+    "pruning deletes cross-cluster edges — cluster-disconnected, the "
+    "published HNSW separated-cluster failure mode), so the "
+    "registered serving index is refined-graph ∪ ring scaffold (the "
+    "deterministic analogue of NSW/HNSW retaining construction-time "
+    "long links; Malkov's diverse-edge heuristic exists for exactly "
+    "this) — recall 0.93/1.00, gated >= 0.8 by integer "
+    "cross-multiply. Exact truth = |Q| x N linear probe; build = "
+    "production descent (bucket-kNN init is the Σ bucket² hotspot on "
+    "cluster-aligned buckets — SCALE.md r13 serving table measures "
+    "it at 1x/16x and names incremental insertion as the build-side "
+    "frontier). Oracle chains the clustered derivation into s23's "
+    "construction CTEs into the 4-round walk + gate "
+    "(north-star similarity search)",
+)
+def s26_serving_clustered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ec = clustered_corpus(spark, sf_dir).withColumn(
+        "bucket", _spark_lsh_bucket("embedding")
+    )
+    n = ec.count()  # bounded collect: one long (the ring modulus)
+    refined = nn_descent_edges(ec)[-1][1].select("src", "dst")
+    vecs = ec.select("vec_id", "embedding")
+    ring = (
+        vecs.select(
+            F.col("vec_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("vec_id") + s) % n for s in _S23_STRIDES])
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .join(vecs.select(F.col("vec_id").alias("dst")), "dst")
+        .select("src", "dst")
+    )
+    serve = refined.union(ring).distinct().localCheckpoint()
+    walk = graph_ann_walk(ec, serve, _S26_QIDS, rounds=_S26_ROUNDS).select(
+        "query_id", "vec_id"
+    )
+
+    q = ec.filter(F.col("vec_id").isin(*_S26_QIDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    ex = (
+        ec.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_spark_cos(F.col("embedding"), F.col("qv")), 6).alias(
+                "cos"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _S21_K)
+        .select("query_id", "vec_id")
+    )
+    # left join from the truth grid so a zero-hit query still emits
+    hits = (
+        q.select("query_id")
+        .join(
+            ex.join(walk, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits_at_k"),
+        )
+    )
+    nq_k = len(_S26_QIDS) * _S21_K
+    total = hits.agg(F.sum("hits_at_k").cast("long").alias("total_hits"))
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "hits_at_k",
+            F.round(
+                F.col("hits_at_k").cast("double") / F.lit(float(_S21_K)), 6
+            ).alias("recall_at_k"),
+            "total_hits",
+            F.round(
+                F.col("total_hits").cast("double") / F.lit(float(nq_k)), 6
             ).alias("recall_overall"),
             (F.lit(5) * F.col("total_hits") >= F.lit(4 * nq_k)).alias(
                 "gate_pass"

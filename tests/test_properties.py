@@ -2060,3 +2060,69 @@ class TestT40SequencePacking:
         for shard, rs in by_shard.items():
             bins = sorted(r["bin_id"] for r in rs)
             assert bins == list(range(1, len(bins) + 1))
+
+
+# s26 — SERVING-scale clustered recall: the shipped index (refined ∪
+# scaffold) passes the gate at full fixture, and the as-shipped s24
+# graph alone does NOT (the measured disconnection s26 exists to fix).
+
+
+class TestS26ServingClusteredRecall:
+    def test_gate_passes_at_full_fixture(self, spark):
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            s26_serving_clustered_recall,
+        )
+
+        rows = s26_serving_clustered_recall(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(rows) == 3
+        assert all(r["gate_pass"] for r in rows)
+        assert all(r["recall_overall"] >= 0.8 for r in rows)
+
+    def test_refined_graph_alone_fails_the_gate(self, spark):
+        """Negative control (tools/s26_proto.py variant A): the
+        NN-Descent round-2 graph WITHOUT the scaffold union is
+        cluster-disconnected on the clustered corpus — the 4-round
+        walk recovers only the entry vertex's cluster, recall well
+        under the 0.8 floor.  This is the measured fact that makes
+        the scaffold union a required part of the serving index."""
+        from pyspark.sql import Window
+
+        from dww_data_pipeline_spark.plans.dedup_plans import (
+            _S26_QIDS,
+            _S26_ROUNDS,
+            _spark_cos,
+            _spark_lsh_bucket,
+            clustered_corpus,
+            graph_ann_walk,
+            nn_descent_edges,
+        )
+
+        ec = clustered_corpus(spark, "/root/testdata/sf0.001").withColumn(
+            "bucket", _spark_lsh_bucket("embedding")
+        )
+        refined = nn_descent_edges(ec)[-1][1].select("src", "dst")
+        walk = graph_ann_walk(
+            ec, refined, _S26_QIDS, rounds=_S26_ROUNDS
+        ).select("query_id", "vec_id")
+        q = ec.filter(F.col("vec_id").isin(*_S26_QIDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+        truth = (
+            ec.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    _spark_cos(F.col("embedding"), F.col("qv")), 6
+                ).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "vec_id")
+        )
+        hits = truth.join(walk, ["query_id", "vec_id"], "left_semi").count()
+        assert hits < 0.8 * 15, f"expected disconnection, got {hits}/15"
