@@ -266,6 +266,7 @@ EXTRA = [
     "t40_sequence_packing",            # greedy context-window packing
     "st21_stream_packing",             # stateful packing at ingest
     "dq22_embedding_psi",              # embedding-distribution drift gate (r12: dq17_embedding_psi)
+    "dq17_embedding_psi",              # r12-declared alias of dq22 (kept: bench names are never removed)
     "st22_stream_embedding_psi",       # per-batch PSI monitor
 ]
 
@@ -430,6 +431,7 @@ _SHAPE_MEMBERS: dict[str, frozenset[str]] = {
     # overrides the st-prefix rule in shape_of.
     "default": frozenset([
         "st22_stream_embedding_psi", "dq22_embedding_psi",
+        "dq17_embedding_psi",
     ]),
 }
 

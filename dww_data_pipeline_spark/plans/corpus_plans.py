@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.plans.registry import REGISTRY, register
 from dww_data_pipeline_spark.sources.catalog import load_table
 
 from dww_data_pipeline_spark.plans.text_exprs import (
@@ -648,6 +648,21 @@ def dq22_embedding_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 4 == 3, 1).otherwise(0).cast("int"),
     )
     return psi_from_counts(counts).select("dim", "psi", "alarm")
+
+
+# The query shipped in round 12 under the name below (proven in
+# CORRECTNESS_r12 / timed in BENCH_LOCAL_r12); the rename to dq22 freed
+# the dq17 index for dq17_pk_uniqueness.  The old name stays registered
+# as an alias — same builder, same oracle — so the r12-declared surface
+# never loses a name (driver contract: declared queries may be added,
+# never removed).
+register(
+    "dq17_embedding_psi",
+    oracle=REGISTRY["dq22_embedding_psi"].oracle,
+    description="Alias of dq22_embedding_psi (the name this query was "
+    "registered and proven under in round 12); see dq22 for the full "
+    "description.",
+)(dq22_embedding_psi)
 
 
 @register(
