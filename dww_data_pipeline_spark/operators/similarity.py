@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.functions.vectors import cosine
 
 
@@ -391,7 +393,7 @@ def brute_force_topk_arrow(
     qrows = queries.select(query_id, vec_col).collect()  # bounded: the query set
     if not qrows:
         return _topk(
-            corpus.sparkSession.createDataFrame([], schema), query_id, id_col, k
+            local_rows_df(corpus.sparkSession, [], schema), query_id, id_col, k
         )
     qids = [r[query_id] for r in qrows]
     dims = [len(r[vec_col]) for r in qrows if r[vec_col] is not None]

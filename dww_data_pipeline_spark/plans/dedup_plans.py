@@ -2880,7 +2880,11 @@ def graph_ann_walk(
             .withColumn("rn", F.row_number().over(w))
         )
         if rnd < rounds - 1:
-            # bounded eager materialization: <= |q| x beam rows
+            # bounded EAGER materialization: <= |q| x beam rows.  The
+            # beam is referenced twice in the next round (neighbor
+            # broadcast + candidate union) — r13 measured the lazy
+            # form re-computing it per reference inside the round job
+            # (+0.3-0.6 s on s22/s24/s25/s26), so eager stays.
             beam = (
                 scored.filter(F.col("rn") <= beam_width)
                 .select("query_id", "vec_id")
@@ -3159,7 +3163,11 @@ def nn_descent_edges(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("src", "dst", "cos")
-            .localCheckpoint()  # per-round lineage control
+            # per-round lineage control, EAGER: the edge frame is
+            # referenced 4x in the next round (reverse window, the
+            # gen union, both sides of the two-hop self-join) — r13
+            # measured the lazy form duplicating that compute
+            .localCheckpoint()
         )
 
     out = [(0, topk(init))]
@@ -4008,6 +4016,12 @@ def s25_clustered_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
             (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("long"),
         )
+        # materialize the probe sample ONCE (r13): the scaffold, every
+        # walk round, and the exact-truth leg all consume it — without
+        # this the derived-corpus arithmetic and the rank window
+        # re-execute per consumer (lazy: the count below is the full
+        # pass that lands it in the cache)
+        .localCheckpoint(eager=False)
     )
     n = ec.count()  # bounded: probe-sample size (the ring modulus)
     edges = scaffolded_edges(ec, n, rank_col="rnk")
@@ -4209,8 +4223,15 @@ def s26_serving_clustered_recall(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    ec = clustered_corpus(spark, sf_dir).withColumn(
-        "bucket", _spark_lsh_bucket("embedding")
+    ec = (
+        clustered_corpus(spark, sf_dir)
+        .withColumn("bucket", _spark_lsh_bucket("embedding"))
+        # materialize the derived corpus ONCE (r13): the NN-Descent
+        # build, the ring scaffold, every walk round, and the
+        # exact-truth leg all consume it — per-consumer recomputation
+        # re-runs the 64-dim centroid+jitter arithmetic over the whole
+        # corpus each time (lazy: the count below lands it in cache)
+        .localCheckpoint(eager=False)
     )
     n = ec.count()  # bounded collect: one long (the ring modulus)
     refined = nn_descent_edges(ec)[-1][1].select("src", "dst")

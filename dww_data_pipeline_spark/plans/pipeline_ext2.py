@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.plans.registry import register
 from dww_data_pipeline_spark.plans.text_exprs import SQL_TOKS, spark_tokens
 from dww_data_pipeline_spark.sources.catalog import load_table
@@ -2705,7 +2707,7 @@ def d18_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(3 * F.col("ni") >= F.col("na") + F.col("nb"))
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     hit = truth.join(cand, ["id_a", "id_b"])
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
@@ -2811,8 +2813,8 @@ def s12_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = t18_bm25_retrieval(spark, sf_dir)
     vec = s1_ann_brute_force_topk(spark, sf_dir)
-    qmap = spark.createDataFrame(
-        list(_RRF_QUERIES), "query_id long, term string"
+    qmap = local_rows_df(
+        spark, list(_RRF_QUERIES), "query_id long, term string"
     )
     contrib = (
         qmap.join(lex, "term")
@@ -2938,7 +2940,7 @@ def dq16_schema_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _SCHEMA_TABLES:
         for i, c in enumerate(load_table(spark, sf_dir, t).columns, 1):
             rows.append((t, c, i))
-    return spark.createDataFrame(rows, "tbl string, col string, pos long")
+    return local_rows_df(spark, rows, "tbl string, col string, pos long")
 
 
 # ---------------------------------------------------------------------------
@@ -3258,8 +3260,8 @@ def t33_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (it + 1, p.strip(), m.strip(), n)
         for it, (p, m, n) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "step long, pair string, merged string, n long"
+    return local_rows_df(
+        spark, rows, "step long, pair string, merged string, n long"
     )
 
 
@@ -3339,8 +3341,8 @@ def t35_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, r["tok"], r["n"], r["seg"], r["n_sym"])
         for i, r in enumerate(rows)
     ]
-    return spark.createDataFrame(
-        out, "rank long, tok string, n long, seg string, n_sym long"
+    return local_rows_df(
+        spark, out, "rank long, tok string, n long, seg string, n_sym long"
     )
 
 
@@ -3507,7 +3509,7 @@ def t36_tokenizer_artifact_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         ("reencode_hash", int(re_hash)),
         ("segmentation_hash", int(agg["segmentation_hash"])),
     ]
-    return spark.createDataFrame(rows, "check_name string, value long")
+    return local_rows_df(spark, rows, "check_name string, value long")
 
 
 # ---------------------------------------------------------------------------
@@ -3944,7 +3946,7 @@ def c6_tokenizer_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("retrain", int(res["retrain"])),
         ("swapped", int(res["swapped"])),
     ]
-    return spark.createDataFrame(rows, "check_name string, value long")
+    return local_rows_df(spark, rows, "check_name string, value long")
 
 
 # ---------------------------------------------------------------------------
@@ -4143,7 +4145,7 @@ def st19_stream_tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the temp store is deleted: 4 bounded rows
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(store, ignore_errors=True)
 
@@ -4185,47 +4187,74 @@ def bpe_train_segmentation_df(
         )
         .persist()
     )
+    from dww_data_pipeline_spark.session import bounded_loop_shuffle
+
     try:
-        words.count()  # materialize the histogram once
+        n_vocab = words.count()  # materialize the histogram once
         seg = words
         merges: list[tuple[str, str, int]] = []
-        for it in range(1, n_merges + 1):
-            syms = "split(trim(seg), ' ')"
-            pairs = (
-                seg.filter(F.expr(f"size({syms}) >= 2"))
-                .select(
+        # the whole loop is vocabulary-bounded: size its shuffles from
+        # the measured histogram, not the corpus-level default (r13;
+        # see session.bounded_loop_shuffle — restores on exit), and
+        # collapse the cached histogram to the same width so every
+        # fold/pair-count map side launches that many tasks instead of
+        # the corpus-level scan width (narrow coalesce, no shuffle —
+        # a no-op when the measured width meets or exceeds it)
+        with bounded_loop_shuffle(d.sparkSession, n_vocab) as parts:
+            seg = seg.coalesce(parts)
+            for it in range(1, n_merges + 1):
+                syms = "split(trim(seg), ' ')"
+                pairs = (
+                    seg.filter(F.expr(f"size({syms}) >= 2"))
+                    .select(
+                        "n",
+                        F.explode(
+                            F.expr(
+                                f"transform(sequence(1, size({syms}) - 1), "
+                                f"i -> concat(' ', element_at({syms}, i), ' ', "
+                                f"element_at({syms}, i + 1), ' '))"
+                            )
+                        ).alias("pair"),
+                    )
+                    .groupBy("pair")
+                    .agg(F.sum("n").alias("n"))
+                )
+                best = (
+                    pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+                )
+                if not best:
+                    raise ValueError(
+                        f"t33: vocabulary exhausted after {it - 1} merges "
+                        f"(need {n_merges}) — corpus too small"
+                    )
+                pair, n = best[0]["pair"], int(best[0]["n"])
+                merged = " " + pair.strip().replace(" ", "") + " "
+                merges.append((pair, merged, n))
+                la, rb = pair.strip().split(" ")
+                # localCheckpoint keeps plan depth at one fold per job
+                # on the vocabulary-bounded histogram (16 nested folds
+                # would re-evaluate the chain under every iteration's
+                # pair-count consumer).  LAZY (eager=False, r13): the
+                # next iteration's argmax aggregates over EVERY
+                # partition of this frame — its single consumer — so it
+                # materializes the checkpoint inside that job; the
+                # eager form paid one extra driver round-trip per merge
+                # (2 jobs/iteration -> 1), and the final segmentation
+                # materializes in its consumer (t33 never consumes it).
+                # The fold is guarded by sentinel-substring
+                # containment: a segmentation without " la rb " folds
+                # to itself, so the guard skips rebuilding unchanged
+                # rows — an exact identity, not an approximation.
+                seg = seg.select(
+                    "tok",
                     "n",
-                    F.explode(
-                        F.expr(
-                            f"transform(sequence(1, size({syms}) - 1), "
-                            f"i -> concat(' ', element_at({syms}, i), ' ', "
-                            f"element_at({syms}, i + 1), ' '))"
-                        )
-                    ).alias("pair"),
-                )
-                .groupBy("pair")
-                .agg(F.sum("n").alias("n"))
-            )
-            best = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
-            if not best:
-                raise ValueError(
-                    f"t33: vocabulary exhausted after {it - 1} merges "
-                    f"(need {n_merges}) — corpus too small"
-                )
-            pair, n = best[0]["pair"], int(best[0]["n"])
-            merged = " " + pair.strip().replace(" ", "") + " "
-            merges.append((pair, merged, n))
-            la, rb = pair.strip().split(" ")
-            # localCheckpoint keeps plan depth at one fold per job on
-            # the vocabulary-bounded histogram (16 nested folds would
-            # defeat codegen and re-evaluate the chain every iteration)
-            seg = seg.select(
-                "tok",
-                "n",
-                _bpe_apply_merge(
-                    F.col("seg"), la, rb, merged.strip()
-                ).alias("seg"),
-            ).localCheckpoint()
+                    F.when(
+                        F.col("seg").contains(F.lit(pair)),
+                        _bpe_apply_merge(F.col("seg"), la, rb, merged.strip()),
+                    )
+                    .otherwise(F.col("seg"))
+                    .alias("seg"),
+                ).localCheckpoint(eager=False)
         return merges, seg
     finally:
         words.unpersist(blocking=False)

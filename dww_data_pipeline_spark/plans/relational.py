@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.plans.registry import register
 from dww_data_pipeline_spark.sources.catalog import load_table
 
@@ -386,8 +388,10 @@ def a4_earliest_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a9_blacklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    terms = spark.createDataFrame(
-        [("spark",), ("join",), ("window",), ("stream",), ("vector",)], ["term"]
+    terms = local_rows_df(
+        spark,
+        [("spark",), ("join",), ("window",), ("stream",), ("vector",)],
+        "term string",
     )
     return (
         d.crossJoin(F.broadcast(terms))

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.plans.registry import register
 from dww_data_pipeline_spark.sources.catalog import load_table
 
@@ -308,7 +310,9 @@ def s16_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_sim_dot",
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint()
+        # lazy (r13): plan truncation per step without a dedicated
+        # job per step — only the final action materializes the chain
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(
         "query_id",
         F.col("step").cast("int").alias("step"),
@@ -410,6 +414,9 @@ FROM centers c LEFT JOIN asg a ON a.step = c.step"""
     "unrolls the recurrence as K MATERIALIZED stages",
 )
 def e11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # qv stays EAGER (referenced by the seed pick, the fold chain,
+    # and the final census); the per-iteration frames below are lazy —
+    # each one's single consumer is the next argmax full pass
     qv = quantized_vectors(spark, sf_dir).localCheckpoint()
 
     def lit_vec(vals):
@@ -419,7 +426,7 @@ def e11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [(1, int(seed.vec_id), 0, list(seed.v))]
     points = qv.select(
         "vec_id", "v", _int_dist2(F.col("v"), lit_vec(seed.v)).alias("mind")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for i in range(2, _KC_K + 1):
         far = points.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1).collect()[0]
         centers.append((i, int(far.vec_id), int(far.mind), list(far.v)))
@@ -429,10 +436,11 @@ def e11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("mind"), _int_dist2(F.col("v"), lit_vec(far.v))
             ).alias("mind"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     final_radius = points.agg(F.max("mind")).collect()[0][0]
 
-    cdf = spark.createDataFrame(
+    cdf = local_rows_df(
+        spark,
         [(s, cid, d, v) for s, cid, d, v in centers],
         "step int, center_id long, sel_dist_sq long, cv array<long>",
     )
@@ -450,7 +458,8 @@ def e11_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     # radius after step i = the step-(i+1) pick's distance; final step
     # needs the one extra max pass computed above
     radius = {s: d for s, _, d, _ in centers}
-    base = spark.createDataFrame(
+    base = local_rows_df(
+        spark,
         [
             (s, cid, d, int(radius.get(s + 1, final_radius)))
             for s, cid, d, _ in centers
@@ -646,7 +655,11 @@ def _chi2_pair(
     # size; checkpoint it so the marginals/N derive from it instead of
     # re-scanning the fact table once per consumer (one corpus scan
     # per pair, not seven)
-    cells = t.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    # lazy (r13): the statistic is one final action — the checkpoint
+    # materializes inside it, no standalone job per pair
+    cells = t.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("o")
+    ).localCheckpoint(eager=False)
     rt = cells.groupBy("a").agg(F.sum("o").alias("rt"))
     ct = cells.groupBy("b").agg(F.sum("o").alias("ct"))
     n = cells.agg(F.sum("o").alias("n"))
@@ -1159,7 +1172,7 @@ def s18_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= _PRF_FB)
         .select("query_id", "vec_id", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     zero_vec = F.transform(F.col("qvec"), lambda _: F.lit(0).cast("long"))
     expq = (
@@ -1284,7 +1297,7 @@ def pr9_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", F.col("w2").alias("w"))
         .distinct()
         .join(d1, ["u", "w"], "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     d3 = (
         d2.join(sym, d2.w == sym.a)
@@ -1689,8 +1702,8 @@ def s19_index_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             qdata.append((qid, qvec, ranked[:_IVF_NPROBE]))
-        queries = spark.createDataFrame(
-            qdata, "query_id long, qv array<long>, cells array<int>"
+        queries = local_rows_df(
+            spark, qdata, "query_id long, qv array<long>, cells array<int>"
         )
         out = index_staleness_gate(
             assigned,
@@ -1701,7 +1714,7 @@ def s19_index_staleness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the gate is 5 rows; materialize before releasing the corpus
         # cache so the persist guard can unpersist deterministically
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_rows_df(spark, out.collect(), out.schema)
     finally:
         q.unpersist(blocking=False)
 
@@ -1838,7 +1851,7 @@ def c8_ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rebuild", int(res["rebuild"])),
         ("swapped", int(res["swapped"])),
     ]
-    return spark.createDataFrame(rows, "check_name string, value long")
+    return local_rows_df(spark, rows, "check_name string, value long")
 
 
 # ---------------------------------------------------------------------------
@@ -2284,6 +2297,6 @@ def st20_stream_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned, n_batches=_S19_STEPS, n_cells=_IVF_K
         )
         # 4 monitor rows; materialize before the store dir is removed
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_rows_df(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(store, ignore_errors=True)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.plans.registry import register
 from dww_data_pipeline_spark.sources.catalog import load_table
 
@@ -2011,7 +2013,10 @@ def pr7_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "node", "left_anti")
             # bounded node set: truncate lineage so round k+1 doesn't
-            # recompile round k's plan (the pr1/d6 discipline)
+            # recompile round k's plan (the pr1/d6 discipline).
+            # EAGER: the frontier is referenced 3x downstream (layers
+            # union, next-hop expansion, visited union) — r13 measured
+            # the lazy form re-computing it per reference (+0.5 s)
             .localCheckpoint()
         )
         layers.append(
@@ -2869,6 +2874,6 @@ def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
     finally:
         shutil.rmtree(orc_path, ignore_errors=True)
-    return spark.createDataFrame(
-        [row], "n_parquet long, n_orc long, n_mismatch long"
+    return local_rows_df(
+        spark, [row], "n_parquet long, n_orc long, n_mismatch long"
     )

@@ -17,6 +17,7 @@ so the same code is correct and fast on a real multi-executor cluster:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -48,3 +49,81 @@ def get_spark(app_name: str = "dww_data_pipeline_spark", cpus: str | None = None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Arrow-path construction of a DataFrame from a SMALL driver-side
+    row list (bounded artifacts: merge tables, gate rows, centroid
+    literals, collected monitor rows).
+
+    The default ``spark.createDataFrame(list, schema)`` parallelizes
+    the rows into ``defaultParallelism`` pickled-Python partitions, so
+    every materialization pays one Python-worker round-trip PER CORE
+    regardless of row count — measured at r13 as ~0.3 s per
+    materialization warm and ~4.7 s when a ``coalesce(1)`` write pulls
+    all those Python sub-iterators through one task.  Routing the rows
+    through a pandas frame takes the Arrow fast path (one batch, one
+    partition): 0.042 s collect / 0.16 s coalesced write, same values.
+
+    Cells stay ``object`` dtype end-to-end so integers are never
+    coerced through float64 (exact 64-bit values, None stays null);
+    the explicit ``schema`` fixes the types exactly as before.  Falls
+    back to the default path for anything pandas/Arrow cannot carry.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    struct = (
+        _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    if not isinstance(struct, StructType):
+        return spark.createDataFrame(rows, schema)
+    rows = list(rows)
+    names = [f.name for f in struct.fields]
+    try:
+        # column-wise, object dtype FROM THE START: from_records would
+        # promote an int column containing None to float64 before any
+        # astype could intervene, silently rounding 64-bit values
+        cols = list(zip(*rows)) if rows else [() for _ in names]
+        pdf = pd.DataFrame(
+            {n: pd.Series(c, dtype=object) for n, c in zip(names, cols)},
+            columns=names,
+        )
+        return spark.createDataFrame(pdf, schema=struct)
+    except Exception:
+        return spark.createDataFrame(rows, struct)
+
+
+@contextmanager
+def bounded_loop_shuffle(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 1 << 16
+):
+    """Scope the session's shuffle width to a BOUNDED iterative loop
+    (guide §2.2: fewer, larger reduce partitions).
+
+    Iterative operators (BPE training, NN-Descent, greedy selection)
+    run 8-20 driver-orchestrated rounds over a table whose size was
+    just MEASURED (a vocabulary histogram, a kNN edge list, a probe
+    sample) and is orders of magnitude below the corpus.  Leaving
+    ``spark.sql.shuffle.partitions`` at the corpus-level default makes
+    every round pay task-launch and shuffle-block registration for
+    partitions that hold a handful of rows — measured at sf0.1 as
+    ~0.8 s of a 3.7 s training loop.  This scopes the width to
+    ceil(n_rows / rows_per_partition), capped at the session default
+    (a large input keeps the configured width — the setting is derived
+    from the measured input size, never a local-mode constant), and
+    disables AQE's per-stage re-planning inside the loop only (the
+    sizes are already known from the measurement; re-optimizing each
+    tiny exchange is pure driver latency).  Both settings restore on
+    exit.  Plan-shape only — results are unaffected.
+    """
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    parts = max(1, min(int(cur), -(-int(n_rows) // rows_per_partition)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -36,6 +36,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 from dww_data_pipeline_spark.functions.vectors import cosine
 from dww_data_pipeline_spark.operators.similarity import (
     _centroid_probe_col,
@@ -61,7 +63,8 @@ def build_ivf_index(
     )
     centroids = _kmeans_centroids(sample, k=n_lists, seed=seed)
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = local_rows_df(
+        spark,
         [(int(j), [float(x) for x in c]) for j, c in enumerate(centroids)],
         "list_id int, centroid array<double>",
     )
@@ -150,7 +153,8 @@ def build_coarse_store(vq: DataFrame, out_dir: str) -> int:
 
     cents = _train_coarse(vq)
     spark = vq.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(j, [int(x) for x in cv]) for j, cv in enumerate(cents)],
         "j int, cv array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -246,8 +250,8 @@ def coarse_index_lifecycle_tick(
             ),
         )
         qdata.append((qid, qvec, ranked[:_IVF_NPROBE]))
-    queries = spark.createDataFrame(
-        qdata, "query_id long, qv array<long>, cells array<int>"
+    queries = local_rows_df(
+        spark, qdata, "query_id long, qv array<long>, cells array<int>"
     )
     gate = index_staleness_gate(
         assigned, queries, n_steps=n_steps, k=_PQ_TOPK,

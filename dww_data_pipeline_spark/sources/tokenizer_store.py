@@ -59,6 +59,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dww_data_pipeline_spark.session import local_rows_df
+
 
 def build_tokenizer_store(
     docs: DataFrame, out_dir: str, n_merges: int = 16
@@ -75,8 +77,8 @@ def build_tokenizer_store(
     mrows = [
         (it + 1, p.strip(), m.strip(), n) for it, (p, m, n) in enumerate(merges)
     ]
-    spark.createDataFrame(
-        mrows, "step long, pair string, merged string, n long"
+    local_rows_df(
+        spark, mrows, "step long, pair string, merged string, n long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "merges"))
     seg.select(
         "tok",
@@ -155,24 +157,32 @@ def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     greedy fold (``_bpe_apply_merge`` — merge, then skip).  Returns
     ``words`` plus (seg, n_sym); other columns pass through.
 
-    ``words`` must be vocabulary-scale (distinct words, not the raw
-    token stream) — each fold localCheckpoints to keep plan depth at
-    one fold per job, the t33 discipline."""
+    All n_merges folds compose into ONE projection (zero jobs until a
+    consumer runs, one data pass total).  This is safe here — unlike
+    the TRAINING loop, where each iteration's segmentation feeds a
+    pair-count consumer and must be localCheckpoint-materialized to
+    keep re-evaluation linear — because encoding has a single terminal
+    consumer and each fold references its predecessor exactly once, so
+    the composed expression tree is linear in n_merges and every row
+    is evaluated once.  (r13 optimization: the previous
+    checkpoint-per-fold form paid n_merges driver round-trips and
+    n_merges vocabulary materializations per encode call — measured as
+    the dominant cost of every artifact-gate query at sf0.1; the fold
+    arithmetic is unchanged, so results are bit-identical.)"""
     from dww_data_pipeline_spark.plans.pipeline_ext2 import _bpe_apply_merge
 
     passthrough = [c for c in words.columns if c != "tok"]
-    seg0 = F.expr(
+    seg = F.expr(
         "concat(' ', array_join(transform(sequence(1, length(tok)), "
         "i -> substring(tok, i, 1)), ' '), ' ')"
     )
-    cur = words.select("tok", *passthrough, seg0.alias("seg"))
     for pair, merged in merges:
         la, rb = pair.split(" ")
-        cur = cur.select(
-            "tok",
-            *passthrough,
-            _bpe_apply_merge(F.col("seg"), la, rb, merged).alias("seg"),
-        ).localCheckpoint()
+        seg = _bpe_apply_merge(seg, la, rb, merged)
+    # the composed fold lands in its OWN projection so the downstream
+    # trim/n_sym pair references a column, not two copies of the
+    # expression (CollapseProject keeps non-cheap expressions single)
+    cur = words.select("tok", *passthrough, seg.alias("seg"))
     return cur.select(
         "tok",
         *passthrough,
@@ -267,8 +277,8 @@ def encode_top_from_store(
         (i + 1, r["tok"], r["n"], r["seg"], r["n_sym"])
         for i, r in enumerate(rows)
     ]
-    return spark.createDataFrame(
-        out, "rank long, tok string, n long, seg string, n_sym long"
+    return local_rows_df(
+        spark, out, "rank long, tok string, n long, seg string, n_sym long"
     )
 
 

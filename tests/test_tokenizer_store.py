@@ -123,6 +123,38 @@ class TestFrozenEncodeOnNovelWords:
         row = encode_words(df, merges).collect()[0]
         assert row["extra"] == 7 and row["n_sym"] >= 1
 
+    def test_composed_fold_overlapping_runs(self, spark):
+        """The r13 single-projection encode (all merges composed into
+        one nested fold, no per-merge checkpoint) must keep the exact
+        greedy merge-then-skip semantics on overlapping runs — the
+        round-7 hazard cases: ' a n a n a n ' -> an/an/an and
+        ' a a a a a ' -> aa/aa/a under the corresponding merges."""
+        merges = [("a n", "an")]
+        df = spark.createDataFrame([("ananan",), ("anana",)], "tok string")
+        got = {
+            r["tok"]: (r["seg"], r["n_sym"])
+            for r in encode_words(df, merges).collect()
+        }
+        assert got["ananan"] == ("an an an", 3)
+        assert got["anana"] == ("an an a", 3)
+        merges = [("a a", "aa")]
+        df = spark.createDataFrame([("aaaaa",), ("aaaa",)], "tok string")
+        got = {
+            r["tok"]: (r["seg"], r["n_sym"])
+            for r in encode_words(df, merges).collect()
+        }
+        assert got["aaaaa"] == ("aa aa a", 3)
+        assert got["aaaa"] == ("aa aa", 2)
+        # two merges composed in rank order: 'a b'->ab then 'ab c'->abc
+        merges = [("a b", "ab"), ("ab c", "abc")]
+        df = spark.createDataFrame([("abcabc",), ("abab",)], "tok string")
+        got = {
+            r["tok"]: (r["seg"], r["n_sym"])
+            for r in encode_words(df, merges).collect()
+        }
+        assert got["abcabc"] == ("abc abc", 2)
+        assert got["abab"] == ("ab ab", 2)
+
 
 class TestArtifactBackedTwins:
     def test_fertility_from_store_equals_t25(self, spark, sf_dir, store):
