@@ -4200,7 +4200,9 @@ def bpe_train_segmentation_df(
         # fold/pair-count map side launches that many tasks instead of
         # the corpus-level scan width (narrow coalesce, no shuffle —
         # a no-op when the measured width meets or exceeds it)
-        with bounded_loop_shuffle(d.sparkSession, n_vocab) as parts:
+        with bounded_loop_shuffle(
+            d.sparkSession, n_vocab, disable_aqe=True
+        ) as parts:
             seg = seg.coalesce(parts)
             for it in range(1, n_merges + 1):
                 syms = "split(trim(seg), ' ')"

@@ -96,7 +96,10 @@ def local_rows_df(spark: SparkSession, rows, schema):
 
 @contextmanager
 def bounded_loop_shuffle(
-    spark: SparkSession, n_rows: int, rows_per_partition: int = 1 << 16
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = 1 << 16,
+    disable_aqe: bool = False,
 ):
     """Scope the session's shuffle width to a BOUNDED iterative loop
     (guide §2.2: fewer, larger reduce partitions).
@@ -111,17 +114,23 @@ def bounded_loop_shuffle(
     ~0.8 s of a 3.7 s training loop.  This scopes the width to
     ceil(n_rows / rows_per_partition), capped at the session default
     (a large input keeps the configured width — the setting is derived
-    from the measured input size, never a local-mode constant), and
-    disables AQE's per-stage re-planning inside the loop only (the
-    sizes are already known from the measurement; re-optimizing each
-    tiny exchange is pure driver latency).  Both settings restore on
-    exit.  Plan-shape only — results are unaffected.
+    from the measured input size, never a local-mode constant).
+
+    ``disable_aqe=True`` additionally turns off AQE's per-stage
+    re-planning inside the scope — ONLY valid for aggregation-only
+    loops (the BPE argmax recurrence): a loop with joins needs AQE's
+    runtime size estimates, because checkpointed frames carry no
+    static statistics and the planner would otherwise fall back to
+    sort-merge for a side it should broadcast (measured +0.7-0.9 s on
+    the s25/s26 walks when AQE was scoped off there).  All settings
+    restore on exit.  Plan-shape only — results are unaffected.
     """
     cur = spark.conf.get("spark.sql.shuffle.partitions")
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     parts = max(1, min(int(cur), -(-int(n_rows) // rows_per_partition)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if disable_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield parts
     finally:
