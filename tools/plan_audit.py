@@ -56,6 +56,13 @@ COLLECT_BOUNDED = {
     "d28_ppjoin_exact": "per-doc sorted shingle array (r12 verify): "
     "distinct shingles per doc <= doc token count by construction "
     "(doc-length-bounded, the d14/d23 rule)",
+    "dq22_embedding_psi": "per-(side, dim) PSI term list <= the 16 "
+    "fixed bins by construction (the ordered-fold determinism "
+    "contract needs the bin-sorted list)",
+    "dq17_embedding_psi": "alias of dq22_embedding_psi — same plan, "
+    "same 16-bin bound",
+    "st22_stream_embedding_psi": "per-(batch, dim) PSI term list <= "
+    "the 16 fixed bins by construction (dq22's bound per micro-batch)",
 }
 
 
