@@ -24,6 +24,8 @@ exact integers. House conventions per plans/registry.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3115,6 +3117,76 @@ def t30_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_TRAIN_MERGES = 16
 
+# Driver-side trainer cap (r14, guide §4.1/§2.4): the merge recurrence
+# is information-sequential — each argmax depends on the previous
+# fold — so the distributed loop's floor is n_merges sequential driver
+# round-trips (~150 ms each locally = the measured wall of every
+# train-bearing query after the r13 fixes).  The vocabulary histogram
+# is BOUNDED (the loop's own scale invariant: the corpus collapses to
+# its word histogram once, and the merge table is already collected
+# driver-side), so when the measured vocabulary fits under this cap
+# the recurrence runs in the driver over the collected histogram —
+# the published single-node trainer shape — and ships the result as
+# the same bounded artifacts.  Above the cap (a 100 TB corpus can
+# hold ~10-100 M distinct tokens ≈ GBs with segmentations) the
+# distributed loop below runs unchanged.  1 M rows ≈ tens of MB on
+# the driver — far under spark.driver.maxResultSize.
+_BPE_DRIVER_VOCAB_CAP = int(
+    os.environ.get("SPARK_GRAFT_BPE_DRIVER_CAP", str(1 << 20))
+)
+
+
+def _bpe_train_driver(
+    rows: list, n_merges: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, str]]]:
+    """The 16-merge recurrence over the COLLECTED (tok, n) histogram —
+    arithmetic-identical to the distributed fold (pair = corpus-
+    weighted adjacent-symbol count; argmax by count desc then pair
+    lexicographic, which matches Spark's UTF8 binary string order
+    because UTF-8 byte order equals code-point order; merge applied
+    as the exact left-to-right greedy fold of ``_bpe_apply_merge``).
+    Returns (merges, seg_rows) with seg in sentinel-space form."""
+    toks: list[str] = []
+    ns: list[int] = []
+    segs: list[str] = []
+    for tok, n in rows:
+        toks.append(tok)
+        ns.append(int(n))
+        # seg0: one space-wrapped single-character symbol per char —
+        # Python str iteration is per code point, as Spark's substring
+        segs.append(" " + " ".join(tok) + " ")
+    merges: list[tuple[str, str, int]] = []
+    for it in range(1, n_merges + 1):
+        counts: dict[str, int] = {}
+        for n, s in zip(ns, segs):
+            syms = s.strip(" ").split(" ")
+            for i in range(len(syms) - 1):
+                p = " " + syms[i] + " " + syms[i + 1] + " "
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            raise ValueError(
+                f"t33: vocabulary exhausted after {it - 1} merges "
+                f"(need {n_merges}) — corpus too small"
+            )
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        m = pair.strip(" ").replace(" ", "")
+        merged = " " + m + " "
+        merges.append((pair, merged, counts[pair]))
+        la, rb = pair.strip(" ").split(" ")
+        tail = " " + la + " "
+        cut = len(la) + 1
+        for j, s in enumerate(segs):
+            if pair not in s:  # same exact-identity guard as the fold
+                continue
+            acc = " "
+            for x in s.strip(" ").split(" "):
+                if x == rb and acc.endswith(tail):
+                    acc = acc[:-cut] + m + " "
+                else:
+                    acc = acc + x + " "
+            segs[j] = acc
+    return merges, list(zip(toks, ns, segs))
+
 
 def _bpe_apply_merge(seg, left: str, right: str, merged: str):
     """Exact greedy BPE merge application as a left-to-right fold
@@ -4171,22 +4243,45 @@ def bpe_train_segmentation_df(
     is the corpus word histogram (tok, n, seg) in its FINAL
     segmentation — which is by construction what rank-ordered greedy
     application of the merge list produces on the training corpus,
-    i.e. the encoded corpus.  ``seg`` is localCheckpointed
-    (vocabulary-bounded), independent of the unpersisted histogram."""
-    words = (
+    i.e. the encoded corpus.
+
+    r14 (guide §4.1/§2.4, the r13 verdict's top ask): the recurrence
+    is information-sequential, so the distributed loop's wall is
+    n_merges sequential argmax driver round-trips.  The histogram is
+    vocabulary-BOUNDED; when it fits under ``_BPE_DRIVER_VOCAB_CAP``
+    the whole loop runs driver-side over the collected histogram (ONE
+    Spark job — the corpus-scale word-histogram shuffle that was
+    always required — instead of 17+) and ships the identical merges
+    + segmentation as bounded artifacts.  The collect is guarded by
+    ``limit(cap + 1)``: under the cap the limit is a no-op and the
+    single job returns the complete histogram; at cap + 1 rows the
+    distributed loop below runs unchanged (the 100 TB posture —
+    parity between the two paths is pinned by
+    tests/test_pipeline_ext2.py::TestBpeDriverTrainer)."""
+    hist = (
         d.select(F.explode(spark_tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "tok",
-            "n",
-            F.expr(
-                "concat(' ', array_join(transform(sequence(1, "
-                "length(tok)), i -> substring(tok, i, 1)), ' '), ' ')"
-            ).alias("seg"),
-        )
-        .persist()
     )
+    spark = d.sparkSession
+    cap = _BPE_DRIVER_VOCAB_CAP
+    got = hist.limit(cap + 1).collect()
+    if len(got) <= cap:
+        merges, seg_rows = _bpe_train_driver(
+            [(r[0], r[1]) for r in got], n_merges
+        )
+        return merges, local_rows_df(
+            spark, seg_rows, "tok string, n long, seg string"
+        )
+
+    words = hist.select(
+        "tok",
+        "n",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, "
+            "length(tok)), i -> substring(tok, i, 1)), ' '), ' ')"
+        ).alias("seg"),
+    ).persist()
     from dww_data_pipeline_spark.session import bounded_loop_shuffle
 
     try:

@@ -1328,6 +1328,46 @@ class TestBpeTrain:
         assert got == sorted(want)
 
 
+class TestBpeDriverTrainer:
+    def test_driver_and_distributed_paths_agree(self, spark, sf_dir, monkeypatch):
+        """The r14 driver-side trainer (vocabulary under
+        _BPE_DRIVER_VOCAB_CAP → the recurrence runs over the collected
+        histogram) must produce the identical merge list AND the
+        identical final segmentation as the distributed fold loop it
+        short-circuits — the cap is a pure execution-strategy switch."""
+        from dww_data_pipeline_spark.plans import pipeline_ext2 as pe2
+
+        docs = load_table(spark, sf_dir, "documents")
+        m_drv, seg_drv = pe2.bpe_train_segmentation_df(docs)
+        rows_drv = sorted(tuple(r) for r in seg_drv.collect())
+        monkeypatch.setattr(pe2, "_BPE_DRIVER_VOCAB_CAP", 0)
+        m_dist, seg_dist = pe2.bpe_train_segmentation_df(docs)
+        rows_dist = sorted(tuple(r) for r in seg_dist.collect())
+        assert m_drv == m_dist
+        assert rows_drv == rows_dist
+
+    def test_cap_guard_takes_distributed_path(self, spark, sf_dir, monkeypatch):
+        """At cap 0 the limit(1) collect must NOT be mistaken for a
+        complete histogram (guard is len(got) <= cap, not truncation
+        detection alone) — the distributed path's merges still match
+        the registered t33 output."""
+        from dww_data_pipeline_spark.plans import pipeline_ext2 as pe2
+
+        t33 = sorted(
+            (r["step"], r["pair"], r["merged"], r["n"])
+            for r in REGISTRY["t33_bpe_train"].spark(spark, sf_dir).collect()
+        )
+        monkeypatch.setattr(pe2, "_BPE_DRIVER_VOCAB_CAP", 0)
+        merges, _ = pe2.bpe_train_segmentation_df(
+            load_table(spark, sf_dir, "documents")
+        )
+        got = sorted(
+            (it + 1, p.strip(), m.strip(), n)
+            for it, (p, m, n) in enumerate(merges)
+        )
+        assert got == t33
+
+
 class TestBpeEncode:
     def test_encode_matches_sequential_encoder(self, spark, sf_dir):
         """t35's segmentations must equal a from-scratch sequential
