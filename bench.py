@@ -385,7 +385,18 @@ _CALIBRATION_PANEL: dict[str, list[tuple[str, float]]] = {
     "window": [("w1_jumps", 0.526)],
     "arrow_python": [("m4_audio_features", 0.478)],
     "iterative": [("d6_dup_components", 1.027)],
-    "compute_fold": [("t33_bpe_train", 3.294)],
+    # compute_fold re-pinned r14 (r13 verdict ask #3): t33's PLAN
+    # changed in r13 (one-job-per-merge) and again in r14 (driver-side
+    # recurrence), so its ratio vs the r07 recording conflates engine
+    # improvement with box state (r13 recorded drift 0.527 while every
+    # other shape sat at 0.7-0.8).  t34_kneser_ney_score is the same
+    # shape family (corpus fold + per-key recurrence), benched since
+    # r07 (1.417), and its plan is untouched by both rounds — its
+    # r13/r07 ratio (1.449/1.417 = 1.02) matches the healthy-box
+    # median, confirming plan stability.  t33 stays a compute_fold
+    # MEMBER (normalized by the shape's drift); it just no longer
+    # defines it.
+    "compute_fold": [("t34_kneser_ney_score", 1.417)],
     "streaming_sim": [("st1_tumbling_window", 0.308)],
 }
 
@@ -732,6 +743,16 @@ def main() -> None:
         "n_benched": len(timings),
     }
     compact["value_headline_b"] = out["value_headline_b"]
+    # r13 verdict ask #4: the driver's per-query round-over-round
+    # comparison parses the tail-captured FINAL line, and the full
+    # per-query dict outgrew the ~2000-char tail rounds ago (PERF_r13
+    # per_query = {}).  Carry per-query seconds for the two frozen
+    # tiers only (17 + 7 names ≈ 800 chars — fits the tail with room
+    # for the calibration block).  Additions-only: the full line above
+    # still carries every benched query.
+    compact["queries"] = {
+        n: timings[n] for n in HEADLINE + HEADLINE_B if n in timings
+    }
     if "calibration" in out:
         compact["drift"] = out["calibration"]["drift"]
         compact["shape_drifts"] = out["calibration"]["shape_drifts"]

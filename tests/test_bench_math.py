@@ -108,6 +108,18 @@ class TestCalibrationPanelV2:
         assert len(_CALIBRATION_PANEL) == 7
         assert len(_PANEL_QUERIES) == 8
 
+    def test_compute_fold_repinned_to_plan_stable_member(self):
+        """r13 verdict ask #3: t33's plan changed in r13 AND r14, so
+        the compute_fold panel member is now t34 (plan-stable since
+        r07) pinned to its r07 recording; t33 remains a shape MEMBER
+        but no longer defines the shape's drift."""
+        assert _CALIBRATION_PANEL["compute_fold"] == [
+            ("t34_kneser_ney_score", 1.417)
+        ]
+        assert "t33_bpe_train" not in _PANEL_QUERIES
+        assert shape_of("t33_bpe_train") == "compute_fold"
+        assert shape_of("t34_kneser_ney_score") == "compute_fold"
+
     def test_panel_queries_run_min_of_five(self):
         for name in _PANEL_QUERIES:
             # even with a previous artifact recording them as slow
