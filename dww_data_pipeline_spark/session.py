@@ -71,15 +71,35 @@ def local_rows_df(spark: SparkSession, rows, schema):
     back to the default path for anything pandas/Arrow cannot carry.
     """
     import pandas as pd
-    from pyspark.sql.types import StructType, _parse_datatype_string
+    from pyspark.sql.types import StructType
 
-    struct = (
-        _parse_datatype_string(schema) if isinstance(schema, str) else schema
-    )
+    try:
+        # private API (r14 advice): guard the import so a PySpark
+        # upgrade that moves the symbol degrades to the default path
+        # instead of raising inside every caller
+        from pyspark.sql.types import _parse_datatype_string
+    except ImportError:
+        _parse_datatype_string = None
+
+    if isinstance(schema, str):
+        if _parse_datatype_string is None:
+            return spark.createDataFrame(rows, schema)
+        struct = _parse_datatype_string(schema)
+    else:
+        struct = schema
     if not isinstance(struct, StructType):
         return spark.createDataFrame(rows, schema)
     rows = list(rows)
     names = [f.name for f in struct.fields]
+    # fail fast on shape mismatches exactly as createDataFrame(rows,
+    # schema) would (r14 advice: zip() silently truncated an over-long
+    # row; the pandas column reindex padded a short one with NaN)
+    for r in rows:
+        if len(r) != len(names):
+            raise ValueError(
+                f"local_rows_df: row has {len(r)} fields, schema has "
+                f"{len(names)}: {r!r}"
+            )
     try:
         # column-wise, object dtype FROM THE START: from_records would
         # promote an int column containing None to float64 before any
@@ -90,7 +110,18 @@ def local_rows_df(spark: SparkSession, rows, schema):
             columns=names,
         )
         return spark.createDataFrame(pdf, schema=struct)
-    except Exception:
+    except Exception as exc:  # pragma: no cover - type-dependent
+        # narrow fallback visibility (r14 advice): the slow path is a
+        # silent ~10-30x regression per materialization, so make the
+        # reason observable instead of swallowing it
+        import warnings
+
+        warnings.warn(
+            f"local_rows_df: Arrow path failed ({type(exc).__name__}: "
+            f"{exc}); falling back to the pickled-row path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return spark.createDataFrame(rows, struct)
 
 
@@ -124,6 +155,13 @@ def bounded_loop_shuffle(
     sort-merge for a side it should broadcast (measured +0.7-0.9 s on
     the s25/s26 walks when AQE was scoped off there).  All settings
     restore on exit.  Plan-shape only — results are unaffected.
+
+    Concurrency note (r14 advice): this mutates SESSION-global conf,
+    which is safe under the engine's single-threaded-driver contract
+    (bench.py and the registered query builders run queries
+    sequentially); a harness that ever builds queries concurrently on
+    one session must not wrap them in this scope, or the narrowed
+    width / disabled AQE leaks into unrelated queries mid-flight.
     """
     cur = spark.conf.get("spark.sql.shuffle.partitions")
     aqe = spark.conf.get("spark.sql.adaptive.enabled")

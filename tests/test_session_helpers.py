@@ -36,6 +36,18 @@ class TestLocalRowsDf:
                 map(tuple, want.collect())
             ), schema
 
+    def test_shape_mismatch_fails_fast(self, spark):
+        # r14 advice: a row with more fields than the schema used to be
+        # silently truncated by the column-wise zip, and a short row
+        # padded with NaN by the pandas reindex — both must raise, as
+        # spark.createDataFrame(rows, schema) would
+        import pytest
+
+        with pytest.raises(ValueError, match="3 fields, schema has 2"):
+            local_rows_df(spark, [(1, "a", 99)], "a long, b string")
+        with pytest.raises(ValueError, match="1 fields, schema has 2"):
+            local_rows_df(spark, [(1,)], "a long, b string")
+
     def test_row_objects_round_trip(self, spark):
         src = spark.range(3).select(
             "id",
