@@ -2541,11 +2541,24 @@ def edit_distance_one_pairs(df: DataFrame, col: str) -> DataFrame:
 
 
 def _j15_variants(c: DataFrame) -> DataFrame:
-    """The FastSS blocking relation: DISTINCT (c_name, key) variant
-    pairs — deletion neighborhood for short strings, length buckets
-    above _J15_MAX_DEL_LEN.  Factored so tools/j15_candidate_study.py
+    """The FastSS blocking relation: (c_name, key) variant pairs —
+    deletion neighborhood for short strings, length buckets above
+    _J15_MAX_DEL_LEN.  Factored so tools/j15_candidate_study.py
     measures the bucket-size distribution of exactly the keys the
-    join uses."""
+    join uses.
+
+    r14 (guide §2.3): variant keys hash to fixed-width longs
+    (xxhash64) before the dedup + self-join — the distinct exchanges
+    and the join relation carry 8 bytes per key instead of an
+    up-to-65-char string.  A hash collision can only ADD a candidate
+    pair (equal keys hash equal), and every candidate is verified by
+    the exact levenshtein predicate, so the result is unchanged.
+    Measured same-session A/B at sf0.1: 3.83 -> 3.24 s.  Two measured
+    NEGATIVES kept out: dropping the dedup entirely (candidates blow
+    up with key multiplicity, 6.7 s) and moving the dedup to name
+    level before the explode (7.1 s — the post-explode distinct is
+    what lets the join consume two already-shuffled, already-deduped
+    sides)."""
     short = c.filter(F.length("c_name") <= _J15_MAX_DEL_LEN)
     long_ = c.filter(F.length("c_name") >= _J15_MAX_DEL_LEN)
     del_keys = short.select(
@@ -2573,7 +2586,11 @@ def _j15_variants(c: DataFrame) -> DataFrame:
             )
         ).alias("key"),
     )
-    return del_keys.unionByName(len_keys).distinct()
+    return (
+        del_keys.unionByName(len_keys)
+        .select("c_name", F.xxhash64("key").alias("key"))
+        .distinct()
+    )
 
 
 @register(
