@@ -2269,7 +2269,17 @@ def _suffix_window_classes(d: DataFrame, L: int):
             "gid",
             "r",
             *[F.lead("r", i * g, 0).over(w_doc).alias(f"k{i}") for i in range(1, k)],
-        )
+        # pr is consumed TWICE per round (the class aggregation and
+        # the join back) and each round's subtree contains every
+        # previous round's — without materialization the planner
+        # replans the whole chain per reference (r14 measured: the
+        # static d26 plan held 32 corpus scans + 32 posexplodes and
+        # ZERO ReusedExchange nodes).  LAZY localCheckpoint: the class
+        # aggregation is a full pass over pr — its first consumer —
+        # so it lands the cache inside that job with no extra driver
+        # round-trip (the r13 §3 rule; eager measured equal here:
+        # 2.17 vs 2.10 s, HEAD 3.55 s).
+        ).localCheckpoint(eager=False)
         cls = pr.groupBy(*keys).agg(F.min("gid").alias("r2"))
         r = pr.join(cls, keys).select(
             "doc_id", "n", "pos", "gid", F.col("r2").alias("r")
@@ -2287,6 +2297,10 @@ def _suffix_window_classes(d: DataFrame, L: int):
         )
         .filter(F.col("pos") + (L - 1) <= F.col("n"))
         .drop("n")
+        # win is consumed twice by d26 (dup classes + semi-join back)
+        # and twice by d27 (class agg + non-keeper join); lazy: its
+        # first consumer is always a full-pass aggregation
+        .localCheckpoint(eager=False)
     )
     return win, [f"f{i}" for i in range(len(offs))]
 
