@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dww_data_pipeline_spark.plans.registry import register
+from dww_data_pipeline_spark.session import local_rows_df
 from dww_data_pipeline_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -2880,7 +2881,18 @@ def graph_ann_walk(
             ),
             "src",
         ).select("query_id", F.col("dst").alias("vec_id"))
-        cand = beam.select("query_id", "vec_id").union(neighbors).distinct()
+        # r14 (guide §2.4): one exchange per round instead of two —
+        # repartitioning the candidate union by query_id satisfies
+        # BOTH downstream clustering requirements (the pair distinct
+        # groups on a superset of the partition key; the rank window
+        # partitions on it exactly), so neither re-shuffles.  Bounded:
+        # |q| x beam x degree rows by the walk contract.
+        cand = (
+            beam.select("query_id", "vec_id")
+            .union(neighbors)
+            .repartition("query_id")
+            .distinct()
+        )
         scored = (
             cand.join(vecs, "vec_id")
             .join(F.broadcast(q), "query_id")
@@ -2894,15 +2906,26 @@ def graph_ann_walk(
             .withColumn("rn", F.row_number().over(w))
         )
         if rnd < rounds - 1:
-            # bounded EAGER materialization: <= |q| x beam rows.  The
-            # beam is referenced twice in the next round (neighbor
-            # broadcast + candidate union) — r13 measured the lazy
-            # form re-computing it per reference inside the round job
-            # (+0.3-0.6 s on s22/s24/s25/s26), so eager stays.
-            beam = (
-                scored.filter(F.col("rn") <= beam_width)
+            # bounded DRIVER materialization (r14, the e7/pr1 rule):
+            # <= |q| x beam rows by contract, so the round's beam
+            # collects to the driver and re-enters as a local one-
+            # batch table — the next round's two references (neighbor
+            # broadcast + candidate union) read a LocalTableScan
+            # instead of re-broadcasting a checkpointed RDD.  (r13
+            # kept an EAGER localCheckpoint here after measuring the
+            # lazy form recomputing per reference; the collect is the
+            # same one driver round-trip per round with cheaper
+            # consumers — measured 1.93 -> 1.59 s on the s26 walk
+            # together with the single-exchange round above, exact
+            # parity.)
+            rows = [
+                (r[0], r[1])
+                for r in scored.filter(F.col("rn") <= beam_width)
                 .select("query_id", "vec_id")
-                .localCheckpoint()
+                .collect()
+            ]
+            beam = local_rows_df(
+                e.sparkSession, rows, "query_id long, vec_id long"
             )
     return scored.filter(F.col("rn") <= k).select(
         "query_id", "vec_id", "cos", F.col("rn").alias("rank")
