@@ -3161,6 +3161,15 @@ def nn_descent_edges(
 
     from dww_data_pipeline_spark.operators.similarity import bucket_knn_arrow
 
+    # e is consumed by every construction stage (init kNN, ring, both
+    # vector sides of every round's top-k rescore) — without
+    # materialization each reference re-plans the scan + bucket
+    # projection (r14; the d26 lesson).  LAZY: the count below is the
+    # full pass that lands it (a caller passing an already-
+    # checkpointed frame, e.g. s26's derived corpus, just adds one
+    # bounded re-cache).  Measured 2.84 -> 2.56 s on the s23 build,
+    # exact edge parity.
+    e = e.localCheckpoint(eager=False)
     vecs = e.select("vec_id", "embedding")
     n = vecs.count()  # bounded collect: one long (the init modulus)
     ring = (
